@@ -1,0 +1,180 @@
+"""Batch transaction reconstruction — the engine's flagship operator.
+
+Batch twin of the reference's keyed co-process (SURVEY.md ST1/A1/A2;
+reference: DebeziumTransactionReconstructor.java:131-170): change
+events buffered per transaction id, emitted when the transaction's END
+marker arrives. The streaming path (streaming/assembler.py) implements
+the same semantics incrementally; this module implements them as one
+declarative plan so the DuckDB oracle can verify them.
+
+Semantics reproduced from V1 (and how):
+- arrival order: the reference leans on a single-partition Kafka topic
+  for total order (reference readme.md:1); the batch twin's `seq`
+  column is that offset, and all ordering/assignment uses it. Note the
+  txn-metadata envelope carries NO timestamp (reference :109-114,
+  SURVEY.md W2), so offset order is the only order both streams share.
+- emit on END (reference :158): each change is assigned to the
+  earliest END of its transaction at-or-after it in arrival order; a
+  group (txn_id, end) emits one record.
+- END with no buffered events -> silently dropped (reference :159-163
+  null-state guard): inner grouping naturally drops empty segments.
+- events after the last END -> never emitted (the reference's state
+  leak, :141-153 with no timer): changes with no following END are
+  excluded. (The streaming path adds event-time timeout eviction —
+  documented deviation/improvement.)
+
+Scale notes: one hash shuffle on txn_id; the window and the groupBy
+share that partitioning so Catalyst reuses the exchange; no driver
+loops; per-key work is O(n log n). Skew on hot transaction ids is
+handled by AQE; state per row in the window is a single BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def derive_change_stream(events: DataFrame) -> DataFrame:
+    """Deterministically derive a Debezium-shaped change stream from the
+    driver's `events` fixture table (TESTDATA.md): non-purchase events
+    become row-change events keyed by user; `event_id` is the arrival
+    offset (single-partition order, reference readme.md:1).
+
+    Columns: txn_id, seq, op, ts_ms, before, after.
+    """
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "click", "u")
+        .when(F.col("event_type") == "view", "r")
+        .otherwise("d")
+    )
+    return (
+        events.filter(F.col("event_type") != "purchase")
+        .select(
+            F.concat(F.lit("txn-"), F.col("user_id").cast("string")).alias("txn_id"),
+            F.col("event_id").alias("seq"),
+            op.alias("op"),
+            F.col("ts_ms"),
+            F.when(op.isin("u", "d"), F.col("props")).alias("before"),
+            F.when(op.isin("c", "u", "r"), F.col("props")).alias("after"),
+        )
+    )
+
+
+def derive_txn_stream(events: DataFrame) -> DataFrame:
+    """END markers derived from purchase events; declared event_count is
+    a deterministic function of the row (exercises A2 count-mode). No
+    timestamp: the reference's txn envelope has none (reference
+    :109-114).
+
+    Columns: txn_id, seq, status, event_count.
+    """
+    return events.filter(F.col("event_type") == "purchase").select(
+        F.concat(F.lit("txn-"), F.col("user_id").cast("string")).alias("txn_id"),
+        F.col("event_id").alias("seq"),
+        F.lit("END").alias("status"),
+        (F.floor(F.col("value")).cast("long") % F.lit(4) + F.lit(1)).alias("event_count"),
+    )
+
+
+def reconstruct_transactions(
+    changes: DataFrame, ends: DataFrame, emit_on: str = "end"
+) -> DataFrame:
+    """Assemble per-transaction records (SURVEY.md A1/A2).
+
+    ``changes``: txn_id, seq, op, ts_ms[, before, after]
+    ``ends``:    txn_id, seq, event_count
+
+    emit_on='end'   — reference-faithful: every END with >=1 buffered
+                      change emits (reference :158).
+    emit_on='count' — Debezium-documented exactness check the reference
+                      parses but never applies (reference :113-114):
+                      only segments whose actual size equals the END's
+                      declared event_count emit.
+
+    Output: txn_id, end_seq, event_count (declared), n_events,
+    ops_concat (ops in arrival order), first_ts_ms, last_ts_ms.
+    """
+    if emit_on not in ("end", "count"):
+        raise ValueError(f"emit_on must be 'end' or 'count', got {emit_on!r}")
+
+    c = changes.select(
+        "txn_id",
+        F.col("seq").cast("long").alias("seq"),
+        "op",
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        F.lit("C").alias("kind"),
+    )
+    e = ends.select(
+        "txn_id",
+        F.col("seq").cast("long").alias("seq"),
+        F.lit(None).cast("string").alias("op"),
+        F.lit(None).cast("long").alias("ts_ms"),
+        F.lit("E").alias("kind"),
+    )
+    u = c.unionByName(e)
+
+    # Earliest END at-or-after each row, per transaction: reverse
+    # running MIN over the (single) txn_id shuffle.
+    w = (
+        W.partitionBy("txn_id")
+        .orderBy("seq")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    assigned = u.withColumn(
+        "end_seq", F.min(F.when(F.col("kind") == "E", F.col("seq"))).over(w)
+    )
+
+    grouped = (
+        assigned.filter((F.col("kind") == "C") & F.col("end_seq").isNotNull())
+        .groupBy("txn_id", "end_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "op"))),
+                    lambda s: s.getField("op"),
+                ),
+                ",",
+            ).alias("ops_concat"),
+            F.min("ts_ms").alias("first_ts_ms"),
+            F.max("ts_ms").alias("last_ts_ms"),
+        )
+    )
+
+    end_info = ends.select(
+        "txn_id", F.col("seq").cast("long").alias("end_seq"), "event_count"
+    )
+    out = grouped.join(end_info, ["txn_id", "end_seq"], "inner")
+    if emit_on == "count":
+        out = out.filter(F.col("n_events") == F.col("event_count"))
+    return out.select(
+        "txn_id",
+        "end_seq",
+        "event_count",
+        "n_events",
+        "ops_concat",
+        "first_ts_ms",
+        "last_ts_ms",
+    )
+
+
+def latest_state(changes: DataFrame) -> DataFrame:
+    """CDC snapshot: final row image per transaction key (SURVEY.md J5/A5
+    idiom — `last value as of now`), via one row_number window.
+
+    Output: txn_id, last_op, last_ts_ms, last_after, n_changes.
+    """
+    w = W.partitionBy("txn_id").orderBy(
+        F.col("ts_ms").desc(), F.col("seq").desc()
+    )
+    counted = changes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_changes", F.count(F.lit(1)).over(W.partitionBy("txn_id"))
+    )
+    return counted.filter(F.col("rn") == 1).select(
+        "txn_id",
+        F.col("op").alias("last_op"),
+        F.col("ts_ms").alias("last_ts_ms"),
+        F.col("after").alias("last_after"),
+        "n_changes",
+    )

@@ -1,0 +1,246 @@
+"""CDC declared queries (SURVEY.md M2): Debezium parse + transaction
+reconstruction, batch-verified against the DuckDB oracle.
+
+The CDC fixture streams are derived deterministically from the
+driver's `events` table (FIXTURES.md §2 shape): non-purchase events
+are row-change events, purchase events are transaction END markers.
+The oracle SQL re-states the same derivation; the Spark side goes
+through the full render-JSON → parse-JSON → reconstruct path, so
+value parity proves the envelope codec and the assembly semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_via_flink_spark.operators.debezium import (
+    parse_debezium,
+    render_change_envelope,
+    render_txn_envelope,
+)
+from cdc_via_flink_spark.operators.reconstruct import (
+    derive_change_stream,
+    derive_txn_stream,
+    latest_state,
+    reconstruct_transactions,
+)
+from cdc_via_flink_spark.plans.registry import query
+from cdc_via_flink_spark.sources.tables import load_table
+
+# Oracle twins of operators.reconstruct.derive_*_stream — keep in sync.
+CH_SQL = """
+  SELECT 'txn-' || CAST(user_id AS VARCHAR) AS txn_id,
+         event_id AS seq,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'click' THEN 'u'
+              WHEN 'view' THEN 'r' ELSE 'd' END AS op,
+         epoch_ms(ts) AS ts_ms,
+         props
+  FROM events WHERE event_type <> 'purchase'
+"""
+
+# The txn-metadata envelope has no timestamp (reference
+# DebeziumTransactionReconstructor.java:109-114); only arrival offset.
+EN_SQL = """
+  SELECT 'txn-' || CAST(user_id AS VARCHAR) AS txn_id,
+         event_id AS seq,
+         CAST(floor("value") AS BIGINT) % 4 + 1 AS event_count
+  FROM events WHERE event_type = 'purchase'
+"""
+
+
+def _streams(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = load_table(spark, sf_dir, "events")
+    return derive_change_stream(ev), derive_txn_stream(ev)
+
+
+def _envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render both derived streams to Debezium JSON strings and union —
+    the batch stand-in for the two Kafka topics (SURVEY.md S1). `seq`
+    rides alongside the value as the Kafka-offset analog."""
+    changes, ends = _streams(spark, sf_dir)
+    c_env = changes.select(
+        F.col("seq"),
+        render_change_envelope(
+            F.col("op"), F.col("ts_ms"), F.col("txn_id"), F.col("before"), F.col("after")
+        ).alias("value"),
+    )
+    e_env = ends.select(
+        F.col("seq"),
+        render_txn_envelope(F.col("status"), F.col("txn_id"), F.col("event_count")).alias(
+            "value"
+        ),
+    )
+    return c_env.unionByName(e_env)
+
+
+_RECON_ORACLE = f"""
+WITH ch AS ({CH_SQL}),
+en AS ({EN_SQL}),
+u AS (
+  SELECT txn_id, seq, op, ts_ms, 'C' AS kind FROM ch
+  UNION ALL
+  SELECT txn_id, seq, CAST(NULL AS VARCHAR) AS op,
+         CAST(NULL AS BIGINT) AS ts_ms, 'E' AS kind
+  FROM en
+),
+a AS (
+  SELECT *, min(CASE WHEN kind = 'E' THEN seq END) OVER (
+      PARTITION BY txn_id ORDER BY seq
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS end_seq
+  FROM u
+),
+g AS (
+  SELECT txn_id, end_seq,
+         count(*) AS n_events,
+         string_agg(op, ',' ORDER BY seq) AS ops_concat,
+         min(ts_ms) AS first_ts_ms,
+         max(ts_ms) AS last_ts_ms
+  FROM a WHERE kind = 'C' AND end_seq IS NOT NULL
+  GROUP BY txn_id, end_seq
+)
+SELECT g.txn_id, g.end_seq, en.event_count, g.n_events, g.ops_concat,
+       g.first_ts_ms, g.last_ts_ms
+FROM g JOIN en ON g.txn_id = en.txn_id AND g.end_seq = en.seq
+"""
+
+
+@query(
+    "cdc_reconstruct_end",
+    oracle=_RECON_ORACLE,
+    tags=("cdc", "stateful", "A1", "ST1"),
+    bench=True,
+)
+def cdc_reconstruct_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit-on-END transaction reconstruction through the full envelope
+    codec (reference semantics, DebeziumTransactionReconstructor.java:158)."""
+    env = _envelopes(spark, sf_dir)
+    parsed = parse_debezium(env)
+    changes = parsed.filter(F.col("kind") == "change").select(
+        "txn_id", "seq", "op", "ts_ms", "before", "after"
+    )
+    ends = parsed.filter(
+        (F.col("kind") == "txn") & (F.col("status") == "END")
+    ).select("txn_id", "seq", "event_count")
+    return reconstruct_transactions(changes, ends, emit_on="end")
+
+
+@query(
+    "cdc_reconstruct_count",
+    oracle=_RECON_ORACLE + " WHERE g.n_events = en.event_count",
+    tags=("cdc", "stateful", "A2"),
+)
+def cdc_reconstruct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-mode reconstruction: only segments whose size matches the
+    declared event_count emit (the check the reference parses but never
+    applies, reference :113-114)."""
+    changes, ends = _streams(spark, sf_dir)
+    return reconstruct_transactions(changes, ends, emit_on="count")
+
+
+@query(
+    "cdc_parse_envelope",
+    oracle=f"""
+WITH ch AS ({CH_SQL}), en AS ({EN_SQL}),
+both_k AS (
+  SELECT 'change' AS kind, op, txn_id, ts_ms FROM ch
+  UNION ALL
+  SELECT 'txn' AS kind, CAST(NULL AS VARCHAR) AS op, txn_id,
+         CAST(NULL AS BIGINT) AS ts_ms FROM en
+)
+SELECT kind, op,
+       count(*) AS n,
+       count(DISTINCT txn_id) AS n_txn,
+       min(ts_ms) AS min_ts_ms,
+       max(ts_ms) AS max_ts_ms
+FROM both_k GROUP BY kind, op
+""",
+    tags=("cdc", "P1", "P2", "P5"),
+)
+def cdc_parse_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON envelope render→parse round trip with discriminator stats
+    (validates P1/P2/P5 against an oracle that never touches JSON)."""
+    parsed = parse_debezium(_envelopes(spark, sf_dir))
+    return (
+        parsed.filter(F.col("kind").isNotNull())
+        .groupBy("kind", "op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("txn_id").alias("n_txn"),
+            F.min("ts_ms").alias("min_ts_ms"),
+            F.max("ts_ms").alias("max_ts_ms"),
+        )
+    )
+
+
+@query(
+    "cdc_dead_letter",
+    oracle=f"""
+WITH ch AS ({CH_SQL}), en AS ({EN_SQL}),
+allrec AS (
+  SELECT seq FROM ch UNION ALL SELECT seq FROM en
+)
+SELECT CASE WHEN seq % 7 = 0 THEN 'dead_letter' ELSE 'ok' END AS route,
+       count(*) AS n
+FROM allrec GROUP BY 1
+""",
+    tags=("cdc", "S4"),
+)
+def cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing (SURVEY.md S4 side-output emulation):
+    deterministically corrupt every 7th envelope, parse PERMISSIVE,
+    route NULL-kind rows to the dead-letter leg and count both legs
+    (reference side output :133,151,167)."""
+    env = _envelopes(spark, sf_dir)
+    corrupted = env.withColumn(
+        "value",
+        F.when(
+            F.col("seq") % 7 == 0,
+            F.expr("substring(value, 1, length(value) - 2)"),
+        ).otherwise(F.col("value")),
+    )
+    parsed = parse_debezium(corrupted)
+    return (
+        parsed.withColumn(
+            "route",
+            F.when(F.col("kind").isNull(), "dead_letter").otherwise("ok"),
+        )
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "cdc_latest_state",
+    oracle=f"""
+WITH ch AS ({CH_SQL}),
+r AS (
+  SELECT txn_id, op, ts_ms, props AS after, seq,
+         row_number() OVER (PARTITION BY txn_id
+                            ORDER BY ts_ms DESC, seq DESC) AS rn,
+         count(*) OVER (PARTITION BY txn_id) AS n_changes
+  FROM ch
+)
+SELECT txn_id, op AS last_op, ts_ms AS last_ts_ms, after AS last_after,
+       n_changes
+FROM r WHERE rn = 1
+""",
+    tags=("cdc", "J5", "A5"),
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot: final row image per key (window row_number idiom
+    for 'latest state as of now', SURVEY.md J5)."""
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "click", "u")
+        .when(F.col("event_type") == "view", "r")
+        .otherwise("d")
+    )
+    ch = ev.filter(F.col("event_type") != "purchase").select(
+        F.concat(F.lit("txn-"), F.col("user_id").cast("string")).alias("txn_id"),
+        F.col("event_id").alias("seq"),
+        op.alias("op"),
+        F.col("ts_ms"),
+        F.col("props").alias("after"),
+    )
+    return latest_state(ch)

@@ -1,0 +1,1 @@
+from cdc_via_flink_spark.sources.tables import TABLES, load_tables, register_views  # noqa: F401

@@ -1,0 +1,79 @@
+"""Batch parquet sources for the engine's fixture tables.
+
+Maps the reference's Kafka string sources (SURVEY.md S1/S2;
+reference: DebeziumTransactionReconstructor.java:52-65) onto Spark's
+columnar parquet scans for the batch-verifiable surface. Filters and
+projections on these frames push down to the scan (Catalyst), which is
+the 100 TB story: a query touching 2 columns of lineitem reads 2
+columns.
+
+``events.ts`` is INT64 TIMESTAMP(NANOS) in the files; Spark reads it
+as a nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``) and we
+derive:
+
+- ``ts``      TIMESTAMP_NTZ truncated to microseconds (DuckDB parity:
+              its TIMESTAMP_NS -> python datetime also truncates to µs)
+- ``ts_ms``   epoch milliseconds BIGINT (== DuckDB ``epoch_ms(ts)``)
+- ``ts_ns``   the raw nanosecond long
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor: their
+# cardinality is fixed (TPC-H region=5, nation=25) or grows far slower
+# than the fact tables.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # already set statically or locked; the read will tell
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_nanos_conf(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_ms", (F.col("ts_ns") / F.lit(1_000_000)).cast("long"))
+            .withColumn(
+                "ts",
+                F.timestamp_micros((F.col("ts_ns") / F.lit(1_000)).cast("long")).cast(
+                    "timestamp_ntz"
+                ),
+            )
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view for the SQL surface."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(prefix + name)
+    return dfs
