@@ -1,1 +1,622 @@
-"""Placeholder — populated in a later milestone."""
+"""Relational core queries (SURVEY.md M1): the [gap] operator rows
+J3/J4, A3/A4, A6/A7, P9 — stock Spark DataFrame/SQL plans, each with a
+DuckDB oracle.
+
+Plan-shape notes (checked via .explain, see tests/test_plans.py):
+- dimension joins broadcast (region/nation always; supplier/customer
+  under the 10 MB AQE threshold at test SF — at 100 TB the fact-fact
+  joins go sort-merge on the join key, which is the right plan);
+- filters/projections push into the parquet scans;
+- aggregations run partial→final (no extra shuffle beyond the groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_via_flink_spark.plans.parity import (
+    SQL_REVENUE,
+    davg,
+    dec,
+    dsum,
+    revenue_col,
+    sql_davg,
+    sql_dsum,
+)
+from cdc_via_flink_spark.plans.registry import query
+from cdc_via_flink_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# A3: hash aggregation, partial+final, multiple aggregates (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       CAST(sum({SQL_REVENUE}) AS DOUBLE) AS sum_disc_price,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("A3", "agg"),
+    bench=True,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: partial→final hash agg over two
+    group keys; shipdate filter pushes to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(revenue_col()).cast("double").alias("sum_disc_price"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: sort / limit / top-k with deterministic tie-break
+# --------------------------------------------------------------------------
+@query(
+    "q_topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+    tags=("A6", "sort"),
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark runs TakeOrderedAndProject (no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# J3: multi-way equi join with broadcast dims (TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_revenue_by_nation",
+    oracle=f"""
+SELECT n.n_name AS nation, r.r_name AS region,
+       CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY n.n_name, r.r_name
+""",
+    tags=("J3", "A3", "join"),
+    bench=True,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join (lineitem⋈orders, sort-merge at scale) plus three
+    broadcast dimension joins; Catalyst reorders, AQE handles skew."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(revenue_col()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J3: left outer join with null-side aggregation
+# --------------------------------------------------------------------------
+@query(
+    "q_customer_order_counts",
+    oracle="""
+SELECT c.c_mktsegment, c.c_custkey, count(o.o_orderkey) AS n_orders,
+       CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment, c.c_custkey
+""",
+    tags=("J3", "join", "left"),
+)
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join keeps order-less customers; count(o_orderkey) counts
+    only matches (null-skipping), sums coalesce to 0."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec(F.col("o_totalprice"))), F.lit(0))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J3: semi / anti joins
+# --------------------------------------------------------------------------
+@query(
+    "q_semi_join_customers",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY c_mktsegment
+""",
+    tags=("J3", "semi"),
+)
+def q_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left_semi join — no row multiplication, no dedup pass."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q_anti_join_customers",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c_mktsegment
+""",
+    tags=("J3", "anti"),
+)
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left_anti join (customers with no recent order —
+    date-filtered so the result is non-degenerate at every SF)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J3: full outer join of two aggregates
+# --------------------------------------------------------------------------
+@query(
+    "q_full_outer_nation_presence",
+    oracle="""
+WITH cu AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+            FROM customer GROUP BY c_nationkey),
+su AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+       FROM supplier GROUP BY s_nationkey)
+SELECT coalesce(cu.nk, su.nk) AS nationkey,
+       coalesce(cu.n_customers, 0) AS n_customers,
+       coalesce(su.n_suppliers, 0) AS n_suppliers
+FROM cu FULL OUTER JOIN su ON cu.nk = su.nk
+""",
+    tags=("J3", "full_outer"),
+)
+def q_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of customer-count vs supplier-count per nation —
+    nations present on only one side survive with zeros."""
+    cu = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    su = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cu.join(su, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J4: theta (non-equi) join — broadcast nested loop
+# --------------------------------------------------------------------------
+@query(
+    "q_theta_size_brackets",
+    oracle="""
+WITH brackets AS (
+  SELECT r_regionkey AS bracket, r_regionkey * 10 AS lo, r_regionkey * 10 + 20 AS hi
+  FROM region
+)
+SELECT b.bracket, count(*) AS n_parts,
+       CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM part p JOIN brackets b ON p.p_size >= b.lo AND p.p_size < b.hi
+GROUP BY b.bracket
+""",
+    tags=("J4", "theta"),
+)
+def q_theta_size_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range-predicate join (no equi key) → BroadcastNestedLoopJoin
+    with the tiny side broadcast; overlapping brackets multiply rows."""
+    p = _t(spark, sf_dir, "part")
+    b = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("bracket"),
+        (F.col("r_regionkey") * 10).alias("lo"),
+        (F.col("r_regionkey") * 10 + 20).alias("hi"),
+    )
+    return (
+        p.join(F.broadcast(b), (p.p_size >= b.lo) & (p.p_size < b.hi))
+        .groupBy("bracket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum(F.col("p_retailprice")).alias("sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A4: rollup / cube / grouping sets (portable COALESCE-key encoding)
+# --------------------------------------------------------------------------
+@query(
+    "q_rollup_revenue",
+    oracle=f"""
+SELECT coalesce(r.r_name, 'ALL') AS region,
+       CASE WHEN r.r_name IS NULL THEN 'ALL' ELSE coalesce(n.n_name, 'ALL') END AS nation,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+       count(*) AS n
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+    tags=("A4", "rollup"),
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region→nation with COALESCE-encoded subtotal keys (same
+    encoding both engines, avoiding GROUPING_ID bit-order differences)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    rolled = j.rollup("r_name", "n_name").agg(
+        dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return rolled.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("region"),
+        F.when(F.col("r_name").isNull(), "ALL")
+        .otherwise(F.coalesce("n_name", F.lit("ALL")))
+        .alias("nation"),
+        "sum_acctbal",
+        "n",
+    )
+
+
+@query(
+    "q_cube_order_stats",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("A4", "cube"),
+)
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status×priority (no NULLs in either key, so COALESCE
+    encoding is unambiguous)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+       coalesce(l_linestatus, 'ALL') AS lstatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    tags=("A4", "grouping_sets"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL over the parquet path (no
+    temp-view state)."""
+    path = f"{sf_dir}/lineitem.parquet"
+    return spark.sql(
+        f"""
+SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+       coalesce(l_linestatus, 'ALL') AS lstatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM parquet.`{path}`
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# A7: set operations
+# --------------------------------------------------------------------------
+@query(
+    "q_set_ops_nations",
+    oracle="""
+WITH cu AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+su AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+SELECT 'union' AS op, count(*) AS n FROM (SELECT nk FROM cu UNION SELECT nk FROM su)
+UNION ALL
+SELECT 'intersect', count(*) FROM (SELECT nk FROM cu INTERSECT SELECT nk FROM su)
+UNION ALL
+SELECT 'except', count(*) FROM (SELECT nk FROM cu EXCEPT SELECT nk FROM su)
+""",
+    tags=("A7", "setops"),
+)
+def q_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union/intersect/except cardinalities of customer vs supplier
+    nation sets."""
+    cu = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    su = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    u = cu.union(su).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("union").alias("op"), "n"
+    )
+    i = cu.intersect(su).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    e = cu.exceptAll(su.distinct()).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except").alias("op"), "n"
+    )
+    return u.unionByName(i).unionByName(e)
+
+
+# --------------------------------------------------------------------------
+# A3: distinct aggregation
+# --------------------------------------------------------------------------
+@query(
+    "q_distinct_parts_per_flag",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("A3", "distinct"),
+)
+def q_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate (Catalyst expands)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P9: scalar function library — strings
+# --------------------------------------------------------------------------
+@query(
+    "q_scalar_strings",
+    oracle="""
+SELECT p_partkey,
+       lower(p_brand) AS brand_lc,
+       upper(substring(p_type, 1, 5)) AS type_prefix,
+       length(p_name) AS name_len,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       replace(p_name, ' ', '_') AS name_us,
+       regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+       CAST(strpos(p_name, 'a') AS INTEGER) AS a_pos
+FROM part WHERE p_partkey % 10 = 0
+""",
+    tags=("P9", "strings"),
+)
+def q_scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar library: lower/upper/substring/length/concat_ws/
+    replace/regexp_extract/instr — all JVM-codegen'd, no UDFs."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") % 10 == 0).select(
+        "p_partkey",
+        F.lower("p_brand").alias("brand_lc"),
+        F.upper(F.substring("p_type", 1, 5)).alias("type_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+        F.instr(F.col("p_name"), "a").alias("a_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P9: scalar function library — dates
+# --------------------------------------------------------------------------
+@query(
+    "q_scalar_dates",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       count(*) AS n_orders,
+       CAST(min(date_diff('day', o_orderdate, TIMESTAMP '1999-01-01')) AS INTEGER) AS min_days_to_1999
+FROM orders
+GROUP BY 1, 2, 3
+""",
+    tags=("P9", "dates"),
+)
+def q_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar library: year/month/date_trunc/date_format/datediff."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            F.datediff(
+                F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("days_to_1999"),
+        )
+        .groupBy("yr", "mo", "month_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("days_to_1999").alias("min_days_to_1999"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P9: scalar function library — math + conditionals
+# --------------------------------------------------------------------------
+@query(
+    "q_scalar_math",
+    oracle="""
+SELECT p_partkey,
+       CAST(abs(p_size - 25) AS INTEGER) AS size_dev,
+       CAST(ceil(p_retailprice / 100) AS BIGINT) AS price_century,
+       CAST(floor(p_retailprice / 100) AS BIGINT) AS price_century_f,
+       round(CAST(p_retailprice AS DECIMAL(18,2)) % 7, 2) AS price_mod7,
+       CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'mid'
+            ELSE 'large' END AS size_class,
+       CAST(p_size * p_size AS INTEGER) AS size_sq
+FROM part WHERE p_partkey % 7 = 0
+""",
+    tags=("P9", "math"),
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar library: abs/ceil/floor/mod/case-when. The modulo
+    runs on DECIMAL so both engines agree exactly."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") % 7 == 0).select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.ceil(F.col("p_retailprice") / 100).alias("price_century"),
+        F.floor(F.col("p_retailprice") / 100).alias("price_century_f"),
+        F.round(dec(F.col("p_retailprice")) % 7, 2).cast("decimal(18,2)").alias("price_mod7"),
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "mid")
+        .otherwise("large")
+        .alias("size_class"),
+        (F.col("p_size") * F.col("p_size")).alias("size_sq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P5/X4: JSON extraction
+# --------------------------------------------------------------------------
+@query(
+    "q_json_props",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n,
+       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+""",
+    tags=("P5", "json"),
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the semi-structured props column (the
+    reference's opaque-JSON passthrough, queried on demand)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket"),
+            "value",
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A3+A6: having + order via subquery (IN-subquery form)
+# --------------------------------------------------------------------------
+@query(
+    "q_in_subquery_hot_parts",
+    oracle="""
+SELECT p.p_brand, count(*) AS n_hot_parts
+FROM part p
+WHERE p.p_partkey IN (
+  SELECT l_partkey FROM lineitem
+  GROUP BY l_partkey HAVING count(*) >= 5
+)
+GROUP BY p.p_brand
+""",
+    tags=("J3", "subquery"),
+)
+def q_in_subquery_hot_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (decorrelated by Catalyst to a semi join) over a
+    HAVING-filtered aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    hot = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+        .select("l_partkey")
+    )
+    return (
+        p.join(hot, p.p_partkey == hot.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_hot_parts"))
+    )

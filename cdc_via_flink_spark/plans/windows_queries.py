@@ -1,1 +1,344 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function queries (SURVEY.md A5/A6/J5) + pivot/unpivot.
+
+All ranking/analytic/frame windows are single-shuffle plans
+(partitionBy key); outputs cast ranks to BIGINT for cross-engine
+schema alignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from cdc_via_flink_spark.operators.asof import asof_join
+from cdc_via_flink_spark.plans.parity import dec, dsum
+from cdc_via_flink_spark.plans.registry import query
+from cdc_via_flink_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q_topk_per_segment",
+    oracle="""
+WITH r AS (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 3
+""",
+    tags=("A5", "A6", "window"),
+    bench=True,
+)
+def q_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: row_number window + filter (the scalable top-k —
+    no global sort, one shuffle on the group key)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "q_running_revenue",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_rev
+FROM lineitem WHERE l_suppkey % 5 = 0
+""",
+    tags=("A5", "window", "frame"),
+)
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per supplier with an explicit ROWS frame; DECIMAL
+    accumulator keeps the prefix sums exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 5 == 0)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(dec(F.col("l_extendedprice"))).over(w).cast("double").alias("running_rev"),
+    )
+
+
+@query(
+    "q_order_gaps",
+    oracle="""
+WITH g AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_date,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS next_key
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       CAST(coalesce(date_diff('day', prev_date, o_orderdate), -1) AS INTEGER) AS gap_days,
+       coalesce(next_key, -1) AS next_key
+FROM g WHERE o_custkey % 10 = 0
+""",
+    tags=("A5", "window", "lag"),
+)
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: per-customer inter-order gap in days."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .withColumn("next_key", F.lead("o_orderkey").over(w))
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.coalesce(
+                F.datediff(F.col("o_orderdate").cast("date"), F.col("prev_date").cast("date")),
+                F.lit(-1),
+            ).alias("gap_days"),
+            F.coalesce("next_key", F.lit(-1)).alias("next_key"),
+        )
+    )
+
+
+@query(
+    "q_rank_parts",
+    oracle="""
+SELECT p_brand, p_partkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER (PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS quartile
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_size DESC)
+""",
+    tags=("A5", "window", "rank"),
+)
+def q_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank (ties on p_size are rank-stable by definition)
+    and ntile with a unique ordering."""
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    w2 = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w2).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "q_first_last_values",
+    oracle="""
+SELECT DISTINCT c_nationkey,
+       first_value(c_name) OVER (PARTITION BY c_nationkey
+           ORDER BY c_acctbal DESC, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest,
+       last_value(c_name) OVER (PARTITION BY c_nationkey
+           ORDER BY c_acctbal DESC, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+FROM customer
+""",
+    tags=("A5", "window", "first_last"),
+)
+def q_first_last_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over a full-partition frame (unique
+    ordering key → deterministic)."""
+    c = _t(spark, sf_dir, "customer")
+    w = (
+        W.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return c.select(
+        "c_nationkey",
+        F.first("c_name").over(w).alias("richest"),
+        F.last("c_name").over(w).alias("poorest"),
+    ).distinct()
+
+
+@query(
+    "q_pivot_status",
+    oracle="""
+SELECT l_returnflag,
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'O'
+             THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_open,
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'F'
+             THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("A3", "pivot"),
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list keeps the
+    plan single-pass; oracle states the CASE-aggregate equivalent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec(F.col("l_quantity"))))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).cast("double").alias("qty_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("double").alias("qty_filled"),
+    )
+
+
+@query(
+    "q_unpivot_balances",
+    oracle="""
+WITH cu AS (
+  SELECT c_nationkey AS n_nationkey,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS customer
+  FROM customer GROUP BY c_nationkey
+),
+su AS (
+  SELECT s_nationkey AS n_nationkey,
+         CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supplier
+  FROM supplier GROUP BY s_nationkey
+),
+wide AS (
+  SELECT n.n_nationkey, cu.customer, su.supplier
+  FROM nation n
+  JOIN cu ON n.n_nationkey = cu.n_nationkey
+  JOIN su ON n.n_nationkey = su.n_nationkey
+)
+SELECT n_nationkey, 'customer' AS side, customer AS balance FROM wide
+UNION ALL
+SELECT n_nationkey, 'supplier' AS side, supplier AS balance FROM wide
+""",
+    tags=("A7", "unpivot"),
+)
+def q_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack() after a two-sided aggregate."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("n_nationkey"))
+        .agg(dsum(F.col("c_acctbal")).alias("customer"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("n_nationkey"))
+        .agg(dsum(F.col("s_acctbal")).alias("supplier"))
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    wide = n.join(c, "n_nationkey", "inner").join(s, "n_nationkey", "inner")
+    return wide.selectExpr(
+        "n_nationkey",
+        "stack(2, 'customer', customer, 'supplier', supplier) AS (side, balance)",
+    )
+
+
+@query(
+    "q_asof_last_purchase",
+    oracle="""
+WITH l AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
+  FROM events WHERE event_type <> 'purchase'
+),
+r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id AS purchase_id, "value" AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+u AS (
+  SELECT user_id, ts_ms, 1 AS side, 0 AS seq, event_id, event_type,
+         CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS DOUBLE) AS amount
+  FROM l
+  UNION ALL
+  SELECT user_id, ts_ms, 0 AS side, purchase_id AS seq,
+         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+         purchase_id, amount
+  FROM r
+),
+p AS (
+  SELECT *,
+         last_value(purchase_id IGNORE NULLS) OVER w AS asof_purchase_id,
+         last_value(amount IGNORE NULLS) OVER w AS asof_amount
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, side, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts_ms, event_type,
+       coalesce(asof_purchase_id, -1) AS last_purchase_id,
+       CAST(coalesce(asof_amount, 0) AS DOUBLE) AS last_purchase_amount
+FROM p WHERE side = 1
+""",
+    tags=("J5", "asof"),
+    bench=True,
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each non-purchase event enriched with the user's most
+    recent purchase at-or-before it (operators/asof.py union-propagate
+    idiom; both payload fields come atomically from one purchase row).
+    """
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts_ms", "event_type"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_ms",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    joined = asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts_ms",
+        right_ts="ts_ms",
+        payload_cols=["purchase_id", "amount"],
+        right_seq="purchase_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        "event_type",
+        F.coalesce("asof_purchase_id", F.lit(-1)).alias("last_purchase_id"),
+        F.coalesce("asof_amount", F.lit(0)).cast("double").alias("last_purchase_amount"),
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(max(o_totalprice) AS DOUBLE) AS max_price
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("A3", "percentile"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines linear-interpolate;
+    result rounded to absorb any final-ulp wiggle)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.9)), 4).alias("p90"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )

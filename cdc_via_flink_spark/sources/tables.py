@@ -54,14 +54,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
+        # integer `div`, NOT float division: a double quotient of an
+        # ~1.7e18 nanos value can round up across the next millisecond.
         df = (
             df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts_ms", (F.col("ts_ns") / F.lit(1_000_000)).cast("long"))
+            .withColumn("ts_ms", F.expr("ts_ns div 1000000"))
             .withColumn(
                 "ts",
-                F.timestamp_micros((F.col("ts_ns") / F.lit(1_000)).cast("long")).cast(
-                    "timestamp_ntz"
-                ),
+                F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz"),
             )
         )
     return df
