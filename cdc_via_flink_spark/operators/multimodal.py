@@ -1,0 +1,74 @@
+"""Multimodal column plumbing (SURVEY.md X4).
+
+Convention: a modality column is an opaque BinaryType payload plus a
+typed metadata struct — the pattern that scales to image/audio/video
+shards at 100 TB (payload bytes never leave the executor; metadata is
+columnar and prunable).
+
+The decode step is where a real image/audio codec would run. Those
+libraries are not in this container, so `decode_meta` is a
+DETERMINISTIC STUB (documented fake: dimensions derived from payload
+bytes) — but the Spark-side plumbing is real and load-bearing:
+mapInPandas over Arrow record batches, binary columns in/out, schema
+declared up front, batch-at-a-time vectorized Python. Swapping the
+fake for PIL/ffmpeg changes only the inner function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, width long, height long, n_frames long, checksum long"
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build the binary payload + metadata struct from a text column
+    (fixture stand-in for real media bytes)."""
+    return df.withColumn("payload", F.col(text_col).cast("binary")).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def _fake_decode(n_bytes: int, first_byte: int) -> tuple[int, int, int]:
+    """Deterministic stand-in for a media decoder. Real decoders:
+    PIL.Image.open / soundfile / av — NOT installed here by design."""
+    width = n_bytes % 64 + 16
+    height = (n_bytes * 7 + first_byte) % 64 + 16
+    n_frames = n_bytes % 10 + 1
+    return width, height, n_frames
+
+
+def decode_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas decode pass: binary payload -> typed media metadata.
+
+    Arrow moves the binary column to Python in batches; the inner loop
+    is vectorized pandas (no per-row Python in the driver, no UDF
+    re-pickling per row).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"]
+            n_bytes = payload.str.len().astype("int64")
+            first = payload.map(lambda b: b[0] if len(b) else 0).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": n_bytes,
+                    "width": n_bytes % 64 + 16,
+                    "height": (n_bytes * 7 + first) % 64 + 16,
+                    "n_frames": n_bytes % 10 + 1,
+                    "checksum": (n_bytes * 31 + first) % 1_000_003,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, DECODE_SCHEMA)

@@ -1,1 +1,258 @@
-"""Placeholder — populated in a later milestone."""
+"""Dedup declared queries (SURVEY.md X1) over the `documents` fixture.
+
+Oracle SQL is generated programmatically to state the exact same
+deterministic algorithms (md5-derived token hashes, universal-hash
+MinHash family, banding, bit-vote SimHash) in DuckDB's dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_via_flink_spark.functions.hashing import P, a_j, b_j
+from cdc_via_flink_spark.operators.dedup import (
+    doc_shingles,
+    exact_dedup,
+    jaccard_on_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+)
+from cdc_via_flink_spark.plans.registry import query
+from cdc_via_flink_spark.sources.tables import load_table
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS = 4
+JACCARD_T = 0.5
+
+SQL_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+# (doc_id, sh): distinct word-3-shingles per document — twin of
+# operators.dedup.doc_shingles.
+SQL_SHINGLES = f"""
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                               i -> array_to_string(tk[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents)
+"""
+
+SQL_TOK = "CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT)"
+
+
+def _sql_minhash_cte() -> str:
+    aggs = ",\n         ".join(
+        f"min(({a_j(j)} * (t % {P}) + {b_j(j)}) % {P}) AS mh{j}"
+        for j in range(NUM_HASHES)
+    )
+    return f"""
+sh AS ({SQL_SHINGLES}),
+tok AS (SELECT doc_id, {SQL_TOK} AS t FROM sh),
+sig AS (
+  SELECT doc_id,
+         {aggs}
+  FROM tok GROUP BY doc_id
+)"""
+
+
+def _sql_bands() -> str:
+    parts = []
+    for b in range(BANDS):
+        cols = " || '-' || ".join(
+            f"CAST(mh{b * ROWS + r} AS VARCHAR)" for r in range(ROWS)
+        )
+        parts.append(f"SELECT doc_id, {b} AS band, {cols} AS bsig FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+WITH withdups AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+g AS (
+  SELECT md5({SQL_NORM}) AS digest, min(doc_id) AS keeper_id,
+         count(*) AS n_copies
+  FROM withdups GROUP BY 1
+)
+SELECT digest, keeper_id, n_copies FROM g
+""",
+    tags=("X1", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup (hash-groupBy on normalized-text digest).
+    The fixture has no exact dups, so the query re-injects every 10th
+    doc under a shifted id: those groups must come back n_copies=2
+    with the original id as keeper."""
+    d = load_table(spark, sf_dir, "documents")
+    withdups = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return exact_dedup(withdups, "text", "doc_id")
+
+
+_MINHASH_CTE = _sql_minhash_cte()
+
+_LSH_ORACLE = f"""
+WITH {_MINHASH_CTE},
+banded AS ({_sql_bands()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b, i.inter, za.sz AS size_a, zb.sz AS size_b,
+       round(i.inter / (za.sz + zb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE i.inter / (za.sz + zb.sz - i.inter) >= {JACCARD_T}
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_LSH_ORACLE,
+    tags=("X1", "dedup", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection at scale: 16-hash MinHash signature (single
+    aggregation) → 4×4 LSH banding → bucket equi-join candidates →
+    exact-Jaccard verification ≥ 0.5. No O(n²) pair space."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "text", "doc_id")
+    sig = minhash_signatures(sh, NUM_HASHES)
+    cand = lsh_candidate_pairs(sig, BANDS, ROWS)
+    j = jaccard_on_pairs(cand, sh)
+    return j.filter(F.col("jaccard") >= JACCARD_T).select(
+        "id_a",
+        "id_b",
+        "inter",
+        "size_a",
+        "size_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({SQL_SHINGLES}),
+blocks AS (SELECT doc_id, lang, source FROM documents),
+sb AS (SELECT s.doc_id, b.lang, b.source, s.sh
+       FROM sh s JOIN blocks b ON s.doc_id = b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sb a JOIN sb b
+    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.inter / (za.sz + zb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE i.inter / (za.sz + zb.sz - i.inter) >= 0.3
+""",
+    tags=("X1", "dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise n-gram Jaccard with attribute blocking
+    (lang, source) to bound the pair space — the exact-verification
+    twin of the LSH path."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "text", "doc_id")
+    blocks = d.select("doc_id", "lang", "source")
+    sb = sh.join(blocks, "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sb.alias("a")
+    b = sb.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(
+            sizes.withColumnsRenamed({"doc_id": "id_a", "sz": "size_a"}), "id_a"
+        )
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "sz": "size_b"}), "id_b")
+        .withColumn(
+            "jac",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+    )
+    return j.filter(F.col("jac") >= 0.3).select(
+        "id_a", "id_b", F.round("jac", 6).alias("jaccard")
+    )
+
+
+def _sql_simhash() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (t >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(60)
+    )
+    return f"""
+WITH sh AS ({SQL_SHINGLES}),
+tok AS (SELECT doc_id, {SQL_TOK} AS t FROM sh),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM tok GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fp} AS simhash FROM votes)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=_sql_simhash(),
+    tags=("X1", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit fingerprint by per-bit majority vote of
+    shingle hashes; pairs within Hamming distance 12. (Pairwise compare
+    here for oracle-checkability; at scale the standard trick is
+    sorting by rotated fingerprints / banding on bit chunks.)"""
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "text", "doc_id")
+    fp = simhash64(sh)
+    a = fp.withColumnsRenamed({"doc_id": "id_a", "simhash": "sim_a"})
+    b = fp.withColumnsRenamed({"doc_id": "id_b", "simhash": "sim_b"})
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.filter(ham <= 12).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )

@@ -1,1 +1,161 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search declared queries (SURVEY.md X2) over `embeddings`.
+
+Query vectors = vec_id 0..4 of the corpus itself (deterministic, no
+side inputs). Cosines are rounded to 6 d.p. and used as the ordering
+key with vec_id tie-break, so a final-ulp cross-engine difference
+can't flip any result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_via_flink_spark.operators.similarity import (
+    NUM_PROJ,
+    brute_force_topk,
+    proj_vector,
+    with_bucket,
+)
+from cdc_via_flink_spark.plans.registry import query
+from cdc_via_flink_spark.sources.tables import load_table
+
+N_QUERIES = 5
+TOP_K = 10
+
+SQL_VD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+SQL_COS = (
+    "round(list_dot_product(a.v, q.v)"
+    " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.v, q.v))), 6)"
+)
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle=f"""
+WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM d WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, a.vec_id, {SQL_COS} AS cos
+  FROM d a CROSS JOIN q WHERE a.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {TOP_K}
+""",
+    tags=("X2", "similarity"),
+    bench=True,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors — broadcast query side,
+    zero-shuffle scoring, window top-k."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(e, qs, k=TOP_K)
+
+
+def _sql_proj_literal(j: int) -> str:
+    vals = ", ".join(f"{float(x)}" for x in proj_vector(j))
+    return f"[{vals}]"
+
+
+def _sql_bucket(table_alias: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({table_alias}.v, {_sql_proj_literal(j)}) > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(NUM_PROJ)
+    )
+    return f"({bits})"
+
+
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+WITH d AS (SELECT vec_id, label, {SQL_VD} AS v FROM embeddings),
+b AS (SELECT vec_id, label, v, {_sql_bucket('d')} AS bucket FROM d),
+q AS (SELECT vec_id AS query_id, v, bucket FROM b WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT q.query_id, a.vec_id, {SQL_COS} AS cos
+  FROM b a JOIN q ON a.bucket = q.bucket AND a.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM cand
+)
+SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 5
+""",
+    tags=("X2", "similarity", "lsh"),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via signed-random-projection buckets: candidates share the
+    query's 8-bit bucket (equi-join, no cross product), exact cosine
+    re-rank, top-5. Deterministic integer projections — reproducible
+    across engines and cluster sizes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = with_bucket(e.select("vec_id", "embedding"), "embedding")
+    from cdc_via_flink_spark.functions.vectors import cosine, to_double
+
+    bv = b.select("vec_id", "bucket", to_double(F.col("embedding")).alias("v"))
+    q = bv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("qbucket"),
+        F.col("v").alias("qv"),
+    )
+    cand = bv.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "cos", "rn")
+    )
+
+
+@query(
+    "sim_embedding_neardup",
+    oracle=f"""
+WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, q.vec_id AS id_b, {SQL_COS} AS cos
+  FROM d a JOIN d q ON a.vec_id < q.vec_id
+)
+SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
+""",
+    tags=("X1", "X2", "neardup"),
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4). Brute-force
+    pair scan here (fixture is small); the LSH bucket join above is the
+    scale path for the same predicate."""
+    from cdc_via_flink_spark.functions.vectors import cosine, to_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    a = d.withColumnsRenamed({"vec_id": "id_a", "v": "va"})
+    b = d.withColumnsRenamed({"vec_id": "id_b", "v": "vb"})
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.4)
+    )

@@ -1,1 +1,260 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming declared queries (SURVEY.md M3: ST1/ST3/ST4/S4/S6) plus
+their batch event-time-window twins.
+
+The streaming queries run REAL Structured Streaming jobs (file-replay
+source → watermark → stateful/windowed operator → memory sink,
+availableNow trigger) synchronously inside the query callable, then
+return the sink table. Where the single-batch replay is provably
+equivalent to the batch plan, the query carries the same DuckDB oracle
+— i.e. the STREAMING path is value-verified against SQL, not just
+rows-counted.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_via_flink_spark.operators.debezium import parse_debezium
+from cdc_via_flink_spark.plans.cdc_queries import _RECON_ORACLE, _envelopes
+from cdc_via_flink_spark.plans.parity import dsum
+from cdc_via_flink_spark.plans.registry import query
+from cdc_via_flink_spark.sources.tables import load_table
+from cdc_via_flink_spark.streaming.assembler import assemble_transactions_stream
+from cdc_via_flink_spark.streaming.sources import file_envelope_stream
+
+STAGE_ROOT = "/root/repo/.tmp"
+_q_counter = itertools.count()
+
+
+def _run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming frame to completion into a memory sink (S3
+    console-sink stand-in) and return the materialized table."""
+    name = f"stream_sink_{next(_q_counter)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def _staged_envelope_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope frame staged as ONE parquet file and replayed as a
+    stream: single file -> single micro-batch -> arrival order == seq
+    order, making the replay equivalent to the batch twin (and to the
+    reference's single-partition-topic assumption, readme.md:1)."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(STAGE_ROOT, f"stage_{sf_name}")
+    env = _envelopes(spark, sf_dir).coalesce(1)
+    return file_envelope_stream(spark, env, stage)
+
+
+@query(
+    "stream_reconstruct_end",
+    oracle=_RECON_ORACLE,
+    tags=("ST1", "streaming", "stateful"),
+)
+def stream_reconstruct_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship operator on the REAL streaming path: file-replay
+    envelope stream → parse → watermark → applyInPandasWithState
+    assembler → memory sink. Single-batch replay ⇒ value-identical to
+    the batch twin, so it shares cdc_reconstruct_end's oracle."""
+    raw = _staged_envelope_stream(spark, sf_dir)
+    parsed = parse_debezium(raw)
+    # Ingest-time surrogate for the timestamp-less txn envelopes
+    # (SURVEY W2: production uses the Kafka ingest timestamp): a
+    # deterministic monotone time strictly after every change event,
+    # so END markers are never dropped as late.
+    base_ms = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts_ms").alias("m"))
+        .collect()[0]["m"]
+    )
+    event_time = F.coalesce(
+        F.timestamp_millis(F.col("ts_ms")),
+        F.timestamp_millis(F.lit(base_ms) + F.col("seq")),
+    )
+    assembled = assemble_transactions_stream(parsed, event_time=event_time)
+    return _run_to_memory(assembled, "append")
+
+
+@query(
+    "stream_windowed_counts",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    tags=("ST3", "streaming", "window"),
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (1 h) with watermark,
+    complete output mode — equals the batch date_trunc aggregate."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(STAGE_ROOT, f"events_{sf_name}")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    os.makedirs(stage, exist_ok=True)
+    path = os.path.join(stage, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(path)
+    sev = spark.readStream.schema(ev.schema).parquet(path)
+    # withWatermark requires TIMESTAMP (tz-aware); session is UTC so
+    # the cast preserves wall-clock values.
+    sev = sev.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        sev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_dedup_first_seen",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("ST4", "streaming", "dedup"),
+)
+def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates (first-seen wins) — the streaming twin
+    of exact dedup; state bounded by watermark in production."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(STAGE_ROOT, f"events_{sf_name}")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    os.makedirs(stage, exist_ok=True)
+    path = os.path.join(stage, "events_dedup")
+    ev.coalesce(1).write.mode("overwrite").parquet(path)
+    sev = spark.readStream.schema(ev.schema).parquet(path)
+    deduped = sev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return _run_to_memory(deduped, "append")
+
+
+# ---------------------------------------------------------------------------
+# Batch twins of the event-time windows (ST3) — oracle-checked semantics
+# ---------------------------------------------------------------------------
+@query(
+    "win_tumbling_hourly",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n,
+       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+""",
+    tags=("ST3", "window", "tumbling"),
+)
+def win_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1 h event-time windows via F.window in batch mode."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "win_sliding_2h_1h",
+    oracle="""
+WITH w AS (
+  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS window_start,
+         event_type, "value"
+  FROM events
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n
+FROM w GROUP BY 1, 2
+""",
+    tags=("ST3", "window", "sliding"),
+)
+def win_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2 h length, 1 h slide): every event lands in two
+    windows; oracle enumerates the same starts explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "win_session_10m",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, "value"
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, "value",
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                   >= 600000000 OR
+                   lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+ses AS (
+  SELECT user_id, ts_us, "value",
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       count(*) AS n_events,
+       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM ses GROUP BY user_id, session_id
+""",
+    tags=("ST3", "window", "session"),
+)
+def win_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10 min gap) per user via session_window in
+    batch mode; oracle derives the same sessions with the
+    gaps-and-islands idiom in exact epoch-µs arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,1 +1,209 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis declared queries (SURVEY.md X3) over `documents`:
+token counting (whitespace + BPE-ish regex), quality scoring,
+language-ID heuristic, fingerprinting, TF-IDF top terms.
+
+Everything is built-in expressions (no UDFs): tokenizers are
+regexp/split, scores are arithmetic — the whole X3 surface stays in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from cdc_via_flink_spark.functions.hashing import SQL_TOKEN_INT, token_int
+from cdc_via_flink_spark.functions.text import normalize_text, tokens
+from cdc_via_flink_spark.plans.registry import query
+from cdc_via_flink_spark.sources.tables import load_table
+
+SQL_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(len(string_split({SQL_NORM}, ' '))) AS ws_tokens,
+       sum(len(regexp_extract_all(text, '{BPE_RE}'))) AS bpe_tokens,
+       CAST(CAST(sum(len(string_split({SQL_NORM}, ' '))) AS DOUBLE)
+            / count(*) AS DOUBLE) AS avg_ws_tokens
+FROM documents GROUP BY lang
+""",
+    tags=("X3", "tokens"),
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    segmentation (letters / digits / single punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(tokens(F.col("text"))).cast("long")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).cast("long")
+    return (
+        d.select("lang", ws.alias("ws"), bpe.alias("bpe"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            (F.sum("ws").cast("double") / F.count(F.lit(1))).alias("avg_ws_tokens"),
+        )
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         string_split({SQL_NORM}, ' ') AS tk,
+         {SQL_NORM} AS norm
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, n_chars,
+         len(tk) AS n_words,
+         len(list_filter(tk, w -> w = 'the' OR w = 'a')) AS n_stop,
+         length(norm) - length(replace(norm, ' ', '')) AS n_spaces
+  FROM t
+)
+SELECT doc_id, lang, n_words,
+       round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+       round(CAST(n_chars AS DOUBLE) / n_words, 6) AS chars_per_word,
+       CASE WHEN n_words >= 40 AND CAST(n_stop AS DOUBLE) / n_words < 0.2
+            THEN 'good' ELSE 'short_or_stopwordy' END AS quality_class
+FROM m WHERE doc_id % 5 = 0
+""",
+    tags=("X3", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, stopword ratio, chars-per-word, bucket
+    label — the standard pre-training corpus filters."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n_words = F.size(tk).cast("long")
+    n_stop = F.size(F.filter(tk, lambda w: (w == "the") | (w == "a"))).cast("long")
+    stop_ratio = n_stop.cast("double") / n_words
+    return (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            "lang",
+            n_words.alias("n_words"),
+            F.round(stop_ratio, 6).alias("stopword_ratio"),
+            F.round(F.col("n_chars").cast("double") / n_words, 6).alias(
+                "chars_per_word"
+            ),
+            F.when((n_words >= 40) & (stop_ratio < 0.2), "good")
+            .otherwise("short_or_stopwordy")
+            .alias("quality_class"),
+        )
+    )
+
+
+@query(
+    "text_langid_confusion",
+    oracle="""
+WITH p AS (
+  SELECT lang,
+         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+              WHEN regexp_matches(text, '[àâçéèêëîïôùûüÿñáíóúü]') THEN 'latin-acc'
+              ELSE 'en-like' END AS predicted
+  FROM documents
+)
+SELECT lang, predicted, count(*) AS n
+FROM p GROUP BY lang, predicted
+""",
+    tags=("X3", "langid"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-class language-ID heuristic vs the labeled lang column
+    (confusion counts). The fixture corpus is ASCII word-soup, so the
+    heuristic collapses to 'en-like' — the query still validates the
+    char-class plumbing both engines run."""
+    d = load_table(spark, sf_dir, "documents")
+    predicted = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(F.col("text").rlike("[àâçéèêëîïôùûüÿñáíóúü]"), "latin-acc")
+        .otherwise("en-like")
+    )
+    return (
+        d.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5({SQL_NORM}) AS fp_md5,
+       {SQL_TOKEN_INT.format(col=SQL_NORM)} AS fp64,
+       {SQL_TOKEN_INT.format(col=SQL_NORM)} % 1024 AS fp_bucket
+FROM documents WHERE doc_id % 7 = 0
+""",
+    tags=("X3", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 digest + 60-bit integer fingerprint
+    + shard bucket (the id you'd partition a 100 TB dedup store by)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    fp64 = token_int(norm)
+    return d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        fp64.alias("fp64"),
+        (fp64 % 1024).alias("fp_bucket"),
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, unnest(string_split({SQL_NORM}, ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 3 AND doc_id < 50
+""",
+    tags=("X3", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (first 50 docs): explode → tf,
+    df aggregates, ln(N/df) weighting, window top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tk.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tk.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "term", "tfidf", "rn")
+    )

@@ -1,0 +1,71 @@
+"""Streaming sources (SURVEY.md S1/S2/S6).
+
+Production path: Kafka (`kafka_debezium_stream`) — subscribes the two
+Debezium topics exactly like the reference's KafkaSource pair
+(reference: DebeziumTransactionReconstructor.java:52-65), value read
+as UTF-8 string, offset carried as `seq`. The Kafka connector jar is
+not in this container, so the builder raises a clear error if the
+format is unavailable; tests use the file-replay twin below.
+
+Test/replay path: `file_envelope_stream` materializes a batch envelope
+frame to parquet once and replays it with readStream — micro-batch
+replay with identical schema, which is how the driver-visible
+streaming queries run hermetically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ENVELOPE_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+
+def kafka_debezium_stream(
+    spark: SparkSession,
+    bootstrap: str,
+    subscribe: str | None = None,
+    subscribe_pattern: str | None = None,
+) -> DataFrame:
+    """Kafka source (S1 fixed-topic / S2 pattern). Returns (seq, value)
+    with seq = kafka offset — the arrival order the reference's
+    single-partition topic guarantees (reference readme.md:1)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("startingOffsets", "earliest")
+    )
+    if subscribe:
+        reader = reader.option("subscribe", subscribe)
+    elif subscribe_pattern:
+        reader = reader.option("subscribePattern", subscribe_pattern)
+    else:
+        raise ValueError("need subscribe or subscribe_pattern")
+    try:
+        raw = reader.load()
+    except Exception as e:  # kafka jar absent in this container
+        raise RuntimeError(
+            "Kafka connector unavailable (spark-sql-kafka jar not on the "
+            "classpath); use file_envelope_stream for hermetic replay"
+        ) from e
+    return raw.selectExpr("offset AS seq", "CAST(value AS STRING) AS value")
+
+
+def file_envelope_stream(
+    spark: SparkSession, envelopes: DataFrame, stage_dir: str
+) -> DataFrame:
+    """Materialize (seq, value) envelopes once and replay as a stream."""
+    os.makedirs(stage_dir, exist_ok=True)
+    out = os.path.join(stage_dir, "envelopes")
+    envelopes.select(
+        F.col("seq").cast("long"), F.col("value").cast("string")
+    ).write.mode("overwrite").parquet(out)
+    return spark.readStream.schema(ENVELOPE_STREAM_SCHEMA).parquet(out)

@@ -1,0 +1,159 @@
+"""CDC semantics unit tests (SURVEY.md §5.2-2, FIXTURES.md §2.3):
+the V1 edge behaviors, on both the batch twin and the streaming
+assembler. Reference sites cited per scenario."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cdc_via_flink_spark.operators.debezium import parse_debezium
+from cdc_via_flink_spark.operators.reconstruct import reconstruct_transactions
+from cdc_via_flink_spark.streaming.assembler import assemble_transactions_stream
+from cdc_via_flink_spark.streaming.sources import file_envelope_stream
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "txn_id string, seq long, op string, ts_ms long"
+    )
+
+
+def _ends(spark, rows):
+    return spark.createDataFrame(rows, "txn_id string, seq long, event_count long")
+
+
+def test_happy_path(spark):
+    """BEGIN/changes/END -> one record with all events in order."""
+    c = _changes(spark, [("t1", 1, "c", 100), ("t1", 2, "u", 200), ("t1", 3, "d", 300)])
+    e = _ends(spark, [("t1", 4, 3)])
+    out = reconstruct_transactions(c, e).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.txn_id, r.end_seq, r.n_events, r.ops_concat) == ("t1", 4, 3, "c,u,d")
+    assert (r.first_ts_ms, r.last_ts_ms) == (100, 300)
+
+
+def test_interleaved_transactions(spark):
+    """Events of T1/T2 interleaved -> each emitted independently
+    (keyed state isolation, reference :73-86)."""
+    c = _changes(
+        spark,
+        [("t1", 1, "c", 100), ("t2", 2, "c", 150), ("t1", 3, "u", 200), ("t2", 5, "d", 250)],
+    )
+    e = _ends(spark, [("t2", 6, 2), ("t1", 7, 2)])
+    out = {r.txn_id: r for r in reconstruct_transactions(c, e).collect()}
+    assert out["t1"].ops_concat == "c,u"
+    assert out["t2"].ops_concat == "c,d"
+
+
+def test_end_without_events_dropped(spark):
+    """END with no buffered events -> silently dropped
+    (reference :159-163 null-state guard)."""
+    c = _changes(spark, [("t1", 1, "c", 100)])
+    e = _ends(spark, [("t1", 2, 1), ("t9", 3, 5)])
+    out = reconstruct_transactions(c, e).collect()
+    assert [r.txn_id for r in out] == ["t1"]
+
+
+def test_change_after_end_not_emitted(spark):
+    """Changes after the last END are never emitted (the reference's
+    orphan-state behavior, :141-153; streaming path additionally
+    expires them via timeout — documented deviation)."""
+    c = _changes(spark, [("t1", 1, "c", 100), ("t1", 5, "u", 500)])
+    e = _ends(spark, [("t1", 3, 1)])
+    out = reconstruct_transactions(c, e).collect()
+    assert len(out) == 1
+    assert out[0].ops_concat == "c"
+    assert out[0].n_events == 1
+
+
+def test_multiple_ends_segment(spark):
+    """Each END emits the changes buffered since the previous END
+    (emit+clear per END, reference :158-166)."""
+    c = _changes(
+        spark,
+        [("t1", 1, "c", 100), ("t1", 2, "u", 200), ("t1", 4, "d", 400), ("t1", 6, "c", 600)],
+    )
+    e = _ends(spark, [("t1", 3, 2), ("t1", 5, 1), ("t1", 7, 1)])
+    out = sorted(reconstruct_transactions(c, e).collect(), key=lambda r: r.end_seq)
+    assert [(r.end_seq, r.ops_concat) for r in out] == [(3, "c,u"), (5, "d"), (7, "c")]
+
+
+def test_emit_on_count_filters(spark):
+    """Count mode: only segments matching declared event_count emit
+    (the check the reference parses but ignores, :113-114)."""
+    c = _changes(spark, [("t1", 1, "c", 100), ("t1", 2, "u", 200), ("t2", 3, "c", 300)])
+    e = _ends(spark, [("t1", 4, 2), ("t2", 5, 9)])
+    out = reconstruct_transactions(c, e, emit_on="count").collect()
+    assert [r.txn_id for r in out] == ["t1"]
+
+
+def test_malformed_json_routed_null(spark):
+    """Malformed envelope -> kind NULL (PERMISSIVE parse, matching the
+    reference's null-and-log path :104-107,124-127)."""
+    env = spark.createDataFrame(
+        [(1, '{"payload":{"op":"c","ts_ms":1,"transaction":{"id":"t"}}}'), (2, "{nope")],
+        "seq long, value string",
+    )
+    parsed = parse_debezium(env)
+    kinds = {r.seq: r.kind for r in parsed.collect()}
+    assert kinds[1] == "change"
+    assert kinds[2] is None
+
+
+def test_streaming_cross_batch_state(spark, tmp_path):
+    """Changes arriving in batch 1, END in batch 2: state persists
+    across micro-batches and the record emits in batch 2 (GroupState ==
+    the reference's ValueState across checkpoints, :132)."""
+    f1 = [
+        (1, '{"payload":{"op":"c","ts_ms":1000,"transaction":{"id":"t1"},"after":"{}"}}'),
+        (2, '{"payload":{"op":"u","ts_ms":2000,"transaction":{"id":"t1"},"after":"{}"}}'),
+    ]
+    f2 = [
+        (3, '{"payload":{"op":"d","ts_ms":3000,"transaction":{"id":"t1"},"after":"{}"}}'),
+        (4, '{"payload":{"status":"END","id":"t1","event_count":3}}'),
+    ]
+    stage = str(tmp_path / "stream")
+    import glob
+    import os
+    import shutil
+
+    # Stage each file with a controlled name and modification time so
+    # the file source triggers batch 1 = f1, batch 2 = f2.
+    os.makedirs(f"{stage}/envelopes", exist_ok=True)
+    for i, data in enumerate([f1, f2]):
+        tmp_out = f"{stage}/w{i}"
+        spark.createDataFrame(data, "seq long, value string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp_out)
+        part = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        dest = f"{stage}/envelopes/{i}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    from cdc_via_flink_spark.streaming.sources import ENVELOPE_STREAM_SCHEMA
+
+    raw = (
+        spark.readStream.schema(ENVELOPE_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/envelopes")
+    )
+    parsed = parse_debezium(raw)
+    event_time = F.coalesce(
+        F.timestamp_millis(F.col("ts_ms")),
+        F.timestamp_millis(F.lit(10_000) + F.col("seq")),
+    )
+    out = assemble_transactions_stream(parsed, event_time=event_time)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("xbatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("xbatch").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.txn_id, r.n_events, r.ops_concat) == ("t1", 3, "c,u,d")
