@@ -27,6 +27,13 @@ def main() -> None:
     bench_specs = {n: s for n, s in specs.items() if s.bench}
 
     spark = get_spark("cdc_via_flink_spark-bench")
+
+    # Warm up JVM/codegen/parquet-footer paths so per-query times
+    # measure the plans, not session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:

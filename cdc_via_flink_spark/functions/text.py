@@ -25,8 +25,14 @@ def tokens(col: Column) -> Column:
 
 # Word k-shingles: array of 'w1 w2 w3' strings.
 # Oracle twin: see dedup_queries.sql_shingles.
-def shingles(col: Column, k: int = 3) -> Column:
-    toks = tokens(col)
+#
+# PERFORMANCE: pass a MATERIALIZED array column (a plain column
+# reference), not an inline tokens(text) expression — an expensive
+# expression referenced inside the transform() lambda is re-evaluated
+# per array element (the regex split would run O(n) times per row).
+# Build tokens in their own projection first; CollapseProject keeps
+# non-cheap multiply-referenced aliases materialized.
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     n = F.size(toks)
     return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(
@@ -34,3 +40,9 @@ def shingles(col: Column, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
         )
     )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Convenience form over raw text — fine for one-shot use; hot
+    paths should materialize tokens and use shingles_from_tokens."""
+    return shingles_from_tokens(tokens(col), k)

@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from cdc_via_flink_spark.functions.hashing import minhash_expr, token_int
-from cdc_via_flink_spark.functions.text import normalize_text, shingles
+from cdc_via_flink_spark.functions.text import (
+    normalize_text,
+    shingles_from_tokens,
+    tokens,
+)
 
 
 def exact_dedup(
@@ -47,10 +51,15 @@ def exact_dedup(
 
 
 def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """Distinct word-k-shingles per doc: (doc_id, sh)."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+    """Distinct word-k-shingles per doc: (doc_id, sh). Tokens are
+    materialized in their own projection so the shingle lambda doesn't
+    re-run the regex split per element (see functions.text)."""
+    tk = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
+    )
+    return tk.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("tk"), k))).alias("sh"),
     )
 
 
@@ -121,6 +130,83 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+    )
+
+
+def minhash_lsh_neardup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fused near-dup pipeline: signature+set-size in ONE aggregation,
+    banding via explode (no 4-way union), candidate sizes carried
+    through the band join (no post-hoc size joins). Shuffle count:
+    1 (signature agg) + 1 (band self-join) + 1 (pair agg) — the
+    minimum for this algorithm; at 100 TB each is keyed small state.
+
+    Output: id_a, id_b, inter, size_a, size_b, jaccard (rounded 6).
+    """
+    sh = doc_shingles(df, text_col, id_col)
+    t = sh.withColumn("t", token_int(F.col("sh")))
+    aggs = [
+        F.min(minhash_expr(F.col("t"), j)).alias(f"mh{j}") for j in range(num_hashes)
+    ] + [F.count(F.lit(1)).alias("sz")]
+    sigsz = t.groupBy("doc_id").agg(*aggs)
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+            ).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigsz.select(
+        "doc_id", "sz", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("doc_id", "sz", F.col("bd.band").alias("band"), F.col("bd.bsig").alias("bsig"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sz").alias("size_a"),
+            F.col("b.sz").alias("size_b"),
+        )
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return (
+        inter.filter(jac >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "size_a",
+            "size_b",
+            F.round(jac, 6).alias("jaccard"),
         )
     )
 

@@ -95,15 +95,13 @@ def reconstruct_transactions(
     Output: txn_id, end_seq, event_count (declared), n_events,
     ops_concat (ops in arrival order), first_ts_ms, last_ts_ms.
     """
-    if emit_on not in ("end", "count"):
-        raise ValueError(f"emit_on must be 'end' or 'count', got {emit_on!r}")
-
     c = changes.select(
         "txn_id",
         F.col("seq").cast("long").alias("seq"),
         "op",
         F.col("ts_ms").cast("long").alias("ts_ms"),
         F.lit("C").alias("kind"),
+        F.lit(None).cast("long").alias("declared"),
     )
     e = ends.select(
         "txn_id",
@@ -111,11 +109,26 @@ def reconstruct_transactions(
         F.lit(None).cast("string").alias("op"),
         F.lit(None).cast("long").alias("ts_ms"),
         F.lit("E").alias("kind"),
+        F.col("event_count").cast("long").alias("declared"),
     )
-    u = c.unionByName(e)
+    return reconstruct_from_union(c.unionByName(e), emit_on=emit_on)
 
-    # Earliest END at-or-after each row, per transaction: reverse
-    # running MIN over the (single) txn_id shuffle.
+
+def reconstruct_from_union(u: DataFrame, emit_on: str = "end") -> DataFrame:
+    """Single-subtree reconstruction over a pre-discriminated union
+    (columns: txn_id, seq, op, ts_ms, kind 'C'|'E', declared).
+
+    Plan shape (the 100 TB-friendly one): ONE pass over the input —
+    window (reverse running MIN on the txn_id shuffle) assigns each row
+    its earliest following END, then a groupBy(txn_id, end_seq) carries
+    BOTH the buffered changes and the END's own metadata (the END row
+    groups with itself), so no end-info join and no second scan of the
+    source. Callers that parse JSON once (cdc_queries) avoid
+    re-evaluating the parse subtree per join side.
+    """
+    if emit_on not in ("end", "count"):
+        raise ValueError(f"emit_on must be 'end' or 'count', got {emit_on!r}")
+
     w = (
         W.partitionBy("txn_id")
         .orderBy("seq")
@@ -125,27 +138,30 @@ def reconstruct_transactions(
         "end_seq", F.min(F.when(F.col("kind") == "E", F.col("seq"))).over(w)
     )
 
+    is_c = F.col("kind") == "C"
     grouped = (
-        assigned.filter((F.col("kind") == "C") & F.col("end_seq").isNotNull())
+        assigned.filter(F.col("end_seq").isNotNull())
         .groupBy("txn_id", "end_seq")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(is_c, 1).otherwise(0)).alias("n_events"),
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("seq", "op"))),
+                    F.array_sort(
+                        F.collect_list(F.when(is_c, F.struct("seq", "op")))
+                    ),
                     lambda s: s.getField("op"),
                 ),
                 ",",
             ).alias("ops_concat"),
-            F.min("ts_ms").alias("first_ts_ms"),
-            F.max("ts_ms").alias("last_ts_ms"),
+            F.min(F.when(is_c, F.col("ts_ms"))).alias("first_ts_ms"),
+            F.max(F.when(is_c, F.col("ts_ms"))).alias("last_ts_ms"),
+            F.max(F.when(~is_c, F.col("declared"))).alias("event_count"),
         )
     )
 
-    end_info = ends.select(
-        "txn_id", F.col("seq").cast("long").alias("end_seq"), "event_count"
-    )
-    out = grouped.join(end_info, ["txn_id", "end_seq"], "inner")
+    # END-with-no-events dropped (reference :159-163); trailing
+    # changes with no END were dropped by the end_seq IS NULL filter.
+    out = grouped.filter(F.col("n_events") > 0)
     if emit_on == "count":
         out = out.filter(F.col("n_events") == F.col("event_count"))
     return out.select(

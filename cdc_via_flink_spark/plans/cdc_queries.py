@@ -22,6 +22,7 @@ from cdc_via_flink_spark.operators.reconstruct import (
     derive_change_stream,
     derive_txn_stream,
     latest_state,
+    reconstruct_from_union,
     reconstruct_transactions,
 )
 from cdc_via_flink_spark.plans.registry import query
@@ -115,13 +116,19 @@ def cdc_reconstruct_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec (reference semantics, DebeziumTransactionReconstructor.java:158)."""
     env = _envelopes(spark, sf_dir)
     parsed = parse_debezium(env)
-    changes = parsed.filter(F.col("kind") == "change").select(
-        "txn_id", "seq", "op", "ts_ms", "before", "after"
+    # One projection over ONE parse subtree (no per-side re-parse):
+    # discriminate in place and feed the single-pass reconstructor.
+    is_change = F.col("kind") == "change"
+    is_end = (F.col("kind") == "txn") & (F.col("status") == "END")
+    u = parsed.filter(is_change | is_end).select(
+        "txn_id",
+        F.col("seq").cast("long").alias("seq"),
+        F.when(is_change, F.col("op")).alias("op"),
+        F.when(is_change, F.col("ts_ms")).cast("long").alias("ts_ms"),
+        F.when(is_change, F.lit("C")).otherwise(F.lit("E")).alias("kind"),
+        F.when(is_end, F.col("event_count")).cast("long").alias("declared"),
     )
-    ends = parsed.filter(
-        (F.col("kind") == "txn") & (F.col("status") == "END")
-    ).select("txn_id", "seq", "event_count")
-    return reconstruct_transactions(changes, ends, emit_on="end")
+    return reconstruct_from_union(u, emit_on="end")
 
 
 @query(

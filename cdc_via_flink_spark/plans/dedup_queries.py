@@ -13,9 +13,7 @@ from cdc_via_flink_spark.functions.hashing import P, a_j, b_j
 from cdc_via_flink_spark.operators.dedup import (
     doc_shingles,
     exact_dedup,
-    jaccard_on_pairs,
-    lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_lsh_neardup,
     simhash64,
 )
 from cdc_via_flink_spark.plans.registry import query
@@ -134,17 +132,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation) → 4×4 LSH banding → bucket equi-join candidates →
     exact-Jaccard verification ≥ 0.5. No O(n²) pair space."""
     d = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(d, "text", "doc_id")
-    sig = minhash_signatures(sh, NUM_HASHES)
-    cand = lsh_candidate_pairs(sig, BANDS, ROWS)
-    j = jaccard_on_pairs(cand, sh)
-    return j.filter(F.col("jaccard") >= JACCARD_T).select(
-        "id_a",
-        "id_b",
-        "inter",
-        "size_a",
-        "size_b",
-        F.round("jaccard", 6).alias("jaccard"),
+    return minhash_lsh_neardup(
+        d, "text", "doc_id", NUM_HASHES, BANDS, ROWS, JACCARD_T
     )
 
 

@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(pushdown, pruning, broadcast choice, shuffle counts) asserted from
+explain output — if a refactor silently de-optimizes a plan, these
+fail before any benchmark notices."""
+
+from __future__ import annotations
+
+from cdc_via_flink_spark.plans.registry import load_all
+from tests.conftest import SF001
+
+SPECS = load_all()
+
+
+def _plan(spark, name, mode="simple"):
+    df = SPECS[name].fn(spark, SF001)
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q_pricing_summary", "formatted")
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed to scan"
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema, "unused columns not pruned from scan"
+    assert "l_comment" not in read_schema
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    plan = _plan(spark, "q_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # dims must never arrive via a shuffle join at this size
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_reconstruct_single_shuffle(spark):
+    """The flagship operator: window + groupBy share the txn_id
+    partitioning -> exactly ONE Exchange in the whole plan."""
+    plan = _plan(spark, "cdc_reconstruct_end")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_bruteforce_topk_broadcasts_queries(spark):
+    plan = _plan(spark, "sim_bruteforce_topk")
+    assert "BroadcastNestedLoopJoin" in plan, "query side should broadcast"
+
+
+def test_no_python_udfs_in_relational_core(spark):
+    """Everything outside the multimodal decode stub stays JVM-side
+    (whole-stage codegen) — no Python eval nodes."""
+    for name in [
+        "q_pricing_summary",
+        "q_revenue_by_nation",
+        "cdc_reconstruct_end",
+        "dedup_minhash_lsh",
+        "sim_bruteforce_topk",
+        "text_token_stats",
+    ]:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "ArrowEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_decode_stub_uses_arrow(spark):
+    """The multimodal decode is the ONE sanctioned Python operator and
+    must go through Arrow (mapInPandas), not row-at-a-time eval."""
+    plan = _plan(spark, "mm_decode_stub")
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
