@@ -1,0 +1,94 @@
+"""IVF-style ANN index (SURVEY.md X2 scale path, alternative to the
+random-projection LSH): partition the corpus into inverted lists by
+nearest centroid; queries probe only the nprobe closest lists.
+
+Real IVF trains centroids with k-means; to stay deterministic and
+cross-engine-verifiable this uses selection-based centroids (every
+K-th vector by id — "training-free IVF"). The plan shapes are
+identical to a trained index: centroid table broadcast everywhere,
+corpus shuffled once by cluster id, queries probing a bounded number
+of lists. Swapping in k-means centroids changes only the centroid
+frame.
+
+Scale: assignment = corpus × centroids broadcast (no shuffle of the
+corpus), probe = equi-join on cluster_id (shuffle bounded by the
+candidate lists, not the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from cdc_via_flink_spark.functions.vectors import cosine, to_double
+
+
+def centroids(corpus: DataFrame, every_k: int = 40) -> DataFrame:
+    """Deterministic centroid selection: every K-th vector."""
+    return corpus.filter(F.col("vec_id") % every_k == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        to_double(F.col("embedding")).alias("cv"),
+    )
+
+
+def assign_clusters(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector (cosine, rounded ordering key +
+    centroid-id tie-break). Centroids broadcast; corpus un-shuffled."""
+    v = corpus.select(
+        F.col("vec_id"), to_double(F.col("embedding")).alias("v")
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "centroid_id",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("c_cos"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("centroid_id").alias("cluster_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_ids_below: int = 5,
+    every_k: int = 40,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Probe the nprobe nearest inverted lists per query, exact cosine
+    re-rank inside them, top-k. Output: query_id, vec_id, cos, rn."""
+    cents = centroids(corpus, every_k)
+    assigned = assign_clusters(corpus, cents)
+
+    q = assigned.filter(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    q_probe = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "centroid_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("c_cos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("centroid_id"))
+    probes = (
+        q_probe.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("centroid_id").alias("cluster_id"))
+    )
+
+    cand = assigned.join(
+        F.broadcast(probes), "cluster_id"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cos", "rn")
+    )

@@ -1,0 +1,139 @@
+"""Collection-type scalar library (SURVEY.md P9 array/map rows) plus
+approximate aggregates (A3) and the snapshot-at-T as-of variant (J5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_via_flink_spark.operators.reconstruct import latest_state
+from cdc_via_flink_spark.plans.registry import query
+from cdc_via_flink_spark.sources.tables import load_table
+
+
+@query(
+    "q_array_fns",
+    oracle="""
+WITH w AS (
+  SELECT p_partkey, string_split(lower(p_name), ' ') AS ww FROM part
+)
+SELECT p_partkey,
+       len(ww) AS n_words,
+       array_to_string(ww[1:3], ' ') AS first3,
+       list_contains(ww, 'green') AS has_green,
+       array_to_string(list_transform(ww[1:3], x -> upper(x)), ',') AS upper3,
+       array_to_string(list_sort(ww), ',') AS sorted_words
+FROM w WHERE p_partkey % 11 = 0
+""",
+    tags=("P9", "array"),
+)
+def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar library: split/size/slice/array_contains/transform/
+    array_sort — all Catalyst higher-order functions, no UDFs."""
+    p = load_table(spark, sf_dir, "part")
+    w = p.filter(F.col("p_partkey") % 11 == 0).select(
+        "p_partkey", F.split(F.lower("p_name"), " ").alias("ww")
+    )
+    return w.select(
+        "p_partkey",
+        F.size("ww").cast("long").alias("n_words"),
+        F.array_join(F.slice("ww", 1, 3), " ").alias("first3"),
+        F.array_contains("ww", "green").alias("has_green"),
+        F.array_join(
+            F.transform(F.slice("ww", 1, 3), lambda x: F.upper(x)), ","
+        ).alias("upper3"),
+        F.array_join(F.array_sort("ww"), ",").alias("sorted_words"),
+    )
+
+
+@query(
+    "q_map_fns",
+    oracle="""
+SELECT p_partkey,
+       array_to_string(map_keys(MAP(['brand','type'], [p_brand, p_type])), ',')
+         AS mkeys,
+       array_to_string(map_values(MAP(['brand','type'], [p_brand, p_type])), '|')
+         AS mvals,
+       CAST(cardinality(MAP(['brand','type'], [p_brand, p_type])) AS BIGINT)
+         AS msize
+FROM part WHERE p_partkey % 13 = 0
+""",
+    tags=("P9", "map"),
+)
+def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar library: construction, map_keys/map_values/size."""
+    p = load_table(spark, sf_dir, "part")
+    m = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")),
+        F.array(F.col("p_brand"), F.col("p_type")),
+    )
+    return p.filter(F.col("p_partkey") % 13 == 0).select(
+        "p_partkey",
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
+        F.array_join(F.map_values(m), "|").alias("mvals"),
+        F.size(F.map_keys(m)).cast("long").alias("msize"),
+    )
+
+
+@query(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check.
+    tags=("A3", "approx"),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the at-scale cardinality idiom (sketches merge map-side; no
+    shuffle of distinct values). No oracle: sketch estimates are
+    engine-specific by design; tests assert the error bound instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "cdc_snapshot_at_t",
+    oracle="""
+WITH ch AS (
+  SELECT 'txn-' || CAST(user_id AS VARCHAR) AS txn_id,
+         event_id AS seq,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'click' THEN 'u'
+              WHEN 'view' THEN 'r' ELSE 'd' END AS op,
+         epoch_ms(ts) AS ts_ms, props AS after
+  FROM events WHERE event_type <> 'purchase'
+    AND epoch_ms(ts) <= 1705363200000
+),
+r AS (
+  SELECT txn_id, op, ts_ms, after, seq,
+         row_number() OVER (PARTITION BY txn_id
+                            ORDER BY ts_ms DESC, seq DESC) AS rn,
+         count(*) OVER (PARTITION BY txn_id) AS n_changes
+  FROM ch
+)
+SELECT txn_id, op AS last_op, ts_ms AS last_ts_ms, after AS last_after,
+       n_changes
+FROM r WHERE rn = 1
+""",
+    tags=("J5", "asof", "snapshot"),
+)
+def cdc_snapshot_at_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot 'as of T' (J5): replay cut at a fixed cutoff
+    timestamp, then latest row image per key — time travel over a
+    change stream. Cutoff filter pushes to the scan."""
+    cutoff_ms = 1705363200000  # 2024-01-16 00:00:00 UTC
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts_ms") <= cutoff_ms)
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "click", "u")
+        .when(F.col("event_type") == "view", "r")
+        .otherwise("d")
+    )
+    ch = ev.filter(F.col("event_type") != "purchase").select(
+        F.concat(F.lit("txn-"), F.col("user_id").cast("string")).alias("txn_id"),
+        F.col("event_id").alias("seq"),
+        op.alias("op"),
+        F.col("ts_ms"),
+        F.col("props").alias("after"),
+    )
+    return latest_state(ch)

@@ -50,6 +50,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), benc
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side-effect: registration)."""
+    import cdc_via_flink_spark.plans.collections_queries  # noqa: F401
+    import cdc_via_flink_spark.plans.scale_queries  # noqa: F401
     import cdc_via_flink_spark.plans.relational  # noqa: F401
     import cdc_via_flink_spark.plans.cdc_queries  # noqa: F401
     import cdc_via_flink_spark.plans.windows_queries  # noqa: F401

@@ -1,0 +1,105 @@
+"""Scale-technique queries: IVF ANN probing (X2) and salted two-stage
+aggregation (the skew idiom). Both produce results identical to their
+naive forms — the point is the PLAN (bounded probes; no hot-key
+reducer) — so the oracles state the naive equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_via_flink_spark.operators.ivf import ivf_topk
+from cdc_via_flink_spark.plans.parity import dec
+from cdc_via_flink_spark.plans.registry import query
+from cdc_via_flink_spark.sources.tables import load_table
+
+SQL_VD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM d WHERE vec_id % 40 = 0),
+asg AS (
+  SELECT vec_id, v, cluster_id FROM (
+    SELECT d.vec_id, d.v, c.centroid_id AS cluster_id,
+           row_number() OVER (PARTITION BY d.vec_id
+               ORDER BY {_cos('d.v', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM d CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM asg WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, cluster_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id AS cluster_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_cos('q.qv', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, {_cos('a.v', 'p.qv')} AS cos
+  FROM asg a JOIN probes p ON a.cluster_id = p.cluster_id
+   AND a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS rn
+  FROM cand
+) WHERE rn <= 5
+""",
+    tags=("X2", "similarity", "ivf"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus partitioned into inverted lists by nearest
+    (selection-based, deterministic) centroid; each query probes its 2
+    closest lists and exact-reranks only those. Corpus assignment is a
+    broadcast cross-score (no corpus shuffle); probing is a bounded
+    equi-join — the 100 TB-shaped ANN plan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, query_ids_below=5, every_k=40, nprobe=2, k=5)
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(min("value") AS DOUBLE) AS min_value,
+       CAST(max("value") AS DOUBLE) AS max_value
+FROM events GROUP BY event_type
+""",
+    tags=("A3", "skew", "salting"),
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation — the hot-key idiom: stage 1
+    aggregates (key, salt) so a skewed key spreads over 16 reducers,
+    stage 2 combines the partials. Result is provably identical to the
+    naive groupBy (the oracle), only the distribution differs. events'
+    5 event_types on 32 partitions IS the skew shape this fixes."""
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", (F.col("event_id") % 16).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum(dec(F.col("value"))).alias("p_sum"),
+            F.min("value").alias("p_min"),
+            F.max("value").alias("p_max"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("p_n").alias("n"),
+        F.sum("p_sum").cast("double").alias("sum_value"),
+        F.min("p_min").alias("min_value"),
+        F.max("p_max").alias("max_value"),
+    )

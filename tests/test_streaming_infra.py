@@ -1,0 +1,88 @@
+"""Streaming infrastructure tests (SURVEY.md S4/S6/ST5): dead-letter
+dual sink via foreachBatch, and checkpointed restart (offsets are not
+reprocessed; new data continues from the committed point)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from cdc_via_flink_spark.operators.debezium import parse_debezium
+from cdc_via_flink_spark.streaming.sinks import dual_sink_query, split_dead_letter
+from cdc_via_flink_spark.streaming.sources import ENVELOPE_STREAM_SCHEMA
+
+
+def _stage_file(spark, rows, dest_dir, name, mtime):
+    tmp = dest_dir + f"_w_{name}"
+    spark.createDataFrame(rows, "seq long, value string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, f"{name}.parquet")
+    shutil.copy(part, dest)
+    os.utime(dest, (mtime, mtime))
+
+
+GOOD = '{"payload":{"op":"c","ts_ms":1000,"transaction":{"id":"t1"},"after":"{}"}}'
+BAD = "{not json"
+END = '{"payload":{"status":"END","id":"t1","event_count":1}}'
+
+
+def test_dead_letter_dual_sink(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _stage_file(spark, [(1, GOOD), (2, BAD), (3, END)], src, "0", 1_000_000_000)
+    raw = spark.readStream.schema(ENVELOPE_STREAM_SCHEMA).parquet(src)
+    parsed = parse_debezium(raw)
+    q = dual_sink_query(
+        parsed,
+        good_dir=str(tmp_path / "good"),
+        dead_dir=str(tmp_path / "dead"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    good = spark.read.parquet(str(tmp_path / "good" / "epoch=0"))
+    dead = spark.read.parquet(str(tmp_path / "dead" / "epoch=0"))
+    assert good.count() == 2
+    assert [r.seq for r in dead.collect()] == [2]
+
+
+def test_checkpoint_restart_no_reprocess(spark, tmp_path):
+    """S6/ST5: stop after batch 1, add a file, restart from the same
+    checkpoint -> only the new file is processed (offsets committed),
+    and the union of outputs covers both files exactly once."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _stage_file(spark, [(1, GOOD)], src, "0", 1_000_000_000)
+
+    def run_once():
+        raw = spark.readStream.schema(ENVELOPE_STREAM_SCHEMA).parquet(src)
+        parsed = parse_debezium(raw).select("seq", "kind")
+        q = (
+            parsed.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = {r.seq for r in spark.read.parquet(sink).collect()}
+    assert first == {1}
+
+    _stage_file(spark, [(2, END)], src, "1", 1_000_000_100)
+    run_once()
+    second = sorted(r.seq for r in spark.read.parquet(sink).collect())
+    assert second == [1, 2], "restart must process exactly the new data"
+
+
+def test_split_dead_letter_batch(spark):
+    env = spark.createDataFrame([(1, GOOD), (2, BAD)], "seq long, value string")
+    good, dead = split_dead_letter(parse_debezium(env))
+    assert good.count() == 1 and dead.count() == 1
