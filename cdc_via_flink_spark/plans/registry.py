@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
     import cdc_via_flink_spark.plans.collections_queries  # noqa: F401
     import cdc_via_flink_spark.plans.scale_queries  # noqa: F401
     import cdc_via_flink_spark.plans.relational  # noqa: F401
+    import cdc_via_flink_spark.plans.subquery_queries  # noqa: F401
     import cdc_via_flink_spark.plans.cdc_queries  # noqa: F401
     import cdc_via_flink_spark.plans.windows_queries  # noqa: F401
     import cdc_via_flink_spark.plans.dedup_queries  # noqa: F401

@@ -1,0 +1,206 @@
+"""Subquery-shaped queries (SURVEY.md J3/A3 widening): correlated and
+uncorrelated scalar subqueries, EXISTS-driven multi-join pipelines —
+the query shapes a SQL front-end produces that the reference's
+hard-coded dataflows never could (reference has no SQL layer at all,
+SURVEY.md §3).
+
+Spark-first: every subquery is decorrelated by hand into the join the
+Catalyst decorrelator would emit anyway — a per-key aggregate joined
+back to the fact table — so the plan is explicit, broadcastable, and
+AQE-eligible. At 100 TB the per-part/global aggregate side is tiny
+relative to lineitem, so these joins broadcast; the fact scan stays a
+single pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_via_flink_spark.plans.parity import SQL_REVENUE, davg, dec, revenue_col, sql_davg
+from cdc_via_flink_spark.plans.registry import query
+from cdc_via_flink_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape, adapted to fixture columns)
+# --------------------------------------------------------------------------
+@query(
+    "q_small_quantity_revenue",
+    oracle=f"""
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+            AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+""",
+    tags=("J3", "A3", "subquery", "correlated"),
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, hand-decorrelated: per-part avg
+    quantity aggregated once, joined back to lineitem (the plan
+    Catalyst's decorrelation produces). The per-part aggregate is
+    ~|part| rows — broadcastable at any SF where part << lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == per_part.ap_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((F.sum(dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0))
+             .cast("double").alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Uncorrelated scalar subquery (global aggregate broadcast to the scan)
+# --------------------------------------------------------------------------
+@query(
+    "q_above_avg_orders",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+GROUP BY o_orderpriority
+""",
+    tags=("A3", "subquery", "scalar"),
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: one-row global aggregate
+    cross-joined (broadcast nested loop of a single row) into the
+    filter — two passes over orders, no shuffle of the fact rows
+    besides the final tiny groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    avg_row = o.agg(F.avg("o_totalprice").alias("global_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("global_avg"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-join pipeline with top-k (TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_unshipped_revenue_topk",
+    oracle=f"""
+SELECT l.l_orderkey,
+       CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("J3", "A3", "A6", "join", "topk"),
+    bench=True,
+)
+def q_unshipped_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter (mktsegment) semi-
+    reduces orders before the fact-fact join; top-10 via
+    TakeOrderedAndProject (no global sort materialization)."""
+    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Join with non-key equality across two dimensions (TPC-H Q5 proper:
+# customer nation == supplier nation)
+# --------------------------------------------------------------------------
+@query(
+    "q_local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+    tags=("J3", "join", "multi-predicate"),
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 proper: the supplier join carries TWO predicates (key
+    equality + customer-nation == supplier-nation), so the local-supply
+    constraint is applied inside the join, not as a post-filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated aggregate comparison (suppliers above their nation's avg)
+# --------------------------------------------------------------------------
+@query(
+    "q_suppliers_above_nation_avg",
+    oracle=f"""
+SELECT s.s_nationkey, count(*) AS n_suppliers,
+       {sql_davg('s.s_acctbal')} AS avg_bal_above
+FROM supplier s
+WHERE s.s_acctbal > (SELECT avg(s2.s_acctbal) FROM supplier s2
+                     WHERE s2.s_nationkey = s.s_nationkey)
+GROUP BY s.s_nationkey
+""",
+    tags=("A3", "A5", "subquery", "correlated"),
+)
+def q_suppliers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate via window function — zero joins: the
+    per-nation average is computed in the same shuffle that the final
+    groupBy needs (one hash partition by nation total), strictly
+    fewer passes than the decorrelated join form."""
+    from pyspark.sql import Window
+
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        s.withColumn("nation_avg", F.avg("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") > F.col("nation_avg"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            davg(F.col("s_acctbal")).alias("avg_bal_above"),
+        )
+    )
