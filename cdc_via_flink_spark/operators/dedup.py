@@ -54,7 +54,9 @@ def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     """Distinct word-k-shingles per doc: (doc_id, sh). Tokens are
     materialized in their own projection so the shingle lambda doesn't
     re-run the regex split per element (see functions.text)."""
-    tk = df.select(
+    from cdc_via_flink_spark.sources.tables import ensure_min_partitions
+
+    tk = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
     )
     return tk.select(

@@ -33,7 +33,9 @@ def centroids(corpus: DataFrame, every_k: int = 40) -> DataFrame:
 def assign_clusters(corpus: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest centroid per vector (cosine, rounded ordering key +
     centroid-id tie-break). Centroids broadcast; corpus un-shuffled."""
-    v = corpus.select(
+    from cdc_via_flink_spark.sources.tables import ensure_min_partitions
+
+    v = ensure_min_partitions(corpus).select(
         F.col("vec_id"), to_double(F.col("embedding")).alias("v")
     )
     scored = v.crossJoin(F.broadcast(cents)).select(

@@ -55,7 +55,9 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query vector. Output: query_id, vec_id,
     cos (rounded 6 — also the ordering key, with vec_id tie-break)."""
-    c = corpus.select(
+    from cdc_via_flink_spark.sources.tables import ensure_min_partitions
+
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
     )
     q = queries.select(

@@ -26,7 +26,7 @@ from cdc_via_flink_spark.operators.reconstruct import (
     reconstruct_transactions,
 )
 from cdc_via_flink_spark.plans.registry import query
-from cdc_via_flink_spark.sources.tables import load_table
+from cdc_via_flink_spark.sources.tables import ensure_min_partitions, load_table
 
 # Oracle twins of operators.reconstruct.derive_*_stream — keep in sync.
 CH_SQL = """
@@ -50,7 +50,10 @@ EN_SQL = """
 
 
 def _streams(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    ev = load_table(spark, sf_dir, "events")
+    # CPU-heavy JSON codec follows: make sure the scan is split wide
+    # enough to use every core (no-op when the file has enough row
+    # groups, i.e. at any real scale).
+    ev = ensure_min_partitions(load_table(spark, sf_dir, "events"))
     return derive_change_stream(ev), derive_txn_stream(ev)
 
 

@@ -146,7 +146,9 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path for the same predicate."""
     from cdc_via_flink_spark.functions.vectors import cosine, to_double
 
-    e = load_table(spark, sf_dir, "embeddings")
+    from cdc_via_flink_spark.sources.tables import ensure_min_partitions
+
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     d = e.select("vec_id", to_double(F.col("embedding")).alias("v"))
     a = d.withColumnsRenamed({"vec_id": "id_a", "v": "va"})
     b = d.withColumnsRenamed({"vec_id": "id_b", "v": "vb"})

@@ -49,6 +49,25 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
         pass  # already set statically or locked; the read will tell
 
 
+def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan under-splits.
+
+    Parquet splits at row-group granularity; a single-row-group file
+    scans as ONE partition, serializing any CPU-heavy per-row work
+    (JSON codec, shingling, vector math) that precedes the first
+    shuffle. At 100 TB inputs have thousands of row groups and this is
+    a no-op — the guard makes the repartition a small-input-only cost,
+    never an extra full-table shuffle at scale.
+    """
+    if n is None:
+        from cdc_via_flink_spark.session import default_parallelism
+
+        n = default_parallelism()
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_nanos_conf(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
