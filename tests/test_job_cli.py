@@ -1,0 +1,54 @@
+"""The runnable job (jobs/reconstructor.py) end-to-end on hermetic
+replay — the engine's answer to `flink run <jar>` (reference
+readme.md:4-5)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cdc_via_flink_spark.jobs import reconstructor
+from tests.conftest import SF0001
+
+
+def test_job_console_sink_replay(spark, tmp_path):
+    # spark fixture keeps the session alive; the job's get_spark()
+    # getOrCreate() reuses it rather than starting a second JVM.
+    rc = reconstructor.main(
+        [
+            "--replay-dir",
+            SF0001,
+            "--sink",
+            "console",
+            "--stage-dir",
+            str(tmp_path / "stage"),
+            "--checkpoint",
+            str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0  # console output goes to JVM stdout (verified by
+    # the parquet twin below; the sink itself is the reference's :92)
+
+
+def test_job_parquet_dual_sink_replay(spark, tmp_path):
+    out_dir = str(tmp_path / "txns")
+    rc = reconstructor.main(
+        [
+            "--replay-dir",
+            SF0001,
+            "--sink",
+            "parquet",
+            "--out",
+            out_dir,
+            "--stage-dir",
+            str(tmp_path / "stage"),
+            "--checkpoint",
+            str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    good = spark.read.parquet(out_dir)
+    assert good.count() > 0
+    # dead-letter dir exists alongside (S4 dual sink)
+    assert os.path.isdir(out_dir + "_dead")
