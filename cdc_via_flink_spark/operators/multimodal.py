@@ -72,3 +72,48 @@ def decode_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(decode, DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_crc long, frame_bytes binary"
+
+
+def sample_frames(df: DataFrame, step: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Row-EXPANDING mapInPandas pass: every `step`-th frame of each
+    media payload (video frame sampling / audio windowing shape).
+
+    The stubbed "frame" is a deterministic byte slice + crc of the
+    payload (real: av.decode / librosa.frames — not in this
+    container). The Spark-side contract is the real one: one input
+    batch yields a variable number of output rows, Arrow streams them
+    back batch-at-a-time, and downstream operators see an ordinary
+    (doc_id, frame_idx, bytes) frame table they can shuffle/join —
+    payload bytes themselves never hit the driver. At 100 TB the
+    input stays partition-parallel; peak executor memory is one Arrow
+    batch of frames, not one document's full frame set.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"]
+            n_bytes = payload.str.len().astype("int64")
+            first = payload.map(lambda b: b[0] if len(b) else 0).astype("int64")
+            n_frames = n_bytes % 10 + 1
+            ids, idxs, crcs, blobs = [], [], [], []
+            for did, nb, fb, nf, raw in zip(
+                pdf[id_col].astype("int64"), n_bytes, first, n_frames, payload
+            ):
+                for fi in range(0, int(nf), step):
+                    ids.append(did)
+                    idxs.append(fi)
+                    crcs.append((int(nb) * 131 + int(fb) * 7 + fi * 1009) % 1_000_003)
+                    blobs.append(raw[fi : fi + 16])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_crc": pd.Series(crcs, dtype="int64"),
+                    "frame_bytes": pd.Series(blobs, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(gen, FRAME_SCHEMA)

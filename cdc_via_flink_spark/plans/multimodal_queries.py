@@ -10,7 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cdc_via_flink_spark.operators.multimodal import attach_payload, decode_meta
+from cdc_via_flink_spark.operators.multimodal import (
+    attach_payload,
+    decode_meta,
+    sample_frames,
+)
 from cdc_via_flink_spark.plans.registry import query
 from cdc_via_flink_spark.sources.tables import load_table
 
@@ -64,3 +68,35 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     transfer, and schema all round-trip."""
     d = load_table(spark, sf_dir, "documents")
     return decode_meta(attach_payload(d))
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         ascii(substring(text, 1, 1)) AS first_byte
+  FROM documents WHERE doc_id % 11 = 0
+),
+f AS (
+  SELECT doc_id, n_bytes, first_byte,
+         unnest(range(0, n_bytes % 10 + 1, 3)) AS frame_idx
+  FROM b
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       (n_bytes * 131 + first_byte * 7 + frame_idx * 1009) % 1000003 AS frame_crc
+FROM f
+""",
+    tags=("X4", "frames", "mapInPandas"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the row-expanding mapInPandas path
+    (operators/multimodal.py::sample_frames): every 3rd frame of each
+    payload. The oracle recomputes frame indices and crcs in SQL;
+    frame_bytes stay Spark-side (binary payloads don't cross the
+    oracle boundary, as at 100 TB they wouldn't cross the network)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    return sample_frames(attach_payload(d), step=3).select(
+        "doc_id", "frame_idx", "frame_crc"
+    )

@@ -207,3 +207,59 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
         .select("doc_id", "term", "tfidf", "rn")
     )
+
+
+@query(
+    "text_top_bigrams",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, lang, string_split({SQL_NORM}, ' ') AS t
+  FROM documents
+),
+bg AS (
+  SELECT lang,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM tk
+),
+c AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY lang, bigram),
+r AS (
+  SELECT lang, bigram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+  FROM c
+)
+SELECT lang, bigram, n, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
+""",
+    tags=("X3", "ngrams"),
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language: tokens materialized once, the
+    bigram transform() runs over the array column (no regex re-eval
+    per element), explode → count → window top-k. The groupBy keys
+    (lang, bigram) are high-cardinality enough to spread; the final
+    per-lang window touches only the aggregated counts."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("lang", tokens(F.col("text")).alias("t"))
+    n = F.size(F.col("t"))
+    bg = tk.select(
+        "lang",
+        F.explode(
+            F.when(n < 2, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                    ),
+                )
+            )
+        ).alias("bigram"),
+    )
+    c = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        c.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "bigram", "n", "rn")
+    )
