@@ -119,16 +119,21 @@ def cdc_reconstruct_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec (reference semantics, DebeziumTransactionReconstructor.java:158)."""
     env = _envelopes(spark, sf_dir)
     parsed = parse_debezium(env)
-    # One projection over ONE parse subtree (no per-side re-parse):
-    # discriminate in place and feed the single-pass reconstructor.
+    # One projection over ONE parse subtree — and NO pre-filter: a
+    # `kind` filter here would be pushed through the projection into
+    # the scan, re-evaluating the from_json subtree 3-4× per row
+    # inside the pushed predicate. Instead the discriminator is
+    # three-valued (C / E / NULL); NULL rows (BEGINs, malformed)
+    # contribute to no aggregate and are dropped by the existing
+    # n_events>0 / end_seq guards — identical semantics, single parse.
     is_change = F.col("kind") == "change"
     is_end = (F.col("kind") == "txn") & (F.col("status") == "END")
-    u = parsed.filter(is_change | is_end).select(
+    u = parsed.select(
         "txn_id",
         F.col("seq").cast("long").alias("seq"),
         F.when(is_change, F.col("op")).alias("op"),
         F.when(is_change, F.col("ts_ms")).cast("long").alias("ts_ms"),
-        F.when(is_change, F.lit("C")).otherwise(F.lit("E")).alias("kind"),
+        F.when(is_change, F.lit("C")).when(is_end, F.lit("E")).alias("kind"),
         F.when(is_end, F.col("event_count")).cast("long").alias("declared"),
     )
     return reconstruct_from_union(u, emit_on="end")
@@ -171,14 +176,17 @@ def cdc_parse_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (validates P1/P2/P5 against an oracle that never touches JSON)."""
     parsed = parse_debezium(_envelopes(spark, sf_dir))
     return (
-        parsed.filter(F.col("kind").isNotNull())
-        .groupBy("kind", "op")
+        parsed.groupBy("kind", "op")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("txn_id").alias("n_txn"),
             F.min("ts_ms").alias("min_ts_ms"),
             F.max("ts_ms").alias("max_ts_ms"),
         )
+        # NULL-kind filter AFTER the agg: pre-agg it would push through
+        # the projection and re-evaluate the from_json subtree inside
+        # the scan predicate; post-agg it touches a handful of groups.
+        .filter(F.col("kind").isNotNull())
     )
 
 
