@@ -191,11 +191,25 @@ def minhash_lsh_neardup(
         .distinct()
     )
 
-    sa = sh.select(F.col("doc_id").alias("id_a"), "sh")
-    sb = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    # Exact-Jaccard verification with ONE evaluation of the shingle
+    # subtree (shingling is the CPU cost of this pipeline; a two-sided
+    # join would re-shingle the corpus twice more): explode each
+    # candidate pair into its two member ids, join shingles once —
+    # the small candidate side broadcasts, so the corpus-sized shingle
+    # stream is never shuffled for the join — then a shingle appears
+    # exactly twice within a pair iff both docs contain it.
+    cand_long = cand.select(
+        "id_a",
+        "id_b",
+        "size_a",
+        "size_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id"),
+    )
     inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "sh"])
+        cand_long.join(sh, "doc_id")
+        .groupBy("id_a", "id_b", "size_a", "size_b", "sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 2)
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

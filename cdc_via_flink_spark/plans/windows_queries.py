@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_via_flink_spark.operators.asof import asof_join
-from cdc_via_flink_spark.plans.parity import dec, dsum
+from cdc_via_flink_spark.plans.parity import davg, dec, dsum
 from cdc_via_flink_spark.plans.registry import query
 from cdc_via_flink_spark.sources.tables import load_table
 
@@ -341,4 +341,79 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(F.col("o_totalprice"), F.lit(0.9)), 4).alias("p90"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "q_rolling_30d_spend",
+    oracle="""
+WITH o AS (SELECT o_custkey, epoch_ms(o_orderdate) AS od_ms,
+                  o_orderkey, o_totalprice
+           FROM orders)
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY od_ms
+           RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS spend_30d,
+       count(*) OVER (
+           PARTITION BY o_custkey ORDER BY od_ms
+           RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW
+       ) AS n_orders_30d
+FROM o
+""",
+    tags=("A5", "window", "range-frame"),
+)
+def q_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based frame, not row-based): per
+    customer, spend over the trailing 30 days of each order. The frame
+    bound is on the epoch-ms ordering value itself — ties (same-ms
+    orders) all join the frame, which rowsBetween can't express."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) * 1000).alias("od_ms"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("od_ms")
+        .rangeBetween(-30 * 24 * 3600 * 1000, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec(F.col("o_totalprice"))).over(w).cast("double").alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+@query(
+    "q_ntile_balance_quartiles",
+    oracle="""
+WITH q AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_nationkey, quartile, count(*) AS n,
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            / count(c_acctbal) AS DOUBLE) AS avg_bal
+FROM q GROUP BY c_nationkey, quartile
+""",
+    tags=("A5", "window", "ntile"),
+)
+def q_ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) bucketing per nation (deterministic via custkey
+    tie-break), then per-bucket stats — the distribution-summary shape
+    used for data-quality cuts over a corpus."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg(F.col("c_acctbal")).alias("avg_bal"),
+        )
     )
