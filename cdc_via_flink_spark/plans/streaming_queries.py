@@ -258,3 +258,66 @@ def win_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+SELECT s.user_id,
+       s.event_id AS signup_id,
+       p.event_id AS purchase_id,
+       epoch_ms(p.ts) - epoch_ms(s.ts) AS gap_ms
+FROM events s JOIN events p
+  ON s.user_id = p.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+""",
+    tags=("J1", "ST1", "streaming", "stream-stream-join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (the operator family the reference's
+    connect() belongs to, SURVEY.md J1's equi-join mapping): purchases
+    within one hour after a signup by the same user, both sides real
+    streams with watermarks. The time-range condition is what lets
+    Spark bound join state (each side buffers only one hour + watermark
+    delay of rows) — the unbounded-state hazard the reference sidesteps
+    with emit-on-END is handled declaratively here."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(STAGE_ROOT, f"events_{sf_name}")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    os.makedirs(stage, exist_ok=True)
+    path = os.path.join(stage, "events_ssj")
+    ev.coalesce(1).write.mode("overwrite").parquet(path)
+
+    def side(kind: str, alias: str):
+        return (
+            spark.readStream.schema(ev.schema)
+            .parquet(path)
+            .filter(F.col("event_type") == kind)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+        )
+
+    s, p = side("signup", "s"), side("purchase", "p")
+    joined = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("s_user").alias("user_id"),
+        F.col("s_id").alias("signup_id"),
+        F.col("p_id").alias("purchase_id"),
+        (
+            F.unix_millis(F.col("p_ts").cast("timestamp"))
+            - F.unix_millis(F.col("s_ts").cast("timestamp"))
+        ).alias("gap_ms"),
+    )
+    return _run_to_memory(joined, "append")
