@@ -103,3 +103,43 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_min").alias("min_value"),
         F.max("p_max").alias("max_value"),
     )
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+SELECT e.event_type, count(*) AS n,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY e.event_type
+""",
+    tags=("J3", "skew", "salting"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join — the hot-key join idiom AQE's skew splitting
+    automates, stated explicitly: the (possibly skewed) fact side gets
+    a deterministic salt; the dimension side is replicated once per
+    salt value, so one hot join key fans out over N_SALTS reducers
+    instead of one straggler. Identical rows to the plain equi-join
+    (the oracle); only the shuffle distribution differs."""
+    n_salts = 8
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_salt", (F.col("event_id") % n_salts).cast("int")
+    )
+    salts = spark.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .crossJoin(F.broadcast(salts))
+    )
+    return (
+        ev.join(
+            cust,
+            (F.col("user_id") == F.col("c_custkey")) & (ev._salt == cust._salt),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("c_acctbal"))).cast("double").alias("sum_bal"),
+        )
+    )

@@ -1,0 +1,77 @@
+"""Property-based dedup tests: the LSH pipeline's reported pairs are
+SOUND (exact Jaccard ≥ threshold, sizes/intersections exact) and
+COMPLETE for identical documents (which share every band signature by
+construction). Recall on non-identical near-dups is probabilistic by
+design — soundness is the invariant worth pinning."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cdc_via_flink_spark.operators.dedup import exact_dedup, minhash_lsh_neardup
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+def shingle_set(text: str, k: int = 3) -> frozenset[str]:
+    toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    if len(toks) < k:
+        return frozenset([" ".join(toks)])
+    return frozenset(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=doc_strategy)
+def test_lsh_pairs_sound_and_identical_complete(spark, docs):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.size_a, r.size_b, r.jaccard)
+        for r in minhash_lsh_neardup(df, "text", "doc_id", 16, 4, 4, 0.5).collect()
+    }
+    sets = {i: shingle_set(t) for i, t in enumerate(docs)}
+    for (a, b), (inter, sa, sb, jac) in got.items():
+        exact_inter = len(sets[a] & sets[b])
+        exact_j = exact_inter / len(sets[a] | sets[b])
+        assert (inter, sa, sb) == (exact_inter, len(sets[a]), len(sets[b]))
+        assert abs(jac - exact_j) < 1e-6
+        assert exact_j >= 0.5  # soundness: no below-threshold pair
+    # completeness for identical shingle sets (all 16 minhashes equal
+    # -> every band collides -> candidate -> jaccard 1.0 >= T)
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] == sets[b]:
+                assert (a, b) in got
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=doc_strategy)
+def test_exact_dedup_partitions_by_normalized_text(spark, docs):
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup(df, "text", "doc_id").collect()
+    norm = lambda t: re.sub(r"\s+", " ", t.strip().lower())  # noqa: E731
+    groups: dict[str, list[int]] = {}
+    for i, t in rows:
+        groups.setdefault(norm(t), []).append(i)
+    assert sorted((r.keeper_id, r.n_copies) for r in out) == sorted(
+        (min(ids), len(ids)) for ids in groups.values()
+    )
