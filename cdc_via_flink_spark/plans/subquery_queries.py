@@ -204,3 +204,50 @@ def q_suppliers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.col("s_acctbal")).alias("avg_bal_above"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HAVING-gated semi join (TPC-H Q18 shape: large-volume customers)
+# --------------------------------------------------------------------------
+@query(
+    "q_large_volume_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+    tags=("J3", "A3", "having", "semi"),
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: a HAVING-filtered aggregate over the fact table
+    semi-joins back into the customer⋈orders⋈lineitem pipeline. The
+    `big` aggregate reuses lineitem's orderkey clustering; the IN
+    becomes a left_semi join that prunes orders before the wide join —
+    at 100 TB the semi-join side is the output of an aggregation, tiny
+    next to the fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec(F.col("l_quantity"))).alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi"
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec(F.col("l_quantity"))).cast("double").alias("total_qty"))
+    )
