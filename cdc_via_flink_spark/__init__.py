@@ -15,4 +15,57 @@ Arrow-batched Pandas UDFs in the few operators Spark can't express.
 
 __version__ = "0.1.0"
 
+# Public API — everything a user of the reference needs, importable
+# flat. Streaming builders live in cdc_via_flink_spark.streaming.*
+# (they need a streaming DataFrame; see jobs/reconstructor.py for the
+# assembled end-to-end job).
+from cdc_via_flink_spark.operators.asof import asof_join  # noqa: F401
+from cdc_via_flink_spark.operators.debezium import (  # noqa: F401
+    parse_debezium,
+    render_change_envelope,
+    render_txn_envelope,
+)
+from cdc_via_flink_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_neardup,
+    simhash64,
+)
+from cdc_via_flink_spark.operators.multimodal import (  # noqa: F401
+    attach_payload,
+    decode_meta,
+    sample_frames,
+)
+from cdc_via_flink_spark.operators.reconstruct import (  # noqa: F401
+    latest_state,
+    reconstruct_transactions,
+)
+from cdc_via_flink_spark.operators.similarity import brute_force_topk  # noqa: F401
+from cdc_via_flink_spark.operators.ivf import ivf_topk  # noqa: F401
 from cdc_via_flink_spark.session import get_spark  # noqa: F401
+from cdc_via_flink_spark.sources.tables import load_table, load_tables  # noqa: F401
+from cdc_via_flink_spark.sources.writers import (  # noqa: F401
+    write_bucketed,
+    write_partitioned,
+)
+
+__all__ = [
+    "asof_join",
+    "attach_payload",
+    "brute_force_topk",
+    "decode_meta",
+    "exact_dedup",
+    "get_spark",
+    "ivf_topk",
+    "latest_state",
+    "load_table",
+    "load_tables",
+    "minhash_lsh_neardup",
+    "parse_debezium",
+    "reconstruct_transactions",
+    "render_change_envelope",
+    "render_txn_envelope",
+    "sample_frames",
+    "simhash64",
+    "write_bucketed",
+    "write_partitioned",
+]
