@@ -321,3 +321,19 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_ms"),
     )
     return _run_to_memory(joined, "append")
+
+
+@query(
+    "stream_reconstruct_count",
+    oracle=_RECON_ORACLE + " WHERE g.n_events = en.event_count",
+    tags=("ST1", "A2", "streaming", "stateful"),
+)
+def stream_reconstruct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-mode on the STREAMING path: the assembler emits every END
+    record with both the actual and declared counts; the exactness
+    check (size == event_count, the Debezium-documented validation the
+    reference parses but never applies, reference :113-114) is a
+    declarative filter over the stateful output — state behavior is
+    identical to end-mode, exactly as in the batch twin."""
+    out = stream_reconstruct_end(spark, sf_dir)
+    return out.filter(F.col("n_events") == F.col("event_count"))
