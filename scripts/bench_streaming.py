@@ -1,0 +1,98 @@
+"""Streaming-path throughput: events/s through the full ST1 pipeline
+(file-replay envelopes → parse → watermark → applyInPandasWithState →
+memory sink), availableNow replay at $SPARK_GRAFT_SF_DIR.
+
+Prints one JSON line: {"metric": "st1_stream_throughput",
+"value": <events_per_sec>, ...} — complements bench.py (batch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.plans.cdc_queries import _envelopes
+    from cdc_via_flink_spark.plans.streaming_queries import (
+        _run_to_memory,
+        _staged_envelope_stream,
+    )
+    from cdc_via_flink_spark.operators.debezium import parse_debezium
+    from cdc_via_flink_spark.session import get_spark
+    from cdc_via_flink_spark.sources.tables import load_table
+    from cdc_via_flink_spark.streaming.assembler import assemble_transactions_stream
+
+    spark = get_spark("cdc_via_flink_spark-stream-bench")
+    n_events = _envelopes(spark, sf_dir).count()  # also warms the stage dir
+
+    base_ms = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts_ms").alias("m")).collect()[0]["m"]
+    )
+    event_time = F.coalesce(
+        F.timestamp_millis(F.col("ts_ms")),
+        F.timestamp_millis(F.lit(base_ms) + F.col("seq")),
+    )
+
+    # Parallel staging: the declared query's single-file stage keeps
+    # multi-batch replays in arrival order (its docstring), but this
+    # availableNow bench processes everything in ONE batch, where
+    # within-batch order is irrelevant (the assembler sorts by seq per
+    # key) — so stage N files and let N cores parse.
+    from cdc_via_flink_spark.plans.streaming_queries import STAGE_ROOT
+    from cdc_via_flink_spark.session import default_parallelism
+    from cdc_via_flink_spark.streaming.sources import file_envelope_stream
+
+    # Warm-up: run the identical pipeline once at sf0.001 so codegen,
+    # Python workers, and the state-store machinery are hot (a
+    # long-running streaming job amortizes these; a cold JVM should
+    # not be charged for them per measurement).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        wstage = os.path.join(STAGE_ROOT, "stream_bench_warm")
+        wstream = file_envelope_stream(spark, _envelopes(spark, warm_dir), wstage)
+        _run_to_memory(
+            assemble_transactions_stream(parse_debezium(wstream), event_time=event_time),
+            "append",
+        )
+
+    stage = os.path.join(STAGE_ROOT, "stream_bench")
+    env = _envelopes(spark, sf_dir).repartition(default_parallelism())
+    stream = file_envelope_stream(spark, env, stage)  # stages to disk here
+
+    # Timed region: the streaming job only — the source data already
+    # sits on disk, as a Kafka topic's log would.
+    t0 = time.time()
+    parsed = parse_debezium(stream)
+    out = _run_to_memory(
+        assemble_transactions_stream(parsed, event_time=event_time), "append"
+    )
+    n_txns = out.count()
+    wall = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "st1_stream_throughput",
+                "value": round(n_events / wall, 1),
+                "unit": "events/sec",
+                "events": n_events,
+                "transactions_emitted": n_txns,
+                "wall_sec": round(wall, 3),
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
