@@ -131,3 +131,57 @@ def test_stateful_assembler_state_survives_restart(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     assert len(rows) == 1
     assert (rows[0].txn_id, rows[0].n_events, rows[0].ops_concat) == ("t9", 2, "c,u")
+
+
+def test_late_rows_dropped_past_watermark(spark, tmp_path):
+    """ST4: with a 10-minute watermark, a row arriving in a later
+    micro-batch but timestamped before (watermark - delay) is DROPPED
+    from the windowed aggregation (Spark's documented late-data
+    behavior == the reference's bounded out-of-orderness tolerance,
+    DebeziumTransactionReconstructor.java:57-61)."""
+    src = str(tmp_path / "src")
+    h = 3_600_000  # ms
+    # batch 0: 10:00 and 11:00 -> watermark 10:50 (operative one batch
+    # after it is computed, hence the spacer batch below)
+    _stage_file(
+        spark,
+        [(1, f"{10 * h}"), (2, f"{11 * h}")],
+        src,
+        "0",
+        1_000_000_000,
+    )
+    # batch 1: spacer advancing the commit cycle (11:02)
+    _stage_file(spark, [(3, f"{11 * h + 2 * 60_000}")], src, "1", 1_000_000_100)
+    # batch 2: 10:05 (LATE: watermark is now ≥ 10:50) and 11:05 (on time)
+    _stage_file(
+        spark,
+        [(4, f"{10 * h + 5 * 60_000}"), (5, f"{11 * h + 5 * 60_000}")],
+        src,
+        "2",
+        1_000_000_200,
+    )
+    raw = (
+        spark.readStream.schema(ENVELOPE_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ev = raw.select(
+        "seq", F.timestamp_millis(F.col("value").cast("long")).alias("ts")
+    )
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis(F.col("window.start")).alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.w_start: r.n for r in spark.table("late_drop").collect()}
+    # the 10:00-10:10 window emitted with ONE row: seq 3 was late.
+    assert got.get(10 * h) == 1
