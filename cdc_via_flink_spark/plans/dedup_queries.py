@@ -245,3 +245,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(ham <= 12).select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_LSH_ORACLE})
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, r) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.u
+)
+SELECT u AS node, min(r) AS component FROM reach GROUP BY u
+""",
+    tags=("X1", "dedup", "clusters", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup PAIRS (transitive closure):
+    min-label-propagation connected components over the MinHash-LSH
+    pair graph — the iterative keeper-election step a production dedup
+    runs after pair generation. The oracle states the same closure as
+    a recursive CTE."""
+    from cdc_via_flink_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_neardup(d, "text", "doc_id", NUM_HASHES, BANDS, ROWS, JACCARD_T)
+    return connected_components(pairs.select("id_a", "id_b"))
