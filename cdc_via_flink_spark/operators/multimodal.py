@@ -117,3 +117,39 @@ def sample_frames(df: DataFrame, step: int = 3, id_col: str = "doc_id") -> DataF
             )
 
     return df.select(id_col, "payload").mapInPandas(gen, FRAME_SCHEMA)
+
+
+GROUP_STATS_SCHEMA = (
+    "source string, n_docs long, total_bytes long, max_bytes long, mean_bytes double"
+)
+
+
+def payload_stats_by_group(df: DataFrame, group_col: str = "source") -> DataFrame:
+    """Grouped-map applyInPandas pass: per-group payload statistics.
+
+    The third sanctioned Python surface (after mapInPandas decode and
+    the stateful assembler): groupBy().applyInPandas — one pandas
+    frame per group key, Arrow both ways. Shape matters at scale: a
+    group must fit one executor's memory (payload STATS do; raw
+    payload concatenation would not — that variant belongs in
+    mapInPandas with streaming aggregation). Real use: per-shard media
+    QA (corrupt-rate, size distribution) before a training run.
+    """
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_bytes = pdf["payload"].str.len().astype("int64")
+        return pd.DataFrame(
+            {
+                "source": [pdf[group_col].iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_bytes": [int(n_bytes.sum())],
+                "max_bytes": [int(n_bytes.max())],
+                "mean_bytes": [float(n_bytes.sum()) / len(pdf)],
+            }
+        )
+
+    return (
+        df.select(group_col, "payload")
+        .groupBy(group_col)
+        .applyInPandas(stats, GROUP_STATS_SCHEMA)
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from cdc_via_flink_spark.operators.multimodal import (
     attach_payload,
     decode_meta,
+    payload_stats_by_group,
     sample_frames,
 )
 from cdc_via_flink_spark.plans.registry import query
@@ -100,3 +101,25 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_payload(d), step=3).select(
         "doc_id", "frame_idx", "frame_crc"
     )
+
+
+@query(
+    "mm_payload_stats_by_source",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       sum(octet_length(encode(text))) AS total_bytes,
+       max(octet_length(encode(text))) AS max_bytes,
+       CAST(CAST(sum(octet_length(encode(text))) AS DOUBLE) / count(*)
+            AS DOUBLE) AS mean_bytes
+FROM documents GROUP BY source
+""",
+    tags=("X4", "applyInPandas", "grouped-map"),
+)
+def mm_payload_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source payload QA stats through the grouped-map
+    applyInPandas surface (operators/multimodal.py::payload_stats_by_group)
+    — the oracle recomputes the same stats in SQL, proving the Arrow
+    group round-trip byte-exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return payload_stats_by_group(attach_payload(d), "source")

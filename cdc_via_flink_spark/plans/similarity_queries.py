@@ -161,3 +161,88 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= 0.4)
     )
+
+
+SQL_QUANT = (
+    "list_transform(v, x -> CAST(round((x * 127.0) / mx) AS BIGINT))"
+)
+
+
+@query(
+    "sim_quantized_topk",
+    oracle=f"""
+WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
+m AS (SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS mx
+      FROM d),
+qt AS (SELECT vec_id, {SQL_QUANT} AS qv FROM m),
+q AS (SELECT vec_id AS query_id, qv FROM qt WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         round(CAST(list_dot_product(a.qv, q.qv) AS DOUBLE)
+               / (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE))
+                  * sqrt(CAST(list_dot_product(q.qv, q.qv) AS DOUBLE))), 6) AS qcos
+  FROM qt a CROSS JOIN q WHERE a.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, qcos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qcos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, qcos, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {TOP_K}
+""",
+    tags=("X2", "similarity", "quantization"),
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8-quantized cosine top-k — the vector-compression scale path
+    (4× less memory/IO than float32, integer dot products): per-vector
+    symmetric quantization q = round(x·127/max|x|), exact integer
+    dot products, rescaled cosine as the (rounded, tie-broken) ranking
+    key. Quantization error vs sim_bruteforce_topk is visible and
+    bounded — the standard recall/compression trade."""
+    from cdc_via_flink_spark.functions.vectors import to_double
+    from cdc_via_flink_spark.sources.tables import ensure_min_partitions
+
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    v = F.col("v")
+    mx = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    d = e.select("vec_id", to_double(F.col("embedding")).alias("v")).select(
+        "vec_id",
+        F.transform(v, lambda x: F.round((x * F.lit(127.0)) / mx).cast("long")).alias(
+            "qv"
+        ),
+    )
+    q = d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                idot(F.col("qv"), F.col("qq")).cast("double")
+                / (
+                    F.sqrt(idot(F.col("qv"), F.col("qv")).cast("double"))
+                    * F.sqrt(idot(F.col("qq"), F.col("qq")).cast("double"))
+                ),
+                6,
+            ).alias("qcos"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "qcos", "rn")
+    )
