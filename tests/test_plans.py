@@ -72,3 +72,29 @@ def test_decode_stub_uses_arrow(spark):
     must go through Arrow (mapInPandas), not row-at-a-time eval."""
     plan = _plan(spark, "mm_decode_stub")
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_salted_join_broadcasts_replicated_dim(spark):
+    """The salt-replicated dimension must broadcast — a shuffled salted
+    join would defeat the idiom's purpose."""
+    plan = _plan(spark, "q_salted_join")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_unshipped_topk_no_global_sort(spark):
+    """Q3-shape top-10 must use TakeOrderedAndProject, never a full
+    rangepartitioned sort of the aggregate output."""
+    plan = _plan(spark, "q_unshipped_revenue_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_quantized_topk_stays_jvm(spark):
+    """Quantization + integer dot products are pure array expressions —
+    no Python boundary allowed."""
+    plan = _plan(spark, "sim_quantized_topk")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_grouped_stats_uses_arrow_grouped_map(spark):
+    plan = _plan(spark, "mm_payload_stats_by_source")
+    assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan, plan
