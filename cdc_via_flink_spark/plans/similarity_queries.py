@@ -246,3 +246,21 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "qcos", "rn")
     )
+
+
+@query(
+    "sim_ivf_kmeans_topk",
+    oracle=None,  # iterative training -> rows-only driver check;
+    # invariants pinned in tests/test_kmeans.py instead
+    tags=("X2", "similarity", "ivf", "kmeans", "iterative"),
+)
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over TRAINED centroids (deterministic distributed
+    Lloyd's k-means, operators/kmeans.py) — the trained-index upgrade
+    of sim_ivf_topk; same bounded-probe plan shape, better list
+    balance than selection-based centroids."""
+    from cdc_via_flink_spark.operators.kmeans import ivf_kmeans_topk
+    from cdc_via_flink_spark.sources.tables import ensure_min_partitions
+
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    return ivf_kmeans_topk(e, query_ids_below=N_QUERIES, every_k=40, max_iter=3)

@@ -1,0 +1,69 @@
+"""k-means invariant tests (iterative ops are exempt from the SQL
+oracle — these pin correctness instead): centroid count, assignment
+self-consistency, determinism, and one-step-of-Lloyd's convergence
+property (inertia-style: mean cosine to assigned centroid does not
+degrade across iterations)."""
+
+from __future__ import annotations
+
+import math
+
+from cdc_via_flink_spark.operators.kmeans import _nearest, kmeans_fit
+from cdc_via_flink_spark.functions.vectors import to_double
+from cdc_via_flink_spark.sources.tables import load_table
+from tests.conftest import SF0001
+
+from pyspark.sql import functions as F
+
+
+def _corpus(spark):
+    return load_table(spark, SF0001, "embeddings")
+
+
+def test_kmeans_shapes_and_determinism(spark):
+    c1 = kmeans_fit(_corpus(spark), every_k=40, max_iter=2)
+    c2 = kmeans_fit(_corpus(spark), every_k=40, max_iter=2)
+    rows1 = {r.centroid_id: r.cv for r in c1.collect()}
+    rows2 = {r.centroid_id: r.cv for r in c2.collect()}
+    assert rows1.keys() == rows2.keys()
+    assert len(rows1) >= 2
+    for k in rows1:
+        assert len(rows1[k]) == 64
+        assert rows1[k] == rows2[k]  # bit-identical across runs
+
+
+def test_assignment_is_nearest_final_centroid(spark):
+    corpus = _corpus(spark)
+    cents = kmeans_fit(corpus, every_k=40, max_iter=2)
+    v_df = corpus.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    assigned = {r.vec_id: r.cluster_id for r in _nearest(v_df, cents).collect()}
+    c = {r.centroid_id: r.cv for r in cents.collect()}
+    vecs = {r.vec_id: r.v for r in v_df.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    for vid, cid in list(assigned.items())[:50]:
+        best = max(c, key=lambda k: (cos(vecs[vid], c[k]), -k))
+        assert cid == best
+
+
+def test_iterations_do_not_degrade_fit(spark):
+    corpus = _corpus(spark)
+    v_df = corpus.select("vec_id", to_double(F.col("embedding")).alias("v"))
+
+    def mean_cos(cents):
+        scored = _nearest(v_df, cents)
+        joined = scored.join(cents, scored.cluster_id == cents.centroid_id)
+        from cdc_via_flink_spark.functions.vectors import cosine
+
+        return joined.agg(
+            F.avg(cosine(F.col("v"), F.col("cv"))).alias("m")
+        ).collect()[0]["m"]
+
+    m1 = mean_cos(kmeans_fit(corpus, every_k=40, max_iter=1))
+    m3 = mean_cos(kmeans_fit(corpus, every_k=40, max_iter=3))
+    assert m3 >= m1 - 1e-9  # Lloyd's never degrades the objective
