@@ -263,3 +263,52 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "bigram", "n", "rn")
     )
+
+
+# Tiny deterministic sentiment lexicon (SURVEY.md X3: "sentiment =
+# lexicon join") — stands in for AFINN/VADER-style tables, which is
+# exactly how a real lexicon ships: a small dim table broadcast to the
+# corpus scan.
+LEXICON = [
+    ("good", 2), ("great", 3), ("love", 3), ("happy", 2), ("best", 3),
+    ("bad", -2), ("terrible", -3), ("hate", -3), ("sad", -2), ("worst", -3),
+]
+_SQL_LEXICON = ", ".join(f"('{w}', {s})" for w, s in LEXICON)
+
+
+@query(
+    "text_sentiment_lexicon",
+    oracle=f"""
+WITH lex(term, score) AS (VALUES {_SQL_LEXICON}),
+tk AS (
+  SELECT doc_id, lang, unnest(string_split({SQL_NORM}, ' ')) AS term
+  FROM documents
+),
+hits AS (
+  SELECT t.doc_id, t.lang, l.score
+  FROM tk t JOIN lex l ON t.term = l.term
+)
+SELECT lang,
+       count(DISTINCT doc_id) AS n_docs_scored,
+       sum(score) AS total_score,
+       CAST(CAST(sum(score) AS DOUBLE) / count(*) AS DOUBLE) AS mean_hit_score
+FROM hits GROUP BY lang
+""",
+    tags=("X3", "sentiment", "lexicon"),
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-join sentiment (SURVEY X3): tokenize → broadcast join
+    against the scored term table → per-language aggregate. At 100 TB
+    the lexicon is a classic broadcast dim; the token explosion never
+    shuffles — only the final small aggregate does."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(LEXICON, "term string, score long")
+    tk = d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term"))
+    hits = tk.join(F.broadcast(lex), "term")
+    return hits.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs_scored"),
+        F.sum("score").alias("total_score"),
+        (F.sum("score").cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("mean_hit_score"),
+    )
