@@ -114,7 +114,9 @@ def reconstruct_transactions(
     return reconstruct_from_union(c.unionByName(e), emit_on=emit_on)
 
 
-def reconstruct_from_union(u: DataFrame, emit_on: str = "end") -> DataFrame:
+def reconstruct_from_union(
+    u: DataFrame, emit_on: str = "end", skew_block_size: int | None = None
+) -> DataFrame:
     """Single-subtree reconstruction over a pre-discriminated union
     (columns: txn_id, seq, op, ts_ms, kind 'C'|'E', declared).
 
@@ -125,18 +127,51 @@ def reconstruct_from_union(u: DataFrame, emit_on: str = "end") -> DataFrame:
     groups with itself), so no end-info join and no second scan of the
     source. Callers that parse JSON once (cdc_queries) avoid
     re-evaluating the parse subtree per join side.
+
+    ``skew_block_size``: the default single window partitions by
+    txn_id, so ONE pathologically hot transaction sorts on one task
+    (AQE splits skewed joins, not skewed windows). Setting a block
+    size switches to a segmented scan: the reverse running MIN is
+    computed per (txn_id, seq div B) block in parallel, then combined
+    with per-txn block suffix minima (a window over #blocks rows, not
+    #events). Costs one extra full shuffle — worth it exactly when a
+    key is hot; results are identical (tests/test_cdc_semantics.py).
     """
     if emit_on not in ("end", "count"):
         raise ValueError(f"emit_on must be 'end' or 'count', got {emit_on!r}")
 
-    w = (
-        W.partitionBy("txn_id")
-        .orderBy("seq")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    assigned = u.withColumn(
-        "end_seq", F.min(F.when(F.col("kind") == "E", F.col("seq"))).over(w)
-    )
+    end_seq_of = F.when(F.col("kind") == "E", F.col("seq"))
+    if skew_block_size is None:
+        w = (
+            W.partitionBy("txn_id")
+            .orderBy("seq")
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        assigned = u.withColumn("end_seq", F.min(end_seq_of).over(w))
+    else:
+        b = u.withColumn("_blk", F.expr(f"seq div {int(skew_block_size)}"))
+        w_local = (
+            W.partitionBy("txn_id", "_blk")
+            .orderBy("seq")
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        # per-(txn, block) END minima -> suffix minimum over LATER
+        # blocks (tiny frame: one row per block per txn)
+        blk_info = b.groupBy("txn_id", "_blk").agg(F.min(end_seq_of).alias("_bmin"))
+        w_suffix = (
+            W.partitionBy("txn_id")
+            .orderBy("_blk")
+            .rowsBetween(1, W.unboundedFollowing)
+        )
+        blk_info = blk_info.select(
+            "txn_id", "_blk", F.min("_bmin").over(w_suffix).alias("_later_min")
+        )
+        assigned = (
+            b.withColumn("_local_min", F.min(end_seq_of).over(w_local))
+            .join(blk_info, ["txn_id", "_blk"])
+            .withColumn("end_seq", F.least("_local_min", "_later_min"))
+            .drop("_blk", "_local_min", "_later_min")
+        )
 
     is_c = F.col("kind") == "C"
     grouped = (

@@ -157,3 +157,31 @@ def test_streaming_cross_batch_state(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert (r.txn_id, r.n_events, r.ops_concat) == ("t1", 3, "c,u,d")
+
+
+def test_segmented_reconstruction_equivalent(spark):
+    """skew_block_size changes the PLAN (parallel per-block scan +
+    block suffix minima instead of one per-key window), never the
+    RESULT — same segments on an interleaved multi-txn workload."""
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.operators.reconstruct import reconstruct_from_union
+
+    u = spark.range(5000).select(
+        F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias("txn_id"),
+        F.col("id").alias("seq"),
+        F.when(F.col("id") % 31 == 0, F.lit("E")).otherwise(F.lit("C")).alias("kind"),
+        F.lit("u").alias("op"),
+        (F.col("id") * 3).alias("ts_ms"),
+        F.when(F.col("id") % 31 == 0, F.col("id") % 5).cast("long").alias("declared"),
+    )
+    key = lambda r: (r.txn_id, r.end_seq)  # noqa: E731
+    val = lambda r: (r.n_events, r.ops_concat, r.first_ts_ms, r.last_ts_ms, r.event_count)  # noqa: E731
+    base = {key(r): val(r) for r in reconstruct_from_union(u).collect()}
+    for b in (64, 1000):
+        seg = {key(r): val(r) for r in reconstruct_from_union(u, skew_block_size=b).collect()}
+        assert seg == base
+    # count mode too
+    base_c = {key(r): val(r) for r in reconstruct_from_union(u, emit_on="count").collect()}
+    seg_c = {key(r): val(r) for r in reconstruct_from_union(u, emit_on="count", skew_block_size=64).collect()}
+    assert seg_c == base_c
