@@ -337,3 +337,66 @@ def stream_reconstruct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to end-mode, exactly as in the batch twin."""
     out = stream_reconstruct_end(spark, sf_dir)
     return out.filter(F.col("n_events") == F.col("event_count"))
+
+
+@query(
+    "stream_session_counts",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, "value"
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, "value",
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                   >= 600000000 OR
+                   lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+ses AS (
+  SELECT user_id, ts_us, "value",
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       count(*) AS n_events,
+       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM ses GROUP BY user_id, session_id
+""",
+    tags=("ST3", "streaming", "session"),
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows (10 min gap, the reference's V2
+    GlobalWindows-with-custom-trigger territory done declaratively,
+    SURVEY ST2/ST3): stateful session merge driven by the watermark,
+    complete-mode sink. Single-batch replay ⇒ equals the batch
+    gaps-and-islands oracle."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(STAGE_ROOT, f"events_{sf_name}")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    os.makedirs(stage, exist_ok=True)
+    path = os.path.join(stage, "events_sess")
+    ev.coalesce(1).write.mode("overwrite").parquet(path)
+    sev = (
+        spark.readStream.schema(ev.schema)
+        .parquet(path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        sev.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
