@@ -137,3 +137,24 @@ def cdc_snapshot_at_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").alias("after"),
     )
     return latest_state(ch)
+
+
+@query(
+    "q_approx_percentile",
+    oracle=None,  # quantile sketches are engine-specific; rows-only +
+    # bound test (tests/test_approx.py) like q_approx_distinct.
+    tags=("A3", "approx", "percentile"),
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) next to the exact
+    interpolated percentile — the at-scale quantile idiom: sketches
+    merge map-side, so quantiles cost one pass and no sort, vs the
+    exact form's per-group sort. accuracy=10000 ⇒ ε=1e-4 rank error."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile(F.col("o_totalprice"), F.lit(0.5), F.lit(10000)).alias(
+            "approx_p50"
+        ),
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("exact_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )

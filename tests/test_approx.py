@@ -13,3 +13,29 @@ def test_approx_distinct_within_bound(spark):
     for r in spec.fn(spark, SF0001).collect():
         rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
         assert rel_err < 0.1, f"{r.l_returnflag}: {r.approx_parts} vs {r.exact_parts}"
+
+
+def test_approx_percentile_within_rank_bound(spark):
+    """GK sketch guarantees rank error ≤ n/accuracy; at accuracy=10000
+    and fixture sizes that is < 1 rank — but approx_percentile returns
+    an ELEMENT (no interpolation) while exact percentile interpolates,
+    so assert the approx value sits within the exact p45-p55 band."""
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.sources.tables import load_table
+
+    spec = load_all()["q_approx_percentile"]
+    got = {r.o_orderpriority: r for r in spec.fn(spark, SF0001).collect()}
+    o = load_table(spark, SF0001, "orders")
+    band = {
+        r.o_orderpriority: (r.lo, r.hi)
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile(F.col("o_totalprice"), F.lit(0.45)).alias("lo"),
+            F.percentile(F.col("o_totalprice"), F.lit(0.55)).alias("hi"),
+        )
+        .collect()
+    }
+    for k, r in got.items():
+        lo, hi = band[k]
+        assert lo <= r.approx_p50 <= hi, f"{k}: {r.approx_p50} outside [{lo}, {hi}]"

@@ -62,3 +62,33 @@ def test_cobucketed_join_no_shuffle(spark, bucketed_pair):
         assert j.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_sorted_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """write_sorted's value: parquet footer min/max stats form disjoint
+    ranges across files, so range predicates skip whole files. Checked
+    against the REAL footers via pyarrow, not the plan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cdc_via_flink_spark.sources.writers import write_sorted
+
+    orders = load_table(spark, SF0001, "orders")
+    path = str(tmp_path / "orders_sorted")
+    write_sorted(orders, path, ["o_orderkey"], num_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_orderkey"
+        )
+        mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"
