@@ -185,3 +185,60 @@ def test_late_rows_dropped_past_watermark(spark, tmp_path):
     got = {r.w_start: r.n for r in spark.table("late_drop").collect()}
     # the 10:00-10:10 window emitted with ONE row: seq 3 was late.
     assert got.get(10 * h) == 1
+
+
+def test_streaming_observability_listener_and_observe(spark, tmp_path):
+    """ST5 observability: named query + df.observe metrics surfaced
+    through a StreamingQueryListener — the Spark-native replacement
+    for the reference's uncaught-exception-handler + named-job
+    plumbing (DebeziumTransactionReconstructor.java:39-45,88-89)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = []
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events.append(("started", e.name))
+
+        def onQueryProgress(self, e):
+            om = e.progress.observedMetrics
+            if "env_metrics" in om:
+                row = om["env_metrics"]
+                events.append(("metrics", row.n_rows, row.n_dead))
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events.append(("terminated",))
+
+    spark.streams.addListener(listener := Capture())
+    try:
+        src = str(tmp_path / "src")
+        _stage_file(spark, [(1, GOOD), (2, BAD), (3, END)], src, "0", 1_000_000_000)
+        raw = spark.readStream.schema(ENVELOPE_STREAM_SCHEMA).parquet(src)
+        parsed = parse_debezium(raw).observe(
+            "env_metrics",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("kind").isNull(), 1)).alias("n_dead"),
+        )
+        q = (
+            parsed.writeStream.format("memory")
+            .queryName("observed_reconstruction")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import time
+
+        for _ in range(50):  # listener events are delivered async
+            if any(e[0] == "metrics" for e in events):
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert ("started", "observed_reconstruction") in events
+    metric = next(e for e in events if e[0] == "metrics")
+    assert metric[1] == 3 and metric[2] == 1  # 3 rows, 1 dead-letter

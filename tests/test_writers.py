@@ -92,3 +92,21 @@ def test_sorted_write_produces_disjoint_file_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """DPP: joining a partitioned fact to a FILTERED dim prunes fact
+    partitions at runtime via the dim-side subquery — the 100 TB
+    date-dim join pattern (only matching partition dirs are read)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "orders_by_status")
+    write_partitioned(load_table(spark, SF0001, "orders"), path, ["o_orderstatus"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")], "st string, label string"
+    ).filter(F.col("label") == "finished")
+    j = fact.join(dim, fact.o_orderstatus == dim.st)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan
+    assert j.count() == fact.filter("o_orderstatus = 'F'").count()
