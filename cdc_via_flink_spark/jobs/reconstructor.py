@@ -72,6 +72,12 @@ def run(args: argparse.Namespace) -> int:
         good, event_time=F.timestamp_millis(F.col("seq"))
     )
 
+    if args.sink == "upsert":
+        from cdc_via_flink_spark.streaming.upsert import upsert_latest_state_query
+
+        q = upsert_latest_state_query(parsed, args.out, args.checkpoint)
+        q.awaitTermination()
+        return 0
     if args.sink == "console":
         q = (
             assembled.writeStream.format("console")
@@ -102,7 +108,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--txn-topic", default="mysql-server.transaction")  # ref :64
     p.add_argument("--replay-dir", help="hermetic replay from an sf dir (no Kafka)")
     p.add_argument("--stage-dir", default=tempfile.mkdtemp(prefix="cdc_replay_"))
-    p.add_argument("--sink", choices=["console", "parquet"], default="console")
+    p.add_argument(
+        "--sink", choices=["console", "parquet", "upsert"], default="console"
+    )  # upsert = latest-state table (streaming/upsert.py)
     p.add_argument("--out", default=tempfile.mkdtemp(prefix="cdc_out_"))
     p.add_argument("--checkpoint", default=tempfile.mkdtemp(prefix="cdc_ckpt_"))
     p.add_argument("--max-restarts", type=int, default=3)  # ref :36
