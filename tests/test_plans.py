@@ -98,3 +98,25 @@ def test_quantized_topk_stays_jvm(spark):
 def test_grouped_stats_uses_arrow_grouped_map(spark):
     plan = _plan(spark, "mm_payload_stats_by_source")
     assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan, plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """J3 nuance: the engine can pin a join strategy per query when
+    Catalyst's default is wrong for a known workload (e.g. forcing
+    shuffle-hash when one side is medium-small but over the broadcast
+    threshold)."""
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.sources.tables import load_table
+    from tests.conftest import SF001
+
+    li = load_table(spark, SF001, "lineitem")
+    o = load_table(spark, SF001, "orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        merge = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        assert "SortMergeJoin" in merge._jdf.queryExecution().executedPlan().toString()
+        shash = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        assert "ShuffledHashJoin" in shash._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
