@@ -262,3 +262,36 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").alias("after"),
     )
     return latest_state(ch)
+
+
+@query(
+    "cdc_scd2_history",
+    oracle=f"""
+WITH ch AS ({CH_SQL})
+SELECT txn_id, seq, op, ts_ms AS valid_from_ms,
+       lead(ts_ms) OVER (PARTITION BY txn_id ORDER BY ts_ms, seq) - 1
+           AS valid_to_ms,
+       CASE WHEN lead(ts_ms) OVER (PARTITION BY txn_id ORDER BY ts_ms, seq)
+                 IS NULL THEN 1 ELSE 0 END AS is_current
+FROM ch
+""",
+    tags=("cdc", "scd2", "A5"),
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history from the change stream: every change version
+    gets a [valid_from, valid_to) interval per key via lead() — the
+    warehouse-history materialization CDC feeds (one window on the
+    txn_id shuffle; no self-join)."""
+    from pyspark.sql import Window as W
+
+    changes, _ = _streams(spark, sf_dir)
+    w = W.partitionBy("txn_id").orderBy("ts_ms", "seq")
+    nxt = F.lead("ts_ms").over(w)
+    return changes.select(
+        "txn_id",
+        "seq",
+        "op",
+        F.col("ts_ms").alias("valid_from_ms"),
+        (nxt - 1).alias("valid_to_ms"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

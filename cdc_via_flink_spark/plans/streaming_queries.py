@@ -400,3 +400,35 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_enrich_dim",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+       CAST(sum(CAST(e."value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+""",
+    tags=("J2", "streaming", "stream-static"),
+)
+def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join (the V2 lookup-correlation shape
+    done the Spark way, SURVEY J2): a streaming fact joined to a
+    broadcast dimension snapshot — no state, no watermark needed; the
+    dim is re-resolved per micro-batch, which is exactly the metadata
+    freshness the reference's MapState lookup approximates."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(STAGE_ROOT, f"events_{sf_name}")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    os.makedirs(stage, exist_ok=True)
+    path = os.path.join(stage, "events_enrich")
+    ev.coalesce(1).write.mode("overwrite").parquet(path)
+    sev = spark.readStream.schema(ev.schema).parquet(path)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = sev.join(F.broadcast(cust), sev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+    return _run_to_memory(agg, "complete")
