@@ -48,12 +48,19 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # min over N runs per query: single runs are hostage to GC/JIT
+    # spikes (±2 s observed); the minimum is the steady-state number a
+    # long-lived cluster job sees.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     times: dict[str, float] = {}
     for name, spec in sorted(bench_specs.items()):
-        t0 = time.time()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(
