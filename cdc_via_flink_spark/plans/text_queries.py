@@ -312,3 +312,48 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mean_hit_score"),
     )
+
+
+@query(
+    "text_sentences_udtf",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, string_split(text, '.') AS parts
+  FROM documents WHERE doc_id % 13 = 0
+),
+x AS (
+  SELECT doc_id,
+         unnest(range(1, len(parts) + 1)) - 1 AS sent_idx,
+         trim(unnest(parts)) AS piece
+  FROM p
+)
+SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx,
+       length(piece) AS n_chars
+FROM x WHERE piece <> ''
+""",
+    tags=("X3", "udtf"),
+)
+def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation through a Spark-4 Python UDTF (lateral
+    table function — the last UDF surface in SURVEY §2.6's matrix).
+    Row-at-a-time Python, so NOT a hot-path tool (the plan-shape test
+    pins the sanctioned surfaces); it exists to prove the engine's
+    table-function extension point with an oracle-checked result."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, n_chars int")
+    class SplitSentences:
+        def eval(self, doc_id, text):
+            for i, piece in enumerate(text.split(".")):
+                piece = piece.strip()
+                if piece:
+                    yield doc_id, i, len(piece)
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 13 == 0
+    ).createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_idx, s.n_chars "
+        "FROM _docs_udtf d, LATERAL split_sentences(d.doc_id, d.text) s"
+    )
