@@ -158,3 +158,48 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("exact_p50"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_higher_order_fns",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey, list(CAST(l_quantity AS BIGINT) ORDER BY l_linenumber) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(list_filter(qtys, q -> q >= 25)) AS n_large,
+       CASE WHEN len(list_filter(qtys, q -> q < 0)) = 0 THEN 1 ELSE 0 END
+           AS all_nonneg,
+       list_sum(qtys) AS total_qty,
+       len(flatten([qtys, qtys])) AS doubled_len,
+       len(range(1, len(qtys) + 1)) AS seq_len
+FROM per_order WHERE l_orderkey % 31 = 0
+""",
+    tags=("P9", "higher-order"),
+)
+def q_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (P9 widening): filter / forall /
+    aggregate / flatten / sequence over per-order quantity arrays —
+    all JVM lambda expressions (no Python), the idiom for nested-data
+    pipelines at scale."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 31 == 0)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", F.col("l_quantity").cast("long").alias("q")))
+            ),
+            lambda s: s.getField("q"),
+        ).alias("qtys")
+    )
+    qtys = F.col("qtys")
+    return per_order.select(
+        "l_orderkey",
+        F.size(F.filter(qtys, lambda q: q >= 25)).alias("n_large"),
+        F.when(F.forall(qtys, lambda q: q >= 0), 1).otherwise(0).alias("all_nonneg"),
+        F.aggregate(qtys, F.lit(0).cast("long"), lambda acc, q: acc + q).alias(
+            "total_qty"
+        ),
+        F.size(F.flatten(F.array(qtys, qtys))).alias("doubled_len"),
+        F.size(F.sequence(F.lit(1), F.size(qtys))).alias("seq_len"),
+    )

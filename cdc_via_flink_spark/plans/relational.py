@@ -620,3 +620,33 @@ def q_in_subquery_hot_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n_hot_parts"))
     )
+
+
+@query(
+    "q_scalar_dates_extended",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       quarter(o_orderdate) AS qtr,
+       dayofweek(o_orderdate) + 1 AS dow,
+       weekofyear(o_orderdate) AS iso_week
+FROM orders WHERE o_orderkey % 37 = 0
+""",
+    tags=("P9", "dates"),
+)
+def q_scalar_dates_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date/calendar functions (P9 widening): add_months
+    (day-clamping semantics match DuckDB's +INTERVAL), last_day,
+    quarter, day-of-week (normalized to DuckDB's 0=Sunday +1), ISO
+    week number."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus3m"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.dayofweek(d).cast("long").alias("dow"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+    )
