@@ -1,0 +1,313 @@
+"""Training-data pipeline declared queries (extension surface, driver
+north-star "LLM-data-pipeline operators"; not in the reference —
+its surface ends at CDC assembly, DebeziumTransactionReconstructor.java:131-170).
+
+The corpus-preparation steps every large-scale training pipeline runs
+between raw documents and a data loader:
+
+- deterministic train/valid/test split (content-hash bucketing)
+- stratified sampling with per-stratum rates (language rebalancing)
+- sequence packing to a fixed token budget (chunked + greedy)
+- single-pass column profiling (data-quality screen)
+- term scrubbing / redaction accounting
+
+Determinism policy: splits and samples hash ``md5(doc_id)`` and
+compare a hex prefix against a rate threshold — reproducible across
+engines (the DuckDB oracles use the identical expression), across
+runs, and across cluster sizes; no RNG state, no ``rand()``. All of
+these are map-side-only (no shuffle before the final small aggregate),
+so they stream through a 100 TB scan at I/O speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from cdc_via_flink_spark.operators.packing import pack_greedy
+from cdc_via_flink_spark.plans.registry import query
+from cdc_via_flink_spark.sources.tables import ensure_min_partitions, load_table
+
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PACK_BUDGET = 2048
+N_SHARDS = 4
+
+# 2-hex-char md5 prefix < threshold ⇒ keep. 256 buckets; thresholds are
+# exact bucket counts so rates are exactly k/256.
+SPLIT_SQL = """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+     ELSE 'test' END"""
+
+
+def _bucket(col, salt: str = ""):
+    """First 2 hex chars of md5(salt || id) — 256 uniform buckets,
+    identical in Spark and DuckDB (both hash the UTF-8 decimal string)."""
+    s = col.cast("string")
+    if salt:
+        s = F.concat(F.lit(salt), s)
+    return F.substring(F.md5(s), 1, 2)
+
+
+@query(
+    "q_split_train_test",
+    oracle=f"""
+SELECT {SPLIT_SQL} AS split,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       CAST(CAST(sum(n_chars) AS DOUBLE) / count(*) AS DOUBLE) AS avg_chars
+FROM documents
+GROUP BY split
+""",
+    tags=("pipeline", "split"),
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 204/26/26-bucket (≈80/10/10) train/valid/test split
+    by md5(doc_id) prefix. Map-side only: no shuffle until the 3-row
+    aggregate; at 100 TB this is a pure scan + partial agg."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < "cc", "train").when(b < "e6", "valid").otherwise("test").alias("split")
+    )
+    return (
+        d.select(split, "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+WITH k AS (
+  SELECT lang,
+         substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 2)
+           < (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END) AS keep
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_total,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS kept_frac
+FROM k GROUP BY lang
+""",
+    tags=("pipeline", "sample"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates (rebalance an
+    en-heavy corpus: keep 64/256 of 'en', 192/256 of the rest) using a
+    salted hash so the sample is independent of the split buckets.
+    Unlike ``df.sampleBy`` (RNG per task, irreproducible across
+    retries/cluster sizes), the hash filter is exactly reproducible —
+    the property a data-lineage audit needs."""
+    d = load_table(spark, sf_dir, "documents")
+    thr = F.when(F.col("lang") == "en", "40").otherwise("c0")
+    keep = (_bucket(F.col("doc_id"), "s:") < thr).alias("keep")
+    return (
+        d.select("lang", keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.round(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("kept_frac"),
+        )
+    )
+
+
+@query(
+    "q_pack_chunks",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS tokens
+  FROM documents
+), c AS (
+  SELECT lang, doc_id, tokens,
+         sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tokens AS prev_cum
+  FROM t
+)
+SELECT lang, prev_cum // {PACK_BUDGET} AS bin,
+       count(*) AS n_docs, sum(tokens) AS bin_tokens
+FROM c GROUP BY lang, bin
+""",
+    tags=("pipeline", "packing"),
+    bench=True,
+)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, chunked strategy: a document lands in bin
+    floor(preceding-cumulative-tokens / budget) within its language,
+    ordered by doc_id. Pure window expression — whole-stage codegen,
+    one shuffle on lang. (Greedy exact-budget variant: q_pack_greedy.)
+
+    Scale note: the per-lang window serializes each language onto one
+    task (5 langs → 5 tasks). At 100 TB, compute the same global
+    cumulative sum as a two-pass prefix sum — per-range partial sums
+    on doc_id ranges, then broadcast the per-range offsets — or shard
+    like q_pack_greedy when contiguity across shards isn't required."""
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).cast("long")
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    c = d.select("lang", "doc_id", toks.alias("tokens")).withColumn(
+        "prev_cum", F.sum("tokens").over(w) - F.col("tokens")
+    )
+    return (
+        c.select("lang", F.expr(f"prev_cum div {PACK_BUDGET}").alias("bin"), "tokens")
+        .groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tokens").alias("bin_tokens"))
+    )
+
+
+@query(
+    "q_pack_greedy",
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT lang, doc_id % {N_SHARDS} AS shard, doc_id,
+         CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS tokens,
+         row_number() OVER (PARTITION BY lang, doc_id % {N_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+), pack AS (
+  SELECT lang, shard, tokens, rn, CAST(0 AS BIGINT) AS bin, tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.shard, t.tokens, t.rn,
+         CASE WHEN p.fill + t.tokens <= {PACK_BUDGET} THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + t.tokens <= {PACK_BUDGET} THEN p.fill + t.tokens
+              ELSE t.tokens END
+  FROM pack p JOIN t ON t.lang = p.lang AND t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT lang, shard, bin, count(*) AS n_docs, sum(tokens) AS bin_tokens
+FROM pack GROUP BY lang, shard, bin
+""",
+    tags=("pipeline", "packing"),
+)
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, greedy first-fit-in-order (operators/packing.py):
+    close a bin exactly when the next doc would overflow the budget — a
+    sequential scan with reset that SQL windows can't express, run as
+    applyInPandas per (lang, shard). The DuckDB oracle replays the same
+    scan as a recursive CTE, so this Python-boundary operator is still
+    exactly hash-verified. Only (lang, shard, doc_id, tokens) crosses
+    the Arrow boundary — tokenization stays JVM-side."""
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).cast("long")
+    slim = d.select(
+        "lang",
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        "doc_id",
+        toks.alias("tokens"),
+    )
+    packed = pack_greedy(slim, size_col="tokens", budget=PACK_BUDGET)
+    return packed.groupBy("lang", "shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tokens").alias("bin_tokens")
+    )
+
+
+_PROFILE_NUM = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_STR = ("o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "q_column_profile",
+    oracle="""
+WITH a AS (
+  SELECT count(*) AS n,
+         count(o_orderkey) AS c_ok, count(DISTINCT o_orderkey) AS d_ok,
+         CAST(min(o_orderkey) AS DOUBLE) AS mn_ok, CAST(max(o_orderkey) AS DOUBLE) AS mx_ok,
+         count(o_custkey) AS c_ck, count(DISTINCT o_custkey) AS d_ck,
+         CAST(min(o_custkey) AS DOUBLE) AS mn_ck, CAST(max(o_custkey) AS DOUBLE) AS mx_ck,
+         count(o_totalprice) AS c_tp, count(DISTINCT o_totalprice) AS d_tp,
+         min(o_totalprice) AS mn_tp, max(o_totalprice) AS mx_tp,
+         count(o_orderstatus) AS c_os, count(DISTINCT o_orderstatus) AS d_os,
+         count(o_orderpriority) AS c_op, count(DISTINCT o_orderpriority) AS d_op
+  FROM orders
+)
+SELECT 'o_orderkey' AS col_name, n - c_ok AS n_nulls, d_ok AS n_distinct,
+       mn_ok AS min_num, mx_ok AS max_num FROM a
+UNION ALL SELECT 'o_custkey', n - c_ck, d_ck, mn_ck, mx_ck FROM a
+UNION ALL SELECT 'o_totalprice', n - c_tp, d_tp, mn_tp, mx_tp FROM a
+UNION ALL SELECT 'o_orderstatus', n - c_os, d_os, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
+UNION ALL SELECT 'o_orderpriority', n - c_op, d_op, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
+""",
+    tags=("pipeline", "profile"),
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile of ``orders`` in one scan: null
+    count, exact distinct count, numeric min/max per column, unpivoted
+    to one row per column via ``stack``. Exact multi-column DISTINCT
+    costs one Expand (rows × #distinct-aggs) before the partial agg —
+    the 100 TB variant swaps in approx_count_distinct (HLL, no Expand);
+    exact is kept here because the oracle gate hashes values."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs.append(F.count(c).alias(f"c_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"d_{c}"))
+    for c in _PROFILE_NUM:
+        aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+        aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+    a = o.agg(*aggs)
+    rows = []
+    for c in _PROFILE_NUM:
+        rows.append(f"'{c}', n - c_{c}, d_{c}, mn_{c}, mx_{c}")
+    for c in _PROFILE_STR:
+        rows.append(f"'{c}', n - c_{c}, d_{c}, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)")
+    stack = f"stack({len(rows)}, {', '.join(rows)}) AS (col_name, n_nulls, n_distinct, min_num, max_num)"
+    return a.selectExpr(stack)
+
+
+REDACT_RE = r"\b(customer|key|value)\b"
+
+
+@query(
+    "text_redact_terms",
+    oracle=f"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(CASE WHEN regexp_matches(text, '{REDACT_RE}') THEN 1 ELSE 0 END)
+         AS docs_hit,
+       sum(CAST(len(regexp_extract_all(text, '{REDACT_RE}')) AS BIGINT))
+         AS n_redactions,
+       sum(CAST(length(text)
+                - length(regexp_replace(text, '{REDACT_RE}', '#', 'g'))
+                AS BIGINT)) AS chars_removed
+FROM documents GROUP BY lang
+""",
+    tags=("X3", "pipeline", "redact"),
+)
+def text_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term scrubbing / redaction accounting (the PII-removal shape:
+    pattern → replace-all → audit counts). The fixture corpus has no
+    digits or emails, so the pattern targets a term blocklist; the
+    plumbing (regexp_extract_all + global regexp_replace, both
+    Java-regex/RE2-portable) is the real surface. Map-side only."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(REDACT_RE), 0)).cast("long")
+    removed = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), REDACT_RE, "#"))
+    ).cast("long")
+    return (
+        d.select(
+            "lang",
+            hits.alias("hits"),
+            removed.alias("removed"),
+            (hits > 0).cast("int").alias("hit"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("hit").cast("bigint").alias("docs_hit"),
+            F.sum("hits").alias("n_redactions"),
+            F.sum("removed").alias("chars_removed"),
+        )
+    )

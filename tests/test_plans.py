@@ -120,3 +120,32 @@ def test_join_strategy_hints_are_honored(spark):
         assert "ShuffledHashJoin" in shash._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_split_scan_prunes_text(spark):
+    """The train/test split never needs `text` — a 100 TB split pass
+    must read 2 columns, not the corpus."""
+    plan = _plan(spark, "q_split_train_test", "formatted")
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in read_schema, read_schema
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+
+
+def test_column_profile_single_scan(spark):
+    """Profiling N columns must cost ONE scan (one-pass agg + stack
+    unpivot), not a scan per column."""
+    plan = _plan(spark, "q_column_profile")
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_pack_greedy_tokenizes_jvm_side(spark):
+    """The greedy packer crosses the Python boundary once, and only
+    with the slim (lang, shard, doc_id, tokens) projection — the regex
+    tokenizer must run JVM-side, `text` must not cross Arrow."""
+    plan = _plan(spark, "q_pack_greedy", "formatted")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    arrow_in = next(
+        l for l in plan.splitlines() if l.strip().startswith("Input") and "tokens" in l
+    )
+    pandas_sec = plan.split("FlatMapGroupsInPandas")[1].split("\n\n")[0]
+    assert "text" not in pandas_sec, pandas_sec
