@@ -295,3 +295,78 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nxt - 1).alias("valid_to_ms"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+# Snapshot-diff instants (epoch ms, UTC): 2024-01-10 and 2024-01-20 —
+# inside the events fixture's January span at every SF.
+_DIFF_T1 = 1704844800000
+_DIFF_T2 = 1705708800000
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=f"""
+WITH ch AS ({{ch}}),
+g AS (
+  SELECT txn_id,
+         max(CASE WHEN ts_ms <= {_DIFF_T1}
+                  THEN {{'ts_ms': ts_ms, 'seq': seq, 'op': op,
+                        'after': CASE WHEN op <> 'd' THEN props END}} END) AS s1,
+         max(CASE WHEN ts_ms <= {_DIFF_T2}
+                  THEN {{'ts_ms': ts_ms, 'seq': seq, 'op': op,
+                        'after': CASE WHEN op <> 'd' THEN props END}} END) AS s2
+  FROM ch GROUP BY txn_id
+)
+SELECT txn_id,
+       CASE WHEN NOT (s1 IS NOT NULL AND s1.op <> 'd') THEN 'insert'
+            WHEN NOT (s2 IS NOT NULL AND s2.op <> 'd') THEN 'delete'
+            ELSE 'update' END AS diff_op,
+       s1.after AS before_img, s2.after AS after_img,
+       s1.ts_ms AS before_ts_ms, s2.ts_ms AS after_ts_ms
+FROM g
+WHERE ((s1 IS NOT NULL AND s1.op <> 'd') <> (s2 IS NOT NULL AND s2.op <> 'd'))
+   OR ((s1 IS NOT NULL AND s1.op <> 'd') AND (s2 IS NOT NULL AND s2.op <> 'd')
+       AND s1.ts_ms <> s2.ts_ms)
+""".replace("{ch}", CH_SQL),
+    tags=("cdc", "J5", "diff"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the inverse of CDC replay: given the change
+    stream, emit the insert/update/delete delta between the table
+    state at T1 and at T2 (what a downstream would need to catch up).
+    A key is live at T if its latest change at-or-before T is not a
+    delete ('d').
+
+    Scale shape: ONE scan and ONE txn_id shuffle — both states come
+    from a single groupBy via conditional `max(struct(ts_ms, seq,
+    ...))` (lexicographic struct max = argmax; (ts_ms, seq) is unique
+    so the winner is deterministic in both engines), instead of two
+    windowed subqueries full-outer-joined (3 shuffles)."""
+    changes, _ = _streams(spark, sf_dir)
+
+    def state_at(t_ms: int):
+        return F.max(
+            F.when(
+                F.col("ts_ms") <= t_ms,
+                F.struct("ts_ms", "seq", "op", F.col("after")),
+            )
+        )
+
+    g = changes.groupBy("txn_id").agg(
+        state_at(_DIFF_T1).alias("s1"), state_at(_DIFF_T2).alias("s2")
+    )
+    p1 = F.col("s1").isNotNull() & (F.col("s1.op") != "d")
+    p2 = F.col("s2").isNotNull() & (F.col("s2.op") != "d")
+    return (
+        g.filter(
+            (p1 != p2) | (p1 & p2 & (F.col("s1.ts_ms") != F.col("s2.ts_ms")))
+        )
+        .select(
+            "txn_id",
+            F.when(~p1, "insert").when(~p2, "delete").otherwise("update").alias("diff_op"),
+            F.col("s1.after").alias("before_img"),
+            F.col("s2.after").alias("after_img"),
+            F.col("s1.ts_ms").alias("before_ts_ms"),
+            F.col("s2.ts_ms").alias("after_ts_ms"),
+        )
+    )

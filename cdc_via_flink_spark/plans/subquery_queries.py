@@ -251,3 +251,144 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(dec(F.col("l_quantity"))).cast("double").alias("total_qty"))
     )
+
+
+# --------------------------------------------------------------------------
+# Outer-join aggregate histogram (TPC-H Q13 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_cust_order_distribution",
+    oracle="""
+WITH co AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, count(*) AS n_custs
+FROM co GROUP BY n_orders
+""",
+    tags=("J3", "A3", "subquery", "q13"),
+)
+def q_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution via a left
+    outer join with a join-side filter (the filter must ride ON the
+    join, not WHERE — a WHERE would silently turn the join inner and
+    drop zero-order customers), then a two-level aggregate. Both aggs
+    share the custkey shuffle; the histogram agg input is |customer|."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return co.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_custs"))
+
+
+# --------------------------------------------------------------------------
+# EXISTS + NOT-EXISTS double correlation (TPC-H Q21 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_exclusive_late_suppliers",
+    oracle="""
+WITH multi AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+),
+late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+),
+solo AS (
+  SELECT late.l_orderkey
+  FROM late JOIN multi ON multi.l_orderkey = late.l_orderkey
+  GROUP BY late.l_orderkey HAVING count(*) = 1
+)
+SELECT s.s_name, count(*) AS numwait
+FROM late
+JOIN solo ON solo.l_orderkey = late.l_orderkey
+JOIN supplier s ON s.s_suppkey = late.l_suppkey
+GROUP BY s.s_name
+""",
+    tags=("J3", "subquery", "q21"),
+)
+def q_exclusive_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS over the same fact),
+    decorrelated into set algebra: suppliers who were the ONLY late
+    shipper (shipdate > orderdate + 60 days) of a multi-supplier
+    order. The EXISTS/NOT-EXISTS pair becomes `late` grouped to
+    exactly-one per order — one distinct-agg and two semi-style joins
+    on l_orderkey, all sharing the orderkey shuffle; supplier is a
+    broadcast dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    solo = (
+        late.join(multi, "l_orderkey", "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        late.join(solo, "l_orderkey", "left_semi")
+        .join(s, late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar-subquery threshold + anti join (TPC-H Q22 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_idle_rich_customers",
+    oracle=f"""
+WITH a AS (
+  SELECT {sql_davg('c_acctbal')} AS avg_bal FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment,
+       count(*) AS n_custs,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c, a
+WHERE c.c_acctbal > a.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_mktsegment
+""",
+    tags=("J3", "A3", "subquery", "q22"),
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders,
+    per market segment. The global average is a 1-row aggregate
+    broadcast into the scan (uncorrelated scalar subquery); NOT EXISTS
+    is a left-anti join on custkey. Threshold uses the exact
+    decimal-sum average (parity policy) so the > filter can't flip on
+    a partial-agg ulp."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_acctbal") > 0).agg(davg(F.col("c_acctbal")).alias("avg_bal"))
+    return (
+        c.join(F.broadcast(a))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(dec(F.col("c_acctbal"))).cast("double").alias("total_bal"),
+        )
+    )

@@ -417,3 +417,60 @@ def q_ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.col("c_acctbal")).alias("avg_bal"),
         )
     )
+
+
+@query(
+    "q_signup_purchase_funnel",
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(epoch_ms(ts)) AS s_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_ms(e.ts)) AS p_ts
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s.s_ts
+  GROUP BY e.user_id
+)
+SELECT CASE WHEN p.p_ts IS NULL THEN 'no_purchase'
+            WHEN p.p_ts - s.s_ts <= 86400000 THEN 'within_1d'
+            WHEN p.p_ts - s.s_ts <= 604800000 THEN 'within_7d'
+            ELSE 'later' END AS bucket,
+       count(*) AS n_users
+FROM s LEFT JOIN p ON p.user_id = s.user_id
+GROUP BY bucket
+""",
+    tags=("A3", "J3", "funnel"),
+)
+def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel conversion: per user, first signup then first
+    purchase at-or-after it; bucket the conversion lag (1d / 7d /
+    later / none). The product-analytics shape over an event stream —
+    two min-aggregates and a left join, all hash-partitioned on
+    user_id so the three stages reuse ONE shuffle's partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts_ms") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("p_ts"))
+    )
+    lag = F.col("p_ts") - F.col("s_ts")
+    bucket = (
+        F.when(F.col("p_ts").isNull(), "no_purchase")
+        .when(lag <= 86400000, "within_1d")
+        .when(lag <= 604800000, "within_7d")
+        .otherwise("later")
+    )
+    return (
+        s.join(p, "user_id", "left")
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -144,8 +144,13 @@ def test_pack_greedy_tokenizes_jvm_side(spark):
     tokenizer must run JVM-side, `text` must not cross Arrow."""
     plan = _plan(spark, "q_pack_greedy", "formatted")
     assert "FlatMapGroupsInPandas" in plan, plan
-    arrow_in = next(
-        l for l in plan.splitlines() if l.strip().startswith("Input") and "tokens" in l
-    )
     pandas_sec = plan.split("FlatMapGroupsInPandas")[1].split("\n\n")[0]
     assert "text" not in pandas_sec, pandas_sec
+
+
+def test_snapshot_diff_single_keyed_shuffle(spark):
+    """Both snapshot states come from ONE conditional-argmax groupBy —
+    exactly one keyed Exchange, never the 3-shuffle windowed
+    full-outer-join formulation."""
+    plan = _plan(spark, "cdc_snapshot_diff")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
