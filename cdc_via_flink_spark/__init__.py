@@ -39,6 +39,12 @@ from cdc_via_flink_spark.operators.reconstruct import (  # noqa: F401
     latest_state,
     reconstruct_transactions,
 )
+from cdc_via_flink_spark.operators.packing import pack_greedy  # noqa: F401
+from cdc_via_flink_spark.operators.sampling import (  # noqa: F401
+    hash_bucket,
+    hash_split,
+    stratified_sample,
+)
 from cdc_via_flink_spark.operators.similarity import brute_force_topk  # noqa: F401
 from cdc_via_flink_spark.operators.ivf import ivf_topk  # noqa: F401
 from cdc_via_flink_spark.session import get_spark  # noqa: F401
@@ -55,17 +61,21 @@ __all__ = [
     "decode_meta",
     "exact_dedup",
     "get_spark",
+    "hash_bucket",
+    "hash_split",
     "ivf_topk",
     "latest_state",
     "load_table",
     "load_tables",
     "minhash_lsh_neardup",
+    "pack_greedy",
     "parse_debezium",
     "reconstruct_transactions",
     "render_change_envelope",
     "render_txn_envelope",
     "sample_frames",
     "simhash64",
+    "stratified_sample",
     "write_bucketed",
     "write_partitioned",
 ]

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_via_flink_spark.operators.packing import pack_greedy
+from cdc_via_flink_spark.operators.sampling import hash_split
 from cdc_via_flink_spark.plans.registry import query
 from cdc_via_flink_spark.sources.tables import ensure_min_partitions, load_table
 
@@ -38,13 +39,7 @@ SPLIT_SQL = """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 
      ELSE 'test' END"""
 
 
-def _bucket(col, salt: str = ""):
-    """First 2 hex chars of md5(salt || id) — 256 uniform buckets,
-    identical in Spark and DuckDB (both hash the UTF-8 decimal string)."""
-    s = col.cast("string")
-    if salt:
-        s = F.concat(F.lit(salt), s)
-    return F.substring(F.md5(s), 1, 2)
+from cdc_via_flink_spark.operators.sampling import hash_bucket as _bucket  # noqa: E402
 
 
 @query(
@@ -64,12 +59,9 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     by md5(doc_id) prefix. Map-side only: no shuffle until the 3-row
     aggregate; at 100 TB this is a pure scan + partial agg."""
     d = load_table(spark, sf_dir, "documents")
-    b = _bucket(F.col("doc_id"))
-    split = (
-        F.when(b < "cc", "train").when(b < "e6", "valid").otherwise("test").alias("split")
-    )
+    d = hash_split(d, "doc_id", {"train": 204, "valid": 26, "test": 26})
     return (
-        d.select(split, "n_chars")
+        d.select("split", "n_chars")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -103,7 +95,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted hash so the sample is independent of the split buckets.
     Unlike ``df.sampleBy`` (RNG per task, irreproducible across
     retries/cluster sizes), the hash filter is exactly reproducible —
-    the property a data-lineage audit needs."""
+    the property a data-lineage audit needs. The filtering form of
+    this operator is ``operators.sampling.stratified_sample``; this
+    query keeps the pre-filter rows so it can report kept_frac."""
     d = load_table(spark, sf_dir, "documents")
     thr = F.when(F.col("lang") == "en", "40").otherwise("c0")
     keep = (_bucket(F.col("doc_id"), "s:") < thr).alias("keep")
