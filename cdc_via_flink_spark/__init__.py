@@ -52,6 +52,9 @@ from cdc_via_flink_spark.sources.tables import load_table, load_tables  # noqa: 
 from cdc_via_flink_spark.sources.writers import (  # noqa: F401
     write_bucketed,
     write_partitioned,
+    write_sorted,
+    write_zordered,
+    zorder_key,
 )
 
 __all__ = [
@@ -78,4 +81,7 @@ __all__ = [
     "stratified_sample",
     "write_bucketed",
     "write_partitioned",
+    "write_sorted",
+    "write_zordered",
+    "zorder_key",
 ]

@@ -203,3 +203,36 @@ def q_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.flatten(F.array(qtys, qtys))).alias("doubled_len"),
         F.size(F.sequence(F.lit(1), F.size(qtys))).alias("seq_len"),
     )
+
+
+@query(
+    "q_hll_sketch_rollup",
+    oracle=None,  # DataSketches HLL state is engine-specific; rows-only
+    # + invariant tests (tests/test_approx.py::test_hll_*).
+    tags=("A3", "approx", "sketch", "rollup"),
+)
+def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketches (Apache DataSketches HLL): build
+    one user_id sketch per day, then re-aggregate the 30 daily
+    sketches into the monthly estimate with hll_union_agg — WITHOUT
+    touching the raw events again. This is the at-scale rollup
+    contract: daily sketches persist as bytes (~1 KB each), any
+    period's cardinality is a union over sketches, and the union is
+    associative/commutative so it distributes over any partitioning.
+    (approx_count_distinct can't do this — its sketch is consumed
+    inside one aggregation; q_approx_distinct covers that idiom.)"""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    per_day = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("period"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "n_events",
+    )
+    month = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("ALL").alias("period"), "est_users", "n_events")
+    return per_day.unionByName(month)

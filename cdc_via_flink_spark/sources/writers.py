@@ -17,7 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, DataFrameWriter
+from pyspark.sql import Column, DataFrame, DataFrameWriter, functions as F
 
 
 def write_partitioned(
@@ -65,3 +65,58 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of ``cols``, each min-max normalized
+    to ``bits`` bits. Pure JVM expressions (shift/or over longs), so
+    the key evaluates inside whole-stage codegen; the only driver-side
+    work is one tiny min/max aggregate (2×len(cols) scalars).
+
+    len(cols) * bits must be <= 63 (signed-long key).
+    """
+    if len(cols) * bits > 63:
+        raise ValueError(f"{len(cols)} cols × {bits} bits exceeds a long key")
+    ranges = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    scale = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = ranges[f"mn_{c}"], ranges[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.lit(scale),
+            ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * scale).cast("long"),
+        )
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)), b * len(cols) + i)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: rows are range-partitioned and sorted
+    by the Morton interleave of ``cols``, so parquet footer min/max
+    stats stay tight on EVERY clustered column at once — predicates on
+    any of them skip files/row groups. A linear sort (write_sorted)
+    only skips on its leading column; Z-order is the multi-dimensional
+    data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER equivalent).
+    """
+    zk = zorder_key(df, cols, bits).alias("_zkey")
+    with_key = df.withColumn("_zkey", zk)
+    rp = (
+        with_key.repartitionByRange(num_files, "_zkey")
+        if num_files
+        else with_key.repartitionByRange("_zkey")
+    )
+    rp.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(path)

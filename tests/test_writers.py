@@ -110,3 +110,51 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan
     assert j.count() == fact.filter("o_orderstatus = 'F'").count()
+
+
+def test_zordered_write_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order's value over a linear sort: footer min/max stats stay
+    tight on BOTH clustered columns, so a quarter-domain predicate on
+    EITHER column can skip files. A linear l_partkey sort would leave
+    l_suppkey stats spanning the full domain in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cdc_via_flink_spark.sources.writers import write_zordered
+
+    li = load_table(spark, SF0001, "lineitem").select("l_partkey", "l_suppkey")
+    path = str(tmp_path / "li_zorder")
+    write_zordered(li, path, ["l_partkey", "l_suppkey"], num_files=8)
+
+    def file_ranges(col):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            stats = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+            out.append((min(s.min for s in stats), max(s.max for s in stats)))
+        return out
+
+    n_files = len(glob.glob(f"{path}/part-*.parquet"))
+    assert n_files >= 4
+    for col in ("l_partkey", "l_suppkey"):
+        ranges = file_ranges(col)
+        lo = min(r[0] for r in ranges)
+        hi = max(r[1] for r in ranges)
+        q_lo, q_hi = lo, lo + (hi - lo) // 4  # bottom-quarter predicate
+        overlapping = sum(1 for mn, mx in ranges if not (mx < q_lo or mn > q_hi))
+        assert overlapping < n_files, f"{col}: no file skipped ({ranges})"
+
+
+def test_zorder_key_rejects_too_many_bits(spark):
+    import pytest
+
+    from cdc_via_flink_spark.sources.writers import zorder_key
+
+    li = load_table(spark, SF0001, "lineitem")
+    with pytest.raises(ValueError):
+        zorder_key(li, ["l_partkey", "l_suppkey"], bits=32)
