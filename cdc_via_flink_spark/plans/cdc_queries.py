@@ -329,6 +329,7 @@ WHERE ((s1 IS NOT NULL AND s1.op <> 'd') <> (s2 IS NOT NULL AND s2.op <> 'd'))
        AND s1.ts_ms <> s2.ts_ms)
 """.replace("{ch}", CH_SQL),
     tags=("cdc", "J5", "diff"),
+    bench=True,
 )
 def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff — the inverse of CDC replay: given the change

@@ -314,6 +314,7 @@ JOIN supplier s ON s.s_suppkey = late.l_suppkey
 GROUP BY s.s_name
 """,
     tags=("J3", "subquery", "q21"),
+    bench=True,
 )
 def q_exclusive_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (EXISTS + NOT EXISTS over the same fact),
@@ -326,28 +327,27 @@ def q_exclusive_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
-    multi = (
-        li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
-        .filter(F.col("n_supp") > 1)
-        .select("l_orderkey")
+    # ONE lineitem⋈orders pass reduced to (order, supplier, was_late)
+    # pairs (counting pair rows replaces countDistinct — no Expand);
+    # then the per-order supplier/late counts come from a WINDOW over
+    # the same pair stream instead of a second aggregate branch
+    # self-joined back — a branching plan would re-scan lineitem
+    # (Spark only reuses exchanges of identical subtrees). Single
+    # lineitem scan, broadcast orders, two keyed shuffles end to end.
+    from pyspark.sql import Window as W
+
+    late_line = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    pairs = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late_line.cast("int")).alias("late"))
     )
-    late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    solo = (
-        late.join(multi, "l_orderkey", "left_semi")
-        .groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_late"))
-        .filter(F.col("n_late") == 1)
-        .select("l_orderkey")
-    )
+    w = W.partitionBy("l_orderkey")
     return (
-        late.join(solo, "l_orderkey", "left_semi")
-        .join(s, late.l_suppkey == s.s_suppkey)
+        pairs.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(s, pairs.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
