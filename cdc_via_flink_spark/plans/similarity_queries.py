@@ -264,3 +264,42 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     return ivf_kmeans_topk(e, query_ids_below=N_QUERIES, every_k=40, max_iter=3)
+
+
+@query(
+    "sim_norm_stats_by_label",
+    oracle=f"""
+WITH d AS (
+  SELECT label,
+         round(sqrt(list_dot_product({SQL_VD}, {SQL_VD})), 6) AS nrm
+  FROM embeddings
+)
+SELECT label, count(*) AS n,
+       CAST(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+            AS DOUBLE) AS avg_norm,
+       min(nrm) AS min_norm, max(nrm) AS max_norm
+FROM d GROUP BY label
+""",
+    tags=("X2", "vectors", "profile"),
+)
+def sim_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus profile: per-label L2-norm distribution (the
+    sanity screen before any cosine search — unnormalized vectors make
+    cosine ≠ dot). Norms are zip_with/aggregate fold expressions
+    (JVM codegen); per-row rounding + decimal-exact averaging keeps the
+    aggregate identical across engines and partitionings."""
+    from cdc_via_flink_spark.functions.vectors import norm, to_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(
+        "label",
+        F.round(norm(to_double(F.col("embedding"))), 6).alias("nrm"),
+    )
+    return d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("avg_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )

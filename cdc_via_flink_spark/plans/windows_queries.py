@@ -474,3 +474,53 @@ def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "q_sessionize_events",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ms(ts), event_id) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, ts_ms,
+         sum(CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+  FROM t
+)
+SELECT user_id, session_num, count(*) AS n_events,
+       max(ts_ms) - min(ts_ms) AS duration_ms
+FROM s GROUP BY user_id, session_num
+""",
+    tags=("A5", "sessionize"),
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with EXPLICIT session ids: a session
+    boundary is a >30-min silence; session_num is the running count of
+    boundaries (lag + conditional cumsum — the idiom when you need the
+    id ON each event, e.g. to join features back, which the
+    session_window aggregate in win_session_10m can't give you). Both
+    windows and the final aggregate share the user_id partitioning —
+    one keyed shuffle end to end."""
+    ev = _t(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    boundary = (
+        F.col("prev_ts").isNull() | ((F.col("ts_ms") - F.col("prev_ts")) > 1800000)
+    ).cast("int")
+    s = (
+        ev.select("user_id", "event_id", "ts_ms")
+        .withColumn("prev_ts", F.lag("ts_ms").over(w_ord))
+        .withColumn(
+            "session_num",
+            F.sum(boundary).over(w_ord.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return s.groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+    )
