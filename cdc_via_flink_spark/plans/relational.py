@@ -650,3 +650,59 @@ def q_scalar_dates_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek(d).cast("long").alias("dow"),
         F.weekofyear(d).cast("long").alias("iso_week"),
     )
+
+
+@query(
+    "q_price_quantity_corr",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_pq,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_q_on_p
+FROM m
+""",
+    tags=("A3", "stats"),
+)
+def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation + regression slope from explicit
+    DECIMAL moment sums (n, Σx, Σy, Σxy, Σx², Σy²) with the closed
+    form evaluated in double at the end. Spark's corr()/covar_samp()
+    stream doubles in partition order — nondeterministic in the last
+    bits across partitionings; moment sums in decimal are exact and
+    merge associatively, which is both the oracle-parity story and the
+    right way to compute distributed statistics at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(18,2)")
+    y = F.col("l_quantity").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_pq"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope_q_on_p"),
+    )

@@ -1,0 +1,96 @@
+"""Scaling check: run the bench headline queries at sf0.1 and at a
+synthesized 3× dataset (same session, plans pre-compiled) and print
+per-query times + ratios as one JSON line.
+
+The 3× set is sf0.1 unioned three times with key columns offset by
+1e9 per copy (join integrity preserved; fixed dims region/nation kept
+as-is), written once to .tmp/sf0.3x. A near-1× ratio means the query
+is bottlenecked on fixed costs (scales out flat); near-3× means
+CPU-bound per-row work (scales out linearly with executors). Recorded
+in BASELINE.md "Scaling check".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cdc_via_flink_spark.plans.registry import load_all
+from cdc_via_flink_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "sf0.3x")
+COPIES = 3
+OFFSET = 1_000_000_000
+
+ID_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+FIXED = ["region", "nation"]
+
+
+def build_scaled(spark) -> None:
+    if os.path.isdir(OUT_DIR):
+        shutil.rmtree(OUT_DIR)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for t in FIXED:
+        shutil.copy(os.path.join(SF_DIR, f"{t}.parquet"), os.path.join(OUT_DIR, f"{t}.parquet"))
+    for t, ids in ID_COLS.items():
+        base = spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet"))
+        parts = []
+        for k in range(COPIES):
+            df = base
+            for c in ids:
+                df = df.withColumn(c, F.col(c) + F.lit(k * OFFSET))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(OUT_DIR, f"{t}.parquet"))
+
+
+def main() -> None:
+    spark = get_spark("bench-scaling")
+    # events.parquet copies: Spark rewrites ts as int64 micros TIMESTAMP
+    # (not nanos), which load_table handles only for the original nanos
+    # layout — so write ts as the raw long it was read as.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    build_scaled(spark)
+
+    specs = {n: s for n, s in load_all().items() if s.bench}
+    # warm both plan shapes
+    for _n, s in sorted(specs.items()):
+        s.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+
+    results = {}
+    for name, s in sorted(specs.items()):
+        t = {}
+        for label, d in (("sf0.1", SF_DIR), ("sf0.3x", OUT_DIR)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                s.fn(spark, d).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            t[label] = round(best, 3)
+        t["ratio"] = round(t["sf0.3x"] / t["sf0.1"], 2)
+        results[name] = t
+    print(json.dumps({"metric": "bench_scaling_3x", "queries": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
