@@ -16,7 +16,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cdc_via_flink_spark.plans.parity import SQL_REVENUE, davg, dec, revenue_col, sql_davg
+from cdc_via_flink_spark.plans.parity import (
+    SQL_REVENUE,
+    davg,
+    dec,
+    revenue_col,
+    sql_davg,
+    sql_dsum,
+)
 from cdc_via_flink_spark.plans.registry import query
 from cdc_via_flink_spark.sources.tables import load_table
 
@@ -392,3 +399,173 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec(F.col("c_acctbal"))).cast("double").alias("total_bal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sided dimension join + year rollup (TPC-H Q7 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_nation_trade_volume",
+    oracle=f"""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS volume
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+WHERE cn.n_name IN ('NATION_0', 'NATION_1')
+  AND sn.n_name IN ('NATION_0', 'NATION_1')
+  AND cn.n_name <> sn.n_name
+GROUP BY cust_nation, supp_nation, ship_year
+""",
+    tags=("J3", "A3", "subquery", "q7"),
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume by ship year. Two
+    independent dimension chains (customer-nation via orders,
+    supplier-nation via lineitem) meet on the fact — nation/supplier/
+    customer all broadcast, so lineitem⋈orders is the only real
+    shuffle; the IN filters prune the broadcast sides before the fact
+    scan touches them."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == cn.cnk)
+        .join(F.broadcast(sn), s.s_nationkey == sn.snk)
+        .filter(
+            F.col("cust_nation").isin("NATION_0", "NATION_1")
+            & F.col("supp_nation").isin("NATION_0", "NATION_1")
+            & (F.col("cust_nation") != F.col("supp_nation"))
+        )
+    )
+    return j.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("ship_year")
+    ).agg(F.sum(rev).cast("double").alias("volume"))
+
+
+# --------------------------------------------------------------------------
+# Group-vs-global threshold (TPC-H Q11 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_important_parts",
+    oracle=f"""
+WITH per_part AS (
+  SELECT l_partkey, {sql_dsum('l_extendedprice')} AS part_value
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (SELECT {sql_dsum('l_extendedprice')} AS total_value FROM lineitem)
+SELECT p.l_partkey AS partkey, p.part_value
+FROM per_part p, total t
+WHERE p.part_value > 0.001 * t.total_value
+""",
+    tags=("A3", "subquery", "q11"),
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value above a fraction of the GLOBAL
+    total (group-vs-global comparison). The global total is a 1-row
+    re-aggregation of the per-part aggregate — same shuffle, tiny
+    broadcast back; the decimal-exact sums make the 0.001× threshold
+    comparison deterministic across engines and partitionings."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("part_value")
+    )
+    total = li.agg(
+        F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("total_value")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > 0.001 * F.col("total_value"))
+        .select("partkey", "part_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional-aggregate ratio (TPC-H Q14 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_promo_revenue_pct",
+    oracle=f"""
+SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS DOUBLE) AS promo_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+""",
+    tags=("J3", "A3", "q14"),
+)
+def q_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — a conditional aggregate
+    and its unconditional twin in ONE pass (no second scan, no self
+    join), ratio taken in double at the end. The shipdate year filter
+    pushes to the lineitem scan; part broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,2)") - dec(F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double")
+            )
+            .cast("double")
+            .alias("promo_pct")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Disjunction-of-conjunctions predicate (TPC-H Q19 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_bracketed_revenue",
+    oracle=f"""
+SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+""",
+    tags=("J3", "q19", "pushdown"),
+)
+def q_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst's
+    CNF conversion extracts the single-side residues (brand/size
+    brackets to the part scan, the quantity envelope to the lineitem
+    scan) so both scans pre-filter before the join evaluates the full
+    disjunction — the classic pushdown-through-OR test."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    br = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
+    )
+    return j.filter(br).agg(F.sum(rev).cast("double").alias("revenue"))

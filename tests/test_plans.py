@@ -154,3 +154,16 @@ def test_snapshot_diff_single_keyed_shuffle(spark):
     full-outer-join formulation."""
     plan = _plan(spark, "cdc_snapshot_diff")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bracketed_revenue_pushes_or_residues(spark):
+    """Q19's OR-of-ANDs must reach BOTH scans as single-side residues
+    (CNF extraction): quantity envelope on lineitem, brand/size
+    brackets on part — not evaluated only post-join."""
+    plan = _plan(spark, "q_bracketed_revenue", "formatted")
+    li_scan = next(
+        s for s in plan.split("(1) Scan parquet")[0:] if "lineitem.parquet" in s
+    )
+    assert "l_quantity" in li_scan.split("PushedFilters")[1].split("\n")[0], plan
+    part_scan = plan.split("part.parquet")[1]
+    assert "p_brand" in part_scan.split("PushedFilters")[1].split("\n")[0], plan
