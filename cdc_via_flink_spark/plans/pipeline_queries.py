@@ -305,3 +305,106 @@ def text_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("removed").alias("chars_removed"),
         )
     )
+
+
+from cdc_via_flink_spark.plans.text_queries import SQL_NORM  # noqa: E402
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split({SQL_NORM}, ' ')) AS w FROM documents
+),
+freq AS (
+  SELECT w, count(*) AS n FROM tok GROUP BY w
+),
+vocab AS (
+  SELECT w FROM freq ORDER BY n DESC, w LIMIT 32
+)
+SELECT t.lang,
+       count(*) AS n_tokens,
+       sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS covered,
+       round(CAST(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS coverage
+FROM tok t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.lang
+""",
+    tags=("X3", "pipeline", "vocab"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction + coverage: build the corpus-global
+    top-32 token vocabulary (frequency desc, token-text tie-break —
+    fully deterministic) and measure per-language coverage (share of
+    token occurrences in-vocab; the complement is the OOV rate a
+    tokenizer design cares about). The vocab is a tiny broadcast; the
+    token stream is never shuffled except for the frequency agg."""
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    from cdc_via_flink_spark.functions.text import tokens
+
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w"))
+        .limit(32)
+        .select(F.col("w").alias("vw"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), tok.w == vocab.vw, "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("vw").isNotNull(), 1).otherwise(0)).alias("covered"),
+            F.round(
+                F.sum(F.when(F.col("vw").isNotNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+@query(
+    "q_split_leakage",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         md5({SQL_NORM}) AS digest,
+         {SPLIT_SQL} AS split
+  FROM documents
+)
+SELECT tr.lang,
+       count(*) AS leaked_pairs,
+       count(DISTINCT te.doc_id) AS leaked_test_docs
+FROM d te JOIN d tr ON te.digest = tr.digest AND tr.split = 'train'
+WHERE te.split = 'test'
+GROUP BY tr.lang
+""",
+    tags=("pipeline", "contamination", "X1"),
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: test-split documents whose
+    normalized-text digest also appears in the train split (exact
+    leakage — the eval-integrity gate every pre-training pipeline
+    needs after splitting a corpus with duplicates). One digest
+    self-join; at 100 TB the train side reduces to distinct digests
+    and the join keys are uniform 128-bit hashes (no skew)."""
+    d = load_table(spark, sf_dir, "documents")
+    from cdc_via_flink_spark.functions.text import normalize_text
+
+    d = hash_split(d, "doc_id", {"train": 204, "valid": 26, "test": 26}).select(
+        "doc_id", "lang", "split", F.md5(normalize_text(F.col("text"))).alias("digest")
+    )
+    te = d.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("te_id"), F.col("digest").alias("te_digest")
+    )
+    tr = d.filter(F.col("split") == "train").select("lang", "digest")
+    return (
+        te.join(tr, te.te_digest == tr.digest)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("leaked_pairs"),
+            F.countDistinct("te_id").alias("leaked_test_docs"),
+        )
+    )
