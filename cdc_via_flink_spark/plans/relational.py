@@ -706,3 +706,42 @@ def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr_pq"),
         F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope_q_on_p"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spark-4 VARIANT: binary semi-structured encoding (parse once, access
+# many — the modern form of the reference's opaque-JSON passthrough)
+# --------------------------------------------------------------------------
+@query(
+    "q_variant_props",
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS k_mod,
+       count(*) AS n,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE event_type = 'click'
+GROUP BY k_mod
+""",
+    tags=("P5", "variant", "semi-structured"),
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured payloads: parse_json
+    once into the binary variant encoding, then typed variant_get
+    accesses — versus get_json_object (q_json_props), which re-parses
+    the string per extraction. At 100 TB, parse-once-access-many is
+    the difference between one and N JSON parses per row; variant is
+    also the natural storage type for the reference's opaque
+    before/after images (DebeziumChangeEvent.java:8-9)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    v = ev.select(F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "long")
+    return (
+        v.select(k.alias("k"))
+        .groupBy((F.col("k") % 5).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
