@@ -278,3 +278,73 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_neardup(d, "text", "doc_id", NUM_HASHES, BANDS, ROWS, JACCARD_T)
     return connected_components(pairs.select("id_a", "id_b"))
+
+
+@query(
+    "dedup_fuzzy_pairs",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang,
+         substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 40) AS head,
+         len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS n_tok
+  FROM documents
+)
+SELECT a.lang,
+       count(*) AS n_pairs,
+       sum(CASE WHEN levenshtein(a.head, b.head) = 0 THEN 1 ELSE 0 END)
+         AS n_exact_head,
+       min(levenshtein(a.head, b.head)) AS min_dist
+FROM d a JOIN d b
+  ON a.lang = b.lang
+ AND a.n_tok // 8 = b.n_tok // 8
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 10
+GROUP BY a.lang
+""",
+    tags=("X1", "dedup", "fuzzy"),
+)
+def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (the fuzzy-matching modality LSH
+    doesn't cover: small in-place edits that shift every shingle).
+    Candidate generation is BLOCKED — same language, same
+    token-count-div-8 bucket, id-ordered — so the quadratic
+    levenshtein only runs within blocks (at 100 TB, blocking is what
+    keeps an edit-distance pass feasible; the alternative full
+    self-join is |docs|²). Distance runs on the 40-char normalized
+    head, a standard prefix-filter surrogate."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.substring(norm, 1, 40).alias("head"),
+        F.size(F.split(norm, " ")).alias("n_tok"),
+    )
+    a = base.select(
+        F.col("doc_id").alias("id_a"),
+        "lang",
+        F.col("head").alias("head_a"),
+        F.expr("n_tok div 8").alias("blk"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("head").alias("head_b"),
+        F.expr("n_tok div 8").alias("blk_b"),
+    )
+    dist = F.levenshtein(F.col("head_a"), F.col("head_b"))
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("blk") == F.col("blk_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(dist <= 10)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(dist == 0, 1).otherwise(0)).alias("n_exact_head"),
+            F.min(dist).alias("min_dist"),
+        )
+    )
