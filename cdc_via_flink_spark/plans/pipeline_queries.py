@@ -408,3 +408,50 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("te_id").alias("leaked_test_docs"),
         )
     )
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(string_split({SQL_NORM}, ' ')) AS n_words
+  FROM documents
+),
+w AS (
+  SELECT doc_id, lang, n_words,
+         least(255, CAST(floor(CAST(n_words AS DOUBLE) * 256.0 / 60.0) AS INT)) AS thr_i
+  FROM d
+)
+SELECT lang,
+       count(*) AS n_total,
+       sum(CASE WHEN substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                     < printf('%02x', thr_i) THEN 1 ELSE 0 END) AS n_kept,
+       sum(n_words) AS total_words
+FROM w GROUP BY lang
+""",
+    tags=("pipeline", "sample", "weighted"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling, RNG-free: each document's keep probability
+    is proportional to its own weight (here length: P(keep) =
+    min(n_words/60, 255/256)), decided by comparing the salted md5
+    bucket against a per-row threshold rendered as hex. Longer docs
+    are kept preferentially — the quality-weighted downsample shape —
+    while staying exactly reproducible across engines, retries, and
+    cluster sizes, like the uniform samplers."""
+    d = load_table(spark, sf_dir, "documents")
+    from cdc_via_flink_spark.functions.text import tokens
+
+    n_words = F.size(tokens(F.col("text")))
+    thr_i = F.least(F.lit(255), F.floor(n_words.cast("double") * 256.0 / 60.0).cast("int"))
+    keep = _bucket(F.col("doc_id"), "w:") < F.format_string("%02x", thr_i)
+    return (
+        d.select("lang", n_words.alias("n_words"), keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+    )
