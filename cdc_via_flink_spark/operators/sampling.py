@@ -71,7 +71,13 @@ def stratified_sample(
     for name, r in {**rates, "default": default_rate}.items():
         if not 0 <= r <= 256:
             raise ValueError(f"rate for {name!r} must be in [0, 256], got {r}")
-    thr = F.lit(f"{default_rate:02x}" if default_rate < 256 else "zz")
+    # rate==256 means keep-all: 'zz' sorts after every 2-char hex bucket.
+    # (f"{256:02x}" would be the 3-char '100', which lexicographically
+    # keeps only buckets 00-10 — ~6.6% instead of 100%.)
+    def hex_thr(rate: int) -> str:
+        return f"{rate:02x}" if rate < 256 else "zz"
+
+    thr = F.lit(hex_thr(default_rate))
     for value, rate in rates.items():
-        thr = F.when(F.col(strata_col) == value, f"{rate:02x}").otherwise(thr)
+        thr = F.when(F.col(strata_col) == value, hex_thr(rate)).otherwise(thr)
     return df.filter(hash_bucket(F.col(id_col), salt) < thr)

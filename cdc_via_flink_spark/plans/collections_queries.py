@@ -171,7 +171,7 @@ SELECT l_orderkey,
        len(list_filter(qtys, q -> q >= 25)) AS n_large,
        CASE WHEN len(list_filter(qtys, q -> q < 0)) = 0 THEN 1 ELSE 0 END
            AS all_nonneg,
-       list_sum(qtys) AS total_qty,
+       CAST(list_sum(qtys) AS BIGINT) AS total_qty,
        len(flatten([qtys, qtys])) AS doubled_len,
        len(range(1, len(qtys) + 1)) AS seq_len
 FROM per_order WHERE l_orderkey % 31 = 0
@@ -195,13 +195,13 @@ def q_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     qtys = F.col("qtys")
     return per_order.select(
         "l_orderkey",
-        F.size(F.filter(qtys, lambda q: q >= 25)).alias("n_large"),
+        F.size(F.filter(qtys, lambda q: q >= 25)).cast("long").alias("n_large"),
         F.when(F.forall(qtys, lambda q: q >= 0), 1).otherwise(0).alias("all_nonneg"),
         F.aggregate(qtys, F.lit(0).cast("long"), lambda acc, q: acc + q).alias(
             "total_qty"
         ),
-        F.size(F.flatten(F.array(qtys, qtys))).alias("doubled_len"),
-        F.size(F.sequence(F.lit(1), F.size(qtys))).alias("seq_len"),
+        F.size(F.flatten(F.array(qtys, qtys))).cast("long").alias("doubled_len"),
+        F.size(F.sequence(F.lit(1), F.size(qtys))).cast("long").alias("seq_len"),
     )
 
 

@@ -291,8 +291,8 @@ WITH d AS (
 )
 SELECT a.lang,
        count(*) AS n_pairs,
-       sum(CASE WHEN levenshtein(a.head, b.head) = 0 THEN 1 ELSE 0 END)
-         AS n_exact_head,
+       CAST(sum(CASE WHEN levenshtein(a.head, b.head) = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_head,
        min(levenshtein(a.head, b.head)) AS min_dist
 FROM d a JOIN d b
   ON a.lang = b.lang
@@ -345,6 +345,6 @@ def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum(F.when(dist == 0, 1).otherwise(0)).alias("n_exact_head"),
-            F.min(dist).alias("min_dist"),
+            F.min(dist).cast("long").alias("min_dist"),
         )
     )

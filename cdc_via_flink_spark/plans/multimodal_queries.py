@@ -108,7 +108,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT source,
        count(*) AS n_docs,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        max(octet_length(encode(text))) AS max_bytes,
        CAST(CAST(sum(octet_length(encode(text))) AS DOUBLE) / count(*)
             AS DOUBLE) AS mean_bytes

@@ -47,7 +47,7 @@ from cdc_via_flink_spark.operators.sampling import hash_bucket as _bucket  # noq
     oracle=f"""
 SELECT {SPLIT_SQL} AS split,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        CAST(CAST(sum(n_chars) AS DOUBLE) / count(*) AS DOUBLE) AS avg_chars
 FROM documents
 GROUP BY split
@@ -82,7 +82,7 @@ WITH k AS (
 )
 SELECT lang,
        count(*) AS n_total,
-       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
          AS kept_frac
 FROM k GROUP BY lang
@@ -130,8 +130,8 @@ WITH t AS (
            - tokens AS prev_cum
   FROM t
 )
-SELECT lang, prev_cum // {PACK_BUDGET} AS bin,
-       count(*) AS n_docs, sum(tokens) AS bin_tokens
+SELECT lang, CAST(prev_cum // {PACK_BUDGET} AS BIGINT) AS bin,
+       count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
 FROM c GROUP BY lang, bin
 """,
     tags=("pipeline", "packing"),
@@ -180,7 +180,8 @@ WITH RECURSIVE t AS (
               ELSE t.tokens END
   FROM pack p JOIN t ON t.lang = p.lang AND t.shard = p.shard AND t.rn = p.rn + 1
 )
-SELECT lang, shard, bin, count(*) AS n_docs, sum(tokens) AS bin_tokens
+SELECT lang, shard, bin, count(*) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS bin_tokens
 FROM pack GROUP BY lang, shard, bin
 """,
     tags=("pipeline", "packing"),
@@ -268,13 +269,13 @@ REDACT_RE = r"\b(customer|key|value)\b"
     oracle=f"""
 SELECT lang,
        count(*) AS n_docs,
-       sum(CASE WHEN regexp_matches(text, '{REDACT_RE}') THEN 1 ELSE 0 END)
-         AS docs_hit,
-       sum(CAST(len(regexp_extract_all(text, '{REDACT_RE}')) AS BIGINT))
-         AS n_redactions,
-       sum(CAST(length(text)
-                - length(regexp_replace(text, '{REDACT_RE}', '#', 'g'))
-                AS BIGINT)) AS chars_removed
+       CAST(sum(CASE WHEN regexp_matches(text, '{REDACT_RE}') THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_hit,
+       CAST(sum(len(regexp_extract_all(text, '{REDACT_RE}')))
+            AS BIGINT) AS n_redactions,
+       CAST(sum(length(text)
+                - length(regexp_replace(text, '{REDACT_RE}', '#', 'g')))
+            AS BIGINT) AS chars_removed
 FROM documents GROUP BY lang
 """,
     tags=("X3", "pipeline", "redact"),
@@ -324,7 +325,8 @@ vocab AS (
 )
 SELECT t.lang,
        count(*) AS n_tokens,
-       sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS covered,
+       CAST(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS covered,
        round(CAST(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS coverage
 FROM tok t LEFT JOIN vocab v ON t.w = v.w
@@ -425,9 +427,10 @@ w AS (
 )
 SELECT lang,
        count(*) AS n_total,
-       sum(CASE WHEN substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 2)
-                     < printf('%02x', thr_i) THEN 1 ELSE 0 END) AS n_kept,
-       sum(n_words) AS total_words
+       CAST(sum(CASE WHEN substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                     < printf('%02x', thr_i) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(n_words) AS BIGINT) AS total_words
 FROM w GROUP BY lang
 """,
     tags=("pipeline", "sample", "weighted"),

@@ -531,7 +531,8 @@ SELECT p_partkey,
        CAST(abs(p_size - 25) AS INTEGER) AS size_dev,
        CAST(ceil(p_retailprice / 100) AS BIGINT) AS price_century,
        CAST(floor(p_retailprice / 100) AS BIGINT) AS price_century_f,
-       round(CAST(p_retailprice AS DECIMAL(18,2)) % 7, 2) AS price_mod7,
+       CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) % 7, 2) AS DOUBLE)
+           AS price_mod7,
        CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'mid'
             ELSE 'large' END AS size_class,
        CAST(p_size * p_size AS INTEGER) AS size_sq
@@ -548,7 +549,7 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("p_size") - 25).alias("size_dev"),
         F.ceil(F.col("p_retailprice") / 100).alias("price_century"),
         F.floor(F.col("p_retailprice") / 100).alias("price_century_f"),
-        F.round(dec(F.col("p_retailprice")) % 7, 2).cast("decimal(18,2)").alias("price_mod7"),
+        F.round(dec(F.col("p_retailprice")) % 7, 2).cast("double").alias("price_mod7"),
         F.when(F.col("p_size") < 10, "small")
         .when(F.col("p_size") < 30, "mid")
         .otherwise("large")
@@ -670,8 +671,9 @@ WITH m AS (
 )
 SELECT l_returnflag, n,
        round((n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_pq,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_q_on_p
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) + 0.0
+           AS corr_pq,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope_q_on_p
 FROM m
 """,
     tags=("A3", "stats"),
@@ -700,11 +702,17 @@ def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag",
         "n",
-        F.round(
-            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
+        (
+            F.round(
+                (n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+                6,
+            )
+            + 0.0
         ).alias("corr_pq"),
-        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope_q_on_p"),
+        (F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0).alias(
+            "slope_q_on_p"
+        ),
     )
 
 

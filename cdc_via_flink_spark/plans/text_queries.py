@@ -25,8 +25,9 @@ BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     oracle=f"""
 SELECT lang,
        count(*) AS n_docs,
-       sum(len(string_split({SQL_NORM}, ' '))) AS ws_tokens,
-       sum(len(regexp_extract_all(text, '{BPE_RE}'))) AS bpe_tokens,
+       CAST(sum(len(string_split({SQL_NORM}, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT)
+         AS bpe_tokens,
        CAST(CAST(sum(len(string_split({SQL_NORM}, ' '))) AS DOUBLE)
             / count(*) AS DOUBLE) AS avg_ws_tokens
 FROM documents GROUP BY lang
@@ -290,7 +291,7 @@ hits AS (
 )
 SELECT lang,
        count(DISTINCT doc_id) AS n_docs_scored,
-       sum(score) AS total_score,
+       CAST(sum(score) AS BIGINT) AS total_score,
        CAST(CAST(sum(score) AS DOUBLE) / count(*) AS DOUBLE) AS mean_hit_score
 FROM hits GROUP BY lang
 """,
@@ -341,7 +342,7 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     table-function extension point with an oracle-checked result."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, sent_idx int, n_chars int")
+    @udtf(returnType="doc_id bigint, sent_idx int, n_chars bigint")
     class SplitSentences:
         def eval(self, doc_id, text):
             for i, piece in enumerate(text.split(".")):

@@ -410,7 +410,7 @@ def q_ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return (
-        c.withColumn("quartile", F.ntile(4).over(w))
+        c.withColumn("quartile", F.ntile(4).over(w).cast("long"))
         .groupBy("c_nationkey", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -493,7 +493,8 @@ s AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
   FROM t
 )
-SELECT user_id, session_num, count(*) AS n_events,
+SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+       count(*) AS n_events,
        max(ts_ms) - min(ts_ms) AS duration_ms
 FROM s GROUP BY user_id, session_num
 """,

@@ -16,7 +16,10 @@ re-points; readers only ever see a committed pointer): effectively
 exactly-once. At 100 TB the same recipe targets a real lakehouse
 table (Delta/Iceberg MERGE); the per-batch work is bounded by batch
 size + snapshot join, and the key-partitioned snapshot keeps the
-merge a co-partitioned join. Delete events (op='d') tombstone the key.
+merge a co-partitioned join. Delete events (op='d') persist in the
+snapshot as tombstones — filtered out at read time, so an out-of-order
+older update arriving after the delete cannot resurrect the key — and
+are garbage-collected past ``tombstone_retention_ms``.
 """
 
 from __future__ import annotations
@@ -38,14 +41,34 @@ def _snapshot_path(table_dir: str) -> str | None:
     return os.path.join(table_dir, rel) if rel else None
 
 
-def read_latest_snapshot(spark: SparkSession, table_dir: str) -> DataFrame | None:
+def read_latest_snapshot(
+    spark: SparkSession, table_dir: str, include_tombstones: bool = False
+) -> DataFrame | None:
+    """Read the committed snapshot. Tombstones (op='d') are persisted in
+    the snapshot so that a late out-of-order update for a deleted key
+    cannot resurrect it; readers filter them out here by default."""
     path = _snapshot_path(table_dir)
-    return spark.read.parquet(path) if path else None
+    if path is None:
+        return None
+    df = spark.read.parquet(path)
+    return df if include_tombstones else df.filter(F.col("op") != "d")
 
 
 def _merge_batch(
-    spark: SparkSession, batch: DataFrame, table_dir: str, epoch_id: int
+    spark: SparkSession,
+    batch: DataFrame,
+    table_dir: str,
+    epoch_id: int,
+    tombstone_retention_ms: int | None = None,
 ) -> None:
+    version_dir = f"v={epoch_id}"
+    committed = _snapshot_path(table_dir)
+    if committed is not None and os.path.basename(committed) == version_dir:
+        # Replayed epoch whose snapshot already committed (crash landed
+        # between the pointer move and Spark's checkpoint commit):
+        # writing again would overwrite the very directory `prev` is
+        # lazily read from. The epoch is already materialized — no-op.
+        return
     # one latest row per key WITHIN the batch
     w = W.partitionBy("txn_id").orderBy(F.col("ts_ms").desc(), F.col("seq").desc())
     latest = (
@@ -54,7 +77,7 @@ def _merge_batch(
         .filter(F.col("_rn") == 1)
         .select("txn_id", "op", "ts_ms", "seq", "after")
     )
-    prev = read_latest_snapshot(spark, table_dir)
+    prev = read_latest_snapshot(spark, table_dir, include_tombstones=True)
     if prev is not None:
         # keep whichever side is newer per key ((ts_ms, seq) order)
         merged = (
@@ -65,9 +88,20 @@ def _merge_batch(
         )
     else:
         merged = latest
-    merged = merged.filter(F.col("op") != "d")  # tombstones drop the key
+    # Tombstones stay in the snapshot (so older replayed updates lose
+    # the merge window against the delete); optionally GC ones older
+    # than the retention horizon relative to the newest event seen.
+    if tombstone_retention_ms is not None:
+        horizon = merged.agg(F.max("ts_ms").alias("_max_ts"))
+        merged = (
+            merged.join(F.broadcast(horizon))
+            .filter(
+                (F.col("op") != "d")
+                | (F.col("ts_ms") >= F.col("_max_ts") - F.lit(tombstone_retention_ms))
+            )
+            .drop("_max_ts")
+        )
 
-    version_dir = f"v={epoch_id}"
     merged.write.mode("overwrite").parquet(os.path.join(table_dir, version_dir))
     tmp = os.path.join(table_dir, LATEST_PTR + ".tmp")
     with open(tmp, "w") as f:
@@ -76,14 +110,23 @@ def _merge_batch(
 
 
 def upsert_latest_state_query(
-    parsed: DataFrame, table_dir: str, checkpoint_dir: str
+    parsed: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    tombstone_retention_ms: int | None = None,
 ) -> StreamingQuery:
     """Start a streaming query that upserts parse_debezium output into
     the latest-state table at ``table_dir``. Caller awaits it."""
     os.makedirs(table_dir, exist_ok=True)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
-        _merge_batch(batch.sparkSession, batch, table_dir, epoch_id)
+        _merge_batch(
+            batch.sparkSession,
+            batch,
+            table_dir,
+            epoch_id,
+            tombstone_retention_ms=tombstone_retention_ms,
+        )
 
     return (
         parsed.writeStream.foreachBatch(sink)

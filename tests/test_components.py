@@ -27,3 +27,31 @@ def test_star_and_reversed_edges(spark):
     # star centered high, edges in arbitrary direction: min wins anyway
     got = _cc(spark, [(100, 7), (100, 8), (9, 100)])
     assert got == {7: 7, 8: 7, 9: 7, 100: 7}
+
+
+def test_long_path_converges_in_log_rounds(spark):
+    # 1000-node path, diameter 999: plain label propagation needs ~999
+    # rounds; pointer jumping must land it within the default
+    # max_iter=20 (~log2(999) ≈ 10 rounds of doubling).
+    got = _cc(spark, [(i, i + 1) for i in range(1, 1000)])
+    assert len(got) == 1000 and set(got.values()) == {1}
+
+
+def test_nonconvergence_raises_not_silent(spark):
+    import pytest
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+    # strict=False degrades to a warning and still returns labels
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(df, max_iter=1, strict=False)
+        assert out.count() == 40
+        assert any(issubclass(x.category, RuntimeWarning) for x in w)

@@ -67,3 +67,27 @@ def test_iterations_do_not_degrade_fit(spark):
     m1 = mean_cos(kmeans_fit(corpus, every_k=40, max_iter=1))
     m3 = mean_cos(kmeans_fit(corpus, every_k=40, max_iter=3))
     assert m3 >= m1 - 1e-9  # Lloyd's never degrades the objective
+
+
+def test_two_level_topk_matches_single_level_any_layout(spark):
+    """two_level_topk is exactly the single-level window top-k, for any
+    partition layout (the blocking salt must not leak into results)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from cdc_via_flink_spark.operators.topk import two_level_topk
+
+    rows = [(q, i, float(((i * 37 + q * 11) % 100) / 10.0)) for q in range(3) for i in range(500)]
+    df = spark.createDataFrame(rows, "query_id long, vec_id long, cos double")
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    expected = sorted(
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 7)
+        .collect()
+    )
+    for parts in (1, 5, 64):
+        got = sorted(
+            two_level_topk(df.repartition(parts), 7, n_blocks=8)
+            .select("query_id", "vec_id", "cos", "rn")
+            .collect()
+        )
+        assert got == expected, parts

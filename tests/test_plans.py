@@ -167,3 +167,16 @@ def test_bracketed_revenue_pushes_or_residues(spark):
     assert "l_quantity" in li_scan.split("PushedFilters")[1].split("\n")[0], plan
     part_scan = plan.split("part.parquet")[1]
     assert "p_brand" in part_scan.split("PushedFilters")[1].split("\n")[0], plan
+
+
+def test_similarity_topk_is_two_level(spark):
+    """Scale guard: the brute-force rerank must never sort one query's
+    whole candidate set on a single task. The plan must show TWO window
+    stages — the first partitioned by (query_id, _blk) so every sort is
+    bounded by one input split."""
+    plan = _plan(spark, "sim_bruteforce_topk")
+    windows = [l for l in plan.splitlines() if "windowspecdefinition(" in l]
+    assert len(windows) == 2, plan
+    assert any("_blk" in l for l in windows), plan
+    # Spark 4 additionally pushes partial group-limits below each window
+    assert "WindowGroupLimit" in plan

@@ -50,3 +50,13 @@ def test_stratified_sample_rates_and_determinism(spark):
     s_all = stratified_sample(d, "doc_id", "lang", {"en": 0}, default_rate=256)
     assert s_all.filter(F.col("lang") == "en").count() == 0
     assert s_all.count() == non_en_tot
+
+
+def test_stratified_sample_per_stratum_rate_256_keeps_all(spark):
+    # rate=256 for a listed stratum must keep 100% of it (regression:
+    # f"{256:02x}" is the 3-char '100', which lexicographically kept
+    # only buckets 00-10 ≈ 6.6%)
+    d = load_table(spark, SF0001, "documents").select("doc_id", "lang")
+    s = stratified_sample(d, "doc_id", "lang", {"en": 256}, default_rate=0)
+    assert s.count() == d.filter(F.col("lang") == "en").count()
+    assert s.filter(F.col("lang") != "en").count() == 0

@@ -67,3 +67,50 @@ def test_upsert_latest_state_across_batches(spark, tmp_path):
     q2.awaitTermination()
     rows2 = {r.txn_id: (r.op, r.ts_ms) for r in read_latest_snapshot(spark, table).collect()}
     assert rows2 == rows
+
+
+def test_tombstone_blocks_out_of_order_resurrection(spark, tmp_path):
+    """A stale (older-ts) update arriving in a batch AFTER the delete
+    must NOT resurrect the key: the tombstone persists in the snapshot
+    and wins the (ts_ms, seq) merge window."""
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _stage_file(spark, [(1, _chg("t1", 1000, "c"))], src, "0", 1_000_000_000)
+    _stage_file(spark, [(2, _chg("t1", 3000, "d"))], src, "1", 1_000_000_100)
+    _stage_file(  # stale update: ts 2000 < delete's 3000
+        spark, [(3, _chg("t1", 2000, "u"))], src, "2", 1_000_000_200
+    )
+    raw = (
+        spark.readStream.schema(ENVELOPE_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    upsert_latest_state_query(parse_debezium(raw), table, ckpt).awaitTermination()
+    assert read_latest_snapshot(spark, table).filter("txn_id = 't1'").count() == 0
+    tomb = (
+        read_latest_snapshot(spark, table, include_tombstones=True)
+        .filter("txn_id = 't1'")
+        .collect()
+    )
+    assert [(r.op, r.ts_ms) for r in tomb] == [("d", 3000)]
+
+
+def test_replayed_epoch_is_noop(spark, tmp_path):
+    """Crash between pointer move and checkpoint commit replays the
+    epoch; the merge must detect the committed pointer and no-op rather
+    than overwrite the snapshot directory it is reading from."""
+    from cdc_via_flink_spark.streaming.upsert import _merge_batch
+
+    table = str(tmp_path / "state")
+    import os
+
+    os.makedirs(table, exist_ok=True)
+    batch = parse_debezium(
+        spark.createDataFrame([(1, _chg("t1", 1000, "c"))], "seq long, value string")
+    )
+    _merge_batch(spark, batch, table, epoch_id=5)
+    before = {r.txn_id: r.ts_ms for r in read_latest_snapshot(spark, table).collect()}
+    _merge_batch(spark, batch, table, epoch_id=5)  # replay: must not throw
+    after = {r.txn_id: r.ts_ms for r in read_latest_snapshot(spark, table).collect()}
+    assert before == after == {"t1": 1000}
