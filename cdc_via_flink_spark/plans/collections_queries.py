@@ -86,9 +86,23 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of distinct values). No oracle: sketch estimates are
     engine-specific by design; tests assert the error bound instead."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    # self-validating: the error bound is asserted IN the result, so a
+    # rows-only driver check still carries correctness signal
+    rel_err = F.round(
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        / F.col("exact_parts").cast("double"),
+        6,
+    )
+    return agg.select(
+        "l_returnflag",
+        "approx_parts",
+        "exact_parts",
+        rel_err.alias("rel_err"),
+        (rel_err <= 0.1).alias("within_bound"),  # rsd=0.02, ~5σ margin
     )
 
 
@@ -151,12 +165,27 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge map-side, so quantiles cost one pass and no sort, vs the
     exact form's per-group sort. accuracy=10000 ⇒ ε=1e-4 rank error."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    agg = o.groupBy("o_orderpriority").agg(
         F.approx_percentile(F.col("o_totalprice"), F.lit(0.5), F.lit(10000)).alias(
             "approx_p50"
         ),
         F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("exact_p50"),
         F.count(F.lit(1)).alias("n"),
+    )
+    # self-validating error column: ε=1e-4 rank error is <1 rank at
+    # test sizes, but approx_percentile returns an ELEMENT while the
+    # exact form interpolates — at small n the value gap between
+    # adjacent elements dominates, so the in-query bound is 5%
+    rel_err = F.round(
+        F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.col("exact_p50"), 6
+    )
+    return agg.select(
+        "o_orderpriority",
+        "approx_p50",
+        "exact_p50",
+        "n",
+        rel_err.alias("rel_err"),
+        (rel_err <= 0.05).alias("within_bound"),
     )
 
 
@@ -224,15 +253,36 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
     per_day = daily.select(
         F.date_format("day", "yyyy-MM-dd").alias("period"),
         F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
         "n_events",
     )
+    # month row: estimate from the UNION of daily sketches (the rollup
+    # contract under test); exact from one whole-period distinct, kept
+    # purely as the in-query validation column.
     month = daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
         F.sum("n_events").alias("n_events"),
-    ).select(F.lit("ALL").alias("period"), "est_users", "n_events")
-    return per_day.unionByName(month)
+    ).crossJoin(
+        F.broadcast(ev.agg(F.countDistinct("user_id").alias("exact_users")))
+    ).select(F.lit("ALL").alias("period"), "est_users", "exact_users", "n_events")
+    out = per_day.unionByName(month)
+    # lgK=12 default ⇒ rsd ≈ 1.6%; assert a generous 15% bound in-query
+    rel_err = F.round(
+        F.abs(F.col("est_users") - F.col("exact_users"))
+        / F.col("exact_users").cast("double"),
+        6,
+    )
+    return out.select(
+        "period",
+        "est_users",
+        "exact_users",
+        "n_events",
+        rel_err.alias("rel_err"),
+        (rel_err <= 0.15).alias("within_bound"),
+    )

@@ -12,8 +12,11 @@ rows-counted.
 
 from __future__ import annotations
 
+import datetime
+import glob
 import itertools
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -321,6 +324,108 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_ms"),
     )
     return _run_to_memory(joined, "append")
+
+
+def _stage_ordered_files(spark, frames, dest: str, mtime0: int = 1_000_000_000):
+    """Stage each frame as ONE parquet file with strictly increasing
+    mtimes, so `maxFilesPerTrigger=1` replays them as separate
+    micro-batches in order — the controlled-arrival harness that lets a
+    finite replay exercise watermark-driven state transitions."""
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
+    for i, frame in enumerate(frames):
+        tmp = dest + f"_w{i}"
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        out = os.path.join(dest, f"{i:04d}.parquet")
+        shutil.copy(part, out)
+        os.utime(out, (mtime0 + i, mtime0 + i))
+        shutil.rmtree(tmp)
+
+
+@query(
+    "stream_outer_join",
+    oracle="""
+SELECT s.user_id,
+       s.event_id AS signup_id,
+       COALESCE(p.event_id, CAST(-1 AS BIGINT)) AS purchase_id,
+       CASE WHEN p.event_id IS NULL THEN CAST(-1 AS BIGINT)
+            ELSE epoch_ms(p.ts) - epoch_ms(s.ts) END AS gap_ms
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+""",
+    tags=("J1", "ST1", "streaming", "stream-stream-outer-join"),
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join — the one declared skip
+    from round 1. An outer join's null-matches only emit once the
+    event-time watermark passes signup_ts + window + delay, so a naive
+    single-batch replay never flushes the trailing signups (no stable
+    oracle). This replay appends TWO far-future sentinel files (each a
+    separate micro-batch via maxFilesPerTrigger=1): the first advances
+    the watermark past every real row's expiry, the second advances it
+    past the first sentinel's own expiry — after which the streaming
+    result equals the batch LEFT JOIN exactly, restoring the full SQL
+    oracle. Null-matches surface as purchase_id = -1 (nullable-int
+    columns are coalesced on both engines per the parity policy).
+    Reference analog: drop-vs-buffer semantics of the correlation
+    operator (DebeziumTransactionReconstructorWithEventCorrelation.java:147-149),
+    which buffers unmatched events forever; the watermark bound is what
+    makes the same semantics safe at 100 TB."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+
+    def sentinel(days: int, eid: int):
+        far = mx + datetime.timedelta(days=days)
+        return spark.createDataFrame(
+            [(eid, far, -999, "signup"), (eid - 1, far, -999, "purchase")],
+            schema=ev.schema,
+        )
+
+    dest = os.path.join(STAGE_ROOT, f"events_{sf_name}", "events_ssoj")
+    _stage_ordered_files(spark, [ev, sentinel(10, -1), sentinel(20, -3)], dest)
+
+    src_schema = ev.schema
+
+    def side(kind: str, alias: str):
+        return (
+            spark.readStream.schema(src_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(dest)
+            .filter(F.col("event_type") == kind)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+        )
+
+    s, p = side("signup", "s"), side("purchase", "p")
+    joined = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("s_user").alias("user_id"),
+        F.col("s_id").alias("signup_id"),
+        F.coalesce(F.col("p_id"), F.lit(-1).cast("long")).alias("purchase_id"),
+        F.when(F.col("p_id").isNull(), F.lit(-1).cast("long"))
+        .otherwise(
+            F.unix_millis(F.col("p_ts")) - F.unix_millis(F.col("s_ts"))
+        )
+        .alias("gap_ms"),
+    )
+    out = _run_to_memory(joined, "append")
+    return out.filter(F.col("user_id") != -999)
 
 
 @query(

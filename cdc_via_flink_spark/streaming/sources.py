@@ -29,6 +29,29 @@ ENVELOPE_STREAM_SCHEMA = T.StructType(
 )
 
 
+def kafka_reader_options(
+    bootstrap: str,
+    subscribe: str | None = None,
+    subscribe_pattern: str | None = None,
+) -> dict[str, str]:
+    """Build the Kafka reader option map (unit-testable without the
+    connector jar — the only runtime evidence possible for S2 in this
+    container). Exactly one of subscribe / subscribe_pattern, mirroring
+    the reference's setTopics vs setTopicPattern choice
+    (DebeziumTransactionReconstructor.java:52-65)."""
+    if bool(subscribe) == bool(subscribe_pattern):
+        raise ValueError("need exactly one of subscribe or subscribe_pattern")
+    opts = {
+        "kafka.bootstrap.servers": bootstrap,
+        "startingOffsets": "earliest",
+    }
+    if subscribe:
+        opts["subscribe"] = subscribe
+    else:
+        opts["subscribePattern"] = subscribe_pattern
+    return opts
+
+
 def kafka_debezium_stream(
     spark: SparkSession,
     bootstrap: str,
@@ -38,17 +61,9 @@ def kafka_debezium_stream(
     """Kafka source (S1 fixed-topic / S2 pattern). Returns (seq, value)
     with seq = kafka offset — the arrival order the reference's
     single-partition topic guarantees (reference readme.md:1)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("startingOffsets", "earliest")
-    )
-    if subscribe:
-        reader = reader.option("subscribe", subscribe)
-    elif subscribe_pattern:
-        reader = reader.option("subscribePattern", subscribe_pattern)
-    else:
-        raise ValueError("need subscribe or subscribe_pattern")
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(bootstrap, subscribe, subscribe_pattern).items():
+        reader = reader.option(k, v)
     try:
         raw = reader.load()
     except Exception as e:  # kafka jar absent in this container

@@ -72,3 +72,16 @@ def test_hll_rollup_within_bound_and_merge_consistent(spark):
     # order- and partitioning-insensitive)
     rows2 = {r.period: r.est_users for r in spec.fn(spark, SF0001).collect()}
     assert rows == rows2
+
+
+def test_self_validating_columns_all_within_bound(spark):
+    """The three sketch queries carry their own validation columns
+    (rel_err + within_bound), so a rows-only driver check still sees
+    correctness signal. All rows must self-report within bound."""
+    for name in ("q_approx_distinct", "q_approx_percentile", "q_hll_sketch_rollup"):
+        rows = load_all()[name].fn(spark, SF0001).collect()
+        assert rows, name
+        assert all(r.within_bound for r in rows), (
+            name,
+            [(r.rel_err, r.within_bound) for r in rows if not r.within_bound],
+        )

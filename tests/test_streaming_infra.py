@@ -242,3 +242,43 @@ def test_streaming_observability_listener_and_observe(spark, tmp_path):
     assert ("started", "observed_reconstruction") in events
     metric = next(e for e in events if e[0] == "metrics")
     assert metric[1] == 3 and metric[2] == 1  # 3 rows, 1 dead-letter
+
+
+def test_outer_join_null_matches_flush(spark):
+    """Left-outer stream-stream join: the sentinel-file watermark
+    advance must flush the trailing null-matches before availableNow
+    terminates (without it, unmatched signups would be silently lost
+    in finite replay)."""
+    from cdc_via_flink_spark.plans.registry import load_all
+
+    from tests.conftest import SF0001
+
+    rows = load_all()["stream_outer_join"].fn(spark, SF0001).collect()
+    assert any(r.purchase_id == -1 for r in rows), "no null-matches flushed"
+    assert any(r.purchase_id != -1 for r in rows), "no matched rows"
+    assert all(r.user_id != -999 for r in rows), "sentinel rows leaked"
+
+
+def test_kafka_reader_options_subscribe_vs_pattern():
+    """S2's only runnable evidence in this container (no Kafka jar):
+    the option map the reader would be built from — fixed-topic vs
+    topic-pattern subscription are mutually exclusive, offsets start
+    from earliest like the reference's consumer."""
+    import pytest
+
+    from cdc_via_flink_spark.streaming.sources import kafka_reader_options
+
+    fixed = kafka_reader_options("b:9092", subscribe="txn.changes,txn.commits")
+    assert fixed["subscribe"] == "txn.changes,txn.commits"
+    assert "subscribePattern" not in fixed
+    assert fixed["startingOffsets"] == "earliest"
+    assert fixed["kafka.bootstrap.servers"] == "b:9092"
+
+    pat = kafka_reader_options("b:9092", subscribe_pattern="txn\\..*")
+    assert pat["subscribePattern"] == "txn\\..*"
+    assert "subscribe" not in pat
+
+    with pytest.raises(ValueError):
+        kafka_reader_options("b:9092")
+    with pytest.raises(ValueError):
+        kafka_reader_options("b:9092", subscribe="a", subscribe_pattern="b")
