@@ -88,8 +88,11 @@ def ivf_topk(
         "vec_id",
         F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
     )
-    # nprobe bounds the candidate lists, but the segmented top-k keeps
-    # even a hot list from becoming one task's sort.
-    from cdc_via_flink_spark.operators.topk import two_level_topk
-
-    return two_level_topk(scored, k).select("query_id", "vec_id", "cos", "rn")
+    # rank<=k lets Catalyst bound the sort via WindowGroupLimit
+    # (see operators/similarity.py and scripts/bench_topk_stress.py).
+    wk = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cos", "rn")
+    )

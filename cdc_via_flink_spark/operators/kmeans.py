@@ -119,6 +119,11 @@ def ivf_kmeans_topk(
         "vec_id",
         F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
     )
-    from cdc_via_flink_spark.operators.topk import two_level_topk
-
-    return two_level_topk(scored, k).select("query_id", "vec_id", "cos", "rn")
+    # rank<=k lets Catalyst bound the sort via WindowGroupLimit
+    # (see operators/similarity.py and scripts/bench_topk_stress.py).
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cos", "rn")
+    )

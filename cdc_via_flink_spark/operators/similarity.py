@@ -72,8 +72,14 @@ def brute_force_topk(
             F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
         )
     )
-    # Segmented top-k: no single task ever sorts a whole query's
-    # candidate set (at 100 TB × few queries that set IS the corpus).
-    from cdc_via_flink_spark.operators.topk import two_level_topk
-
-    return two_level_topk(scored, k).select("query_id", "vec_id", "cos", "rn")
+    # The rank<=k filter lets Catalyst insert WindowGroupLimit (rank-
+    # limit pushdown): each map task keeps only top-k per query BEFORE
+    # the shuffle, so no task ever sorts a whole query's candidate set
+    # even at 100 TB × few queries. Pinned by a plan test; a manual
+    # two-level rewrite measured 2.4x SLOWER (scripts/bench_topk_stress.py).
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cos", "rn")
+    )

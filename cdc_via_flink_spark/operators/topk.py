@@ -1,23 +1,29 @@
-"""Two-level (segmented) per-group top-k.
+"""Two-level (segmented) per-group top-k — kept as an explicit
+fallback, NOT used on the hot paths.
 
-`row_number() OVER (PARTITION BY query_id ORDER BY score)` sorts each
-query's ENTIRE candidate set on one task — at 100 TB × few queries
-that is a single-task sort of the whole corpus, the same skewed-window
-failure mode the reconstruction path solves with `skew_block_size`.
-This applies the identical segmentation idiom to top-k:
+The worry: `row_number() OVER (PARTITION BY query_id ORDER BY score)`
+sorts each query's ENTIRE candidate set on one task — at 100 TB × few
+queries that is a single-task sort of the whole corpus. The measured
+reality on Spark ≥3.5: Catalyst's rank-limit pushdown (SPARK-37099,
+`WindowGroupLimit`) already makes the naive window two-level — each
+map task keeps only the top-k per group BEFORE the shuffle, so only
+k × n_partitions rows reach the final per-group sort. On the hot
+shape (20M candidates, ONE query) the naive form beat this manual
+rewrite 2.4× (scripts/bench_topk_stress.py), so the similarity/IVF/
+kmeans reranks use the naive window and a plan test pins the
+`WindowGroupLimit ... Partial` node that provides the guarantee.
+
+This operator remains for engines/plans where the pushdown cannot
+fire (e.g. a rank filter Catalyst can't see through):
 
   level 1: salt each row with its input-partition block id and take
-           the top-k within every (group, block) — the window's
-           partitions are bounded by one input split's rows, so every
-           sort is small and parallelism = n_groups × n_blocks;
-  level 2: top-k of the surviving ≤ k×n_blocks rows per group — a
-           trivially small sort.
+           the top-k within every (group, block);
+  level 2: top-k of the surviving ≤ k×n_blocks rows per group.
 
 The result is IDENTICAL to the single-level window for any blocking:
 the global top-k of a group is contained in the union of its blocks'
 top-k, and the (score desc, id asc) total order makes the selection
-unique — so oracle parity is unaffected and the output does not
-depend on partition layout.
+unique — the output does not depend on partition layout.
 """
 
 from __future__ import annotations

@@ -169,14 +169,15 @@ def test_bracketed_revenue_pushes_or_residues(spark):
     assert "p_brand" in part_scan.split("PushedFilters")[1].split("\n")[0], plan
 
 
-def test_similarity_topk_is_two_level(spark):
+def test_similarity_topk_sort_is_bounded(spark):
     """Scale guard: the brute-force rerank must never sort one query's
-    whole candidate set on a single task. The plan must show TWO window
-    stages — the first partitioned by (query_id, _blk) so every sort is
-    bounded by one input split."""
+    whole candidate set on a single task. Catalyst's rank-limit
+    pushdown provides that: a PARTIAL WindowGroupLimit must sit below
+    the exchange so each map task keeps only top-k per query before
+    any shuffle (measured 2.4x faster than a manual two-level rewrite,
+    scripts/bench_topk_stress.py). If this node disappears after a
+    refactor (e.g. the rn filter is obscured from the optimizer), the
+    single-task sort comes back — fail loudly."""
     plan = _plan(spark, "sim_bruteforce_topk")
-    windows = [l for l in plan.splitlines() if "windowspecdefinition(" in l]
-    assert len(windows) == 2, plan
-    assert any("_blk" in l for l in windows), plan
-    # Spark 4 additionally pushes partial group-limits below each window
-    assert "WindowGroupLimit" in plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
