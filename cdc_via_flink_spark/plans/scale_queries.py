@@ -69,6 +69,106 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_recall_sweep",
+    oracle=f"""
+WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM d WHERE vec_id % 40 = 0),
+asg AS (
+  SELECT vec_id, v, cluster_id FROM (
+    SELECT d.vec_id, d.v, c.centroid_id AS cluster_id,
+           row_number() OVER (PARTITION BY d.vec_id
+               ORDER BY {_cos('d.v', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM d CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM asg WHERE vec_id < 5),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_cos('a.v', 'q.qv')} DESC, a.vec_id) AS rn
+    FROM d a CROSS JOIN q WHERE a.vec_id <> q.query_id
+  ) WHERE rn <= 5
+),
+pr AS (
+  SELECT query_id, qv, cluster_id, rn FROM (
+    SELECT q.query_id, q.qv, c.centroid_id AS cluster_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_cos('q.qv', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN c
+  )
+),
+cand AS (
+  SELECT np.np AS nprobe, p.query_id, a.vec_id, {_cos('a.v', 'p.qv')} AS cos
+  FROM (VALUES (1), (2), (4)) np(np)
+  JOIN pr p ON p.rn <= np.np
+  JOIN asg a ON a.cluster_id = p.cluster_id AND a.vec_id <> p.query_id
+),
+ivf AS (
+  SELECT nprobe, query_id, vec_id FROM (
+    SELECT nprobe, query_id, vec_id,
+           row_number() OVER (PARTITION BY nprobe, query_id
+               ORDER BY cos DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn <= 5
+),
+h AS (
+  SELECT i.nprobe, i.query_id, count(*) AS hits
+  FROM ivf i JOIN exact e
+    ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+  GROUP BY i.nprobe, i.query_id
+)
+SELECT CAST(n.np AS BIGINT) AS nprobe, q.query_id,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0, 6) AS recall_at_5
+FROM (VALUES (1), (2), (4)) n(np)
+CROSS JOIN q
+LEFT JOIN h ON h.nprobe = n.np AND h.query_id = q.query_id
+""",
+    tags=("X2", "similarity", "ivf", "recall"),
+)
+def sim_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality sweep: recall@5 of the IVF probe vs the exact
+    brute-force ground truth, per query, at nprobe ∈ {1, 2, 4} — the
+    tuning curve every ANN deployment needs (probe budget vs recall).
+    At production scale the index (centroids + assignment) is built
+    once and shared across the sweep; here each nprobe re-derives it
+    from the same deterministic selection so the whole curve remains
+    SQL-oracle-checkable."""
+    from cdc_via_flink_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(e, qs, k=5).select("query_id", "vec_id")
+    q_ids = qs.select("query_id")
+    parts = []
+    for nprobe in (1, 2, 4):
+        ivf = ivf_topk(e, query_ids_below=5, every_k=40, nprobe=nprobe, k=5).select(
+            "query_id", "vec_id"
+        )
+        hits = (
+            ivf.join(exact, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        parts.append(
+            q_ids.join(hits, "query_id", "left").select(
+                F.lit(nprobe).cast("long").alias("nprobe"),
+                "query_id",
+                F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            )
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res.withColumn(
+        "recall_at_5", F.round(F.col("hits").cast("double") / 5.0, 6)
+    )
+
+
+@query(
     "q_salted_agg",
     oracle="""
 SELECT event_type,

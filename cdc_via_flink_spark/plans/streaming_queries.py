@@ -429,6 +429,82 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_full_outer_join",
+    oracle="""
+SELECT COALESCE(s.user_id, p.user_id) AS user_id,
+       COALESCE(s.event_id, CAST(-1 AS BIGINT)) AS signup_id,
+       COALESCE(p.event_id, CAST(-1 AS BIGINT)) AS purchase_id,
+       CASE WHEN s.event_id IS NULL OR p.event_id IS NULL
+            THEN CAST(-1 AS BIGINT)
+            ELSE epoch_ms(p.ts) - epoch_ms(s.ts) END AS gap_ms
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+""",
+    tags=("J1", "ST1", "streaming", "stream-stream-outer-join"),
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM FULL OUTER interval join on the same sentinel
+    harness as stream_outer_join: BOTH sides' unmatched rows must
+    survive — signups with no purchase in the hour AND purchases with
+    no preceding signup — each flushed when the watermark passes its
+    side's expiry. Equals the batch FULL JOIN after the sentinel
+    flush, so it carries the full SQL oracle."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+
+    def sentinel(days: int, eid: int):
+        far = mx + datetime.timedelta(days=days)
+        return spark.createDataFrame(
+            [(eid, far, -999, "signup"), (eid - 1, far, -999, "purchase")],
+            schema=ev.schema,
+        )
+
+    dest = os.path.join(STAGE_ROOT, f"events_{sf_name}", "events_ssfoj")
+    _stage_ordered_files(spark, [ev, sentinel(10, -1), sentinel(20, -3)], dest)
+
+    def side(kind: str, alias: str):
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(dest)
+            .filter(F.col("event_type") == kind)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+        )
+
+    s, p = side("signup", "s"), side("purchase", "p")
+    joined = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("s_user"), F.col("p_user")).alias("user_id"),
+        F.coalesce(F.col("s_id"), F.lit(-1).cast("long")).alias("signup_id"),
+        F.coalesce(F.col("p_id"), F.lit(-1).cast("long")).alias("purchase_id"),
+        F.when(
+            F.col("s_id").isNull() | F.col("p_id").isNull(),
+            F.lit(-1).cast("long"),
+        )
+        .otherwise(F.unix_millis(F.col("p_ts")) - F.unix_millis(F.col("s_ts")))
+        .alias("gap_ms"),
+    )
+    out = _run_to_memory(joined, "append")
+    return out.filter(F.col("user_id") != -999)
+
+
+@query(
     "stream_reconstruct_count",
     oracle=_RECON_ORACLE + " WHERE g.n_events = en.event_count",
     tags=("ST1", "A2", "streaming", "stateful"),
@@ -505,6 +581,69 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_funnel_stateful",
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(epoch_ms(ts)) AS s_ms
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_ms(e.ts)) AS c_ms
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND epoch_ms(e.ts) >= s.s_ms
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_ms(e.ts)) AS p_ms
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= c.c_ms
+  GROUP BY e.user_id
+)
+SELECT s.user_id,
+       s.s_ms AS first_signup_ms,
+       COALESCE(c.c_ms, CAST(-1 AS BIGINT)) AS first_click_ms,
+       COALESCE(p.p_ms, CAST(-1 AS BIGINT)) AS first_purchase_ms,
+       CAST(CASE WHEN p.p_ms IS NOT NULL THEN 3
+                 WHEN c.c_ms IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+FROM s LEFT JOIN c ON s.user_id = c.user_id
+       LEFT JOIN p ON c.user_id = p.user_id
+""",
+    tags=("ST1", "ST2", "streaming", "stateful", "timer"),
+)
+def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMER-driven stateful funnel (streaming/funnel.py): per-user
+    signup→click→purchase progression emitted when the event-time
+    watermark passes last-activity + TTL — emission by TIME, not by a
+    terminator record (the reference V2's custom-trigger capability,
+    ...WithEventCorrelation.java:74-92, done safely). The sentinel
+    files advance the watermark far past every user's TTL so all
+    timers fire under finite replay; single-batch data arrival makes
+    the result equal the batch funnel SQL, hence the full oracle."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts_ms")
+    mx_ms = ev.agg(F.max("ts_ms").alias("m")).collect()[0]["m"]
+
+    def sentinel(days: int):
+        far = mx_ms + days * 86_400_000
+        return spark.createDataFrame(
+            [(-999, "flush", far)], schema=ev.schema
+        )
+
+    dest = os.path.join(STAGE_ROOT, f"events_{sf_name}", "events_funnel")
+    _stage_ordered_files(spark, [ev, sentinel(10), sentinel(20)], dest)
+
+    sev = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    from cdc_via_flink_spark.streaming.funnel import funnel_stream
+
+    out = _run_to_memory(funnel_stream(sev), "append")
+    return out.filter(F.col("user_id") != -999)
 
 
 @query(

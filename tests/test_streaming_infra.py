@@ -282,3 +282,32 @@ def test_kafka_reader_options_subscribe_vs_pattern():
         kafka_reader_options("b:9092")
     with pytest.raises(ValueError):
         kafka_reader_options("b:9092", subscribe="a", subscribe_pattern="b")
+
+
+def test_funnel_fold_is_arrival_order_insensitive():
+    """The funnel folds the COMPLETE buffer at timeout precisely so
+    out-of-order arrival can't corrupt stage attribution: any
+    permutation of the same events folds identically."""
+    import itertools
+
+    from cdc_via_flink_spark.streaming.funnel import _fold_funnel
+
+    events = [("click", 50), ("signup", 100), ("click", 150), ("purchase", 160),
+              ("purchase", 90)]
+    expected = (100, 150, 160, 3)  # click@50 and purchase@90 precede the funnel
+    for perm in itertools.permutations(events):
+        et, ts = [e for e, _ in perm], [t for _, t in perm]
+        assert _fold_funnel(et, ts) == expected, perm
+
+
+def test_funnel_stage_short_circuits():
+    from cdc_via_flink_spark.streaming.funnel import _fold_funnel
+
+    # signup only
+    assert _fold_funnel(["signup"], [10]) == (10, -1, -1, 1)
+    # signup + click, purchase BEFORE click does not count
+    assert _fold_funnel(
+        ["signup", "click", "purchase"], [10, 20, 15]
+    ) == (10, 20, -1, 2)
+    # no signup at all
+    assert _fold_funnel(["click", "purchase"], [5, 6])[0] is None
