@@ -281,6 +281,62 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_final_corpus",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_LSH_ORACLE})
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, r) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.u
+),
+comp AS (SELECT u AS node, min(r) AS component FROM reach GROUP BY u),
+dropped AS (SELECT node FROM comp WHERE node <> component)
+SELECT d.lang,
+       count(*) AS n_docs,
+       count(*) - count(dr.node) AS n_kept,
+       count(dr.node) AS n_dropped,
+       CAST(sum(CASE WHEN dr.node IS NULL THEN length(d.text) ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.node
+GROUP BY d.lang
+""",
+    tags=("X1", "dedup", "clusters", "iterative", "pipeline"),
+)
+def dedup_final_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: elect one keeper per duplicate
+    cluster (the component minimum), drop the rest, and report the
+    deduplicated corpus per language (docs kept/dropped, surviving
+    chars). This is the materialization step a training-data pipeline
+    runs after pairs→clusters — the anti-join of the corpus against
+    the non-keeper set. Dropped set is tiny relative to the corpus
+    (it's only clustered duplicates), so the anti-join broadcasts."""
+    from cdc_via_flink_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_neardup(d, "text", "doc_id", NUM_HASHES, BANDS, ROWS, JACCARD_T)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    dropped = comp.filter(F.col("node") != F.col("component")).select("node")
+    joined = d.join(
+        F.broadcast(dropped), d.doc_id == dropped.node, "left"
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.count("node")).alias("n_kept"),
+        F.count("node").alias("n_dropped"),
+        F.sum(
+            F.when(F.col("node").isNull(), F.length("text")).otherwise(0)
+        ).alias("kept_chars"),
+    )
+
+
+@query(
     "dedup_fuzzy_pairs",
     oracle="""
 WITH d AS (

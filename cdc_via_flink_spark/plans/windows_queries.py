@@ -420,6 +420,60 @@ def q_ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cohort_retention",
+    oracle="""
+WITH su AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id, s.cohort_wk,
+         datediff('day', CAST(s.cohort_wk AS DATE),
+                  CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS wk_off
+  FROM events e JOIN su s ON e.user_id = s.user_id
+)
+SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week, wk_off,
+       count(*) AS n_active
+FROM act WHERE wk_off >= 0
+GROUP BY 1, 2
+""",
+    tags=("A3", "cohort", "retention"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-signup week,
+    counted as active in each subsequent week — the standard
+    product-analytics shape (cohort × week-offset matrix). Week
+    arithmetic is day-diff // 7 of week-truncated dates in BOTH
+    engines (date_diff('week', ...) counts boundary crossings with
+    engine-specific week anchors — a cross-engine trap)."""
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_wk"))
+    )
+    act = (
+        ev.join(su, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_wk").cast("date"),
+                )
+                / 7
+            ).alias("wk_off"),
+        )
+        .distinct()
+        .filter(F.col("wk_off") >= 0)
+    )
+    return act.groupBy(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"), "wk_off"
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@query(
     "q_signup_purchase_funnel",
     oracle="""
 WITH s AS (
