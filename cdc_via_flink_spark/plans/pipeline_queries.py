@@ -458,3 +458,56 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("bigint").alias("total_words"),
         )
     )
+
+
+@query(
+    "q_domain_mixture_weights",
+    oracle="""
+WITH s AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+         CAST(sum(CAST(sqrt(n_chars) AS DECIMAL(18,6))) AS DOUBLE) AS tot_w
+  FROM s
+)
+SELECT s.source, s.n_docs, s.n_chars,
+       round(CAST(s.n_chars AS DOUBLE) / t.tot_chars, 6) + 0.0 AS char_share,
+       round(sqrt(s.n_chars) / t.tot_w, 6) + 0.0 AS mix_weight
+FROM s, t
+""",
+    tags=("pipeline", "sampling", "mixture"),
+)
+def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture (the standard pre-training
+    source-balancing op): each source's sampling weight is its char
+    share raised to alpha=0.5, renormalized — upweights small domains,
+    damps giant ones. With alpha=0.5 the total cancels algebraically
+    (sqrt(share_i)/sum sqrt(share_j) = sqrt(chars_i)/sum sqrt(chars_j))
+    so the weight needs only per-source char counts. Two tiny stages:
+    per-source aggregate, then a 1-row total broadcast-cross-joined
+    back. The weight denominator sums DECIMAL-cast sqrt values (parity
+    policy: association-order independent at any cluster size)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    t = s.agg(
+        F.sum("n_chars").cast("bigint").alias("tot_chars"),
+        F.sum(F.sqrt(F.col("n_chars")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("tot_w"),
+    )
+    return s.join(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        (
+            F.round(F.col("n_chars").cast("double") / F.col("tot_chars"), 6) + 0.0
+        ).alias("char_share"),
+        (
+            F.round(F.sqrt(F.col("n_chars")) / F.col("tot_w"), 6) + 0.0
+        ).alias("mix_weight"),
+    )

@@ -569,3 +569,195 @@ def q_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
     )
     return j.filter(br).agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# Correlated argmin over a derived per-group aggregate (TPC-H Q2 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_cheapest_supplier_per_part",
+    oracle=f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, {sql_davg('l_extendedprice')} AS avg_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+m AS (SELECT l_partkey, min(avg_price) AS min_price FROM ps GROUP BY l_partkey)
+SELECT p.p_partkey, p.p_name, s.s_name, ps.avg_price AS best_price
+FROM ps
+JOIN m ON ps.l_partkey = m.l_partkey AND ps.avg_price = m.min_price
+JOIN part p ON p.p_partkey = ps.l_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+WHERE p.p_size >= 48
+""",
+    tags=("J3", "A3", "subquery", "q2", "argmin"),
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape on this schema (no partsupp table): for each
+    large part, the supplier(s) whose average sell price for that part
+    is the part's minimum. The correlated min subquery is decorrelated
+    into a per-(part,supplier) aggregate, a per-part min of THAT, and
+    an equality join back — argmin via join, the plan Catalyst's
+    decorrelator would emit. Equality on the aggregate is safe because
+    avg_price is the exact decimal-sum average (parity policy), so
+    both engines and any partitioning produce bit-identical values.
+    At 100 TB the ps aggregate is |part x supplier-overlap| rows —
+    orders of magnitude below lineitem — and m broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 48)
+    s = _t(spark, sf_dir, "supplier")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(davg(F.col("l_extendedprice")).alias("avg_price"))
+    m = ps.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("avg_price").alias("min_price")
+    )
+    best = ps.join(
+        m,
+        (ps.ps_partkey == m.m_partkey) & (ps.avg_price == m.min_price),
+    )
+    return (
+        best.join(F.broadcast(p), best.ps_partkey == p.p_partkey)
+        .join(s, best.ps_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("avg_price").alias("best_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# EXISTS with a correlated theta predicate (TPC-H Q4 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_late_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+    tags=("J3", "subquery", "q4", "exists"),
+)
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one lineitem shipped more
+    than 60 days after the order date, counted per priority. EXISTS
+    with a correlated THETA predicate (l_shipdate > o_orderdate + 60d)
+    maps to a LEFT SEMI join whose condition mixes the equi key with
+    the inequality — the equi part still drives hash partitioning, so
+    this shuffles on orderkey like any equi join; the theta residue is
+    evaluated post-match. Semi join also dedups matches for free (no
+    DISTINCT pass over multi-lineitem orders)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional-share ratio per group (TPC-H Q8 market-share shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_market_share",
+    oracle=f"""
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       round(
+         CAST(sum(CASE WHEN n.n_name = 'NATION_3'
+                       THEN {SQL_REVENUE} ELSE CAST(0 AS DECIMAL(18,4)) END)
+              AS DOUBLE)
+         / CAST(sum({SQL_REVENUE}) AS DOUBLE), 6) + 0.0 AS mkt_share
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_type = 'PROMO'
+GROUP BY 1
+""",
+    tags=("J3", "A3", "q8", "ratio"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of PROMO-part revenue per order
+    year. One fact-fact join (lineitem-orders) plus three broadcast
+    dims; the share is a conditional decimal sum over the same rows as
+    the total, so it's one aggregate pass, no self-join. Both sums are
+    exact decimals; the single final divide is the only float op."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    rev = revenue_col().cast("decimal(18,4)")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.when(F.col("n_name") == "NATION_3", rev).otherwise(
+                            F.lit(0).cast("decimal(18,4)")
+                        )
+                    ).cast("double")
+                    / F.sum(rev).cast("double"),
+                    6,
+                )
+                + 0.0
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar-max subquery over a derived aggregate (TPC-H Q15 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_top_revenue_suppliers",
+    oracle=f"""
+WITH r AS (
+  SELECT l_suppkey, {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM r)
+""",
+    tags=("J3", "A3", "subquery", "q15", "scalar-max"),
+)
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+    The uncorrelated scalar MAX subquery becomes a 1-row aggregate
+    cross-joined (broadcast) into the per-supplier revenue frame —
+    no window, no second scan of lineitem (the CTE is computed once
+    and reused for both the ranking and the max). Revenue equality is
+    exact decimal, so '= max' cannot drop ties to an ulp."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    r = li.groupBy("l_suppkey").agg(F.sum(rev).cast("double").alias("total_rev"))
+    mx = r.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        r.join(F.broadcast(mx), r.total_rev == mx.max_rev)
+        .join(F.broadcast(s), r.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )

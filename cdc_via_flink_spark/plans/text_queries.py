@@ -358,3 +358,84 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.doc_id, s.sent_idx, s.n_chars "
         "FROM _docs_udtf d, LATERAL split_sentences(d.doc_id, d.text) s"
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, unnest(string_split({SQL_NORM}, ' ')) AS word
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, lang, word, count(*) AS cnt
+  FROM w GROUP BY doc_id, lang, word
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(sum(cnt) AS BIGINT) AS n_words,
+         count(*) AS n_distinct,
+         CAST(max(cnt) AS BIGINT) AS top_cnt
+  FROM wc GROUP BY doc_id, lang
+),
+scored AS (
+  SELECT lang,
+         round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_ratio,
+         round(CAST(top_cnt AS DOUBLE) / n_words, 6) AS top_frac
+  FROM per_doc
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN dup_ratio > 0.6 OR top_frac > 0.2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(CAST(sum(CAST(dup_ratio AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+            AS DOUBLE) AS avg_dup_ratio
+FROM scored GROUP BY lang
+""",
+    tags=("X3", "quality", "repetition"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per document, the duplicate-word
+    ratio (1 - distinct/total) and the most-frequent-word fraction;
+    documents breaching either threshold are flagged as low-quality
+    boilerplate. Per-language rollup of flag counts + mean dup ratio.
+
+    Spark-first shape is the scalable wordcount: explode -> two-level
+    aggregate (doc,word) then (doc), both map-side combinable, instead
+    of any per-row Python. The mean of ratios sums DECIMAL(18,6)-cast
+    values so the rollup is association-order independent (parity
+    policy), and the per-doc ratios themselves are integer-derived —
+    deterministic in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    wc = w.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = wc.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    scored = per_doc.select(
+        "lang",
+        F.round(
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_words"), 6
+        ).alias("dup_ratio"),
+        F.round(F.col("top_cnt").cast("double") / F.col("n_words"), 6).alias(
+            "top_frac"
+        ),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when((F.col("dup_ratio") > 0.6) | (F.col("top_frac") > 0.2), 1)
+            .otherwise(0)
+            .cast("long")
+        ).alias("n_flagged"),
+        (
+            F.sum(F.col("dup_ratio").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("double")
+        .alias("avg_dup_ratio"),
+    )
