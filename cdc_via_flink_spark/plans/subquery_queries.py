@@ -594,14 +594,19 @@ WHERE p.p_size >= 48
 def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape on this schema (no partsupp table): for each
     large part, the supplier(s) whose average sell price for that part
-    is the part's minimum. The correlated min subquery is decorrelated
-    into a per-(part,supplier) aggregate, a per-part min of THAT, and
-    an equality join back — argmin via join, the plan Catalyst's
-    decorrelator would emit. Equality on the aggregate is safe because
-    avg_price is the exact decimal-sum average (parity policy), so
-    both engines and any partitioning produce bit-identical values.
-    At 100 TB the ps aggregate is |part x supplier-overlap| rows —
-    orders of magnitude below lineitem — and m broadcasts."""
+    is the part's minimum. The correlated min subquery becomes a
+    per-(part,supplier) aggregate with a min-over-partkey WINDOW on
+    the aggregated frame — NOT a join back against a second aggregate,
+    which would rescan and reshuffle lineitem (the naive decorrelation
+    plans lineitem twice; verified via explain before this rewrite).
+    One lineitem scan, one shuffle on (partkey,suppkey), and the
+    window's partkey partitioning is a prefix of the aggregate's, so
+    group sizes are bounded by suppliers-per-part. Equality on the
+    aggregate is safe because avg_price is the exact decimal-sum
+    average (parity policy): bit-identical in both engines and under
+    any partitioning."""
+    from pyspark.sql import Window as W
+
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 48)
     s = _t(spark, sf_dir, "supplier")
@@ -609,13 +614,9 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(davg(F.col("l_extendedprice")).alias("avg_price"))
-    m = ps.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
-        F.min("avg_price").alias("min_price")
-    )
-    best = ps.join(
-        m,
-        (ps.ps_partkey == m.m_partkey) & (ps.avg_price == m.min_price),
-    )
+    best = ps.withColumn(
+        "min_price", F.min("avg_price").over(W.partitionBy("ps_partkey"))
+    ).filter(F.col("avg_price") == F.col("min_price"))
     return (
         best.join(F.broadcast(p), best.ps_partkey == p.p_partkey)
         .join(s, best.ps_suppkey == s.s_suppkey)
@@ -744,20 +745,26 @@ WHERE r.total_rev = (SELECT max(total_rev) FROM r)
 )
 def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
-    The uncorrelated scalar MAX subquery becomes a 1-row aggregate
-    cross-joined (broadcast) into the per-supplier revenue frame —
-    no window, no second scan of lineitem (the CTE is computed once
-    and reused for both the ranking and the max). Revenue equality is
-    exact decimal, so '= max' cannot drop ties to an ulp."""
+    The uncorrelated scalar MAX is a global window over the
+    PER-SUPPLIER aggregate,
+    not a broadcast-joined second aggregate: the join form recomputes
+    the whole lineitem scan+shuffle for the max branch (no exchange
+    reuse; verified via explain before this rewrite), while the window
+    runs on a frame already reduced to |supplier| rows — dimension
+    scale, so the single-partition global window is bounded by the
+    supplier count, not the corpus. Revenue equality is exact decimal,
+    so '= max' cannot drop ties to an ulp."""
+    from pyspark.sql import Window as W
+
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     s = _t(spark, sf_dir, "supplier")
     rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     r = li.groupBy("l_suppkey").agg(F.sum(rev).cast("double").alias("total_rev"))
-    mx = r.agg(F.max("total_rev").alias("max_rev"))
-    return (
-        r.join(F.broadcast(mx), r.total_rev == mx.max_rev)
-        .join(F.broadcast(s), r.l_suppkey == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_rev")
+    best = r.withColumn(
+        "max_rev", F.max("total_rev").over(W.partitionBy())
+    ).filter(F.col("total_rev") == F.col("max_rev"))
+    return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_rev"
     )

@@ -181,3 +181,23 @@ def test_similarity_topk_sort_is_bounded(spark):
     plan = _plan(spark, "sim_bruteforce_topk")
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan, plan
+
+
+def test_argmin_and_scalar_max_single_fact_scan(spark):
+    """Q2/Q15 shapes: the min/max over a derived aggregate must come
+    from a WINDOW on the aggregated frame, not a joined-back second
+    aggregate — the join form plans the lineitem scan + shuffle twice
+    (no exchange reuse)."""
+    for name in ("q_cheapest_supplier_per_part", "q_top_revenue_suppliers"):
+        plan = _plan(spark, name)
+        assert plan.count("lineitem.parquet") == 1, f"{name}: fact scanned twice"
+        assert "Window" in plan, name
+
+
+def test_late_order_priority_is_semi_join(spark):
+    """Q4 shape: EXISTS must stay a semi join (dedups for free), with
+    the theta residue as a join condition, not a post-join filter +
+    distinct."""
+    plan = _plan(spark, "q_late_order_priority")
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
