@@ -17,9 +17,10 @@ import os
 
 from pyspark.sql import SparkSession
 
-# events.parquet stores INT64 TIMESTAMP(NANOS) which Spark's vectorized
-# parquet reader refuses by default; read as long and convert explicitly
-# (sources.tables.load_events).
+# events.parquet has shipped as both INT64 TIMESTAMP(NANOS) and plain
+# TIMESTAMP micros across testdata generations. The NANOS encoding is
+# refused by Spark's vectorized parquet reader unless read as a raw
+# long; sources.tables.load_table branches on what the file carries.
 _NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
 

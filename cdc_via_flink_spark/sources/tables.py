@@ -7,14 +7,19 @@ projections on these frames push down to the scan (Catalyst), which is
 the 100 TB story: a query touching 2 columns of lineitem reads 2
 columns.
 
-``events.ts`` is INT64 TIMESTAMP(NANOS) in the files; Spark reads it
-as a nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``) and we
-derive:
+``events.ts`` has shipped in two physical encodings across driver
+rounds: INT64 TIMESTAMP(NANOS) (round 1) and plain TIMESTAMP micros
+(round 2+). The loader detects which one the file carries and derives
+the same logical columns either way:
 
-- ``ts``      TIMESTAMP_NTZ truncated to microseconds (DuckDB parity:
+- ``ts``      TIMESTAMP_NTZ at microsecond precision (DuckDB parity:
               its TIMESTAMP_NS -> python datetime also truncates to µs)
 - ``ts_ms``   epoch milliseconds BIGINT (== DuckDB ``epoch_ms(ts)``)
-- ``ts_ns``   the raw nanosecond long
+- ``ts_ns``   epoch nanoseconds BIGINT (raw long for NANOS files,
+              µs × 1000 for micros files)
+
+For the NANOS encoding Spark needs ``spark.sql.legacy.parquet
+.nanosAsLong`` to read the column at all (as a raw long).
 """
 
 from __future__ import annotations
@@ -73,16 +78,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
-        # integer `div`, NOT float division: a double quotient of an
-        # ~1.7e18 nanos value can round up across the next millisecond.
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts_ms", F.expr("ts_ns div 1000000"))
-            .withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz"),
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as a raw long via nanosAsLong.
+            # Integer `div`, NOT float division: a double quotient of an
+            # ~1.7e18 nanos value can round up across the next millisecond.
+            df = (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts_ms", F.expr("ts_ns div 1000000"))
+                .withColumn(
+                    "ts",
+                    F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz"),
+                )
             )
-        )
+        else:
+            # TIMESTAMP micros (NTZ or LTZ). Session tz is pinned UTC
+            # (session.py) so the ntz->ltz cast is instant-preserving
+            # and unix_micros gives the epoch the file stores.
+            micros = F.unix_micros(F.col("ts").cast("timestamp"))
+            df = (
+                df.withColumn("ts_ns", micros * F.lit(1000))
+                .withColumn("ts_ms", F.expr("ts_ns div 1000000"))
+                .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            )
     return df
 
 
