@@ -20,6 +20,7 @@ from cdc_via_flink_spark.plans.parity import (
     SQL_REVENUE,
     davg,
     dec,
+    dsum,
     revenue_col,
     sql_davg,
     sql_dsum,
@@ -767,4 +768,308 @@ def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("total_rev") == F.col("max_rev"))
     return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
         "s_suppkey", "s_name", "total_rev"
+    )
+
+
+# --------------------------------------------------------------------------
+# Pure scan-filter-aggregate (TPC-H Q6 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_forecast_revenue_change",
+    oracle=f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS promo_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("A3", "P3", "q6", "scan-agg"),
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue foregone if discounts in a band were
+    dropped. The simplest possible 100 TB plan — every predicate
+    (shipdate range, discount band, quantity cap) pushes to the
+    parquet scan, only 4 columns are read, and the aggregate is a
+    map-side partial sum into a single scalar. No shuffle beyond the
+    final 1-row exchange; this query is bandwidth-bound by design."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("promo_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-dim profit rollup (TPC-H Q9 shape, no partsupp in fixtures)
+# --------------------------------------------------------------------------
+@query(
+    "q_product_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+                - CAST(0.6 AS DECIMAL(2,1))
+                  * CAST(p.p_retailprice AS DECIMAL(12,2))
+                  * CAST(l.l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+    tags=("J3", "A3", "q9", "profit"),
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted to the fixture schema: profit per
+    supplier-nation per order year for parts matching a name pattern.
+    The fixtures carry no partsupp/ps_supplycost, so cost is modeled
+    as 60% of p_retailprice x quantity (reference semantics: revenue
+    minus per-unit cost, TPC-H 2.4.9). One fact-fact join
+    (lineitem-orders) shuffles on orderkey; supplier, nation and the
+    name-filtered part side are broadcast — the LIKE filter prunes
+    part BEFORE the broadcast, so the hashed relation stays small at
+    any SF. Profit is an exact decimal expression folded into one
+    aggregate pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    # Tight precisions: every fixture input is exact at 2dp (quantity
+    # integral), and the widest product stays under the 38-digit cap in
+    # BOTH engines — DECIMAL(18,*) factors would push the triple product
+    # past 38, where DuckDB silently demotes to DOUBLE and parity dies.
+    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.lit(0.6).cast("decimal(2,1)") * F.col("p_retailprice").cast(
+        "decimal(12,2)"
+    ) * F.col("l_quantity").cast("decimal(4,0)")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(F.sum(profit).cast("double").alias("profit"))
+
+
+# --------------------------------------------------------------------------
+# Top-N customers by returned revenue (TPC-H Q10 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_returned_item_revenue",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    tags=("J3", "A3", "A6", "q10", "topn"),
+)
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    in a quarter. Both fact filters (order-date window, returnflag='R')
+    push to their scans before the orderkey join; customer joins on
+    custkey after the facts are reduced, and nation is broadcast. The
+    final LIMIT 20 runs on the aggregated (per-customer) frame —
+    TakeOrderedAndProject, a per-partition top-20 then a 20-row merge,
+    never a global sort. Tie-break on c_custkey makes the cut
+    deterministic across engines (revenue is exact decimal, so ties
+    are real ties, not fp noise)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Latency-bucketed priority counts (TPC-H Q12 shape, no l_shipmode)
+# --------------------------------------------------------------------------
+@query(
+    "q_ship_latency_priority",
+    oracle="""
+SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'FAST'
+            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'MEDIUM'
+            ELSE 'SLOW' END AS ship_bucket,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+    tags=("J3", "A3", "q12", "conditional-agg"),
+)
+def q_ship_latency_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted: the fixtures carry no l_shipmode /
+    commit / receipt dates, so lines are bucketed by order-to-ship
+    latency instead of ship mode, counting urgent-or-high versus
+    other order priorities per bucket (same conditional-sum shape as
+    the original). One orderkey equi join between the date-filtered
+    lineitem scan and orders, then a 3-group aggregate — the CASE
+    sums are map-side partials, so the shuffle carries 3 rows per
+    task. Spark datediff and DuckDB date_diff('day') both count day
+    boundaries; fixture timestamps are all midnight, so the buckets
+    agree exactly."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "ship_bucket",
+            F.when(lag <= 30, "FAST").when(lag <= 90, "MEDIUM").otherwise("SLOW"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct-supplier counts per part attribute (TPC-H Q16 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q_parts_supplier_counts",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 9, 19, 23, 36, 45, 49, 50)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+    tags=("J3", "A3", "q16", "count-distinct", "anti-join"),
+)
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each
+    (brand, type, size) combination, excluding one brand, one type
+    family, and a supplier blocklist. The fixtures have no partsupp
+    table, so the part-supplier association is the distinct
+    (partkey, suppkey) pairs observed in lineitem — same relationship,
+    derived from the fact table. The NOT IN blocklist (negative
+    account balance standing in for Q16's complaint filter) is a
+    broadcast anti join: supplier is dimension-sized at every SF.
+    count(DISTINCT) over the pair-deduped frame shuffles once on the
+    group key; the part filters prune the broadcast side first."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 9, 19, 23, 36, 45, 49, 50))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Dominant-share suppliers (TPC-H Q20 shape, no ps_availqty)
+# --------------------------------------------------------------------------
+@query(
+    "q_dominant_part_suppliers",
+    oracle="""
+WITH sup AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS sup_qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%blue%'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey, l_suppkey, sup_qty,
+         sum(sup_qty) OVER (PARTITION BY l_partkey) AS part_qty
+  FROM sup
+)
+SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+FROM tot
+JOIN supplier s ON s.s_suppkey = tot.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE 2 * tot.sup_qty > tot.part_qty
+ORDER BY s.s_suppkey
+""",
+    tags=("J3", "A3", "subquery", "q20", "window-share"),
+)
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted: suppliers who shipped more than half of
+    a blue part's yearly volume (the fixtures carry no ps_availqty, so
+    'excess availability' becomes 'dominant shipped share' — the same
+    correlated half-of-total comparison). The correlated subquery is
+    decorrelated into a window sum over the per-(part, supplier)
+    aggregate: lineitem is scanned and shuffled ONCE on
+    (partkey, suppkey). The window's partkey-only exchange then moves
+    the AGGREGATED frame (one row per observed part-supplier pair),
+    not the fact table — bounded by the association count, which is
+    the Q20 working set at any SF. Quantity
+    sums stay decimal so the 2x-vs-total comparison is exact in both
+    engines; DISTINCT collapses multi-part dominance to one row per
+    supplier before the broadcast dim joins."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sup = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec(F.col("l_quantity"))).alias("sup_qty"))
+    )
+    tot = sup.withColumn("part_qty", F.sum("sup_qty").over(W.partitionBy("l_partkey")))
+    dominant = tot.filter(2 * F.col("sup_qty") > F.col("part_qty"))
+    return (
+        dominant.join(F.broadcast(s), dominant.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
     )

@@ -92,7 +92,13 @@ def norm(v):
     return v
 
 
-def main(sf: str = "/root/testdata/sf0.01", out_path: str = "/tmp/verify.txt") -> int:
+def main(
+    sf: str = "/root/testdata/sf0.01",
+    out_path: str = "/tmp/verify.txt",
+    only: str = "",
+) -> int:
+    """`only` is an optional comma-separated query-name filter for
+    fast iteration on a few queries; the skill runs the full set."""
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
@@ -101,8 +107,12 @@ def main(sf: str = "/root/testdata/sf0.01", out_path: str = "/tmp/verify.txt") -
     )
     spark.sparkContext.setLogLevel("ERROR")
     res = open(out_path, "w")
-    res.write(f"SMOKE rows: {len(E.entry(spark).collect())}\n")
+    if not only:
+        res.write(f"SMOKE rows: {len(E.entry(spark).collect())}\n")
     qs, oracles = E.queries(), E.oracle_sql()
+    if only:
+        keep = set(only.split(","))
+        qs = {k: v for k, v in qs.items() if k in keep}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
