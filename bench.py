@@ -49,9 +49,11 @@ def main() -> None:
         sf = -1.0
 
     # min over N runs per query: single runs are hostage to GC/JIT
-    # spikes (±2 s observed); the minimum is the steady-state number a
-    # long-lived cluster job sees.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # spikes and host-level scheduling stalls (round-2 host showed
+    # 3-5x per-query spread run-to-run with zero steal and a healthy
+    # warm-JVM control — see BASELINE.md round-2 note); the minimum is
+    # the steady-state number a long-lived cluster job sees.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     times: dict[str, float] = {}
     for name, spec in sorted(bench_specs.items()):
         best = float("inf")
