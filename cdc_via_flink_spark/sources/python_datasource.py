@@ -1,0 +1,239 @@
+"""Custom Python DataSource: Kafka-twin Debezium replay (SURVEY S1/S2/S6).
+
+The reference's entry point is a Kafka consumer over one-or-many
+Debezium topics (reference: DebeziumTransactionReconstructor.java:52-65
+— `setTopics(...)` vs `setTopicPattern(Pattern.compile(...))`). The
+Kafka connector jar is absent in this container, so the Kafka reader
+itself (`streaming/sources.kafka_debezium_stream`) can never execute
+here. This module closes that evidence gap with a REAL, runnable
+source: a PySpark 4 `DataSource` (public API, SPARK-44076) that serves
+newline-delimited Debezium envelopes from per-topic replay files with
+the SAME surface semantics as the Kafka source:
+
+- output schema mirrors Spark's Kafka source rows: (topic STRING,
+  partition INT, offset LONG, value STRING, timestamp TIMESTAMP) —
+  value kept as STRING (the reference consumes UTF-8
+  SimpleStringSchema, not bytes);
+- `subscribe` (comma-separated exact topics) XOR `subscribePattern`
+  (regex) — the S2 row's semantics, executable at last;
+- `startingOffsets` earliest|latest;
+- streaming offsets are a `{topic: next_line}` dict; `read` between
+  two offsets is deterministic replay, so checkpoint recovery
+  re-produces identical micro-batches (S6);
+- batch AND streaming readers share the topic/offset logic; reads run
+  on executors with one `InputPartition` per topic slice, so a
+  many-topic replay scales out instead of bottlenecking the driver
+  (`SimpleDataSourceStreamReader` would funnel every record through
+  the driver — deliberately avoided).
+
+Topic layout: `<root>/<topic>.jsonl`, one envelope per line. Line
+number == Kafka offset; `partition` is constantly 0, matching the
+reference's single-partition-topic ordering assumption (readme.md:1).
+
+At 100 TB scale the real deployment reads Kafka through the JVM
+connector; this source is the hermetic twin for tests, local replay,
+and CI — same plan surface downstream (the reconstruction pipeline
+consumes (seq, value) regardless of which source produced it).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+KAFKA_TWIN_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("value", StringType()),
+        StructField("timestamp", TimestampType()),
+    ]
+)
+
+_EPOCH = datetime(2020, 1, 1, tzinfo=timezone.utc)
+
+
+def _topic_files(root: str) -> dict[str, str]:
+    if not os.path.isdir(root):
+        raise FileNotFoundError(f"debezium_replay path does not exist: {root}")
+    return {
+        f[: -len(".jsonl")]: os.path.join(root, f)
+        for f in sorted(os.listdir(root))
+        if f.endswith(".jsonl")
+    }
+
+
+def _select_topics(options: dict) -> dict[str, str]:
+    """Resolve subscribe/subscribePattern against the topic files.
+
+    Mirrors the Kafka option contract: exactly one of the two.
+    """
+    root = options.get("path")
+    if not root:
+        raise ValueError("debezium_replay requires a 'path' option")
+    subscribe = options.get("subscribe")
+    pattern = options.get("subscribepattern") or options.get("subscribePattern")
+    if bool(subscribe) == bool(pattern):
+        raise ValueError("need exactly one of subscribe or subscribePattern")
+    topics = _topic_files(root)
+    if subscribe:
+        wanted = [t.strip() for t in subscribe.split(",") if t.strip()]
+        missing = [t for t in wanted if t not in topics]
+        if missing:
+            raise ValueError(f"unknown topic(s) {missing}; have {sorted(topics)}")
+        return {t: topics[t] for t in wanted}
+    rx = re.compile(pattern)
+    chosen = {t: p for t, p in topics.items() if rx.fullmatch(t)}
+    if not chosen:
+        raise ValueError(f"subscribePattern {pattern!r} matched no topic in {sorted(topics)}")
+    return chosen
+
+
+def _line_count(path: str) -> int:
+    n = 0
+    with open(path, "rb") as fh:
+        for _ in fh:
+            n += 1
+    return n
+
+
+def _read_slice(topic: str, path: str, start: int, end: int):
+    """Yield Kafka-twin rows for lines [start, end) of one topic file.
+
+    Deterministic for a fixed (path, start, end) — the property that
+    makes offset-range replay (checkpoint recovery) exact.
+    """
+    with open(path, "r", encoding="utf-8") as fh:
+        for i, line in enumerate(fh):
+            if i >= end:
+                break
+            if i >= start:
+                ts = datetime.fromtimestamp(_EPOCH.timestamp() + i, tz=timezone.utc)
+                yield (topic, 0, i, line.rstrip("\n"), ts)
+
+
+class _TopicSlice(InputPartition):
+    def __init__(self, topic: str, path: str, start: int, end: int):
+        self.topic = topic
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+class _ReplayBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._topics = _select_topics(options)
+        self._rows_per_slice = int(options.get("rowsperslice", options.get("rowsPerSlice", 50_000)))
+
+    def partitions(self):
+        out = []
+        for t, p in self._topics.items():
+            total = _line_count(p)
+            step = max(1, self._rows_per_slice)
+            for s in range(0, max(total, 1), step):
+                out.append(_TopicSlice(t, p, s, min(s + step, total)))
+        return out
+
+    def read(self, partition: _TopicSlice):
+        yield from _read_slice(partition.topic, partition.path, partition.start, partition.end)
+
+
+class _ReplayStreamReader(DataSourceStreamReader):
+    """Micro-batch reader: offset = {topic: next_line_to_read}."""
+
+    def __init__(self, options: dict):
+        self._topics = _select_topics(options)
+        self._starting = (options.get("startingoffsets") or options.get("startingOffsets") or "earliest").lower()
+        self._max_per_batch = int(
+            options.get("maxrecordsperbatch", options.get("maxRecordsPerBatch", 10_000))
+        )
+        self._cursor: dict | None = None
+
+    def initialOffset(self) -> dict:
+        if self._starting == "latest":
+            first = {t: _line_count(p) for t, p in self._topics.items()}
+        elif self._starting == "earliest":
+            first = {t: 0 for t in self._topics}
+        else:
+            raise ValueError(f"startingOffsets must be earliest|latest, got {self._starting}")
+        self._cursor = dict(first)
+        return first
+
+    def latestOffset(self) -> dict:
+        # Admission control lives HERE, not in partitions(): whatever
+        # this returns is checkpointed as consumed, so clamping later
+        # would silently skip records. Advance the planning cursor at
+        # most max_per_batch lines per topic per micro-batch (the
+        # Kafka maxOffsetsPerTrigger analog). After a checkpoint
+        # restart the cursor is unset (initialOffset not called) — the
+        # first batch then takes everything available, which is safe:
+        # replay is deterministic and bounded by the file length.
+        counts = {t: _line_count(p) for t, p in self._topics.items()}
+        cur = getattr(self, "_cursor", None)
+        if cur is None:
+            self._cursor = dict(counts)
+            return counts
+        out = {t: min(counts[t], cur.get(t, 0) + self._max_per_batch) for t in self._topics}
+        self._cursor = dict(out)
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for t, p in self._topics.items():
+            s, e = int(start.get(t, 0)), int(end.get(t, 0))
+            if e > s:
+                parts.append(_TopicSlice(t, p, s, e))
+        if not parts:
+            # Spark requires >=1 partition per planned batch; emit an
+            # empty slice of the first topic.
+            t, p = next(iter(self._topics.items()))
+            parts.append(_TopicSlice(t, p, 0, 0))
+        return parts
+
+    def read(self, partition: _TopicSlice):
+        yield from _read_slice(partition.topic, partition.path, partition.start, partition.end)
+
+    def commit(self, end: dict) -> None:
+        pass  # file replay holds no server-side state to release
+
+
+class DebeziumReplayDataSource(DataSource):
+    """`spark.read.format("debezium_replay")` / `spark.readStream...`.
+
+    Register once per session:
+        spark.dataSource.register(DebeziumReplayDataSource)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "debezium_replay"
+
+    def schema(self):
+        return KAFKA_TWIN_SCHEMA
+
+    def reader(self, schema):
+        return _ReplayBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return _ReplayStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(DebeziumReplayDataSource)
