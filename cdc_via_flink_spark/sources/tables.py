@@ -25,6 +25,7 @@ For the NANOS encoding Spark needs ``spark.sql.legacy.parquet
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -63,17 +64,40 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     shuffle. At 100 TB inputs have thousands of row groups and this is
     a no-op — the guard makes the repartition a small-input-only cost,
     never an extra full-table shuffle at scale.
+
+    The probe itself (`df.rdd.getNumPartitions()`) costs ~170 ms of
+    driver time per call (a full Python-RDD conversion), so the result
+    is cached on the DataFrame — load_table returns memoized frames,
+    making repeat calls free.
     """
     if n is None:
         from cdc_via_flink_spark.session import default_parallelism
 
         n = default_parallelism()
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
+    cached = getattr(df, "_min_parts_cache", None)
+    if cached is not None and cached[0] == n:
+        return cached[1]
+    out = df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    try:
+        df._min_parts_cache = (n, out)
+    except Exception:
+        pass  # frozen/slotted frames: skip caching, stay correct
+    return out
+
+
+# Per-session memo of loaded tables: spark.read.parquet costs ~160 ms
+# of driver-side footer/analysis work per call, and the fixture tables
+# are immutable for a session's lifetime. WeakKey so a collected
+# session drops its frames.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    per_session = _TABLE_MEMO.setdefault(spark, {})
+    key = (os.path.realpath(sf_dir), name)
+    hit = per_session.get(key)
+    if hit is not None:
+        return hit
     _ensure_nanos_conf(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -101,6 +125,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 .withColumn("ts_ms", F.expr("ts_ns div 1000000"))
                 .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
             )
+    per_session[key] = df
     return df
 
 
