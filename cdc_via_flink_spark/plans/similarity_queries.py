@@ -141,26 +141,15 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
     tags=("X1", "X2", "neardup"),
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4). Brute-force
-    pair scan here (fixture is small); the LSH bucket join above is the
-    scale path for the same predicate."""
-    from cdc_via_flink_spark.functions.vectors import cosine, to_double
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4) via
+    multi-table SRP-LSH banding + exact-cosine verify — every join an
+    equi-join, no all-pairs theta self-join anywhere in the plan (the
+    oracle keeps the brute-force formulation; (bits=3, tables=64) has
+    measured recall 1.0 on every fixture, see neardup_lsh_pairs)."""
+    from cdc_via_flink_spark.operators.similarity import neardup_lsh_pairs
 
-    from cdc_via_flink_spark.sources.tables import ensure_min_partitions
-
-    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    d = e.select("vec_id", to_double(F.col("embedding")).alias("v"))
-    a = d.withColumnsRenamed({"vec_id": "id_a", "v": "va"})
-    b = d.withColumnsRenamed({"vec_id": "id_b", "v": "vb"})
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= 0.4)
-    )
+    e = load_table(spark, sf_dir, "embeddings")
+    return neardup_lsh_pairs(e, threshold=0.4)
 
 
 SQL_QUANT = (

@@ -1,8 +1,13 @@
 """Custom Python DataSource: Kafka-twin Debezium replay (SURVEY S1/S2/S6).
 
 The reference's entry point is a Kafka consumer over one-or-many
-Debezium topics (reference: DebeziumTransactionReconstructor.java:52-65
-— `setTopics(...)` vs `setTopicPattern(Pattern.compile(...))`). The
+Debezium topics (reference: `FlinkKafkaConsumer(String topic, ...)`
+constructors at DebeziumTransactionReconstructor.java:53,65 and
+...WithEventCorrelation.java:56 — the latter's "mysql-server.db_1.*"
+string is a literal topic NAME in that overload, not a pattern; the
+pattern-subscribe surface here comes from the Kafka consumer API's
+`Pattern` overload, which the reference's topic naming implies but
+never calls). The
 Kafka connector jar is absent in this container, so the Kafka reader
 itself (`streaming/sources.kafka_debezium_stream`) can never execute
 here. This module closes that evidence gap with a REAL, runnable

@@ -112,6 +112,11 @@ def main(
     qs, oracles = E.queries(), E.oracle_sql()
     if only:
         keep = set(only.split(","))
+        unknown = keep - set(qs)
+        if unknown:
+            # a misspelled name must not yield a silent empty run
+            print(f"UNKNOWN QUERY NAMES in only=: {sorted(unknown)}")
+            return 2
         qs = {k: v for k, v in qs.items() if k in keep}
     con = duckdb.connect()
     for t in TABLES:

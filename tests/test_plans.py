@@ -183,6 +183,51 @@ def test_similarity_topk_sort_is_bounded(spark):
     assert "Partial" in plan, plan
 
 
+def test_no_allpairs_in_similarity_or_dedup_plans(spark):
+    """100x-scale guard over the WHOLE similarity/dedup surface: no
+    declared sim_*/dedup_* query may plan a non-broadcast cartesian
+    (all-pairs) product. Broadcast nested-loop against a tiny
+    broadcast side (query vectors, block heads) is allowed — a
+    CartesianProduct node is not. sim_embedding_neardup additionally
+    must be pure equi-join (LSH bucket candidates), not even a BNLJ."""
+    for name in SPECS:
+        if not (name.startswith("sim_") or name.startswith("dedup_")):
+            continue
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} plans an all-pairs product"
+    neardup = _plan(spark, "sim_embedding_neardup")
+    assert "BroadcastNestedLoopJoin" not in neardup, neardup
+
+
+def test_neardup_lsh_equals_bruteforce(spark):
+    """Recall pin: the LSH-bucketed near-dup pairs must equal the
+    exact all-pairs result on the fixture (the oracle keeps the
+    brute-force form; this is the in-repo equivalent at sf0.001)."""
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.functions.vectors import cosine, to_double
+    from cdc_via_flink_spark.operators.similarity import neardup_lsh_pairs
+    from cdc_via_flink_spark.sources.tables import load_table
+
+    e = load_table(spark, SF001, "embeddings")
+    got = {
+        (r.id_a, r.id_b, r.cos) for r in neardup_lsh_pairs(e).collect()
+    }
+    d = e.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    a = d.withColumnsRenamed({"vec_id": "id_a", "v": "va"})
+    b = d.withColumnsRenamed({"vec_id": "id_b", "v": "vb"})
+    exact = {
+        (r.id_a, r.id_b, r.cos)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+        )
+        .filter(F.col("cos") >= 0.4)
+        .collect()
+    }
+    assert got == exact and len(got) > 0
+
+
 def test_argmin_and_scalar_max_single_fact_scan(spark):
     """Q2/Q15 shapes: the min/max over a derived aggregate must come
     from a WINDOW on the aggregated frame, not a joined-back second
@@ -223,9 +268,9 @@ def test_q9_broadcasts_all_dims_single_agg_exchange(spark):
     plan = _plan(spark, "q_product_profit")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "ShuffledHashJoin" not in plan
-    assert "SortMergeJoin" not in plan.replace(
-        "SortMergeJoin(l_orderkey", ""
-    ) or True  # fact-fact SMJ is allowed; dims must not SMJ
+    # fact-fact (lineitem-orders) SMJ is allowed; dims must not SMJ,
+    # so at most ONE SortMergeJoin node may appear in the whole plan.
+    assert plan.count("SortMergeJoin") <= 1, plan
 
 
 def test_q10_uses_take_ordered_not_global_sort(spark):
@@ -254,4 +299,3 @@ def test_q20_window_runs_on_aggregated_frame(spark):
     # appear BELOW the window node (deeper in the tree), i.e. the
     # window consumes the aggregated frame, not raw lineitem.
     assert "HashAggregate" in plan[win_pos:], "window not above the pair aggregate"
-    assert "partial_sum" in plan[win_pos:].lower() or "HashAggregate" in plan[win_pos:]
