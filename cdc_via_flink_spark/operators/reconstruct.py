@@ -114,60 +114,108 @@ def reconstruct_transactions(
     return reconstruct_from_union(c.unionByName(e), emit_on=emit_on)
 
 
+AUTO_SKEW_MIN_BYTES = 64 << 20  # skip the detection pre-pass below this
+AUTO_SKEW_HOT_ROWS = 4_000_000  # rows-per-key that trigger segmentation
+AUTO_SKEW_BLOCK = 524_288  # block size the auto path segments with
+
+
+def _suffix_min(end_seq_of, part_cols, order_col):
+    """Running minimum over the CURRENT-AND-FOLLOWING rows of the
+    partition, expressed as a DESCENDING-order prefix frame. The
+    direct `rowsBetween(currentRow, unboundedFollowing)` frame is
+    re-aggregated from scratch per row by Spark
+    (UnboundedFollowingWindowFunctionFrame) — O(n^2) per key, and the
+    real cause of the round-2 hot-key cliff (>10 min at 1.9 M rows on
+    one key). The desc prefix frame is evaluated incrementally
+    (UnboundedPrecedingWindowFunctionFrame): same result set per row,
+    O(n) after the sort — measured 4.5 s on the same workload."""
+    w = (
+        W.partitionBy(*part_cols)
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return F.min(end_seq_of).over(w)
+
+
+def _max_rows_per_key(u: DataFrame) -> int:
+    """Exact max event count over txn_ids — a slim pre-pass (txn_id
+    only, map-side partial agg, scalar result)."""
+    row = u.groupBy("txn_id").agg(F.count(F.lit(1)).alias("_n")).agg(
+        F.max("_n")
+    ).first()
+    return int(row[0] or 0)
+
+
 def reconstruct_from_union(
-    u: DataFrame, emit_on: str = "end", skew_block_size: int | None = None
+    u: DataFrame,
+    emit_on: str = "end",
+    skew_block_size: int | None | str = "auto",
 ) -> DataFrame:
     """Single-subtree reconstruction over a pre-discriminated union
     (columns: txn_id, seq, op, ts_ms, kind 'C'|'E', declared).
 
     Plan shape (the 100 TB-friendly one): ONE pass over the input —
-    window (reverse running MIN on the txn_id shuffle) assigns each row
-    its earliest following END, then a groupBy(txn_id, end_seq) carries
-    BOTH the buffered changes and the END's own metadata (the END row
-    groups with itself), so no end-info join and no second scan of the
-    source. Callers that parse JSON once (cdc_queries) avoid
-    re-evaluating the parse subtree per join side.
+    window (suffix running MIN on the txn_id shuffle, computed as a
+    desc-order prefix frame so Spark evaluates it incrementally, see
+    _suffix_min) assigns each row its earliest following END, then a
+    groupBy(txn_id, end_seq) carries BOTH the buffered changes and the
+    END's own metadata (the END row groups with itself), so no
+    end-info join and no second scan of the source.
 
-    ``skew_block_size``: the default single window partitions by
-    txn_id, so ONE pathologically hot transaction sorts on one task
-    (AQE splits skewed joins, not skewed windows). Setting a block
-    size switches to a segmented scan: the reverse running MIN is
-    computed per (txn_id, seq div B) block in parallel, then combined
-    with per-txn block suffix minima (a window over #blocks rows, not
-    #events). Costs one extra full shuffle — worth it exactly when a
-    key is hot; results are identical (tests/test_cdc_semantics.py).
+    ``skew_block_size``:
+      * "auto" (default) — hot transactions are handled WITHOUT a
+        manual knob: if the input's estimated size exceeds
+        AUTO_SKEW_MIN_BYTES (plan statistics — free, no job), a slim
+        count pre-pass finds the hottest key; above AUTO_SKEW_HOT_ROWS
+        the segmented plan below is used automatically. Small inputs
+        skip detection entirely, keeping the single-shuffle plan and
+        zero extra jobs (the sf0.1 bench path is unchanged).
+      * int — force the segmented plan with that block size: the
+        suffix MIN is computed per (txn_id, seq div B) block in
+        parallel, then combined with per-txn block suffix minima (a
+        window over #blocks rows, not #events). Costs one extra full
+        shuffle — worth it exactly when one key holds more rows than a
+        single task should sort; results are identical
+        (tests/test_cdc_semantics.py).
+      * None — force the plain single-window plan.
     """
     if emit_on not in ("end", "count"):
         raise ValueError(f"emit_on must be 'end' or 'count', got {emit_on!r}")
 
+    if isinstance(skew_block_size, str) and skew_block_size != "auto":
+        raise ValueError(
+            f"skew_block_size must be 'auto', an int, or None, got {skew_block_size!r}"
+        )
+    if skew_block_size == "auto":
+        skew_block_size = None
+        if not u.isStreaming:
+            stats = u._jdf.queryExecution().optimizedPlan().stats()
+            if int(str(stats.sizeInBytes())) >= AUTO_SKEW_MIN_BYTES:
+                if _max_rows_per_key(u) > AUTO_SKEW_HOT_ROWS:
+                    skew_block_size = AUTO_SKEW_BLOCK
+
     end_seq_of = F.when(F.col("kind") == "E", F.col("seq"))
     if skew_block_size is None:
-        w = (
-            W.partitionBy("txn_id")
-            .orderBy("seq")
-            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        assigned = u.withColumn(
+            "end_seq", _suffix_min(end_seq_of, ["txn_id"], "seq")
         )
-        assigned = u.withColumn("end_seq", F.min(end_seq_of).over(w))
     else:
         b = u.withColumn("_blk", F.expr(f"seq div {int(skew_block_size)}"))
-        w_local = (
-            W.partitionBy("txn_id", "_blk")
-            .orderBy("seq")
-            .rowsBetween(W.currentRow, W.unboundedFollowing)
-        )
         # per-(txn, block) END minima -> suffix minimum over LATER
         # blocks (tiny frame: one row per block per txn)
         blk_info = b.groupBy("txn_id", "_blk").agg(F.min(end_seq_of).alias("_bmin"))
         w_suffix = (
             W.partitionBy("txn_id")
-            .orderBy("_blk")
-            .rowsBetween(1, W.unboundedFollowing)
+            .orderBy(F.col("_blk").desc())
+            .rowsBetween(W.unboundedPreceding, -1)
         )
         blk_info = blk_info.select(
             "txn_id", "_blk", F.min("_bmin").over(w_suffix).alias("_later_min")
         )
         assigned = (
-            b.withColumn("_local_min", F.min(end_seq_of).over(w_local))
+            b.withColumn(
+                "_local_min", _suffix_min(end_seq_of, ["txn_id", "_blk"], "seq")
+            )
             .join(blk_info, ["txn_id", "_blk"])
             .withColumn("end_seq", F.least("_local_min", "_later_min"))
             .drop("_blk", "_local_min", "_later_min")

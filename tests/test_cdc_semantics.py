@@ -185,3 +185,65 @@ def test_segmented_reconstruction_equivalent(spark):
     base_c = {key(r): val(r) for r in reconstruct_from_union(u, emit_on="count").collect()}
     seg_c = {key(r): val(r) for r in reconstruct_from_union(u, emit_on="count", skew_block_size=64).collect()}
     assert seg_c == base_c
+
+
+def _skew_union(spark, n, hot_every=20):
+    """n-row union where (hot_every-1)/hot_every of rows share ONE
+    txn_id — the hot-transaction shape (a bulk load emitting millions
+    of row changes in one transaction)."""
+    return spark.range(n).select(
+        F.when(F.col("id") % hot_every != 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 1000).cast("string")))
+        .alias("txn_id"),
+        F.col("id").alias("seq"),
+        F.when(F.col("id") % 997 == 0, F.lit("E")).otherwise(F.lit("C")).alias("kind"),
+        F.lit("u").alias("op"),
+        (F.col("id") * 3).alias("ts_ms"),
+        F.when(F.col("id") % 997 == 0, F.col("id") % 5).cast("long").alias("declared"),
+    )
+
+
+def test_auto_skew_detection_triggers_segmented_plan(spark, monkeypatch):
+    """With the gates lowered, the DEFAULT call (no manual knob) must
+    detect the hot key and switch to the segmented plan — and produce
+    exactly the plain plan's results."""
+    import cdc_via_flink_spark.operators.reconstruct as R
+
+    u = _skew_union(spark, 5000)
+    key = lambda r: (r.txn_id, r.end_seq)  # noqa: E731
+    base = {key(r): r.n_events for r in R.reconstruct_from_union(u, skew_block_size=None).collect()}
+
+    monkeypatch.setattr(R, "AUTO_SKEW_MIN_BYTES", 1)
+    monkeypatch.setattr(R, "AUTO_SKEW_HOT_ROWS", 100)
+    monkeypatch.setattr(R, "AUTO_SKEW_BLOCK", 64)
+    out = R.reconstruct_from_union(u)  # default: auto
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # segmented shape: block window + block-info join => >=2 keyed exchanges
+    assert plan.count("Exchange hashpartitioning") >= 2, plan
+    assert {key(r): r.n_events for r in out.collect()} == base
+    # below the hot threshold the default stays the single-shuffle plan
+    monkeypatch.setattr(R, "AUTO_SKEW_HOT_ROWS", 10_000_000)
+    plain = R.reconstruct_from_union(u)
+    pplan = plain._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert pplan.count("Exchange hashpartitioning") == 1, pplan
+
+
+def test_hot_key_default_path_no_cliff(spark):
+    """1M rows with 95% in ONE transaction through the DEFAULT path,
+    no knobs. The round-2 formulation (suffix window frame,
+    re-aggregated per row) was quadratic per key — >10 minutes at this
+    shape; the desc-order prefix frame is incremental and finishes in
+    seconds. A regression here shows up as this test hanging."""
+    from cdc_via_flink_spark.operators.reconstruct import reconstruct_from_union
+
+    u = _skew_union(spark, 1_000_000)
+    out = reconstruct_from_union(u)
+    hot = [r for r in out.collect() if r.txn_id == "hot"]
+    # 1M/997 ENDs segment the hot key; every segment but the edge ones
+    # holds 997 * 19/20 changes
+    assert len(hot) > 900
+    assert sum(r.n_events for r in hot) > 900_000
