@@ -247,12 +247,55 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over TRAINED centroids (deterministic distributed
     Lloyd's k-means, operators/kmeans.py) — the trained-index upgrade
     of sim_ivf_topk; same bounded-probe plan shape, better list
-    balance than selection-based centroids."""
+    balance than selection-based centroids.
+
+    Iterative training is not SQL-expressible, so instead of an oracle
+    this query SELF-VALIDATES (the sketch-query pattern): each row
+    carries its query's recall@5 against the exact brute-force top-5,
+    plus a within_bound flag asserting the recall floor. A broken
+    index shows up as within_bound=false in the driver's rows-only
+    record, not silently."""
+    from pyspark.sql import Window as W
+
     from cdc_via_flink_spark.operators.kmeans import ivf_kmeans_topk
+    from cdc_via_flink_spark.operators.similarity import brute_force_topk
     from cdc_via_flink_spark.sources.tables import ensure_min_partitions
 
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    return ivf_kmeans_topk(e, query_ids_below=N_QUERIES, every_k=40, max_iter=3)
+    k = 5
+    ivf = ivf_kmeans_topk(
+        e, query_ids_below=N_QUERIES, every_k=40, max_iter=3, nprobe=6, k=k
+    )
+    exact = brute_force_topk(
+        e,
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=k,
+    ).select("query_id", "vec_id", F.lit(1.0).alias("hit"))
+    marked = ivf.join(exact, ["query_id", "vec_id"], "left")
+    recall = F.round(
+        F.avg(F.coalesce(F.col("hit"), F.lit(0.0))).over(
+            W.partitionBy("query_id")
+        ),
+        6,
+    )
+    mean_recall = F.round(
+        F.avg(F.coalesce(F.col("hit"), F.lit(0.0))).over(W.partitionBy(F.lit(1))),
+        6,
+    )
+    # floors, not tuned-to-fixture: any broken index/assignment drops
+    # recall to ~0; measured nprobe=6 recalls are 0.4-1.0 per query
+    # (mean 0.64 at sf0.1, 0.88 at sf0.01).
+    return marked.select(
+        "query_id",
+        "vec_id",
+        "cos",
+        "rn",
+        recall.alias("recall_at_k"),
+        mean_recall.alias("mean_recall"),
+        ((recall >= 0.2) & (mean_recall >= 0.5)).alias("within_bound"),
+    )
 
 
 @query(
