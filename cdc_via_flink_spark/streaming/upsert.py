@@ -25,6 +25,7 @@ are garbage-collected past ``tombstone_retention_ms``.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -54,12 +55,37 @@ def read_latest_snapshot(
     return df if include_tombstones else df.filter(F.col("op") != "d")
 
 
+def _gc_old_snapshots(table_dir: str, keep_snapshots: int) -> None:
+    """Delete committed-and-superseded ``v=<epoch>`` snapshot dirs,
+    keeping the committed one plus ``keep_snapshots - 1`` predecessors
+    (a reader holding a just-replaced pointer can still finish its
+    scan). Dirs NEWER than the committed pointer are uncommitted
+    partials from a crashed epoch — left alone; the replayed epoch
+    overwrites them. Without GC the table accumulates one full snapshot
+    per micro-batch forever, which at 100 TB state is an unbounded
+    storage leak."""
+    committed = _snapshot_path(table_dir)
+    if committed is None:
+        return
+    cur = os.path.basename(committed)
+    versions = sorted(
+        (d for d in os.listdir(table_dir) if d.startswith("v=")),
+        key=lambda d: int(d.split("=", 1)[1]),
+    )
+    if cur not in versions:
+        return
+    cutoff = versions.index(cur) - (max(keep_snapshots, 1) - 1)
+    for d in versions[:max(cutoff, 0)]:
+        shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+
+
 def _merge_batch(
     spark: SparkSession,
     batch: DataFrame,
     table_dir: str,
     epoch_id: int,
     tombstone_retention_ms: int | None = None,
+    keep_snapshots: int | None = 2,
 ) -> None:
     version_dir = f"v={epoch_id}"
     committed = _snapshot_path(table_dir)
@@ -107,6 +133,8 @@ def _merge_batch(
     with open(tmp, "w") as f:
         f.write(version_dir)
     os.replace(tmp, os.path.join(table_dir, LATEST_PTR))  # atomic pointer move
+    if keep_snapshots is not None:
+        _gc_old_snapshots(table_dir, keep_snapshots)
 
 
 def upsert_latest_state_query(
@@ -114,9 +142,12 @@ def upsert_latest_state_query(
     table_dir: str,
     checkpoint_dir: str,
     tombstone_retention_ms: int | None = None,
+    keep_snapshots: int | None = 2,
 ) -> StreamingQuery:
     """Start a streaming query that upserts parse_debezium output into
-    the latest-state table at ``table_dir``. Caller awaits it."""
+    the latest-state table at ``table_dir``. Caller awaits it.
+    ``keep_snapshots`` bounds on-disk versions (committed + N-1
+    predecessors); ``None`` disables GC."""
     os.makedirs(table_dir, exist_ok=True)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
@@ -126,6 +157,7 @@ def upsert_latest_state_query(
             table_dir,
             epoch_id,
             tombstone_retention_ms=tombstone_retention_ms,
+            keep_snapshots=keep_snapshots,
         )
 
     return (

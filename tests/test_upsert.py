@@ -96,6 +96,46 @@ def test_tombstone_blocks_out_of_order_resurrection(spark, tmp_path):
     assert [(r.op, r.ts_ms) for r in tomb] == [("d", 3000)]
 
 
+def test_snapshot_gc_bounds_versions_and_restart_reads_latest(spark, tmp_path):
+    """Each micro-batch writes a full ``v=<epoch>`` snapshot; GC must
+    bound that to ``keep_snapshots`` dirs, and a restart AFTER GC must
+    still resume from the committed pointer and read correct state."""
+    import os
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    for i, (ts, op) in enumerate([(1000, "c"), (2000, "u"), (3000, "u"), (4000, "u")]):
+        _stage_file(
+            spark, [(i, _chg("t1", ts, op))], src, str(i), 1_000_000_000 + 100 * i
+        )
+
+    def run():
+        raw = (
+            spark.readStream.schema(ENVELOPE_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        upsert_latest_state_query(
+            parse_debezium(raw), table, ckpt, keep_snapshots=2
+        ).awaitTermination()
+
+    run()
+    versions = sorted(d for d in os.listdir(table) if d.startswith("v="))
+    assert len(versions) == 2, versions  # committed + 1 predecessor, older GC'd
+    assert {r.txn_id: r.ts_ms for r in read_latest_snapshot(spark, table).collect()} == {
+        "t1": 4000
+    }
+
+    # restart after GC: new batch merges against the surviving snapshot
+    _stage_file(spark, [(9, _chg("t1", 5000, "u"))], src, "4", 1_000_000_900)
+    run()
+    assert {r.txn_id: r.ts_ms for r in read_latest_snapshot(spark, table).collect()} == {
+        "t1": 5000
+    }
+    assert len([d for d in os.listdir(table) if d.startswith("v=")]) == 2
+
+
 def test_replayed_epoch_is_noop(spark, tmp_path):
     """Crash between pointer move and checkpoint commit replays the
     epoch; the merge must detect the committed pointer and no-op rather
