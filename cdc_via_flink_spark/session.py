@@ -29,6 +29,12 @@ def default_parallelism() -> int:
 
 
 def get_spark(app_name: str = "cdc_via_flink_spark", cpus: int | None = None) -> SparkSession:
+    # Before the gateway JVM launches: put the protobuf fallback shim
+    # on PYTHONPATH so transformWithStateInPandas' Python workers can
+    # import it (no-op when a real protobuf install exists).
+    from cdc_via_flink_spark.vendor.proto_compat import ensure_protobuf
+
+    ensure_protobuf()
     n = cpus or default_parallelism()
     builder = (
         SparkSession.builder.master(f"local[{n}]")

@@ -62,6 +62,8 @@ STATE_SCHEMA = StructType(
 
 ORPHAN_TTL_MS = 10 * 60 * 1000  # evict abandoned txns 10 min past watermark
 
+_OUT_COLS = [c.name for c in OUTPUT_SCHEMA.fields]
+
 
 def _assemble(
     key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -70,11 +72,10 @@ def _assemble(
 
     if state.hasTimedOut:
         # Orphan eviction (deviation from the reference's leak): drop
-        # buffered changes that never saw an END.
+        # buffered changes that never saw an END. Yield nothing — an
+        # empty iterator is cheaper than materializing an empty frame
+        # per evicted key.
         state.remove()
-        yield pd.DataFrame(
-            {c.name: pd.Series(dtype="object") for c in OUTPUT_SCHEMA.fields}
-        )
         return
 
     seqs: list[int]
@@ -86,7 +87,10 @@ def _assemble(
         seqs, ops, tss = [], [], []
 
     out_rows = []
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("seq")
+    chunks = list(pdfs)
+    # single-chunk groups are the overwhelmingly common case: skip the
+    # pd.concat allocation (it costs ~as much as the whole group loop)
+    rows = (chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)).sort_values("seq")
     for r in rows.itertuples(index=False):
         if r.kind == "change":
             seqs.append(int(r.seq))
@@ -117,7 +121,8 @@ def _assemble(
     elif state.exists:
         state.remove()
 
-    yield pd.DataFrame(out_rows, columns=[c.name for c in OUTPUT_SCHEMA.fields])
+    if out_rows:  # keys without an END this batch emit nothing at all
+        yield pd.DataFrame(out_rows, columns=_OUT_COLS)
 
 
 def assemble_transactions_stream(

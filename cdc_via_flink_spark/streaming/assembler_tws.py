@@ -21,14 +21,15 @@ emit on END with ≥1 buffered change; END-with-no-events dropped
 transactions evicted by event-time timer at watermark + TTL
 (documented deviation fixing the reference's unbounded state leak).
 
-ENVIRONMENT GATE: transformWithStateInPandas' Python worker speaks
-protobuf to the JVM state server; `google.protobuf` is not installed
-in this container, so this path cannot execute here
-(tests/test_assembler_tws.py skips when the import fails). The
-applyInPandasWithState assembler is the executable-everywhere twin;
-this module is the Spark-4-native design, runnable on any cluster
-with a standard PySpark install (protobuf is a stock pyspark
-dependency).
+ENVIRONMENT NOTE: transformWithStateInPandas' Python worker speaks
+protobuf to the JVM state server. This container lacks the `protobuf`
+package, so the repo vendors a minimal clean-room wire-format shim
+(vendor/protoshim, activated by vendor.proto_compat.ensure_protobuf
+ONLY when the real package is absent) — with it, this path executes
+here and tests/test_assembler_tws.py runs for real: the JVM's Java
+protobuf parses every shim-serialized state request across a full
+streaming query. On any cluster with a standard PySpark install the
+real protobuf is used untouched.
 """
 
 from __future__ import annotations
@@ -66,7 +67,10 @@ class TransactionAssembler(StatefulProcessor):
         buf = [(int(s), o, None if t is None else int(t)) for s, o, t in self._events.get()]
         appended: list[tuple] = []
         out_rows = []
-        pdf = pd.concat(list(rows), ignore_index=True).sort_values("seq")
+        chunks = list(rows)
+        pdf = (
+            chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        ).sort_values("seq")
         for r in pdf.itertuples(index=False):
             if r.kind == "change":
                 ev = (
@@ -108,13 +112,15 @@ class TransactionAssembler(StatefulProcessor):
                 self._handle.deleteTimer(t)
             self._handle.registerTimer(wm + ORPHAN_TTL_MS)
 
-        yield pd.DataFrame(out_rows, columns=_OUT_COLS)
+        if out_rows:  # no END this batch -> emit nothing for this key
+            yield pd.DataFrame(out_rows, columns=_OUT_COLS)
 
     def handleExpiredTimer(
         self, key: tuple, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
         self._events.clear()
-        yield pd.DataFrame(columns=_OUT_COLS)
+        return
+        yield  # keep this a generator with an empty iteration
 
     def close(self) -> None:
         pass

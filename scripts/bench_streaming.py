@@ -64,29 +64,53 @@ def main() -> None:
             "append",
         )
 
-    stage = os.path.join(STAGE_ROOT, "stream_bench")
-    env = _envelopes(spark, sf_dir).repartition(default_parallelism())
-    stream = file_envelope_stream(spark, env, stage)  # stages to disk here
+    def run_once(env_df, stage_name: str) -> tuple[float, int]:
+        stage = os.path.join(STAGE_ROOT, stage_name)
+        stream = file_envelope_stream(
+            spark, env_df.repartition(default_parallelism()), stage
+        )  # stages to disk here, before the timer
+        t0 = time.time()
+        out = _run_to_memory(
+            assemble_transactions_stream(parse_debezium(stream), event_time=event_time),
+            "append",
+        )
+        n_txns = out.count()
+        return time.time() - t0, n_txns
 
-    # Timed region: the streaming job only — the source data already
-    # sits on disk, as a Kafka topic's log would.
-    t0 = time.time()
-    parsed = parse_debezium(stream)
-    out = _run_to_memory(
-        assemble_transactions_stream(parsed, event_time=event_time), "append"
+    # One-shot availableNow replay (comparable to prior rounds): wall
+    # includes the fixed query-startup cost, which at sf0.1 is a large
+    # fraction of the total — a long-running streaming job amortizes it.
+    base = _envelopes(spark, sf_dir)
+    wall_1, n_txns = run_once(base, "stream_bench")
+
+    # Steady-state: replay the same envelope log R times with per-replica
+    # seq offsets (replica k's rows sort after replica k-1's within each
+    # txn_id, so each replica buffers and ENDs again — valid re-buffer
+    # semantics, R× the keyed-state work). Differencing the R× and 1×
+    # walls cancels the fixed startup cost: marginal events/sec is the
+    # number a long-running job sustains.
+    replay = int(os.environ.get("SPARK_GRAFT_STREAM_REPLAY", "10"))
+    max_seq = base.agg(F.max("seq").alias("m")).collect()[0]["m"] + 1
+    reps = spark.range(replay).withColumnRenamed("id", "rep")
+    expanded = base.crossJoin(F.broadcast(reps)).select(
+        (F.col("seq") + F.col("rep") * max_seq).alias("seq"), "value"
     )
-    n_txns = out.count()
-    wall = time.time() - t0
+    wall_r, n_txns_r = run_once(expanded, "stream_bench_replay")
+    steady = (replay - 1) * n_events / max(wall_r - wall_1, 1e-9)
 
     print(
         json.dumps(
             {
                 "metric": "st1_stream_throughput",
-                "value": round(n_events / wall, 1),
+                "value": round(n_events / wall_1, 1),
                 "unit": "events/sec",
+                "steady_state_events_per_sec": round(steady, 1),
+                "replay_factor": replay,
                 "events": n_events,
                 "transactions_emitted": n_txns,
-                "wall_sec": round(wall, 3),
+                "transactions_emitted_replay": n_txns_r,
+                "wall_sec": round(wall_1, 3),
+                "wall_sec_replay": round(wall_r, 3),
                 "sf_dir": sf_dir,
             }
         )
