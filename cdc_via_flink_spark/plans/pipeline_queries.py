@@ -511,3 +511,146 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.col("n_chars")) / F.col("tot_w"), 6) + 0.0
         ).alias("mix_weight"),
     )
+
+
+_SQL_NORM_DOC = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@query(
+    "q_corpus_build",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, text, {_SQL_NORM_DOC} AS norm
+  FROM documents
+  WHERE n_chars >= 100 AND len(string_split({_SQL_NORM_DOC}, ' ')) >= 20
+),
+keepers AS (
+  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(norm)
+),
+k AS (
+  SELECT q.doc_id, q.lang, q.text, {SPLIT_SQL} AS split
+  FROM q JOIN keepers USING (doc_id)
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT) AS total_tokens
+FROM k GROUP BY split, lang
+""",
+    tags=("pipeline", "composite", "X1", "X3"),
+)
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus build — the composition every pre-training
+    data pipeline runs, as ONE declared oracle-checked query:
+    quality screen (length + min word count) → exact near-dup removal
+    (normalized-text digest, keep lowest doc_id) → deterministic
+    train/valid/test split → per-(split, lang) doc and BPE-token
+    accounting. Plan at 100 TB: one scan feeding a map-side filter,
+    one digest-keyed shuffle for the keeper election, one doc_id
+    equi-join back (both sides hash-partitioned on a uniform key —
+    no skew), then a map-side split label and a tiny final aggregate.
+    No UDFs anywhere; the whole composition is Catalyst-visible, so
+    filters prune columns down to (doc_id, lang, text, n_chars) at
+    the parquet scan."""
+    from cdc_via_flink_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    q = (
+        d.filter(F.col("n_chars") >= 100)
+        .select(
+            "doc_id", "lang", "text", normalize_text(F.col("text")).alias("norm")
+        )
+        .filter(F.size(F.split(F.col("norm"), " ")) >= 20)
+    )
+    keepers = (
+        q.groupBy(F.md5(F.col("norm")).alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    k = hash_split(q.join(keepers, "doc_id"), "doc_id",
+                   {"train": 204, "valid": 26, "test": 26})
+    return k.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)))
+        .cast("bigint")
+        .alias("total_tokens"),
+    )
+
+
+@query(
+    "q_ngram_contamination",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, lang, {SPLIT_SQL} AS split,
+         string_split({_SQL_NORM_DOC}, ' ') AS tk
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, lang, split,
+         unnest(list_transform(range(1, greatest(len(tk) - 7, 1) + 1),
+                               i -> array_to_string(tk[i:i+7], ' '))) AS gram
+  FROM base
+),
+tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+pd AS (
+  SELECT g.doc_id, g.lang,
+         count(*) AS n_grams,
+         sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM g LEFT JOIN tr ON g.gram = tr.gram
+  WHERE g.split = 'test'
+  GROUP BY g.doc_id, g.lang
+)
+SELECT lang,
+       count(*) AS n_test_docs,
+       CAST(sum(CASE WHEN n_hit * 2 >= n_grams THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(sum(n_hit) AS BIGINT) AS total_hits,
+       round(CAST(sum(n_hit) AS DOUBLE) / sum(n_grams), 6) + 0.0 AS overlap_frac
+FROM pd GROUP BY lang
+""",
+    tags=("pipeline", "contamination", "X1", "X3"),
+)
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen on word 8-grams (the GPT-3
+    appendix-C recipe, grams instead of exact digests — catches
+    partial/embedded contamination that q_split_leakage's whole-doc
+    digest cannot): for every test-split document, the fraction of its
+    distinct 8-grams that occur anywhere in the train split; flag docs
+    with >=50% overlap. Scale shape: shingling is map-side (one pass,
+    no UDFs), both join sides reduce to DISTINCT grams first, and the
+    join is a plain equi-join on the gram key — uniformly distributed,
+    so it shuffles cleanly; at 100 TB the gram strings would be
+    replaced by 64-bit hashes on both sides (same plan, narrower
+    shuffle), which the docstring records as the deployment variant."""
+    from cdc_via_flink_spark.functions.text import shingles_from_tokens, tokens
+
+    d = hash_split(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 204, "valid": 26, "test": 26},
+    )
+    t = d.select("doc_id", "lang", "split", tokens(F.col("text")).alias("tk"))
+    g = t.select(
+        "doc_id",
+        "lang",
+        "split",
+        F.explode(shingles_from_tokens(F.col("tk"), 8)).alias("gram"),
+    ).distinct()
+    te = g.filter(F.col("split") == "test")
+    tr = g.filter(F.col("split") == "train").select("gram").distinct()
+    j = te.join(tr.withColumn("hit", F.lit(1)), "gram", "left")
+    per_doc = j.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_test_docs"),
+        F.sum(F.when(F.col("n_hit") * 2 >= F.col("n_grams"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum("n_hit").cast("bigint").alias("total_hits"),
+        (
+            F.round(
+                F.sum("n_hit").cast("double") / F.sum("n_grams"), 6
+            )
+            + 0.0
+        ).alias("overlap_frac"),
+    )
