@@ -51,7 +51,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     IntegerType,
@@ -219,8 +222,146 @@ class _ReplayStreamReader(DataSourceStreamReader):
         pass  # file replay holds no server-side state to release
 
 
+class _StagedFile(WriterCommitMessage):
+    """One task's staged output: (staging file, rows written)."""
+
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+def _writer_target(options: dict) -> tuple[str, str | None]:
+    root = options.get("path")
+    if not root:
+        raise ValueError("debezium_replay writer requires a 'path' option")
+    return root, options.get("topic")
+
+
+def _stage_rows(root: str, default_topic: str | None, iterator) -> _StagedFile:
+    """Executor side: append this task's rows to a private staging
+    file as `topic\\tvalue` lines. Commit (driver side) folds staged
+    files into the per-topic logs — the two-phase shape a Kafka
+    producer's transactional send gives you for free."""
+    import uuid
+
+    staging = os.path.join(root, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    path = os.path.join(staging, f"{uuid.uuid4().hex}.part")
+    n = 0
+    with open(path, "w", encoding="utf-8") as fh:
+        for row in iterator:
+            topic = getattr(row, "topic", None) or default_topic
+            if not topic:
+                raise ValueError(
+                    "row has no 'topic' column and no 'topic' writer option"
+                )
+            value = row.value
+            if value is None:
+                raise ValueError("row 'value' must not be null")
+            if "\n" in value:
+                raise ValueError("envelope values must be single-line JSON")
+            fh.write(f"{topic}\t{value}\n")
+            n += 1
+    return _StagedFile(path, n)
+
+
+def _fold_staged(root: str, messages) -> int:
+    """Driver side: append staged lines into `<topic>.jsonl` in
+    partition order (message list order), then drop the staging
+    files. Append order across partitions is the message order, so a
+    committed log replays deterministically."""
+    total = 0
+    sinks: dict[str, object] = {}
+    try:
+        for m in messages:
+            if m is None:
+                continue
+            with open(m.path, "r", encoding="utf-8") as fh:
+                for line in fh:
+                    topic, _, value = line.rstrip("\n").partition("\t")
+                    out = sinks.get(topic)
+                    if out is None:
+                        out = sinks[topic] = open(
+                            os.path.join(root, f"{topic}.jsonl"),
+                            "a",
+                            encoding="utf-8",
+                        )
+                    out.write(value + "\n")
+                    total += 1
+    finally:
+        for out in sinks.values():
+            out.close()
+    _drop_staged(messages)
+    return total
+
+
+def _drop_staged(messages) -> None:
+    for m in messages:
+        if m is not None and os.path.exists(m.path):
+            os.remove(m.path)
+
+
+class _ReplayBatchWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self._root, self._topic = _writer_target(options)
+        self._overwrite = overwrite
+        os.makedirs(self._root, exist_ok=True)
+
+    def write(self, iterator) -> _StagedFile:
+        return _stage_rows(self._root, self._topic, iterator)
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            # truncate exactly the topics this commit writes
+            topics = set()
+            for m in messages:
+                if m is None:
+                    continue
+                with open(m.path, "r", encoding="utf-8") as fh:
+                    topics.update(line.split("\t", 1)[0] for line in fh)
+            for t in topics:
+                open(os.path.join(self._root, f"{t}.jsonl"), "w").close()
+        _fold_staged(self._root, messages)
+
+    def abort(self, messages) -> None:
+        _drop_staged(messages)
+
+
+class _ReplayStreamWriter(DataSourceStreamWriter):
+    """Micro-batch sink with epoch-idempotent commits: a replayed
+    batchId (crash after commit, before the checkpoint write) finds
+    its marker and drops the staged data instead of appending twice —
+    the file-twin of Kafka's transactional producer + committed-read
+    consumers (effectively exactly-once end to end)."""
+
+    def __init__(self, options: dict):
+        self._root, self._topic = _writer_target(options)
+        os.makedirs(os.path.join(self._root, "_commits"), exist_ok=True)
+
+    def write(self, iterator) -> _StagedFile:
+        return _stage_rows(self._root, self._topic, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        marker = os.path.join(self._root, "_commits", str(batchId))
+        if os.path.exists(marker):
+            _drop_staged(messages)  # replayed epoch: already committed
+            return
+        n = _fold_staged(self._root, messages)
+        with open(marker + ".tmp", "w") as fh:
+            fh.write(str(n))
+        os.replace(marker + ".tmp", marker)
+
+    def abort(self, messages, batchId: int) -> None:
+        _drop_staged(messages)
+
+
 class DebeziumReplayDataSource(DataSource):
-    """`spark.read.format("debezium_replay")` / `spark.readStream...`.
+    """`spark.read.format("debezium_replay")` / `spark.readStream...`
+    plus the writer direction (`df.write` / `df.writeStream`), the
+    Kafka-PRODUCER twin: rows with (value [, topic]) are appended to
+    the per-topic replay logs through a stage-then-commit protocol
+    (executor-staged part files, driver-ordered fold, per-epoch
+    idempotency markers for streaming).
 
     Register once per session:
         spark.dataSource.register(DebeziumReplayDataSource)
@@ -238,6 +379,12 @@ class DebeziumReplayDataSource(DataSource):
 
     def streamReader(self, schema):
         return _ReplayStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return _ReplayBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _ReplayStreamWriter(self.options)
 
 
 def register(spark) -> None:

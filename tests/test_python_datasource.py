@@ -171,3 +171,131 @@ def test_stream_restart_resumes_from_checkpoint(registered, replay_root, tmp_pat
     # exactly-once across restart: offsets 0-4 from run one, ONLY the
     # appended offset 5 from run two — no reprocessing, no loss.
     assert offsets == [0, 1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# Writer direction (Kafka-producer twin): stage -> ordered fold -> commit
+# ---------------------------------------------------------------------------
+
+
+def test_batch_write_roundtrip(registered, tmp_path):
+    root = str(tmp_path / "sink")
+    vals = [json.dumps(_change_envelope(1, i)) for i in range(7)]
+    df = registered.createDataFrame([(v,) for v in vals], "value string")
+    (
+        df.coalesce(1)  # single partition => file order == row order
+        .write.format("debezium_replay")
+        .option("path", root)
+        .option("topic", "out-topic")
+        .mode("append")
+        .save()
+    )
+    back = (
+        registered.read.format("debezium_replay")
+        .option("path", root)
+        .option("subscribe", "out-topic")
+        .load()
+        .orderBy("offset")
+    )
+    assert [r.value for r in back.collect()] == vals
+    assert not os.listdir(os.path.join(root, "_staging"))  # staged cleaned
+
+
+def test_batch_write_topic_column_and_overwrite(registered, tmp_path):
+    root = str(tmp_path / "sink")
+    rows = [("t-a", "a1"), ("t-a", "a2"), ("t-b", "b1")]
+    df = registered.createDataFrame(rows, "topic string, value string")
+    df.write.format("debezium_replay").option("path", root).mode("append").save()
+    df2 = registered.createDataFrame([("t-a", "a3")], "topic string, value string")
+    df2.write.format("debezium_replay").option("path", root).mode("overwrite").save()
+    read = lambda t: [  # noqa: E731
+        r.value
+        for r in registered.read.format("debezium_replay")
+        .option("path", root)
+        .option("subscribe", t)
+        .load()
+        .orderBy("offset")
+        .collect()
+    ]
+    assert read("t-a") == ["a3"]  # overwrite truncated ONLY the written topic
+    assert read("t-b") == ["b1"]
+
+
+def test_stream_write_exactly_once_on_epoch_replay(registered, tmp_path):
+    """Replayed epoch (crash between sink commit and checkpoint write)
+    must not double-append: the batchId marker makes commit idempotent."""
+    from pyspark.sql import Row
+
+    from cdc_via_flink_spark.sources.python_datasource import _ReplayStreamWriter
+
+    root = str(tmp_path / "sink")
+    w = _ReplayStreamWriter({"path": root, "topic": "t"})
+    msg = w.write(iter([Row(value="v1"), Row(value="v2")]))
+    w.commit([msg], batchId=3)
+    # replay: same epoch staged again, committed again
+    msg2 = w.write(iter([Row(value="v1"), Row(value="v2")]))
+    w.commit([msg2], batchId=3)
+    with open(os.path.join(root, "t.jsonl")) as fh:
+        assert fh.read().splitlines() == ["v1", "v2"]
+
+
+def test_stream_write_end_to_end(registered, replay_root, tmp_path):
+    """readStream(debezium_replay) -> writeStream(debezium_replay):
+    the full hermetic Kafka loop — consume two topics, produce into a
+    third, read the produced topic back and compare values."""
+    sink_root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        registered.readStream.format("debezium_replay")
+        .option("path", replay_root)
+        .option("subscribePattern", "t.*")
+        .load()
+        .select("value")
+    )
+    q = (
+        stream.writeStream.format("debezium_replay")
+        .option("path", sink_root)
+        .option("topic", "merged")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        r.value
+        for r in registered.read.format("debezium_replay")
+        .option("path", sink_root)
+        .option("subscribe", "merged")
+        .load()
+        .collect()
+    )
+    exp = []
+    for t in ("transactions", "txn-events"):
+        with open(os.path.join(replay_root, f"{t}.jsonl")) as fh:
+            exp.extend(fh.read().splitlines())
+    assert got == sorted(exp)
+
+    # restart on the same checkpoint with no new input: no duplicates
+    q2 = (
+        registered.readStream.format("debezium_replay")
+        .option("path", replay_root)
+        .option("subscribePattern", "t.*")
+        .load()
+        .select("value")
+        .writeStream.format("debezium_replay")
+        .option("path", sink_root)
+        .option("topic", "merged")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    n = (
+        registered.read.format("debezium_replay")
+        .option("path", sink_root)
+        .option("subscribe", "merged")
+        .load()
+        .count()
+    )
+    assert n == len(exp)
