@@ -404,3 +404,96 @@ def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(dist).cast("long").alias("min_dist"),
         )
     )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH sh AS ({SQL_SHINGLES}),
+blocks AS (SELECT doc_id, lang, source FROM documents),
+sb AS (SELECT s.doc_id, b.lang, b.source, s.sh
+       FROM sh s JOIN blocks b ON s.doc_id = b.doc_id),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sb a JOIN sb b
+    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dirs AS (
+  SELECT CASE WHEN za.sz < zb.sz OR (za.sz = zb.sz) THEN i.id_a ELSE i.id_b END
+           AS contained_id,
+         CASE WHEN za.sz < zb.sz OR (za.sz = zb.sz) THEN i.id_b ELSE i.id_a END
+           AS container_id,
+         least(za.sz, zb.sz) AS sz_contained,
+         greatest(za.sz, zb.sz) AS sz_container,
+         i.inter
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+)
+SELECT contained_id, container_id,
+       round(CAST(inter AS DOUBLE) / sz_contained, 6) AS containment,
+       sz_contained, sz_container
+FROM dirs
+WHERE CAST(inter AS DOUBLE) / sz_contained >= 0.9
+""",
+    tags=("X1", "dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT detection — the asymmetric relative of
+    Jaccard: C(A,B) = |S(A) ∩ S(B)| / |S(A)| finds a document embedded
+    inside a larger one (quote-with-boilerplate, excerpt, concat-dup),
+    which symmetric Jaccard misses because the union is dominated by
+    the big doc. Directed output: (contained_id, container_id,
+    containment >= 0.9) with the smaller shingle set as the contained
+    side (ties -> lower doc_id, matching the a<b pair orientation).
+    Same (lang, source) blocking as dedup_ngram_jaccard bounds the
+    pair space; the LSH bucket path is the declared scale route for
+    unblocked corpora."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "text", "doc_id")
+    blocks = d.select("doc_id", "lang", "source")
+    sb = sh.join(blocks, "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sb.alias("a")
+    b = sb.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    dirs = (
+        inter.join(
+            sizes.withColumnsRenamed({"doc_id": "id_a", "sz": "size_a"}), "id_a"
+        )
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "sz": "size_b"}), "id_b")
+        .select(
+            F.when(F.col("size_a") <= F.col("size_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+            F.when(F.col("size_a") <= F.col("size_b"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("container_id"),
+            F.least("size_a", "size_b").alias("sz_contained"),
+            F.greatest("size_a", "size_b").alias("sz_container"),
+            "inter",
+        )
+    )
+    cont = F.col("inter").cast("double") / F.col("sz_contained")
+    return dirs.filter(cont >= 0.9).select(
+        "contained_id",
+        "container_id",
+        F.round(cont, 6).alias("containment"),
+        "sz_contained",
+        "sz_container",
+    )
