@@ -153,3 +153,103 @@ def payload_stats_by_group(df: DataFrame, group_col: str = "source") -> DataFram
         .groupBy(group_col)
         .applyInPandas(stats, GROUP_STATS_SCHEMA)
     )
+
+
+PATCH_SCHEMA = (
+    "doc_id long, patch_row long, patch_col long, px long, py long, patch_crc long"
+)
+
+
+def patch_grid(df: DataFrame, patch: int = 16, id_col: str = "doc_id") -> DataFrame:
+    """Vision-transformer-style PATCH TILING: the decoded (width,
+    height) raster becomes ceil(h/P) x ceil(w/P) patch rows — the
+    preprocessing shape every image-training pipeline runs before
+    embedding. Same row-expanding mapInPandas contract as
+    sample_frames: Arrow batches in, a variable number of patch rows
+    out, payload bytes never on the driver. The patch pixel fetch is
+    stubbed (real: PIL crop / torchvision unfold — not in this
+    container); indices and crcs are deterministic so the SQL oracle
+    re-derives them exactly.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"]
+            n_bytes = payload.str.len().astype("int64")
+            first = payload.map(lambda b: b[0] if len(b) else 0).astype("int64")
+            width = n_bytes % 64 + 16  # _fake_decode
+            height = (n_bytes * 7 + first) % 64 + 16
+            ids, prs, pcs, pxs, pys, crcs = [], [], [], [], [], []
+            for did, nb, fb, w, h in zip(
+                pdf[id_col].astype("int64"), n_bytes, first, width, height
+            ):
+                n_rows = -(-int(h) // patch)
+                n_cols = -(-int(w) // patch)
+                for pr in range(n_rows):
+                    for pc in range(n_cols):
+                        ids.append(did)
+                        prs.append(pr)
+                        pcs.append(pc)
+                        pxs.append(pc * patch)
+                        pys.append(pr * patch)
+                        crcs.append(
+                            (int(nb) * 17 + int(fb) * 3 + pr * 31 + pc * 7)
+                            % 1_000_003
+                        )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "patch_row": pd.Series(prs, dtype="int64"),
+                    "patch_col": pd.Series(pcs, dtype="int64"),
+                    "px": pd.Series(pxs, dtype="int64"),
+                    "py": pd.Series(pys, dtype="int64"),
+                    "patch_crc": pd.Series(crcs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(gen, PATCH_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, win_idx long, start_sample long, end_sample long, rms_q double"
+)
+
+
+def audio_windows(
+    df: DataFrame, window: int = 400, hop: int = 160, id_col: str = "doc_id"
+) -> DataFrame:
+    """STFT-style AUDIO FRAMING: the payload is treated as 16-bit PCM
+    (n_samples = 2 x n_bytes) and cut into overlapping windows of
+    ``window`` samples every ``hop`` samples — the framing in front of
+    any spectrogram/feature extractor. Payloads shorter than one
+    window emit ZERO rows (the real edge case: silence-trimmed clips).
+    The per-window energy is a deterministic stub (real: numpy over
+    decoded samples); indices are exact so SQL re-derives them.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"]
+            n_bytes = payload.str.len().astype("int64")
+            first = payload.map(lambda b: b[0] if len(b) else 0).astype("int64")
+            ids, wis, starts, ends, rms = [], [], [], [], []
+            for did, nb, fb in zip(pdf[id_col].astype("int64"), n_bytes, first):
+                n_samples = int(nb) * 2
+                n_windows = max(0, 1 + (n_samples - window) // hop)
+                for wi in range(n_windows):
+                    ids.append(did)
+                    wis.append(wi)
+                    starts.append(wi * hop)
+                    ends.append(wi * hop + window)
+                    rms.append(((int(nb) * 13 + int(fb) + wi * 97) % 9973) / 100.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(wis, dtype="int64"),
+                    "start_sample": pd.Series(starts, dtype="int64"),
+                    "end_sample": pd.Series(ends, dtype="int64"),
+                    "rms_q": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(gen, AUDIO_WINDOW_SCHEMA)

@@ -123,3 +123,86 @@ def mm_payload_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     group round-trip byte-exactly."""
     d = load_table(spark, sf_dir, "documents")
     return payload_stats_by_group(attach_payload(d), "source")
+
+
+@query(
+    "mm_patch_grid",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         ascii(substring(text, 1, 1)) AS first_byte
+  FROM documents WHERE doc_id % 13 = 0
+),
+dims AS (
+  SELECT doc_id, n_bytes, first_byte,
+         n_bytes % 64 + 16 AS width,
+         (n_bytes * 7 + first_byte) % 64 + 16 AS height
+  FROM b
+),
+pr AS (
+  SELECT *, unnest(range(0, (height + 15) // 16)) AS patch_row FROM dims
+),
+pc AS (
+  SELECT *, unnest(range(0, (width + 15) // 16)) AS patch_col FROM pr
+)
+SELECT doc_id,
+       CAST(patch_row AS BIGINT) AS patch_row,
+       CAST(patch_col AS BIGINT) AS patch_col,
+       CAST(patch_col * 16 AS BIGINT) AS px,
+       CAST(patch_row * 16 AS BIGINT) AS py,
+       (n_bytes * 17 + first_byte * 3 + patch_row * 31 + patch_col * 7) % 1000003
+         AS patch_crc
+FROM pc
+""",
+    tags=("X4", "patches", "mapInPandas"),
+)
+def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch tiling through the row-expanding mapInPandas
+    path (operators/multimodal.py::patch_grid): each decoded raster
+    becomes its 16x16 patch grid. The oracle re-derives the grid from
+    the deterministic fake decode in SQL — a hash match proves the
+    Arrow expansion produced exactly the declared patches."""
+    from cdc_via_flink_spark.operators.multimodal import patch_grid
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    return patch_grid(attach_payload(d), patch=16)
+
+
+@query(
+    "mm_audio_windows",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         ascii(substring(text, 1, 1)) AS first_byte
+  FROM documents WHERE doc_id % 7 = 0
+),
+w AS (
+  -- sub-window clips get ZERO windows; the CASE guards the negative
+  -- dividend (DuckDB // truncates toward zero, Python floors)
+  SELECT doc_id, n_bytes, first_byte,
+         unnest(range(0, CASE WHEN n_bytes * 2 < 400 THEN 0
+                              ELSE 1 + (n_bytes * 2 - 400) // 160 END))
+           AS win_idx
+  FROM b
+)
+SELECT doc_id,
+       CAST(win_idx AS BIGINT) AS win_idx,
+       CAST(win_idx * 160 AS BIGINT) AS start_sample,
+       CAST(win_idx * 160 + 400 AS BIGINT) AS end_sample,
+       CAST((n_bytes * 13 + first_byte + win_idx * 97) % 9973 AS DOUBLE) / 100.0
+         AS rms_q
+FROM w
+""",
+    tags=("X4", "audio", "mapInPandas"),
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STFT-style audio framing (operators/multimodal.py::
+    audio_windows): overlapping 400-sample windows, 160-sample hop,
+    over the payload read as 16-bit PCM; sub-window clips emit zero
+    rows. Oracle re-derives window indices and the stub energy in SQL."""
+    from cdc_via_flink_spark.operators.multimodal import audio_windows
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return audio_windows(attach_payload(d), window=400, hop=160)
