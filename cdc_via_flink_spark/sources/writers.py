@@ -120,3 +120,54 @@ def write_zordered(
         else with_key.repartitionByRange("_zkey")
     )
     rp.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(path)
+
+
+def compact_parquet_dir(
+    spark, path: str, target_mb: int = 128, min_files: int = 2
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory's file dust
+    into ~``target_mb`` files, atomically (write to a sibling temp dir,
+    then swap). Streaming sinks produce one-file-per-micro-batch; left
+    alone, a year of 30 s batches is ~1M tiny files and every scan
+    drowns in open/footer costs — compaction is the standard nightly
+    maintenance pass (Delta OPTIMIZE / Iceberg rewrite_data_files
+    shape, done here on plain parquet).
+
+    Sizing by actual bytes on disk, not row counts, so the coalesce
+    target tracks the real scan-split economics. Returns
+    {files_before, files_after, bytes}. No-op below ``min_files``.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    if len(files) < min_files:
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bytes": total_bytes,
+        }
+    n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total_bytes,
+    }

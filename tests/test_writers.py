@@ -158,3 +158,32 @@ def test_zorder_key_rejects_too_many_bits(spark):
     li = load_table(spark, SF0001, "lineitem")
     with pytest.raises(ValueError):
         zorder_key(li, ["l_partkey", "l_suppkey"], bits=32)
+
+
+def test_compact_parquet_dir_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Streaming-sink file dust -> one compaction pass: same rows,
+    far fewer files, atomic swap (no temp dirs left behind)."""
+    import os
+
+    from cdc_via_flink_spark.sources.writers import compact_parquet_dir
+
+    path = str(tmp_path / "dust")
+    # 20 single-row files, the per-micro-batch append shape
+    for i in range(20):
+        spark.range(i * 5, i * 5 + 5).write.mode("append").parquet(path)
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    files_before = sum(
+        1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    assert files_before >= 20
+
+    stats = compact_parquet_dir(spark, path, target_mb=128)
+    assert stats["files_before"] == files_before
+    assert stats["files_after"] < files_before
+
+    after = spark.read.parquet(path)
+    assert after.count() == n_before
+    assert sorted(r.id for r in after.collect()) == list(range(100))
+    assert not os.path.exists(path + "._compact_tmp")
+    assert not os.path.exists(path + "._compact_old")
