@@ -286,3 +286,111 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel_err.alias("rel_err"),
         (rel_err <= 0.15).alias("within_bound"),
     )
+
+
+@query(
+    "q_quantile_sketch_rollup",
+    oracle=None,  # sketch state is engine-specific; rows-only +
+    # in-query self-validation (the q_hll_sketch_rollup pattern)
+    tags=("A3", "approx", "sketch", "quantile", "rollup"),
+)
+def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile summaries — the t-digest/KLL contract on
+    plain DataFrame ops: each day reduces its values to m=64 strided
+    order statistics (value + weight = n_day/m), any period's quantile
+    is then estimated from the UNION of daily summaries without
+    re-touching raw events. That union is associative/commutative, so
+    it distributes over any partitioning — the property
+    `approx_percentile` lacks (its sketch dies inside one aggregation;
+    q_approx_percentile covers that idiom).
+
+    Scale shape: the per-day reduce is one keyed aggregation; the
+    merge sorts days×m ≈ 2k weighted points, INDEPENDENT of event
+    count — at 100 TB the summaries are KBs while raw data is TBs.
+    The single-task merge sort is bounded by the point count, not the
+    data. Self-validation: est vs exact `percentile` per quantile with
+    a 10% rel-err bound asserted in-query (strided rank error ≤
+    1/(2m) ≈ 0.8% of rank space)."""
+    from pyspark.sql import Window as W
+
+    m = 64
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("value").cast("double").alias("x"),
+    ).filter(F.col("x").isNotNull())
+
+    daily = ev.groupBy("day").agg(
+        F.sort_array(F.collect_list("x")).alias("xs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # m strided order statistics per day, each weighted n/m' — the
+    # day's mergeable summary (m' = min(m, n) for short days)
+    mm = F.least(F.lit(m), F.col("n"))
+    summaries = daily.select(
+        "day",
+        "n",
+        F.transform(
+            F.sequence(F.lit(0), mm - 1),
+            lambda i: F.element_at(
+                "xs",
+                (F.floor((i + 0.5) * F.col("n") / mm) + 1).cast("int"),
+            ),
+        ).alias("sample"),
+        (F.col("n").cast("double") / mm).alias("w"),
+    )
+    pts = summaries.select("day", "w", F.explode("sample").alias("x"))
+    tot = pts.agg(
+        F.sum("w").alias("tot_w"), F.count(F.lit(1)).alias("n_points")
+    )
+    cum = (
+        pts.withColumn(
+            "cum",
+            F.sum("w").over(
+                W.orderBy("x", "day").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    est = cum.agg(
+        F.min(F.when(F.col("cum") >= 0.5 * F.col("tot_w"), F.col("x"))).alias(
+            "est_p50"
+        ),
+        F.min(F.when(F.col("cum") >= 0.95 * F.col("tot_w"), F.col("x"))).alias(
+            "est_p95"
+        ),
+        F.max("n_points").alias("n_points"),
+    )
+    exact = ev.agg(
+        F.percentile("x", F.lit(0.5)).alias("exact_p50"),
+        F.percentile("x", F.lit(0.95)).alias("exact_p95"),
+    )
+    both = est.crossJoin(F.broadcast(exact))
+    rows = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p50").alias("quantile"),
+                    F.col("est_p50").alias("est"),
+                    F.col("exact_p50").alias("exact"),
+                    F.col("n_points"),
+                ),
+                F.struct(
+                    F.lit("p95").alias("quantile"),
+                    F.col("est_p95").alias("est"),
+                    F.col("exact_p95").alias("exact"),
+                    F.col("n_points"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    rel_err = F.round(
+        F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6
+    )
+    return rows.select(
+        "quantile",
+        F.round("est", 6).alias("est"),
+        F.round("exact", 6).alias("exact"),
+        "n_points",
+        rel_err.alias("rel_err"),
+        (rel_err <= 0.10).alias("within_bound"),
+    )

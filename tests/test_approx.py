@@ -5,7 +5,7 @@ relative-error guarantee against the exact count."""
 from __future__ import annotations
 
 from cdc_via_flink_spark.plans.registry import load_all
-from tests.conftest import SF0001
+from tests.conftest import SF0001, SF001
 
 
 def test_approx_distinct_within_bound(spark):
@@ -85,3 +85,21 @@ def test_self_validating_columns_all_within_bound(spark):
             name,
             [(r.rel_err, r.within_bound) for r in rows if not r.within_bound],
         )
+
+
+def test_quantile_sketch_rollup_bounds_and_mergeability(spark):
+    """Merged-summary estimates must clear the declared 10% bound at
+    both fixture SFs, and the point count must be days×m-ish —
+    independent of event count (the mergeability contract)."""
+    from cdc_via_flink_spark.plans.registry import load_all
+
+    fn = load_all()["q_quantile_sketch_rollup"].fn
+    for sf in (SF0001, SF001):
+        rows = {r.quantile: r for r in fn(spark, sf).collect()}
+        assert set(rows) == {"p50", "p95"}
+        for r in rows.values():
+            assert r.within_bound, (sf, r)
+            assert r.rel_err <= 0.10
+        # summaries are bounded: ≤ 64 points per day regardless of SF
+        n_days = 31
+        assert rows["p50"].n_points <= 64 * n_days
