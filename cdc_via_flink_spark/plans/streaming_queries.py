@@ -731,3 +731,40 @@ def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("value")).alias("sum_value"),
     )
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_dedup_redelivery",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT event_id) AS n_unique
+FROM events
+GROUP BY event_type
+""",
+    tags=("ST4", "streaming", "dedup", "watermark"),
+)
+def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACTLY-ONCE de-duplication under at-least-once
+    redelivery: the staged stream carries every event TWICE (the
+    duplicate-delivery shape of any retrying source);
+    `dropDuplicatesWithinWatermark("event_id")` keeps state only
+    within the watermark horizon — the bounded-state streaming dedup
+    Spark 3.5 added, vs `dropDuplicates` whose state grows forever.
+    Counting per type after dedup equals the batch DISTINCT oracle.
+    At 100 TB the dedup state is one key per in-horizon event id,
+    evicted as the watermark passes — sized by horizon, not history."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(STAGE_ROOT, f"events_dup_{sf_name}")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    doubled = ev.unionByName(ev)  # redelivery: every event twice
+    os.makedirs(stage, exist_ok=True)
+    path = os.path.join(stage, "events")
+    doubled.coalesce(1).write.mode("overwrite").parquet(path)
+    sev = spark.readStream.schema(doubled.schema).parquet(path)
+    deduped = sev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    return _run_to_memory(agg, "complete")
