@@ -78,6 +78,31 @@ def run(args: argparse.Namespace) -> int:
         q = upsert_latest_state_query(parsed, args.out, args.checkpoint)
         q.awaitTermination()
         return 0
+    if args.sink == "publish":
+        # consume -> reconstruct -> PUBLISH: reconstructed transactions
+        # land on a topic-style log through the debezium_replay writer
+        # (Kafka-producer twin, per-epoch idempotent commits) — the
+        # relay shape a downstream consumer reads back with the
+        # debezium_replay source. On a real cluster swap format() for
+        # "kafka" + topic option; the row contract (value string) is
+        # identical.
+        from cdc_via_flink_spark.sources.python_datasource import register
+
+        register(spark)
+        out_rows = assembled.select(
+            F.to_json(F.struct("*")).alias("value")
+        )
+        q = (
+            out_rows.writeStream.format("debezium_replay")
+            .option("path", args.out)
+            .option("topic", args.publish_topic)
+            .option("checkpointLocation", args.checkpoint)
+            .queryName("debezium-transaction-relay")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return 0
     if args.sink == "console":
         q = (
             assembled.writeStream.format("console")
@@ -109,8 +134,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--replay-dir", help="hermetic replay from an sf dir (no Kafka)")
     p.add_argument("--stage-dir", default=tempfile.mkdtemp(prefix="cdc_replay_"))
     p.add_argument(
-        "--sink", choices=["console", "parquet", "upsert"], default="console"
-    )  # upsert = latest-state table (streaming/upsert.py)
+        "--sink",
+        choices=["console", "parquet", "upsert", "publish"],
+        default="console",
+    )  # upsert = latest-state table; publish = topic-log relay
+    p.add_argument("--publish-topic", default="reconstructed.transactions")
     p.add_argument("--out", default=tempfile.mkdtemp(prefix="cdc_out_"))
     p.add_argument("--checkpoint", default=tempfile.mkdtemp(prefix="cdc_ckpt_"))
     p.add_argument("--max-restarts", type=int, default=3)  # ref :36

@@ -52,3 +52,36 @@ def test_job_parquet_dual_sink_replay(spark, tmp_path):
     assert good.count() > 0
     # dead-letter dir exists alongside (S4 dual sink)
     assert os.path.isdir(out_dir + "_dead")
+
+
+def test_job_publish_relay_roundtrip(spark, tmp_path):
+    """--sink publish: consume -> reconstruct -> publish to the
+    debezium_replay topic log; read the published topic back and check
+    the reconstruction row count survives the relay."""
+    import json
+
+    from cdc_via_flink_spark.jobs import reconstructor
+    from cdc_via_flink_spark.plans.registry import load_all
+
+    out = str(tmp_path / "relay")
+    rc = reconstructor.main(
+        [
+            "--replay-dir", "/root/testdata/sf0.001",
+            "--stage-dir", str(tmp_path / "stage"),
+            "--sink", "publish",
+            "--publish-topic", "reconstructed.txns",
+            "--out", out,
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    back = (
+        spark.read.format("debezium_replay")
+        .option("path", out)
+        .option("subscribe", "reconstructed.txns")
+        .load()
+    )
+    expected = load_all()["cdc_reconstruct_end"].fn(spark, "/root/testdata/sf0.001")
+    assert back.count() == expected.count()
+    one = json.loads(back.head().value)
+    assert {"txn_id", "end_seq", "n_events", "ops_concat"} <= set(one)
