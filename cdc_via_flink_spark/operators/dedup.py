@@ -116,7 +116,20 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 
     pairs: (id_a, id_b); sh: (doc_id, sh) distinct shingles.
     Output: id_a, id_b, inter, size_a, size_b, jaccard (double).
+
+    The shingle table is semi-join pruned to the docs that actually
+    appear in a candidate pair BEFORE the heavy by-doc shuffles: at
+    100 TB the collision set is orders of magnitude smaller than the
+    corpus, so the verify stage's shuffles scale with candidates, not
+    with every document's shingles. (Sizes computed on the pruned
+    frame are exact — pruning keeps ALL shingles of a kept doc.)
     """
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(ids, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col("doc_id").alias("id_a"), "sh")
     sb = sh.select(F.col("doc_id").alias("id_b"), "sh")
