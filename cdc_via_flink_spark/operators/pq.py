@@ -291,7 +291,9 @@ def pq_rerank_topk(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     exact = (
-        cand.join(v_df, "vec_id")  # fetch originals for the shortlist only
+        v_df.join(F.broadcast(cand), "vec_id")  # shortlist ids broadcast:
+        # the original-vector fetch is a broadcast hash join — the
+        # corpus is scanned once and NEVER shuffled for the rerank
         .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",
@@ -424,7 +426,8 @@ def ivfpq_topk(
         .select("query_id", "vec_id")
     )
     exact = (
-        short.join(v_df, "vec_id")
+        v_df.join(F.broadcast(short), "vec_id")  # same no-corpus-shuffle
+        # broadcast fetch as pq_rerank_topk
         .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",
