@@ -25,6 +25,7 @@ def asof_join(
     payload_cols: list[str],
     right_seq: str | None = None,
     prefix: str = "asof_",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Return `left` with, for each row, the payload of the latest
     `right` row with right_ts <= left_ts and matching `key`. The whole
@@ -33,7 +34,13 @@ def asof_join(
     BETWEEN right rows resolve by `right_seq` (pass a unique column —
     without it, equal-timestamp right rows make the result
     nondeterministic).
-    """
+
+    `tolerance` (pandas merge_asof semantics, same numeric units as
+    the ts columns): a match STALER than `tolerance` — i.e.
+    left_ts − matched_right_ts > tolerance — is rejected and the
+    payload comes back null, exactly as if no right row existed. The
+    matched right ts rides inside the propagated struct, so tolerance
+    costs zero extra shuffles."""
     lcols = left.columns
     l = (
         left.withColumn("_side", F.lit(1))
@@ -45,7 +52,9 @@ def asof_join(
             key,
             F.col(right_ts).alias("_ats"),
             (F.col(right_seq) if right_seq else F.lit(0)).cast("long").alias("_seq"),
-            F.struct(*payload_cols).alias("_p"),
+            F.struct(
+                F.col(right_ts).cast("long").alias("__matched_ts"), *payload_cols
+            ).alias("_p"),
         )
         .withColumn("_side", F.lit(0))
     )
@@ -60,7 +69,18 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     u = u.withColumn("_pl", F.last("_p", ignorenulls=True).over(w))
+    fresh = (
+        F.lit(True)
+        if tolerance is None
+        else (
+            F.col(left_ts).cast("long") - F.col("_pl.__matched_ts")
+            <= F.lit(tolerance)
+        )
+    )
     return u.filter(F.col("_side") == 1).select(
         *lcols,
-        *[F.col(f"_pl.{c}").alias(f"{prefix}{c}") for c in payload_cols],
+        *[
+            F.when(fresh, F.col(f"_pl.{c}")).alias(f"{prefix}{c}")
+            for c in payload_cols
+        ],
     )

@@ -579,3 +579,85 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
     )
+
+
+@query(
+    "q_asof_tolerance",
+    oracle="""
+WITH l AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
+  FROM events WHERE event_type <> 'purchase'
+),
+r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id AS purchase_id, "value" AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+u AS (
+  SELECT user_id, ts_ms, 1 AS side, 0 AS seq, event_id, event_type,
+         CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS DOUBLE) AS amount,
+         CAST(NULL AS BIGINT) AS r_ts
+  FROM l
+  UNION ALL
+  SELECT user_id, ts_ms, 0 AS side, purchase_id AS seq,
+         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+         purchase_id, amount, ts_ms AS r_ts
+  FROM r
+),
+p AS (
+  SELECT *,
+         last_value(purchase_id IGNORE NULLS) OVER w AS m_id,
+         last_value(amount IGNORE NULLS) OVER w AS m_amount,
+         last_value(r_ts IGNORE NULLS) OVER w AS m_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, side, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+f AS (
+  SELECT *, (m_ts IS NOT NULL AND ts_ms - m_ts <= 259200000) AS fresh
+  FROM p WHERE side = 1
+)
+SELECT event_id, user_id, ts_ms, event_type,
+       coalesce(CASE WHEN fresh THEN m_id END, -1) AS last_purchase_id,
+       CAST(coalesce(CASE WHEN fresh THEN m_amount END, 0) AS DOUBLE)
+         AS last_purchase_amount
+FROM f
+""",
+    tags=("J5", "asof", "tolerance"),
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with STALENESS TOLERANCE (pandas merge_asof
+    tolerance semantics): each non-purchase event gets the user's most
+    recent purchase ONLY if it happened within the last 3 days —
+    older state is rejected as stale (the freshness rule every
+    feature-store point-in-time lookup enforces; a plain as-of join
+    silently serves arbitrarily old state). Same single keyed shuffle
+    as q_asof_last_purchase: the matched right ts propagates inside
+    the payload struct, so the tolerance check is a free projection."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts_ms", "event_type"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_ms",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    joined = asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts_ms",
+        right_ts="ts_ms",
+        payload_cols=["purchase_id", "amount"],
+        right_seq="purchase_id",
+        tolerance=3 * 24 * 3600 * 1000,  # 3 days in ms
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        "event_type",
+        F.coalesce("asof_purchase_id", F.lit(-1)).alias("last_purchase_id"),
+        F.coalesce("asof_amount", F.lit(0)).cast("double").alias("last_purchase_amount"),
+    )
