@@ -75,23 +75,15 @@ def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check.
-    tags=("A3", "approx"),
-)
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) next to the exact count —
-    the at-scale cardinality idiom (sketches merge map-side; no
-    shuffle of distinct values). No oracle: sketch estimates are
-    engine-specific by design; tests assert the error bound instead."""
+def approx_distinct_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debug/test variant of q_approx_distinct carrying the raw HLL
+    estimate and rel_err (engine-specific, so NOT declared — tests
+    assert the error bound on these columns)."""
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
-    # self-validating: the error bound is asserted IN the result, so a
-    # rows-only driver check still carries correctness signal
     rel_err = F.round(
         F.abs(F.col("approx_parts") - F.col("exact_parts"))
         / F.col("exact_parts").cast("double"),
@@ -103,6 +95,31 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_parts",
         rel_err.alias("rel_err"),
         (rel_err <= 0.1).alias("within_bound"),  # rsd=0.02, ~5σ margin
+    )
+
+
+@query(
+    "q_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("A3", "approx"),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the at-scale cardinality idiom (sketches merge map-side; no
+    shuffle of distinct values). The raw sketch estimate is
+    engine-specific, so the DECLARED output is fully deterministic:
+    group key + exact count (oracle-computable) + `within_bound`
+    (Spark asserts the HLL estimate against the exact count in-query;
+    the oracle emits TRUE). A bound violation flips the boolean and
+    hash-mismatches — the estimate is still correctness-gated.
+    Full estimate columns: approx_distinct_full (tests/test_approx.py)."""
+    return approx_distinct_full(spark, sf_dir).select(
+        "l_returnflag", "exact_parts", "within_bound"
     )
 
 
@@ -153,29 +170,25 @@ def cdc_snapshot_at_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_state(ch)
 
 
-@query(
-    "q_approx_percentile",
-    oracle=None,  # quantile sketches are engine-specific; rows-only +
-    # bound test (tests/test_approx.py) like q_approx_distinct.
-    tags=("A3", "approx", "percentile"),
-)
-def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (Greenwald-Khanna sketch) next to the exact
-    interpolated percentile — the at-scale quantile idiom: sketches
-    merge map-side, so quantiles cost one pass and no sort, vs the
-    exact form's per-group sort. accuracy=10000 ⇒ ε=1e-4 rank error."""
+def approx_percentile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debug/test variant of q_approx_percentile carrying the raw GK
+    estimate (engine-specific; NOT declared). The exact reference is
+    the DISCRETE median — the element at rank ceil(0.5*n), SQL-standard
+    percentile_disc semantics — which both engines reproduce bit-exactly
+    (no float interpolation)."""
     o = load_table(spark, sf_dir, "orders")
     agg = o.groupBy("o_orderpriority").agg(
         F.approx_percentile(F.col("o_totalprice"), F.lit(0.5), F.lit(10000)).alias(
             "approx_p50"
         ),
-        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("exact_p50"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("exact_p50"),
         F.count(F.lit(1)).alias("n"),
     )
     # self-validating error column: ε=1e-4 rank error is <1 rank at
-    # test sizes, but approx_percentile returns an ELEMENT while the
-    # exact form interpolates — at small n the value gap between
-    # adjacent elements dominates, so the in-query bound is 5%
+    # test sizes, but the sketch returns an ELEMENT whose value gap
+    # from the discrete median dominates at small n ⇒ 5% bound
     rel_err = F.round(
         F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.col("exact_p50"), 6
     )
@@ -186,6 +199,38 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         rel_err.alias("rel_err"),
         (rel_err <= 0.05).alias("within_bound"),
+    )
+
+
+@query(
+    "q_approx_percentile",
+    # Oracle pins the SQL-standard percentile_disc rank (smallest value
+    # with cume_dist >= q, i.e. rank ceil(q*n)) via an explicit window
+    # rather than DuckDB's quantile_disc, whose floor((n-1)q) indexing
+    # can differ by one rank for some n.
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority, o_totalprice AS exact_p50, n, TRUE AS within_bound
+FROM ranked WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+""",
+    tags=("A3", "approx", "percentile"),
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) vs the exact
+    discrete median — the at-scale quantile idiom: sketches merge
+    map-side, one pass, no per-group sort. DECLARED output is fully
+    deterministic: group key + exact discrete median (an element of
+    the data, bit-reproducible in DuckDB) + `within_bound` (Spark
+    asserts the GK estimate against the exact value in-query; oracle
+    emits TRUE). Estimate columns: approx_percentile_full."""
+    return approx_percentile_full(spark, sf_dir).select(
+        "o_orderpriority", "exact_p50", "n", "within_bound"
     )
 
 
@@ -234,13 +279,7 @@ def q_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_hll_sketch_rollup",
-    oracle=None,  # DataSketches HLL state is engine-specific; rows-only
-    # + invariant tests (tests/test_approx.py::test_hll_*).
-    tags=("A3", "approx", "sketch", "rollup"),
-)
-def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_sketch_rollup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable cardinality sketches (Apache DataSketches HLL): build
     one user_id sketch per day, then re-aggregate the 30 daily
     sketches into the monthly estimate with hll_union_agg — WITHOUT
@@ -289,12 +328,34 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_quantile_sketch_rollup",
-    oracle=None,  # sketch state is engine-specific; rows-only +
-    # in-query self-validation (the q_hll_sketch_rollup pattern)
-    tags=("A3", "approx", "sketch", "quantile", "rollup"),
+    "q_hll_sketch_rollup",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS period,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS within_bound
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'ALL' AS period, count(DISTINCT user_id), count(*), TRUE
+FROM events
+""",
+    tags=("A3", "approx", "sketch", "rollup"),
 )
-def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared, fully-deterministic projection of the HLL rollup
+    (hll_sketch_rollup_full has the estimates and the full design
+    docstring): period + exact distinct (oracle-computable) +
+    `within_bound`, where Spark checks the UNIONED-sketch estimate
+    against the exact count in-query and the oracle emits TRUE. A
+    sketch regression flips the boolean and hash-mismatches — the
+    sketch pipeline stays correctness-gated while every declared
+    column is DuckDB-derivable."""
+    return hll_sketch_rollup_full(spark, sf_dir).select(
+        "period", "exact_users", "n_events", "within_bound"
+    )
+
+
+def quantile_sketch_rollup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE quantile summaries — the t-digest/KLL contract on
     plain DataFrame ops: each day reduces its values to m=64 strided
     order statistics (value + weight = n_day/m), any period's quantile
@@ -360,9 +421,13 @@ def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("n_points").alias("n_points"),
     )
+    # exact reference = DISCRETE percentile (element at rank ceil(q*n),
+    # SQL-standard percentile_disc) — bit-reproducible cross-engine,
+    # unlike interpolated percentiles whose float arithmetic can differ
+    # in the last ULP between engines.
     exact = ev.agg(
-        F.percentile("x", F.lit(0.5)).alias("exact_p50"),
-        F.percentile("x", F.lit(0.95)).alias("exact_p95"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)").alias("exact_p50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY x)").alias("exact_p95"),
     )
     both = est.crossJoin(F.broadcast(exact))
     rows = both.select(
@@ -386,11 +451,56 @@ def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_err = F.round(
         F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6
     )
+    # exact is an ELEMENT of the data — left unrounded so the declared
+    # projection matches the oracle's raw value bit-for-bit
     return rows.select(
         "quantile",
         F.round("est", 6).alias("est"),
-        F.round("exact", 6).alias("exact"),
+        "exact",
         "n_points",
         rel_err.alias("rel_err"),
         (rel_err <= 0.10).alias("within_bound"),
+    )
+
+
+@query(
+    "q_quantile_sketch_rollup",
+    # Explicit ceil(q*n) window rank (SQL-standard percentile_disc
+    # semantics) instead of DuckDB quantile_disc, whose floor((n-1)q)
+    # indexing can differ by one rank for some n. n_points counts the
+    # merged summary size: sum over days of min(64, n_day).
+    oracle="""
+WITH v AS (
+  SELECT CAST(value AS DOUBLE) AS x, date_trunc('day', ts) AS day
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x) AS rn, count(*) OVER () AS n
+  FROM v
+),
+np AS (
+  SELECT CAST(sum(least(64, n)) AS BIGINT) AS n_points
+  FROM (SELECT count(*) AS n FROM v GROUP BY day)
+),
+q AS (
+  SELECT 'p50' AS quantile, x AS exact FROM ranked
+  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+  UNION ALL
+  SELECT 'p95', x FROM ranked
+  WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)
+)
+SELECT quantile, exact, n_points, TRUE AS within_bound
+FROM q CROSS JOIN np
+""",
+    tags=("A3", "approx", "sketch", "quantile", "rollup"),
+)
+def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared, fully-deterministic projection of the mergeable
+    quantile rollup (quantile_sketch_rollup_full has the estimates and
+    the full design docstring): quantile label + exact discrete
+    percentile (an element of the data, oracle-computable) + summary
+    point count + `within_bound` (Spark asserts the merged-summary
+    estimate against the exact value in-query; oracle emits TRUE)."""
+    return quantile_sketch_rollup_full(spark, sf_dir).select(
+        "quantile", "exact", "n_points", "within_bound"
     )

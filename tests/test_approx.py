@@ -1,16 +1,17 @@
-"""approx_count_distinct (A3) error-bound check — no cross-engine
-oracle is possible for HLL sketches, so the test asserts the declared
-relative-error guarantee against the exact count."""
+"""approx_count_distinct (A3) error-bound checks on the *_full debug
+variants (the raw sketch estimates are engine-specific, so the
+DECLARED queries project only oracle-derivable columns; these tests
+assert the relative-error guarantee on the estimate columns)."""
 
 from __future__ import annotations
 
-from cdc_via_flink_spark.plans.registry import load_all
 from tests.conftest import SF0001, SF001
 
 
 def test_approx_distinct_within_bound(spark):
-    spec = load_all()["q_approx_distinct"]
-    for r in spec.fn(spark, SF0001).collect():
+    from cdc_via_flink_spark.plans.collections_queries import approx_distinct_full
+
+    for r in approx_distinct_full(spark, SF0001).collect():
         rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
         assert rel_err < 0.1, f"{r.l_returnflag}: {r.approx_parts} vs {r.exact_parts}"
 
@@ -24,8 +25,11 @@ def test_approx_percentile_within_rank_bound(spark):
 
     from cdc_via_flink_spark.sources.tables import load_table
 
-    spec = load_all()["q_approx_percentile"]
-    got = {r.o_orderpriority: r for r in spec.fn(spark, SF0001).collect()}
+    from cdc_via_flink_spark.plans.collections_queries import (
+        approx_percentile_full,
+    )
+
+    got = {r.o_orderpriority: r for r in approx_percentile_full(spark, SF0001).collect()}
     o = load_table(spark, SF0001, "orders")
     band = {
         r.o_orderpriority: (r.lo, r.hi)
@@ -51,8 +55,11 @@ def test_hll_rollup_within_bound_and_merge_consistent(spark):
 
     from cdc_via_flink_spark.sources.tables import load_table
 
-    spec = load_all()["q_hll_sketch_rollup"]
-    rows = {r.period: r.est_users for r in spec.fn(spark, SF0001).collect()}
+    from cdc_via_flink_spark.plans.collections_queries import (
+        hll_sketch_rollup_full,
+    )
+
+    rows = {r.period: r.est_users for r in hll_sketch_rollup_full(spark, SF0001).collect()}
     ev = load_table(spark, SF0001, "events")
     exact_daily = {
         r.period: r.n
@@ -70,7 +77,7 @@ def test_hll_rollup_within_bound_and_merge_consistent(spark):
 
     # determinism across partition layouts (HLL register max-merge is
     # order- and partitioning-insensitive)
-    rows2 = {r.period: r.est_users for r in spec.fn(spark, SF0001).collect()}
+    rows2 = {r.period: r.est_users for r in hll_sketch_rollup_full(spark, SF0001).collect()}
     assert rows == rows2
 
 
@@ -78,8 +85,14 @@ def test_self_validating_columns_all_within_bound(spark):
     """The three sketch queries carry their own validation columns
     (rel_err + within_bound), so a rows-only driver check still sees
     correctness signal. All rows must self-report within bound."""
-    for name in ("q_approx_distinct", "q_approx_percentile", "q_hll_sketch_rollup"):
-        rows = load_all()[name].fn(spark, SF0001).collect()
+    from cdc_via_flink_spark.plans import collections_queries as CQ
+
+    for name, fn in (
+        ("q_approx_distinct", CQ.approx_distinct_full),
+        ("q_approx_percentile", CQ.approx_percentile_full),
+        ("q_hll_sketch_rollup", CQ.hll_sketch_rollup_full),
+    ):
+        rows = fn(spark, SF0001).collect()
         assert rows, name
         assert all(r.within_bound for r in rows), (
             name,
@@ -91,9 +104,11 @@ def test_quantile_sketch_rollup_bounds_and_mergeability(spark):
     """Merged-summary estimates must clear the declared 10% bound at
     both fixture SFs, and the point count must be days×m-ish —
     independent of event count (the mergeability contract)."""
-    from cdc_via_flink_spark.plans.registry import load_all
+    from cdc_via_flink_spark.plans.collections_queries import (
+        quantile_sketch_rollup_full,
+    )
 
-    fn = load_all()["q_quantile_sketch_rollup"].fn
+    fn = quantile_sketch_rollup_full
     for sf in (SF0001, SF001):
         rows = {r.quantile: r for r in fn(spark, sf).collect()}
         assert set(rows) == {"p50", "p95"}
