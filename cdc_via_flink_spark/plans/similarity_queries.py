@@ -237,13 +237,54 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_ivf_kmeans_topk",
-    oracle=None,  # iterative training -> rows-only driver check;
-    # invariants pinned in tests/test_kmeans.py instead
-    tags=("X2", "similarity", "ivf", "kmeans", "iterative"),
+# Shared oracle for the trained-ANN summary queries: the exact
+# brute-force nearest neighbor per query (rounded cos, vec_id
+# tie-break) is engine-independent; within_bound is TRUE-on-oracle /
+# asserted-in-Spark (the sketch-query pattern), so a broken index
+# flips the boolean (or drops the row) and hash-mismatches.
+SQL_ANN_SUMMARY_ORACLE = f"""
+WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM d WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, a.vec_id, {SQL_COS} AS cos
+  FROM d a CROSS JOIN q WHERE a.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
 )
-def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+SELECT query_id, vec_id AS exact_top1_vec, cos AS exact_top1_cos,
+       TRUE AS within_bound
+FROM r WHERE rn = 1
+"""
+
+
+def _ann_summary(full: DataFrame, e: DataFrame) -> DataFrame:
+    """Reduce a self-validating ANN result (per-row recall_at_k +
+    within_bound columns) to one declared row per query: the exact
+    brute-force top-1 neighbor (DuckDB-derivable) plus the conjunction
+    of the in-query bound assertions. An index regression either flips
+    within_bound or loses the query's rows entirely (inner join →
+    row-count mismatch) — both driver-visible."""
+    per_q = full.groupBy("query_id").agg(
+        F.bool_and("within_bound").alias("within_bound")
+    )
+    qs = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = brute_force_topk(e, qs, k=1).select(
+        "query_id",
+        F.col("vec_id").alias("exact_top1_vec"),
+        F.col("cos").alias("exact_top1_cos"),
+    )
+    return top1.join(per_q, "query_id").select(
+        "query_id", "exact_top1_vec", "exact_top1_cos", "within_bound"
+    )
+
+
+def ivf_kmeans_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over TRAINED centroids (deterministic distributed
     Lloyd's k-means, operators/kmeans.py) — the trained-index upgrade
     of sim_ivf_topk; same bounded-probe plan shape, better list
@@ -299,6 +340,21 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_kmeans_topk",
+    oracle=SQL_ANN_SUMMARY_ORACLE,
+    tags=("X2", "similarity", "ivf", "kmeans", "iterative"),
+)
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared, fully-deterministic summary of the trained-k-means IVF
+    ANN (ivf_kmeans_topk_full has the per-row results and the design
+    docstring): per query, the exact brute-force top-1 neighbor
+    (oracle-computable) + within_bound (recall floors asserted in-query
+    over the trained index's results; oracle emits TRUE)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return _ann_summary(ivf_kmeans_topk_full(spark, sf_dir), e)
+
+
+@query(
     "sim_norm_stats_by_label",
     oracle=f"""
 WITH d AS (
@@ -337,14 +393,7 @@ def sim_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_pq_topk",
-    oracle=None,  # iterative codebook training -> rows-only driver
-    # check; self-validating recall columns below, invariants in
-    # tests/test_pq.py
-    tags=("X2", "similarity", "pq", "quantization", "iterative"),
-)
-def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact rerank (operators/pq.py) —
     the memory-compression member of the ANN family (vs sim_ann_lsh's
     hashing and sim_ivf_topk's partitioning): vectors become M=8
@@ -401,12 +450,21 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sim_ivfpq_topk",
-    oracle=None,  # two iterative trainings (coarse k-means + residual
-    # PQ) -> rows-only; self-validating recall columns below
-    tags=("X2", "similarity", "ivf", "pq", "iterative"),
+    "sim_pq_topk",
+    oracle=SQL_ANN_SUMMARY_ORACLE,
+    tags=("X2", "similarity", "pq", "quantization", "iterative"),
 )
-def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared, fully-deterministic summary of the PQ+rerank ANN
+    (pq_topk_full has the per-row results and the design docstring):
+    per query, the exact brute-force top-1 neighbor (oracle-computable)
+    + within_bound (recall floors asserted in-query over the
+    PQ shortlist's reranked results; oracle emits TRUE)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return _ann_summary(pq_topk_full(spark, sf_dir), e)
+
+
+def ivfpq_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED production ANN index — IVF + PQ over residuals
     (FAISS IVFPQ layout; operators/pq.py::ivfpq_topk): coarse k-means
     inverted lists bound the candidate space (corpus shuffled ONCE by
@@ -457,3 +515,18 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_recall.alias("mean_recall"),
         ((recall >= 0.1) & (mean_recall >= 0.4)).alias("within_bound"),
     )
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle=SQL_ANN_SUMMARY_ORACLE,
+    tags=("X2", "similarity", "ivf", "pq", "iterative"),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared, fully-deterministic summary of the composed IVF+PQ
+    ANN (ivfpq_topk_full has the per-row results and the design
+    docstring): per query, the exact brute-force top-1 neighbor
+    (oracle-computable) + within_bound (recall floors asserted
+    in-query over the IVFPQ results; oracle emits TRUE)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return _ann_summary(ivfpq_topk_full(spark, sf_dir), e)

@@ -94,13 +94,14 @@ def test_two_level_topk_matches_single_level_any_layout(spark):
 
 
 def test_ivf_kmeans_query_self_validates(spark):
-    """The declared sim_ivf_kmeans_topk (rows-only driver check) must
-    carry its own correctness signal: per-query recall@5 vs the exact
-    brute-force top-5, with every row inside the asserted floors."""
-    from cdc_via_flink_spark.plans.registry import load_all
+    """ivf_kmeans_topk_full must carry its own correctness signal:
+    per-query recall@5 vs the exact brute-force top-5, with every row
+    inside the asserted floors (the declared sim_ivf_kmeans_topk
+    projects this to the oracle-checkable per-query summary)."""
+    from cdc_via_flink_spark.plans.similarity_queries import ivf_kmeans_topk_full
     from tests.conftest import SF001
 
-    rows = load_all()["sim_ivf_kmeans_topk"].fn(spark, SF001).collect()
+    rows = ivf_kmeans_topk_full(spark, SF001).collect()
     assert len(rows) == 25
     assert all(r.within_bound for r in rows), [
         (r.query_id, r.recall_at_k, r.mean_recall) for r in rows
