@@ -327,12 +327,47 @@ class _ReplayBatchWriter(DataSourceWriter):
         _drop_staged(messages)
 
 
+def _recover_pending_folds(root: str) -> None:
+    """Roll back any fold whose commit never became durable. A
+    ``_commits/<batchId>.pre`` journal records each target topic's
+    byte length BEFORE that epoch's fold; the journal is atomically
+    renamed to the commit marker after the fold, so a surviving
+    ``.pre`` means the fold may have run partially (or fully) without
+    committing — truncating every topic log back to the journaled
+    length restores the exact pre-fold state, and the epoch's replay
+    then re-folds cleanly."""
+    import glob as _glob
+    import json
+
+    for jp in _glob.glob(os.path.join(root, "_commits", "*.pre")):
+        with open(jp, "r", encoding="utf-8") as fh:
+            offsets = json.load(fh)["offsets"]
+        for topic, off in offsets.items():
+            p = os.path.join(root, f"{topic}.jsonl")
+            if os.path.exists(p) and os.path.getsize(p) > off:
+                with open(p, "r+b") as fh:
+                    fh.truncate(off)
+        os.remove(jp)
+
+
 class _ReplayStreamWriter(DataSourceStreamWriter):
-    """Micro-batch sink with epoch-idempotent commits: a replayed
-    batchId (crash after commit, before the checkpoint write) finds
-    its marker and drops the staged data instead of appending twice —
+    """Micro-batch sink with epoch-idempotent, crash-atomic commits —
     the file-twin of Kafka's transactional producer + committed-read
-    consumers (effectively exactly-once end to end)."""
+    consumers (effectively exactly-once end to end).
+
+    Commit protocol (all driver-side, one epoch at a time):
+      1. journal the pre-fold byte length of every target topic log
+         to ``_commits/<batchId>.pre`` (atomic tmp+replace);
+      2. fold staged lines into the per-topic logs;
+      3. ``os.replace`` the journal onto the commit marker — ONE
+         atomic op, so the epoch is either journaled-uncommitted or
+         marked-committed, never neither.
+    A replayed batchId that finds its marker drops the staged data
+    (crash after commit). A crash DURING the fold leaves the journal;
+    the next commit truncates each log back to the journaled length
+    before folding, so partially-appended lines never survive a
+    replay (crash-in-commit, the window a bare append-then-marker
+    scheme duplicates)."""
 
     def __init__(self, options: dict):
         self._root, self._topic = _writer_target(options)
@@ -342,14 +377,29 @@ class _ReplayStreamWriter(DataSourceStreamWriter):
         return _stage_rows(self._root, self._topic, iterator)
 
     def commit(self, messages, batchId: int) -> None:
+        import json
+
         marker = os.path.join(self._root, "_commits", str(batchId))
         if os.path.exists(marker):
             _drop_staged(messages)  # replayed epoch: already committed
             return
-        n = _fold_staged(self._root, messages)
-        with open(marker + ".tmp", "w") as fh:
-            fh.write(str(n))
-        os.replace(marker + ".tmp", marker)
+        _recover_pending_folds(self._root)
+        topics = set()
+        for m in messages:
+            if m is None:
+                continue
+            with open(m.path, "r", encoding="utf-8") as fh:
+                topics.update(line.split("\t", 1)[0] for line in fh)
+        offsets = {}
+        for t in topics:
+            p = os.path.join(self._root, f"{t}.jsonl")
+            offsets[t] = os.path.getsize(p) if os.path.exists(p) else 0
+        journal = marker + ".pre"
+        with open(journal + ".tmp", "w", encoding="utf-8") as fh:
+            json.dump({"offsets": offsets}, fh)
+        os.replace(journal + ".tmp", journal)
+        _fold_staged(self._root, messages)
+        os.replace(journal, marker)  # atomic: committed iff marker exists
 
     def abort(self, messages, batchId: int) -> None:
         _drop_staged(messages)

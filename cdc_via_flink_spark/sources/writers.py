@@ -122,16 +122,56 @@ def write_zordered(
     rp.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(path)
 
 
+def _recover_compaction(path: str) -> None:
+    """Repair the on-disk state left by a compaction crash. The swap
+    protocol is rename(path -> .old) then rename(.tmp -> path) then
+    rmtree(.old); the presence of the side dirs tells which step died:
+
+      * ``.old`` present, ``path`` missing  -> crashed mid-swap:
+        restore the original by renaming ``.old`` back.
+      * ``.old`` present, ``path`` present  -> crashed after the swap
+        (or mid-rmtree): ``.old`` is the superseded copy of data the
+        new ``path`` already holds — delete it.
+      * ``.tmp`` present -> an unfinished (or unswapped) compacted
+        copy; always safe to discard and rebuild.
+    """
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
 def compact_parquet_dir(
     spark, path: str, target_mb: int = 128, min_files: int = 2
 ) -> dict:
     """Small-file compaction: rewrite a parquet directory's file dust
-    into ~``target_mb`` files, atomically (write to a sibling temp dir,
-    then swap). Streaming sinks produce one-file-per-micro-batch; left
-    alone, a year of 30 s batches is ~1M tiny files and every scan
-    drowns in open/footer costs — compaction is the standard nightly
-    maintenance pass (Delta OPTIMIZE / Iceberg rewrite_data_files
-    shape, done here on plain parquet).
+    into ~``target_mb`` files (write to a sibling temp dir, then swap).
+    Streaming sinks produce one-file-per-micro-batch; left alone, a
+    year of 30 s batches is ~1M tiny files and every scan drowns in
+    open/footer costs — compaction is the standard nightly maintenance
+    pass (Delta OPTIMIZE / Iceberg rewrite_data_files shape, done here
+    on plain parquet).
+
+    BATCH-OUTPUT DIRECTORIES ONLY, and the writer must be STOPPED:
+    a directory carrying a ``_spark_metadata`` streaming commit log is
+    refused (readers resolve files through that log, so compacted files
+    would be invisible and the swap would destroy sink restartability);
+    compacting under a live writer would lose in-flight files.
+
+    The swap is NOT one atomic op — it is two renames, and a crash
+    between them leaves ``path`` momentarily absent. Crash recovery is
+    deterministic from the side-dir state and runs automatically at
+    the start of every call (see ``_recover_compaction``): the
+    ``._compact_old`` dir is the recovery copy and is only deleted
+    after the new ``path`` is in place.
 
     Sizing by actual bytes on disk, not row counts, so the coalesce
     target tracks the real scan-split economics. Returns
@@ -141,6 +181,13 @@ def compact_parquet_dir(
     import os
     import shutil
 
+    if os.path.exists(os.path.join(path, "_spark_metadata")):
+        raise ValueError(
+            f"{path} carries a _spark_metadata streaming commit log; "
+            "compact_parquet_dir is batch-output-only (readers resolve "
+            "files through the log and the swap would destroy it)"
+        )
+    _recover_compaction(path)
     files = [
         f
         for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)

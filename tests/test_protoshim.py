@@ -127,3 +127,39 @@ def test_default_scalars_not_serialized():
 def test_utf8_string_roundtrip():
     r = sm.StateResponseWithStringTypeVal(value="héllo ∆ 事务")
     assert roundtrip(r, sm.StateResponseWithStringTypeVal).value == "héllo ∆ 事务"
+
+
+def test_varint_overflow_bits_masked_to_64():
+    """A 10-byte varint whose final byte carries bits past 2^64 must
+    be truncated to 64 bits (the real runtime's behavior), so
+    to_signed64 still maps it to the correct sign-extended int64."""
+    from google.protobuf import _wire
+
+    # -1 encoded canonically ends with a 0x01 final byte; 0x7f there
+    # sets bits 63..69 — everything past bit 63 must vanish
+    buf = bytes([0xFF] * 9 + [0x7F])
+    v, pos = _wire.decode_varint(buf, 0)
+    assert pos == 10
+    assert v == _wire.MASK64
+    assert _wire.to_signed64(v) == -1
+
+
+def test_truncated_packed_fixed_payload_raises_decode_error():
+    """A packed fixed32/64 payload whose length is not a multiple of
+    the element width must surface as DecodeError (not a raw
+    struct.error escaping the parser)."""
+    from google.protobuf import _wire
+    from google.protobuf import message as M
+
+    class FD32:
+        type = M.FD.TYPE_FLOAT
+        full_name = "t.f32"
+
+    class FD64:
+        type = M.FD.TYPE_DOUBLE
+        full_name = "t.f64"
+
+    with pytest.raises(_wire.WireError):
+        M._decode_packed(FD32, b"\x00" * 6)  # 6 % 4 != 0
+    with pytest.raises(_wire.WireError):
+        M._decode_packed(FD64, b"\x00" * 12)  # 12 % 8 != 0

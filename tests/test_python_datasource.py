@@ -239,6 +239,48 @@ def test_stream_write_exactly_once_on_epoch_replay(registered, tmp_path):
         assert fh.read().splitlines() == ["v1", "v2"]
 
 
+def test_stream_write_no_duplicates_on_crash_in_commit(registered, tmp_path):
+    """Crash DURING commit (fold ran, marker rename didn't): the
+    surviving .pre journal must roll the topic logs back to their
+    pre-fold lengths before the replayed epoch folds again — no
+    duplicated lines, unlike a bare append-then-marker scheme."""
+    import json
+
+    from pyspark.sql import Row
+
+    from cdc_via_flink_spark.sources.python_datasource import (
+        _ReplayStreamWriter,
+        _fold_staged,
+    )
+
+    root = str(tmp_path / "sink")
+    w = _ReplayStreamWriter({"path": root, "topic": "t"})
+    msg0 = w.write(iter([Row(value="base")]))
+    w.commit([msg0], batchId=0)
+
+    # simulate epoch 1 crashing mid-commit: journal written, fold ran
+    # (lines appended), but the journal->marker rename never happened
+    pre_len = os.path.getsize(os.path.join(root, "t.jsonl"))
+    journal = os.path.join(root, "_commits", "1.pre")
+    with open(journal, "w") as fh:
+        json.dump({"offsets": {"t": pre_len}}, fh)
+    _fold_staged(root, [w.write(iter([Row(value="v1"), Row(value="v2")]))])
+
+    # replayed epoch 1: must truncate back, then fold exactly once
+    msg = w.write(iter([Row(value="v1"), Row(value="v2")]))
+    w.commit([msg], batchId=1)
+    with open(os.path.join(root, "t.jsonl")) as fh:
+        assert fh.read().splitlines() == ["base", "v1", "v2"]
+    assert os.path.exists(os.path.join(root, "_commits", "1"))
+    assert not os.path.exists(journal)
+
+    # and a replay AFTER the durable marker is a no-op
+    msg2 = w.write(iter([Row(value="v1"), Row(value="v2")]))
+    w.commit([msg2], batchId=1)
+    with open(os.path.join(root, "t.jsonl")) as fh:
+        assert fh.read().splitlines() == ["base", "v1", "v2"]
+
+
 def test_stream_write_end_to_end(registered, replay_root, tmp_path):
     """readStream(debezium_replay) -> writeStream(debezium_replay):
     the full hermetic Kafka loop — consume two topics, produce into a

@@ -187,3 +187,57 @@ def test_compact_parquet_dir_preserves_rows_and_reduces_files(spark, tmp_path):
     assert sorted(r.id for r in after.collect()) == list(range(100))
     assert not os.path.exists(path + "._compact_tmp")
     assert not os.path.exists(path + "._compact_old")
+
+
+def test_compact_refuses_streaming_sink_dir(spark, tmp_path):
+    """A dir carrying a _spark_metadata commit log is a streaming
+    file-sink output: readers resolve files through the log, so
+    compaction must refuse it outright."""
+    import os
+
+    import pytest
+
+    from cdc_via_flink_spark.sources.writers import compact_parquet_dir
+
+    path = str(tmp_path / "sinkdir")
+    spark.range(10).write.parquet(path)
+    os.makedirs(os.path.join(path, "_spark_metadata"))
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        compact_parquet_dir(spark, path)
+
+
+def test_compact_recovers_from_crash_states(spark, tmp_path):
+    """Every crash window of the swap protocol must self-heal on the
+    next call: stale .tmp (crash before swap), .old without path
+    (crash mid-swap), .old with path (crash before cleanup)."""
+    import os
+    import shutil
+
+    from cdc_via_flink_spark.sources.writers import compact_parquet_dir
+
+    path = str(tmp_path / "t")
+    for i in range(6):
+        spark.range(i * 5, i * 5 + 5).write.mode("append").parquet(path)
+    rows = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    # crash before swap: stale unfinished tmp next to a healthy path
+    shutil.copytree(path, path + "._compact_tmp")
+    stats = compact_parquet_dir(spark, path)
+    assert not os.path.exists(path + "._compact_tmp")
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == rows
+    assert stats["files_after"] <= stats["files_before"]
+
+    # crash mid-swap: path moved aside, tmp never renamed in
+    os.rename(path, path + "._compact_old")
+    shutil.copytree(path + "._compact_old", path + "._compact_tmp")
+    compact_parquet_dir(spark, path)
+    assert os.path.exists(path)
+    assert not os.path.exists(path + "._compact_old")
+    assert not os.path.exists(path + "._compact_tmp")
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == rows
+
+    # crash after swap, before cleanup: superseded .old next to path
+    shutil.copytree(path, path + "._compact_old")
+    compact_parquet_dir(spark, path)
+    assert not os.path.exists(path + "._compact_old")
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == rows
