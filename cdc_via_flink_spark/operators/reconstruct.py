@@ -117,6 +117,7 @@ def reconstruct_transactions(
 AUTO_SKEW_MIN_BYTES = 64 << 20  # skip the detection pre-pass below this
 AUTO_SKEW_HOT_ROWS = 4_000_000  # rows-per-key that trigger segmentation
 AUTO_SKEW_BLOCK = 524_288  # block size the auto path segments with
+AUTO_SKEW_SAMPLE = 0.02  # row-sample fraction for the skew probe
 
 
 def _suffix_min(end_seq_of, part_cols, order_col):
@@ -137,13 +138,29 @@ def _suffix_min(end_seq_of, part_cols, order_col):
     return F.min(end_seq_of).over(w)
 
 
-def _max_rows_per_key(u: DataFrame) -> int:
-    """Exact max event count over txn_ids — a slim pre-pass (txn_id
-    only, map-side partial agg, scalar result)."""
-    row = u.groupBy("txn_id").agg(F.count(F.lit(1)).alias("_n")).agg(
-        F.max("_n")
-    ).first()
-    return int(row[0] or 0)
+def _est_max_rows_per_key(u: DataFrame, fraction: float = None) -> int:
+    """ESTIMATED max event count over txn_ids from a seeded row
+    sample — the skew probe. The exact pre-pass this replaces cost a
+    full groupBy of the input before every large reconstruction; the
+    sampled probe prunes to the txn_id column AND aggregates only
+    ``fraction`` of the rows (shuffle/agg volume drops 50×, the probe
+    result is a single scalar). Sampling error at the decision
+    boundary is tiny — a key at the 4 M-row threshold appears ~80 k
+    times in a 2% sample (σ≈280, 0.35%) — and both failure directions
+    are performance-only: a false trigger runs the (equivalent,
+    slightly slower) segmented plan, a near-threshold miss runs the
+    plain plan on a key the task can still sort. The caller applies a
+    2× safety factor toward triggering."""
+    f = AUTO_SKEW_SAMPLE if fraction is None else fraction
+    row = (
+        u.select("txn_id")
+        .sample(fraction=f, seed=7)
+        .groupBy("txn_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n"))
+        .first()
+    )
+    return int((row[0] or 0) / f)
 
 
 def reconstruct_from_union(
@@ -165,11 +182,13 @@ def reconstruct_from_union(
     ``skew_block_size``:
       * "auto" (default) — hot transactions are handled WITHOUT a
         manual knob: if the input's estimated size exceeds
-        AUTO_SKEW_MIN_BYTES (plan statistics — free, no job), a slim
-        count pre-pass finds the hottest key; above AUTO_SKEW_HOT_ROWS
-        the segmented plan below is used automatically. Small inputs
-        skip detection entirely, keeping the single-shuffle plan and
-        zero extra jobs (the sf0.1 bench path is unchanged).
+        AUTO_SKEW_MIN_BYTES (plan statistics — free, no job), a SAMPLED
+        probe (txn_id column only, AUTO_SKEW_SAMPLE row fraction, see
+        _est_max_rows_per_key) estimates the hottest key; above
+        AUTO_SKEW_HOT_ROWS/2 the segmented plan below is used
+        automatically. Small inputs skip detection entirely, keeping
+        the single-shuffle plan and zero extra jobs (the sf0.1 bench
+        path is unchanged).
       * int — force the segmented plan with that block size: the
         suffix MIN is computed per (txn_id, seq div B) block in
         parallel, then combined with per-txn block suffix minima (a
@@ -191,7 +210,10 @@ def reconstruct_from_union(
         if not u.isStreaming:
             stats = u._jdf.queryExecution().optimizedPlan().stats()
             if int(str(stats.sizeInBytes())) >= AUTO_SKEW_MIN_BYTES:
-                if _max_rows_per_key(u) > AUTO_SKEW_HOT_ROWS:
+                # 2x safety factor: sampling may under-see a hot key;
+                # triggering early only costs the segmented plan's
+                # extra shuffle, never correctness
+                if _est_max_rows_per_key(u) > AUTO_SKEW_HOT_ROWS // 2:
                     skew_block_size = AUTO_SKEW_BLOCK
 
     end_seq_of = F.when(F.col("kind") == "E", F.col("seq"))

