@@ -661,3 +661,157 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("asof_purchase_id", F.lit(-1)).alias("last_purchase_id"),
         F.coalesce("asof_amount", F.lit(0)).cast("double").alias("last_purchase_amount"),
     )
+
+
+_ASOF_U_CTE = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
+  FROM events WHERE event_type <> 'purchase'
+),
+r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id AS purchase_id, "value" AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+u AS (
+  SELECT user_id, ts_ms, 1 AS side, 0 AS seq, event_id, event_type,
+         CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS DOUBLE) AS amount,
+         CAST(NULL AS BIGINT) AS r_ts
+  FROM l
+  UNION ALL
+  SELECT user_id, ts_ms, {r_side} AS side, purchase_id AS seq,
+         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+         purchase_id, amount, ts_ms AS r_ts
+  FROM r
+)
+"""
+
+
+def _asof_events(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    """Shared harness for the as-of direction variants: non-purchase
+    events (left) joined to purchases (right) per user."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts_ms", "event_type"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_ms",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    joined = asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts_ms",
+        right_ts="ts_ms",
+        payload_cols=["purchase_id", "amount"],
+        right_seq="purchase_id",
+        **kw,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        "event_type",
+        F.coalesce("asof_purchase_id", F.lit(-1)).alias("purchase_id"),
+        F.coalesce("asof_amount", F.lit(0)).cast("double").alias("amount"),
+    )
+
+
+@query(
+    "q_asof_forward",
+    oracle=_ASOF_U_CTE.format(r_side=0) + """,
+p AS (
+  SELECT *,
+         last_value(purchase_id IGNORE NULLS) OVER w AS m_id,
+         last_value(amount IGNORE NULLS) OVER w AS m_amount
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms DESC, side ASC, seq DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts_ms, event_type,
+       coalesce(m_id, -1) AS purchase_id,
+       CAST(coalesce(m_amount, 0) AS DOUBLE) AS amount
+FROM p WHERE side = 1
+""",
+    tags=("J5", "asof", "forward"),
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, FORWARD direction (pandas merge_asof
+    direction='forward'): each non-purchase event enriched with the
+    user's NEXT purchase at-or-after it — the "time to conversion"
+    primitive. Same single keyed shuffle as the backward form; the
+    propagation runs as a descending-time prefix frame so Spark
+    evaluates it incrementally (an ascending suffix frame would
+    re-aggregate per row — see operators/asof.py)."""
+    return _asof_events(spark, sf_dir, direction="forward")
+
+
+@query(
+    "q_asof_nearest",
+    oracle=_ASOF_U_CTE.format(r_side=0) + """,
+p AS (
+  SELECT *,
+         last_value(purchase_id IGNORE NULLS) OVER wb AS b_id,
+         last_value(amount IGNORE NULLS) OVER wb AS b_amount,
+         last_value(r_ts IGNORE NULLS) OVER wb AS b_ts,
+         last_value(purchase_id IGNORE NULLS) OVER wf AS f_id,
+         last_value(amount IGNORE NULLS) OVER wf AS f_amount,
+         last_value(r_ts IGNORE NULLS) OVER wf AS f_ts
+  FROM u
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts_ms ASC, side ASC, seq ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ts_ms DESC, side ASC, seq DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT *,
+         (b_ts IS NOT NULL AND (f_ts IS NULL OR ts_ms - b_ts <= f_ts - ts_ms))
+           AS use_bw
+  FROM p WHERE side = 1
+)
+SELECT event_id, user_id, ts_ms, event_type,
+       coalesce(CASE WHEN use_bw THEN b_id ELSE f_id END, -1) AS purchase_id,
+       CAST(coalesce(CASE WHEN use_bw THEN b_amount ELSE f_amount END, 0)
+            AS DOUBLE) AS amount
+FROM c
+""",
+    tags=("J5", "asof", "nearest"),
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (pandas merge_asof
+    direction='nearest'): each non-purchase event enriched with the
+    user's closest purchase in either time direction, equal distance
+    resolving backward. Both propagations share ONE keyed shuffle
+    (two sorts over the same Exchange)."""
+    return _asof_events(spark, sf_dir, direction="nearest")
+
+
+@query(
+    "q_asof_strict",
+    oracle=_ASOF_U_CTE.format(r_side=2) + """,
+p AS (
+  SELECT *,
+         last_value(purchase_id IGNORE NULLS) OVER w AS m_id,
+         last_value(amount IGNORE NULLS) OVER w AS m_amount
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, side ASC, seq ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts_ms, event_type,
+       coalesce(m_id, -1) AS purchase_id,
+       CAST(coalesce(m_amount, 0) AS DOUBLE) AS amount
+FROM p WHERE side = 1
+""",
+    tags=("J5", "asof", "strict"),
+)
+def q_asof_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with allow_exact_matches=False (pandas merge_asof):
+    the latest purchase STRICTLY before each event — an
+    exactly-simultaneous purchase no longer matches (the
+    no-lookahead-even-at-equal-time rule point-in-time feature
+    pipelines need). In the oracle the right side sorts AFTER the
+    left at equal timestamps (side 2 > 1), dropping it from the
+    prefix frame — the same mechanism the operator uses."""
+    return _asof_events(spark, sf_dir, allow_exact_matches=False)
