@@ -497,3 +497,77 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sz_contained",
         "sz_container",
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode hardening for dedup (VERDICT r3 #9): NFC-before-fingerprint.
+# NFD and NFC spellings of the SAME text are byte-distinct, so a
+# content digest taken on raw bytes never collapses them — every
+# fingerprint-based dedup must normalize first. Fixture: the same
+# accented suffix in both Unicode forms, appended in-query.
+# --------------------------------------------------------------------------
+
+_NFD_SUFFIX = " cafe\u0301 franc\u0327ais"  # e+COMBINING ACUTE, c+CEDILLA
+_NFC_SUFFIX = " caf\u00e9 fran\u00e7ais"  # precomposed
+
+
+@query(
+    "dedup_nfc_fingerprint",
+    oracle=f"""
+WITH v AS (
+  SELECT lang,
+         substr(text, 1, 40) || '{_NFD_SUFFIX}' AS v_nfd,
+         substr(text, 1, 40) || '{_NFC_SUFFIX}' AS v_nfc
+  FROM documents
+),
+c AS (
+  SELECT lang,
+         (v_nfd <> v_nfc) AS byte_distinct,
+         (md5(v_nfd) <> md5(v_nfc)) AS raw_fp_differs,
+         (md5(nfc_normalize(v_nfd)) = md5(nfc_normalize(v_nfc)))
+           AS nfc_fp_collapses
+  FROM v
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN byte_distinct THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_byte_distinct,
+       CAST(sum(CASE WHEN raw_fp_differs THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_raw_fp_differs,
+       CAST(sum(CASE WHEN nfc_fp_collapses THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nfc_fp_collapses
+FROM c GROUP BY lang
+""",
+    tags=("X1", "unicode", "nfc", "fingerprint"),
+)
+def dedup_nfc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-before-fingerprint (the Unicode rule every content-dedup
+    pipeline needs): the same text in NFD and NFC spellings is
+    byte-distinct — raw md5 fingerprints DIFFER on every row — but
+    after NFC normalization (vectorized Arrow pandas_udf on the Spark
+    side, nfc_normalize in DuckDB) the fingerprints collapse on every
+    row. Each engine self-computes the three counters, so a
+    normalization regression flips driver-visible counts."""
+    from cdc_via_flink_spark.functions.text import nfc_normalize
+
+    d = load_table(spark, sf_dir, "documents")
+    base = F.substring(F.col("text"), 1, 40)
+    v = d.select(
+        "lang",
+        F.concat(base, F.lit(_NFD_SUFFIX)).alias("v_nfd"),
+        F.concat(base, F.lit(_NFC_SUFFIX)).alias("v_nfc"),
+    )
+    c = v.select(
+        "lang",
+        (F.col("v_nfd") != F.col("v_nfc")).alias("byte_distinct"),
+        (F.md5("v_nfd") != F.md5("v_nfc")).alias("raw_fp_differs"),
+        (F.md5(nfc_normalize(F.col("v_nfd"))) == F.md5(nfc_normalize(F.col("v_nfc"))))
+        .alias("nfc_fp_collapses"),
+    )
+    flag = lambda c_: F.sum(F.when(F.col(c_), 1).otherwise(0)).cast("long")  # noqa: E731
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        flag("byte_distinct").alias("n_byte_distinct"),
+        flag("raw_fp_differs").alias("n_raw_fp_differs"),
+        flag("nfc_fp_collapses").alias("n_nfc_fp_collapses"),
+    )

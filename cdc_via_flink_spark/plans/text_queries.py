@@ -439,3 +439,126 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_dup_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode / multilingual hardening (VERDICT r3 #9): the corpus tables
+# are Latin-script, so these queries derive a deterministic
+# mixed-script fixture IN-QUERY (translate vowels -> Han codepoints —
+# identical positional semantics in both engines) and run the
+# script-aware tokenizer over it with full DuckDB oracles.
+# --------------------------------------------------------------------------
+
+from cdc_via_flink_spark.functions.text import (  # noqa: E402
+    CJK_CLASS_JAVA,
+    CJK_CLASS_RE2,
+    sql_segment_cjk,
+    tokens_unicode,
+)
+
+_CJK_MIX_SQL = "translate(substr(text, 1, 120), 'aeiou', '深度学习模')"
+_SQL_UNI_TOKENS = (
+    "string_split(lower(trim(regexp_replace("
+    + sql_segment_cjk("mx")
+    + ", '\\s+', ' ', 'g'))), ' ')"
+)
+
+
+@query(
+    "text_cjk_token_stats",
+    oracle=f"""
+WITH m AS (
+  SELECT lang, {_CJK_MIX_SQL} AS mx FROM documents
+),
+t AS (
+  SELECT lang, {_SQL_UNI_TOKENS} AS tk FROM m
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+       CAST(sum(len(list_filter(tk,
+            x -> regexp_matches(x, '^[{CJK_CLASS_RE2}]')))) AS BIGINT)
+         AS n_cjk_tokens
+FROM t GROUP BY lang
+""",
+    tags=("X3", "unicode", "cjk"),
+)
+def text_cjk_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware tokenization over mixed CJK/Latin text: CJK
+    codepoints carry no spaces, so the whitespace tokenizer sees one
+    giant token per run — tokens_unicode() space-delimits each CJK
+    character first (the dictionary-less character-level fallback),
+    leaving Latin runs intact. All regexp/split built-ins, zero
+    Python; the CJK fixture is derived deterministically in-query."""
+    d = load_table(spark, sf_dir, "documents")
+    mixed = F.translate(
+        F.substring(F.col("text"), 1, 120), "aeiou", "深度学习模"
+    )
+    tk = d.select("lang", tokens_unicode(mixed).alias("tk"))
+    is_cjk = lambda t: t.rlike(f"^[{CJK_CLASS_JAVA}]")  # noqa: E731
+    return tk.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("tk")).cast("long").alias("n_tokens"),
+        F.sum(F.size(F.filter(F.col("tk"), is_cjk)))
+        .cast("long")
+        .alias("n_cjk_tokens"),
+    )
+
+
+@query(
+    "text_tfidf_cjk",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, {_CJK_MIX_SQL} AS mx FROM documents
+),
+tk AS (
+  SELECT doc_id, unnest({_SQL_UNI_TOKENS}) AS term FROM m
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rn
+  FROM s
+)
+SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 3 AND doc_id < 30
+""",
+    tags=("X3", "tfidf", "unicode", "cjk"),
+)
+def text_tfidf_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the mixed CJK/Latin fixture with the script-aware
+    tokenizer — single CJK characters participate as first-class terms
+    (character-unigram TF-IDF, the standard segmentation-free CJK
+    weighting). Same explode → tf/df → ln(N/df) → window-top-k shape
+    as text_tfidf_top_terms."""
+    d = load_table(spark, sf_dir, "documents")
+    mixed = F.translate(
+        F.substring(F.col("text"), 1, 120), "aeiou", "深度学习模"
+    )
+    tk = d.select(
+        "doc_id", F.explode(tokens_unicode(mixed)).alias("term")
+    )
+    tf = tk.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tk.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(dfr, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 30))
+        .select("doc_id", "term", "tfidf", "rn")
+    )
