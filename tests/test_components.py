@@ -55,3 +55,52 @@ def test_nonconvergence_raises_not_silent(spark):
         out = connected_components(df, max_iter=1, strict=False)
         assert out.count() == 40
         assert any(issubclass(x.category, RuntimeWarning) for x in w)
+
+
+def test_union_recursive_cte_probe_and_sql_twin(spark):
+    """Probe whether this Spark supports UNION-distinct recursion (the
+    form the terminating closure needs). Today it raises
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — when a future Spark ships
+    it, this test runs the TRUE recursive form and compares it to the
+    unrolled dedup_clusters_sql surface; until then it documents the
+    gate by skipping that half cleanly."""
+    import pytest
+
+    from cdc_via_flink_spark.plans.dedup_queries import (
+        _unrolled_components_sql,
+    )
+    from tests.conftest import SF0001
+
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (7, 8)], "id_a long, id_b long"
+    ).createOrReplaceTempView("probe_pairs")
+    # unrolled surface on a cyclic graph: exact components + converged
+    got = {
+        (r.node, r.component, r.converged)
+        for r in spark.sql(_unrolled_components_sql("probe_pairs")).collect()
+    }
+    assert got == {
+        (1, 1, True), (2, 1, True), (3, 1, True), (7, 7, True), (8, 7, True),
+    }
+
+    recursive_form = """
+WITH RECURSIVE sym AS (
+  SELECT id_a AS u, id_b AS v FROM probe_pairs
+  UNION SELECT id_b, id_a FROM probe_pairs
+),
+reach(u, r) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.u
+)
+SELECT u AS node, min(r) AS component FROM reach GROUP BY u
+"""
+    try:
+        rows = spark.sql(recursive_form).collect()
+    except Exception as e:
+        if "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE" in str(e):
+            pytest.skip("Spark recursive CTE is still UNION ALL-only")
+        raise
+    assert {(r.node, r.component) for r in rows} == {
+        (n, c) for n, c, _ in got
+    }
