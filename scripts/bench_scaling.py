@@ -1,18 +1,23 @@
 """Scaling check: run the bench headline queries at sf0.1 and at a
-synthesized 3× dataset (same session, plans pre-compiled) and print
-per-query times + ratios as one JSON line.
+synthesized N× dataset (same session, plans pre-compiled) and print
+per-query times, ratios and SCALING EXPONENTS as one JSON line.
 
-The 3× set is sf0.1 unioned three times with key columns offset by
+Usage: python scripts/bench_scaling.py [copies]   (default 3)
+
+The N× set is sf0.1 unioned N times with key columns offset by
 1e9 per copy (join integrity preserved; fixed dims region/nation kept
-as-is), written once to .tmp/sf0.3x. A near-1× ratio means the query
-is bottlenecked on fixed costs (scales out flat); near-3× means
-CPU-bound per-row work (scales out linearly with executors). Recorded
-in BASELINE.md "Scaling check".
+as-is), written once to .tmp/sf0.{N}x. copies=10 synthesizes sf1.
+A near-1× ratio means the query is bottlenecked on fixed costs
+(scales out flat); near-N× means CPU-bound per-row work (scales out
+linearly with executors). The exponent log(ratio)/log(N) normalizes
+across N: 1.0 = linear, <1 sub-linear, >1 super-linear (a plan that
+would NOT survive 100×). Recorded in BASELINE.md "Scaling check".
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -26,8 +31,12 @@ from cdc_via_flink_spark.plans.registry import load_all
 from cdc_via_flink_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "sf0.3x")
-COPIES = 3
+COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".tmp",
+    f"sf0.{COPIES}x",
+)
 OFFSET = 1_000_000_000
 
 ID_COLS = {
@@ -77,18 +86,26 @@ def main() -> None:
         s.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
 
     results = {}
+    big = f"sf0.{COPIES}x"
     for name, s in sorted(specs.items()):
         t = {}
-        for label, d in (("sf0.1", SF_DIR), ("sf0.3x", OUT_DIR)):
+        for label, d in (("sf0.1", SF_DIR), (big, OUT_DIR)):
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
                 s.fn(spark, d).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             t[label] = round(best, 3)
-        t["ratio"] = round(t["sf0.3x"] / t["sf0.1"], 2)
+        t["ratio"] = round(t[big] / t["sf0.1"], 2)
+        t["exponent"] = round(
+            math.log(max(t["ratio"], 0.01)) / math.log(COPIES), 2
+        )
         results[name] = t
-    print(json.dumps({"metric": "bench_scaling_3x", "queries": results}))
+    print(
+        json.dumps(
+            {"metric": f"bench_scaling_{COPIES}x", "copies": COPIES, "queries": results}
+        )
+    )
     spark.stop()
 
 
