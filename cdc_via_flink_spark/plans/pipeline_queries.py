@@ -654,3 +654,168 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("overlap_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 pipeline widening: retrieval-prep chunking and
+# mixture APPLICATION (weights -> deterministic resampled corpus).
+# --------------------------------------------------------------------------
+
+_CHUNK_W = 16  # window tokens
+_CHUNK_S = 12  # stride tokens (overlap = W - S = 4)
+
+
+@query(
+    "q_chunk_overlap",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents
+),
+n AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) <= {_CHUNK_W} THEN 1
+              ELSE (len(tk) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} + 1
+         END AS n_chunks
+  FROM t
+),
+e AS (
+  SELECT doc_id, tk, unnest(range(0, n_chunks)) AS c FROM n
+)
+SELECT doc_id,
+       CAST(c AS BIGINT) AS chunk_id,
+       CAST(len(tk[c*{_CHUNK_S}+1 : c*{_CHUNK_S}+{_CHUNK_W}]) AS BIGINT)
+         AS n_tokens,
+       md5(array_to_string(tk[c*{_CHUNK_S}+1 : c*{_CHUNK_S}+{_CHUNK_W}], ' '))
+         AS chunk_fp
+FROM e
+""",
+    tags=("pipeline", "chunking", "rag"),
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap — the retrieval/RAG prep
+    twin of sequence packing (q_pack_chunks packs whole docs into
+    budgets; this SPLITS each doc into W=16-token windows at stride
+    S=12, 4-token overlap, so retrieval context never loses a
+    boundary sentence). Pure higher-order expressions: tokens →
+    sequence(0, n_chunks-1) → posexplode → slice; map-side only, zero
+    shuffles — at 100 TB chunking runs at scan speed and the chunk
+    count is exactly ceil((n-W)/S)+1 per doc. Chunk content is
+    declared as its md5 fingerprint (cheap to hash-compare
+    cross-engine, stable to resplitting)."""
+    d = load_table(spark, sf_dir, "documents")
+    from cdc_via_flink_spark.functions.text import tokens
+
+    t = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    n_chunks = F.when(n <= _CHUNK_W, F.lit(1)).otherwise(
+        F.floor((n - _CHUNK_W + _CHUNK_S - 1) / _CHUNK_S) + 1
+    )
+    e = t.select(
+        "doc_id",
+        "tk",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("c"),
+    )
+    w = F.slice("tk", F.col("c") * _CHUNK_S + 1, _CHUNK_W)
+    return e.select(
+        "doc_id",
+        F.col("c").cast("long").alias("chunk_id"),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(w, " ")).alias("chunk_fp"),
+    )
+
+
+@query(
+    "q_mixture_resample",
+    oracle="""
+WITH s AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT CAST(sum(chars) AS BIGINT) AS tot_chars,
+         CAST(sum(CAST(sqrt(chars) AS DECIMAL(18,6))) AS DOUBLE) AS tot_w
+  FROM s
+),
+k AS (
+  SELECT s.source, s.n_docs, s.chars,
+         CAST(least(256, floor(
+           0.5 * t.tot_chars / (t.tot_w * sqrt(s.chars)) * 256
+         )) AS INT) AS k256
+  FROM s, t
+),
+kept AS (
+  SELECT d.source, d.doc_id, d.n_chars
+  FROM documents d JOIN k ON d.source = k.source
+  WHERE substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+        < CASE WHEN k.k256 >= 256 THEN 'zz'
+               ELSE lower(lpad(hex(k.k256), 2, '0')) END
+)
+SELECT k.source, k.n_docs, CAST(k.k256 AS BIGINT) AS k256,
+       count(kept.doc_id) AS n_kept,
+       CAST(coalesce(sum(kept.n_chars), 0) AS BIGINT) AS kept_chars
+FROM k LEFT JOIN kept ON k.source = kept.source
+GROUP BY k.source, k.n_docs, k.k256
+""",
+    tags=("pipeline", "sampling", "mixture"),
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the temperature mixture (q_domain_mixture_weights
+    computes the weights; this materializes the resampled corpus):
+    each source is downsampled at a DATA-DERIVED rate k/256 chosen so
+    expected sampled chars track the alpha=0.5 weight at half the
+    corpus budget — and the sampling itself is the deterministic
+    md5-bucket filter (never rand(): reproducible under retries,
+    repartitioning and cluster resizes, and the DuckDB oracle states
+    the identical expression). Shape: per-source aggregate → 1-row
+    broadcast → map-side filter; the only shuffle is the final
+    per-source count. Rates computed with one fixed expression order
+    so both engines produce bit-identical doubles before floor()."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    t = s.agg(
+        F.sum("chars").cast("bigint").alias("tot_chars"),
+        F.sum(F.sqrt(F.col("chars")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("tot_w"),
+    )
+    k = s.join(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "chars",
+        F.least(
+            F.lit(256),
+            F.floor(
+                F.lit(0.5)
+                * F.col("tot_chars")
+                / (F.col("tot_w") * F.sqrt(F.col("chars")))
+                * 256
+            ),
+        )
+        .cast("int")
+        .alias("k256"),
+    )
+    thr = F.when(F.col("k256") >= 256, F.lit("zz")).otherwise(
+        F.lower(F.lpad(F.hex(F.col("k256")), 2, "0"))
+    )
+    kept = (
+        d.join(F.broadcast(k.select("source", "k256")), "source")
+        .filter(_bucket(F.col("doc_id"), "mix:") < thr)
+        .select("source", "doc_id", "n_chars")
+    )
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+    return (
+        k.join(agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.col("k256").cast("long").alias("k256"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
+        )
+    )

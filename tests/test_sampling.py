@@ -60,3 +60,58 @@ def test_stratified_sample_per_stratum_rate_256_keeps_all(spark):
     s = stratified_sample(d, "doc_id", "lang", {"en": 256}, default_rate=0)
     assert s.count() == d.filter(F.col("lang") == "en").count()
     assert s.filter(F.col("lang") != "en").count() == 0
+
+
+def test_chunk_overlap_covers_every_token_with_stride(spark):
+    """Every token index must fall in >=1 chunk; consecutive chunks
+    must overlap by exactly W-S tokens (except the clamped tail); and
+    chunk ids must be dense from 0."""
+    from cdc_via_flink_spark.plans.registry import load_all
+    from tests.conftest import SF0001
+
+    import pyspark.sql.functions as F
+
+    from cdc_via_flink_spark.functions.text import tokens
+    from cdc_via_flink_spark.sources.tables import load_table
+
+    W, S = 16, 12
+    rows = load_all()["q_chunk_overlap"].fn(spark, SF0001).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_tok = {
+        r.doc_id: r.n
+        for r in load_table(spark, SF0001, "documents")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    assert set(by_doc) == set(n_tok)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        n = n_tok[doc_id]
+        # coverage: last chunk's window reaches the last token
+        last_start = (len(chunks) - 1) * S
+        assert last_start + chunks[-1].n_tokens == n
+        # all but the last chunk are full windows
+        assert all(c.n_tokens == W for c in chunks[:-1])
+
+
+def test_mixture_resample_rates_and_determinism(spark):
+    """Sampled fraction per source must track k256/256 within binomial
+    noise, and the sample must be bit-stable across runs (hash
+    bucketing, not rand())."""
+    from cdc_via_flink_spark.plans.registry import load_all
+    from tests.conftest import SF001
+
+    fn = load_all()["q_mixture_resample"].fn
+    a = {r.source: r for r in fn(spark, SF001).collect()}
+    b = {r.source: r for r in fn(spark, SF001).collect()}
+    assert {s: (r.n_kept, r.kept_chars) for s, r in a.items()} == {
+        s: (r.n_kept, r.kept_chars) for s, r in b.items()
+    }
+    for s, r in a.items():
+        assert 0 < r.k256 <= 256
+        expect = r.n_docs * r.k256 / 256
+        sd = max((expect * (1 - r.k256 / 256)) ** 0.5, 1.0)
+        assert abs(r.n_kept - expect) <= 5 * sd, (s, r.n_kept, expect)
