@@ -31,9 +31,21 @@ the SAME surface semantics as the Kafka source:
   (`SimpleDataSourceStreamReader` would funnel every record through
   the driver — deliberately avoided).
 
-Topic layout: `<root>/<topic>.jsonl`, one envelope per line. Line
-number == Kafka offset; `partition` is constantly 0, matching the
-reference's single-partition-topic ordering assumption (readme.md:1).
+Topic layout: `<root>/<topic>.jsonl`, one envelope per line (a
+single-partition topic, matching the reference's ordering assumption,
+readme.md:1) — or the PARTITIONED form `<root>/<topic>.p<k>.jsonl`,
+one file per Kafka-style partition. Line number == offset WITHIN the
+partition; ordering holds per partition only (exactly Kafka's
+contract). Readers plan one-or-more input slices per (topic,
+partition), so a partitioned replay scales out across executors the
+way a partitioned Kafka topic scales across consumers; streaming
+offsets are per-partition (`{"topic@k": next_line}`, with bare-topic
+keys from pre-partitioning checkpoints read as partition 0). Writers
+route rows to partitions by an explicit `partition` column, else by
+deterministic key hash (`key` column, md5-based — reproducible
+cross-engine, unlike the JVM murmur2), else partition 0 (keyless
+rows stay ordered; Kafka's round-robin would be nondeterministic
+under replay).
 
 At 100 TB scale the real deployment reads Kafka through the JVM
 connector; this source is the hermetic twin for tests, local replay,
@@ -78,18 +90,42 @@ KAFKA_TWIN_SCHEMA = StructType(
 _EPOCH = datetime(2020, 1, 1, tzinfo=timezone.utc)
 
 
-def _topic_files(root: str) -> dict[str, str]:
+_PART_RE = re.compile(r"^(?P<topic>.+)\.p(?P<part>\d+)\.jsonl$")
+
+
+def _topic_files(root: str) -> dict[str, dict[int, str]]:
+    """Map topic -> {partition -> file}. `<topic>.jsonl` is the
+    single-partition form (partition 0); `<topic>.p<k>.jsonl` the
+    partitioned form. Mixing both forms for one topic is rejected —
+    it would make partition 0 ambiguous."""
     if not os.path.isdir(root):
         raise FileNotFoundError(f"debezium_replay path does not exist: {root}")
-    return {
-        f[: -len(".jsonl")]: os.path.join(root, f)
-        for f in sorted(os.listdir(root))
-        if f.endswith(".jsonl")
-    }
+    out: dict[str, dict[int, str]] = {}
+    flat: set[str] = set()
+    for f in sorted(os.listdir(root)):
+        if not f.endswith(".jsonl"):
+            continue
+        m = _PART_RE.match(f)
+        if m:
+            out.setdefault(m.group("topic"), {})[int(m.group("part"))] = os.path.join(
+                root, f
+            )
+        else:
+            t = f[: -len(".jsonl")]
+            out.setdefault(t, {})[0] = os.path.join(root, f)
+            flat.add(t)
+    for t in flat:
+        if len(out[t]) > 1:
+            raise ValueError(
+                f"topic {t!r} has both {t}.jsonl and {t}.p<k>.jsonl files; "
+                "pick one layout"
+            )
+    return out
 
 
-def _select_topics(options: dict) -> dict[str, str]:
-    """Resolve subscribe/subscribePattern against the topic files.
+def _select_topics(options: dict) -> dict[str, dict[int, str]]:
+    """Resolve subscribe/subscribePattern against the topic files
+    (topic -> {partition -> file}).
 
     Mirrors the Kafka option contract: exactly one of the two.
     """
@@ -122,8 +158,9 @@ def _line_count(path: str) -> int:
     return n
 
 
-def _read_slice(topic: str, path: str, start: int, end: int):
-    """Yield Kafka-twin rows for lines [start, end) of one topic file.
+def _read_slice(topic: str, part: int, path: str, start: int, end: int):
+    """Yield Kafka-twin rows for lines [start, end) of one topic
+    partition file.
 
     Deterministic for a fixed (path, start, end) — the property that
     makes offset-range replay (checkpoint recovery) exact.
@@ -134,15 +171,22 @@ def _read_slice(topic: str, path: str, start: int, end: int):
                 break
             if i >= start:
                 ts = datetime.fromtimestamp(_EPOCH.timestamp() + i, tz=timezone.utc)
-                yield (topic, 0, i, line.rstrip("\n"), ts)
+                yield (topic, part, i, line.rstrip("\n"), ts)
 
 
 class _TopicSlice(InputPartition):
-    def __init__(self, topic: str, path: str, start: int, end: int):
+    def __init__(self, topic: str, part: int, path: str, start: int, end: int):
         self.topic = topic
+        self.part = part
         self.path = path
         self.start = start
         self.end = end
+
+
+def _iter_partition_files(topics: dict[str, dict[int, str]]):
+    for t, parts in topics.items():
+        for k, path in sorted(parts.items()):
+            yield t, k, path
 
 
 class _ReplayBatchReader(DataSourceReader):
@@ -152,19 +196,36 @@ class _ReplayBatchReader(DataSourceReader):
 
     def partitions(self):
         out = []
-        for t, p in self._topics.items():
+        for t, k, p in _iter_partition_files(self._topics):
             total = _line_count(p)
             step = max(1, self._rows_per_slice)
             for s in range(0, max(total, 1), step):
-                out.append(_TopicSlice(t, p, s, min(s + step, total)))
+                out.append(_TopicSlice(t, k, p, s, min(s + step, total)))
         return out
 
     def read(self, partition: _TopicSlice):
-        yield from _read_slice(partition.topic, partition.path, partition.start, partition.end)
+        yield from _read_slice(
+            partition.topic, partition.part, partition.path,
+            partition.start, partition.end,
+        )
+
+
+def _offset_key(topic: str, part: int) -> str:
+    return f"{topic}@{part}"
+
+
+def _offset_get(offsets: dict, topic: str, part: int) -> int:
+    """Read a per-partition offset; a bare-topic key (checkpoint
+    written before the partitioned layout existed) counts as that
+    topic's partition 0."""
+    v = offsets.get(_offset_key(topic, part))
+    if v is None and part == 0:
+        v = offsets.get(topic)
+    return int(v or 0)
 
 
 class _ReplayStreamReader(DataSourceStreamReader):
-    """Micro-batch reader: offset = {topic: next_line_to_read}."""
+    """Micro-batch reader: offset = {"topic@partition": next_line}."""
 
     def __init__(self, options: dict):
         self._topics = _select_topics(options)
@@ -176,9 +237,15 @@ class _ReplayStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self._starting == "latest":
-            first = {t: _line_count(p) for t, p in self._topics.items()}
+            first = {
+                _offset_key(t, k): _line_count(p)
+                for t, k, p in _iter_partition_files(self._topics)
+            }
         elif self._starting == "earliest":
-            first = {t: 0 for t in self._topics}
+            first = {
+                _offset_key(t, k): 0
+                for t, k, p in _iter_partition_files(self._topics)
+            }
         else:
             raise ValueError(f"startingOffsets must be earliest|latest, got {self._starting}")
         self._cursor = dict(first)
@@ -188,35 +255,45 @@ class _ReplayStreamReader(DataSourceStreamReader):
         # Admission control lives HERE, not in partitions(): whatever
         # this returns is checkpointed as consumed, so clamping later
         # would silently skip records. Advance the planning cursor at
-        # most max_per_batch lines per topic per micro-batch (the
-        # Kafka maxOffsetsPerTrigger analog). After a checkpoint
+        # most max_per_batch lines per topic PARTITION per micro-batch
+        # (the Kafka maxOffsetsPerTrigger analog). After a checkpoint
         # restart the cursor is unset (initialOffset not called) — the
         # first batch then takes everything available, which is safe:
         # replay is deterministic and bounded by the file length.
-        counts = {t: _line_count(p) for t, p in self._topics.items()}
+        counts = {
+            _offset_key(t, k): _line_count(p)
+            for t, k, p in _iter_partition_files(self._topics)
+        }
         cur = getattr(self, "_cursor", None)
         if cur is None:
             self._cursor = dict(counts)
             return counts
-        out = {t: min(counts[t], cur.get(t, 0) + self._max_per_batch) for t in self._topics}
+        out = {
+            key: min(n, int(cur.get(key, 0)) + self._max_per_batch)
+            for key, n in counts.items()
+        }
         self._cursor = dict(out)
         return out
 
     def partitions(self, start: dict, end: dict):
         parts = []
-        for t, p in self._topics.items():
-            s, e = int(start.get(t, 0)), int(end.get(t, 0))
+        for t, k, p in _iter_partition_files(self._topics):
+            s = _offset_get(start, t, k)
+            e = _offset_get(end, t, k)
             if e > s:
-                parts.append(_TopicSlice(t, p, s, e))
+                parts.append(_TopicSlice(t, k, p, s, e))
         if not parts:
             # Spark requires >=1 partition per planned batch; emit an
-            # empty slice of the first topic.
-            t, p = next(iter(self._topics.items()))
-            parts.append(_TopicSlice(t, p, 0, 0))
+            # empty slice of the first topic partition.
+            t, k, p = next(_iter_partition_files(self._topics))
+            parts.append(_TopicSlice(t, k, p, 0, 0))
         return parts
 
     def read(self, partition: _TopicSlice):
-        yield from _read_slice(partition.topic, partition.path, partition.start, partition.end)
+        yield from _read_slice(
+            partition.topic, partition.part, partition.path,
+            partition.start, partition.end,
+        )
 
     def commit(self, end: dict) -> None:
         pass  # file replay holds no server-side state to release
@@ -230,18 +307,55 @@ class _StagedFile(WriterCommitMessage):
         self.n_rows = n_rows
 
 
-def _writer_target(options: dict) -> tuple[str, str | None]:
+def _writer_target(options: dict) -> tuple[str, str | None, int | None]:
     root = options.get("path")
     if not root:
         raise ValueError("debezium_replay writer requires a 'path' option")
-    return root, options.get("topic")
+    n_parts = options.get("topicpartitions") or options.get("topicPartitions")
+    if n_parts is not None:
+        n_parts = int(n_parts)
+        if n_parts < 1:
+            raise ValueError(f"topicPartitions must be >= 1, got {n_parts}")
+    return root, options.get("topic"), n_parts
 
 
-def _stage_rows(root: str, default_topic: str | None, iterator) -> _StagedFile:
+def _route_partition(row, topic: str, n_parts: int | None) -> int | None:
+    """Kafka producer routing, deterministically: explicit `partition`
+    column wins (validated against topicPartitions when set); else a
+    `key` column hashes to a partition (md5-based — reproducible
+    cross-engine, unlike JVM murmur2); else partition 0 (Kafka would
+    round-robin keyless rows, which is nondeterministic under replay).
+    Returns None for the single-partition flat layout (no
+    topicPartitions option and no explicit partition column)."""
+    import hashlib
+
+    explicit = getattr(row, "partition", None)
+    if explicit is not None:
+        explicit = int(explicit)
+        if explicit < 0 or (n_parts is not None and explicit >= n_parts):
+            raise ValueError(
+                f"row partition {explicit} out of range for "
+                f"topicPartitions={n_parts} (topic {topic!r})"
+            )
+        return explicit
+    if n_parts is None:
+        return None
+    key = getattr(row, "key", None)
+    if key is None:
+        return 0
+    digest = hashlib.md5(str(key).encode("utf-8")).hexdigest()
+    return int(digest[:8], 16) % n_parts
+
+
+def _stage_rows(
+    root: str, default_topic: str | None, iterator, n_parts: int | None = None
+) -> _StagedFile:
     """Executor side: append this task's rows to a private staging
-    file as `topic\\tvalue` lines. Commit (driver side) folds staged
-    files into the per-topic logs — the two-phase shape a Kafka
-    producer's transactional send gives you for free."""
+    file as `filebase\\tvalue` lines, where filebase is the routed
+    target log (`<topic>.jsonl` or `<topic>.p<k>.jsonl` — see
+    _route_partition). Commit (driver side) folds staged files into
+    those logs — the two-phase shape a Kafka producer's transactional
+    send gives you for free."""
     import uuid
 
     staging = os.path.join(root, "_staging")
@@ -260,16 +374,18 @@ def _stage_rows(root: str, default_topic: str | None, iterator) -> _StagedFile:
                 raise ValueError("row 'value' must not be null")
             if "\n" in value:
                 raise ValueError("envelope values must be single-line JSON")
-            fh.write(f"{topic}\t{value}\n")
+            part = _route_partition(row, topic, n_parts)
+            base = f"{topic}.jsonl" if part is None else f"{topic}.p{part}.jsonl"
+            fh.write(f"{base}\t{value}\n")
             n += 1
     return _StagedFile(path, n)
 
 
 def _fold_staged(root: str, messages) -> int:
-    """Driver side: append staged lines into `<topic>.jsonl` in
-    partition order (message list order), then drop the staging
-    files. Append order across partitions is the message order, so a
-    committed log replays deterministically."""
+    """Driver side: append staged lines into their routed log files
+    (`filebase\tvalue` staged format) in task order (message list
+    order), then drop the staging files. Append order across tasks is
+    the message order, so a committed log replays deterministically."""
     total = 0
     sinks: dict[str, object] = {}
     try:
@@ -278,13 +394,11 @@ def _fold_staged(root: str, messages) -> int:
                 continue
             with open(m.path, "r", encoding="utf-8") as fh:
                 for line in fh:
-                    topic, _, value = line.rstrip("\n").partition("\t")
-                    out = sinks.get(topic)
+                    base, _, value = line.rstrip("\n").partition("\t")
+                    out = sinks.get(base)
                     if out is None:
-                        out = sinks[topic] = open(
-                            os.path.join(root, f"{topic}.jsonl"),
-                            "a",
-                            encoding="utf-8",
+                        out = sinks[base] = open(
+                            os.path.join(root, base), "a", encoding="utf-8"
                         )
                     out.write(value + "\n")
                     total += 1
@@ -303,24 +417,24 @@ def _drop_staged(messages) -> None:
 
 class _ReplayBatchWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
-        self._root, self._topic = _writer_target(options)
+        self._root, self._topic, self._n_parts = _writer_target(options)
         self._overwrite = overwrite
         os.makedirs(self._root, exist_ok=True)
 
     def write(self, iterator) -> _StagedFile:
-        return _stage_rows(self._root, self._topic, iterator)
+        return _stage_rows(self._root, self._topic, iterator, self._n_parts)
 
     def commit(self, messages) -> None:
         if self._overwrite:
-            # truncate exactly the topics this commit writes
-            topics = set()
+            # truncate exactly the partition logs this commit writes
+            bases = set()
             for m in messages:
                 if m is None:
                     continue
                 with open(m.path, "r", encoding="utf-8") as fh:
-                    topics.update(line.split("\t", 1)[0] for line in fh)
-            for t in topics:
-                open(os.path.join(self._root, f"{t}.jsonl"), "w").close()
+                    bases.update(line.split("\t", 1)[0] for line in fh)
+            for b in bases:
+                open(os.path.join(self._root, b), "w").close()
         _fold_staged(self._root, messages)
 
     def abort(self, messages) -> None:
@@ -329,7 +443,7 @@ class _ReplayBatchWriter(DataSourceWriter):
 
 def _recover_pending_folds(root: str) -> None:
     """Roll back any fold whose commit never became durable. A
-    ``_commits/<batchId>.pre`` journal records each target topic's
+    ``_commits/<batchId>.pre`` journal records each target log file's
     byte length BEFORE that epoch's fold; the journal is atomically
     renamed to the commit marker after the fold, so a surviving
     ``.pre`` means the fold may have run partially (or fully) without
@@ -342,8 +456,8 @@ def _recover_pending_folds(root: str) -> None:
     for jp in _glob.glob(os.path.join(root, "_commits", "*.pre")):
         with open(jp, "r", encoding="utf-8") as fh:
             offsets = json.load(fh)["offsets"]
-        for topic, off in offsets.items():
-            p = os.path.join(root, f"{topic}.jsonl")
+        for base, off in offsets.items():
+            p = os.path.join(root, base)
             if os.path.exists(p) and os.path.getsize(p) > off:
                 with open(p, "r+b") as fh:
                     fh.truncate(off)
@@ -370,11 +484,11 @@ class _ReplayStreamWriter(DataSourceStreamWriter):
     scheme duplicates)."""
 
     def __init__(self, options: dict):
-        self._root, self._topic = _writer_target(options)
+        self._root, self._topic, self._n_parts = _writer_target(options)
         os.makedirs(os.path.join(self._root, "_commits"), exist_ok=True)
 
     def write(self, iterator) -> _StagedFile:
-        return _stage_rows(self._root, self._topic, iterator)
+        return _stage_rows(self._root, self._topic, iterator, self._n_parts)
 
     def commit(self, messages, batchId: int) -> None:
         import json
@@ -384,16 +498,16 @@ class _ReplayStreamWriter(DataSourceStreamWriter):
             _drop_staged(messages)  # replayed epoch: already committed
             return
         _recover_pending_folds(self._root)
-        topics = set()
+        bases = set()
         for m in messages:
             if m is None:
                 continue
             with open(m.path, "r", encoding="utf-8") as fh:
-                topics.update(line.split("\t", 1)[0] for line in fh)
+                bases.update(line.split("\t", 1)[0] for line in fh)
         offsets = {}
-        for t in topics:
-            p = os.path.join(self._root, f"{t}.jsonl")
-            offsets[t] = os.path.getsize(p) if os.path.exists(p) else 0
+        for b in bases:
+            p = os.path.join(self._root, b)
+            offsets[b] = os.path.getsize(p) if os.path.exists(p) else 0
         journal = marker + ".pre"
         with open(journal + ".tmp", "w", encoding="utf-8") as fh:
             json.dump({"offsets": offsets}, fh)

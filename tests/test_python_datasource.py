@@ -263,7 +263,7 @@ def test_stream_write_no_duplicates_on_crash_in_commit(registered, tmp_path):
     pre_len = os.path.getsize(os.path.join(root, "t.jsonl"))
     journal = os.path.join(root, "_commits", "1.pre")
     with open(journal, "w") as fh:
-        json.dump({"offsets": {"t": pre_len}}, fh)
+        json.dump({"offsets": {"t.jsonl": pre_len}}, fh)
     _fold_staged(root, [w.write(iter([Row(value="v1"), Row(value="v2")]))])
 
     # replayed epoch 1: must truncate back, then fold exactly once
@@ -341,3 +341,143 @@ def test_stream_write_end_to_end(registered, replay_root, tmp_path):
         .count()
     )
     assert n == len(exp)
+
+
+def _read_lines(path):
+    with open(path) as fh:
+        return fh.read().splitlines()
+
+
+def test_partitioned_write_routes_and_reads_back(registered, tmp_path):
+    """Kafka-style partitioned topics: explicit partition column and
+    md5-key routing land rows in <topic>.p<k>.jsonl; the reader
+    reports the REAL partition and per-partition offsets."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "sink")
+    rows = [
+        Row(value="a0", partition=0, key=None),
+        Row(value="a1", partition=1, key=None),
+        Row(value="a2", partition=1, key=None),
+        Row(value="k1", partition=None, key="user-7"),
+        Row(value="k2", partition=None, key="user-7"),  # same key, same part
+    ]
+    (
+        registered.createDataFrame(rows)
+        .write.format("debezium_replay")
+        .option("path", root)
+        .option("topic", "t")
+        .option("topicPartitions", 2)
+        .mode("append")
+        .save()
+    )
+    import hashlib
+
+    k_part = int(hashlib.md5(b"user-7").hexdigest()[:8], 16) % 2
+    assert _read_lines(os.path.join(root, "t.p1.jsonl")) == (
+        ["a1", "a2", "k1", "k2"] if k_part == 1 else ["a1", "a2"]
+    )
+    got = (
+        registered.read.format("debezium_replay")
+        .option("path", root)
+        .option("subscribe", "t")
+        .load()
+        .collect()
+    )
+    by_part = {}
+    for r in got:
+        by_part.setdefault(r.partition, []).append((r.offset, r.value))
+    assert set(by_part) == {0, 1}
+    for part, vals in by_part.items():
+        # offsets are dense per partition, starting at 0
+        assert [o for o, _ in sorted(vals)] == list(range(len(vals)))
+    all_vals = sorted(v for vs in by_part.values() for _, v in vs)
+    assert all_vals == ["a0", "a1", "a2", "k1", "k2"]
+
+
+def test_partition_column_out_of_range_rejected(registered, tmp_path):
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    root = str(tmp_path / "sink")
+    with _pytest.raises(Exception, match="out of range"):
+        (
+            registered.createDataFrame([Row(value="x", partition=5)])
+            .write.format("debezium_replay")
+            .option("path", root)
+            .option("topic", "t")
+            .option("topicPartitions", 2)
+            .mode("append")
+            .save()
+        )
+
+
+def test_partitioned_stream_offsets_and_resume(registered, tmp_path):
+    """Streaming over a partitioned topic: per-partition offsets in
+    the checkpoint; appends after a restart resume from exactly the
+    per-partition cursor (no reprocessing, no loss)."""
+    import glob as _glob
+
+    root = str(tmp_path / "topics")
+    os.makedirs(root)
+    with open(os.path.join(root, "t.p0.jsonl"), "w") as fh:
+        fh.write("p0-a\np0-b\n")
+    with open(os.path.join(root, "t.p1.jsonl"), "w") as fh:
+        fh.write("p1-a\n")
+
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        df = (
+            registered.readStream.format("debezium_replay")
+            .option("path", root)
+            .option("subscribe", "t")
+            .load()
+        )
+        q = (
+            df.selectExpr("partition", "offset", "value")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = {
+        (r.partition, r.offset): r.value
+        for r in registered.read.parquet(out_dir).collect()
+    }
+    assert first == {(0, 0): "p0-a", (0, 1): "p0-b", (1, 0): "p1-a"}
+
+    # append to both partitions, restart from checkpoint
+    with open(os.path.join(root, "t.p0.jsonl"), "a") as fh:
+        fh.write("p0-c\n")
+    with open(os.path.join(root, "t.p1.jsonl"), "a") as fh:
+        fh.write("p1-b\n")
+    run_once()
+    rows = registered.read.parquet(out_dir).collect()
+    assert len(rows) == 5  # no reprocessing
+    got = {(r.partition, r.offset): r.value for r in rows}
+    assert got[(0, 2)] == "p0-c" and got[(1, 1)] == "p1-b"
+    assert _glob.glob(os.path.join(ckpt, "offsets", "*"))
+
+
+def test_mixed_topic_layout_rejected(registered, tmp_path):
+    root = str(tmp_path / "topics")
+    os.makedirs(root)
+    open(os.path.join(root, "t.jsonl"), "w").write("a\n")
+    open(os.path.join(root, "t.p1.jsonl"), "w").write("b\n")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="both"):
+        (
+            registered.read.format("debezium_replay")
+            .option("path", root)
+            .option("subscribe", "t")
+            .load()
+            .collect()
+        )
