@@ -784,3 +784,73 @@ def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_ivf_assign",
+    oracle="""
+WITH d AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM d WHERE vec_id % 40 = 0),
+s AS (
+  SELECT d.vec_id, c.centroid_id AS cluster_id,
+         round(list_dot_product(d.v, c.cv)
+               / (sqrt(list_dot_product(d.v, d.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS best_cos,
+         row_number() OVER (PARTITION BY d.vec_id
+             ORDER BY round(list_dot_product(d.v, c.cv)
+                   / (sqrt(list_dot_product(d.v, d.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                  c.centroid_id) AS rn
+  FROM d CROSS JOIN c
+)
+SELECT vec_id, cluster_id, best_cos FROM s WHERE rn = 1
+""",
+    tags=("X2", "ST1", "streaming", "ivf", "index-maintenance"),
+)
+def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN index maintenance — the append path of an IVF
+    index: arriving vectors are assigned to their nearest (broadcast)
+    centroid with pure per-row expressions, so ingest never shuffles
+    the stream, never touches the existing inverted lists, and never
+    retrains — exactly how a production vector index absorbs new data
+    at 100 TB (compare operators/ivf.py::assign_clusters, the batch
+    form). Streams cannot run the batch form's row_number window, so
+    the argmax is an array_min over (−cos, centroid_id) structs —
+    lexicographic struct ordering gives the same rounded-cosine /
+    centroid-id tie-break, and the single-batch replay equals the
+    batch assignment, hence the full SQL oracle."""
+    from cdc_via_flink_spark.functions.vectors import cosine, to_double
+    from cdc_via_flink_spark.operators.ivf import centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents_row = centroids(e, every_k=40).agg(
+        F.collect_list(F.struct("centroid_id", "cv")).alias("cents")
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(STAGE_ROOT, f"emb_{sf_name}", "embeddings")
+    ev = e.select("vec_id", "embedding")
+    os.makedirs(os.path.dirname(stage), exist_ok=True)
+    ev.coalesce(1).write.mode("overwrite").parquet(stage)
+    sev = spark.readStream.schema(ev.schema).parquet(stage)
+
+    v = to_double(F.col("embedding"))
+    joined = sev.crossJoin(F.broadcast(cents_row))
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (-F.round(cosine(v, c.getField("cv")), 6)).alias("neg_cos"),
+                c.getField("centroid_id").alias("cid"),
+            ),
+        )
+    )
+    out = joined.select(
+        "vec_id",
+        best.getField("cid").alias("cluster_id"),
+        (-best.getField("neg_cos")).alias("best_cos"),
+    )
+    return _run_to_memory(out, "append")
