@@ -55,6 +55,36 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
         pass  # already set statically or locked; the read will tell
 
 
+def _estimate_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate the scan's split count from file sizes using Spark's
+    own FilePartition formula (maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, bytesPerCore))) — metadata only, no job, no
+    RDD conversion. Returns None when the inputs aren't local files or
+    a conf doesn't parse; callers fall back to the exact RDD probe."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        sizes = []
+        for f in files:
+            if not f.startswith("file:"):
+                return None
+            p = "/" + f[5:].lstrip("/")
+            sizes.append(os.path.getsize(p))
+        spark = df.sparkSession
+        open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+        max_pb = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        )
+        parallelism = spark.sparkContext.defaultParallelism
+        padded = sum(sizes) + len(sizes) * open_cost
+        bytes_per_core = padded // max(parallelism, 1)
+        max_split = min(max_pb, max(open_cost, bytes_per_core))
+        return max(1, -(-padded // max(max_split, 1)))
+    except Exception:
+        return None
+
+
 def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     """Round-robin repartition ONLY when the scan under-splits.
 
@@ -65,9 +95,12 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     a no-op — the guard makes the repartition a small-input-only cost,
     never an extra full-table shuffle at scale.
 
-    The probe itself (`df.rdd.getNumPartitions()`) costs ~170 ms of
-    driver time per call (a full Python-RDD conversion), so the result
-    is cached on the DataFrame — load_table returns memoized frames,
+    The probe prefers a metadata-only estimate of the split count
+    (Spark's FilePartition sizing formula over `inputFiles()` sizes —
+    no job, no RDD conversion); only non-local or non-estimable inputs
+    pay the `df.rdd.getNumPartitions()` fallback (~170 ms of driver
+    time, a full Python-RDD conversion). Either way the result is
+    cached on the DataFrame — load_table returns memoized frames,
     making repeat calls free.
     """
     if n is None:
@@ -77,7 +110,10 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     cached = getattr(df, "_min_parts_cache", None)
     if cached is not None and cached[0] == n:
         return cached[1]
-    out = df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    parts = _estimate_scan_partitions(df)
+    if parts is None:
+        parts = df.rdd.getNumPartitions()
+    out = df.repartition(n) if parts < n else df
     try:
         df._min_parts_cache = (n, out)
     except Exception:
