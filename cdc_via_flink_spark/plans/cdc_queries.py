@@ -11,6 +11,8 @@ value parity proves the envelope codec and the assembly semantics.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_via_flink_spark.operators.debezium import (
@@ -369,5 +371,96 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s2.after").alias("after_img"),
             F.col("s1.ts_ms").alias("before_ts_ms"),
             F.col("s2.ts_ms").alias("after_ts_ms"),
+        )
+    )
+
+
+@query(
+    "cdc_partitioned_replay",
+    oracle=f"""
+WITH ch AS ({CH_SQL}),
+en AS ({EN_SQL}),
+all_env AS (
+  SELECT txn_id FROM ch UNION ALL SELECT txn_id FROM en
+),
+routed AS (
+  SELECT txn_id,
+         CAST(('0x' || substr(md5(txn_id), 1, 8)) AS BIGINT) % 4 AS part
+  FROM all_env
+)
+SELECT part, count(*) AS n_envelopes, count(DISTINCT txn_id) AS n_txns,
+       TRUE AS offsets_dense
+FROM routed GROUP BY part
+""",
+    tags=("S1", "S2", "kafka-twin", "partitioned"),
+)
+def cdc_partitioned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PARTITIONED topic round-trip through the Kafka-twin
+    DataSource (sources/python_datasource.py): every envelope is
+    PRODUCED into a 4-partition topic keyed by txn_id (md5 key
+    routing — all of a transaction's envelopes land in one partition,
+    the invariant Kafka keyed production gives the reference's
+    consumer, readme.md:1), then CONSUMED back through the partitioned
+    reader. Declared output: per-partition envelope/txn counts —
+    which the oracle re-derives from the events table through the
+    SAME md5 routing formula, so a routing or layout regression
+    changes the distribution and hash-mismatches — plus a
+    per-partition offset-density proof (offsets are exactly
+    0..n-1: nothing lost, nothing duplicated; oracle emits TRUE)."""
+    import shutil
+
+    from cdc_via_flink_spark.sources import python_datasource as PD
+
+    PD.register(spark)
+    changes, ends = _streams(spark, sf_dir)
+    c_env = changes.select(
+        F.col("txn_id").alias("key"),
+        render_change_envelope(
+            F.col("op"), F.col("ts_ms"), F.col("txn_id"), F.col("before"), F.col("after")
+        ).alias("value"),
+    )
+    e_env = ends.select(
+        F.col("txn_id").alias("key"),
+        render_txn_envelope(
+            F.col("status"), F.col("txn_id"), F.col("event_count")
+        ).alias("value"),
+    )
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join("/root/repo/.tmp", f"ptopic_{sf_name}")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    (
+        c_env.unionByName(e_env)
+        .write.format("debezium_replay")
+        .option("path", root)
+        .option("topic", "txns")
+        .option("topicPartitions", 4)
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("debezium_replay")
+        .option("path", root)
+        .option("subscribe", "txns")
+        .load()
+    )
+    txn = F.coalesce(
+        F.get_json_object("value", "$.payload.transaction.id"),
+        F.get_json_object("value", "$.payload.id"),
+    )
+    return (
+        back.select(
+            F.col("partition").cast("long").alias("part"),
+            F.col("offset"),
+            txn.alias("txn_id"),
+        )
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_envelopes"),
+            F.countDistinct("txn_id").alias("n_txns"),
+            (
+                (F.max("offset") == F.count(F.lit(1)) - 1)
+                & (F.min("offset") == 0)
+            ).alias("offsets_dense"),
         )
     )
