@@ -481,3 +481,85 @@ def test_mixed_topic_layout_rejected(registered, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_partitioned_stream_feeds_stateful_assembler(registered, tmp_path):
+    """The reference's real topology: a PARTITIONED keyed topic feeding
+    the stateful reconstructor. Envelopes for 3 transactions are
+    produced into a 2-partition topic keyed by txn_id (each txn's
+    envelopes land in one partition, in order), consumed back as a
+    STREAM through the partitioned reader, and assembled with
+    applyInPandasWithState — emitted transactions must match the
+    declared END counts regardless of which partition carried them."""
+    from pyspark.sql import Row, functions as F
+
+    from cdc_via_flink_spark.operators.debezium import parse_debezium
+    from cdc_via_flink_spark.streaming.assembler import (
+        assemble_transactions_stream,
+    )
+
+    root = str(tmp_path / "ptopic")
+    rows = []
+    for txn in (1, 2, 3):
+        for i in range(txn + 1):  # txn-1: 2 changes, txn-2: 3, txn-3: 4
+            rows.append(
+                Row(
+                    key=f"txn-{txn}",
+                    value=json.dumps(_change_envelope(txn, txn * 10 + i)),
+                )
+            )
+        rows.append(
+            Row(
+                key=f"txn-{txn}",
+                value=json.dumps(
+                    {
+                        "payload": {
+                            "status": "END",
+                            "id": f"txn-{txn}",
+                            "event_count": txn + 1,
+                        }
+                    }
+                ),
+            )
+        )
+    (
+        registered.createDataFrame(rows)
+        .coalesce(1)
+        .write.format("debezium_replay")
+        .option("path", root)
+        .option("topic", "txns")
+        .option("topicPartitions", 2)
+        .mode("append")
+        .save()
+    )
+    stream = (
+        registered.readStream.format("debezium_replay")
+        .option("path", root)
+        .option("subscribe", "txns")
+        .load()
+        .selectExpr("offset AS seq", "value")
+    )
+    parsed = parse_debezium(stream)
+    event_time = F.coalesce(
+        F.timestamp_millis(F.col("ts_ms")),
+        F.timestamp_millis(F.lit(1700000100000) + F.col("seq")),
+    )
+    assembled = assemble_transactions_stream(parsed, event_time=event_time)
+    q = (
+        assembled.writeStream.format("memory")
+        .queryName("ptopic_assembled")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.txn_id: (r.n_events, r.event_count)
+        for r in registered.table("ptopic_assembled").collect()
+    }
+    assert got == {
+        "txn-1": (2, 2),
+        "txn-2": (3, 3),
+        "txn-3": (4, 4),
+    }
