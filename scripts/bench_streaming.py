@@ -1,6 +1,11 @@
 """Streaming-path throughput: events/s through the full ST1 pipeline
-(file-replay envelopes → parse → watermark → applyInPandasWithState →
+(file-replay envelopes → parse → watermark → stateful assembler →
 memory sink), availableNow replay at $SPARK_GRAFT_SF_DIR.
+
+Usage: python scripts/bench_streaming.py [apiws|tws]
+  apiws (default) — applyInPandasWithState (streaming/assembler.py)
+  tws             — transformWithStateInPandas (assembler_tws.py;
+                    forces the RocksDB state store, a tWS requirement)
 
 Prints one JSON line: {"metric": "st1_stream_throughput",
 "value": <events_per_sec>, ...} — complements bench.py (batch).
@@ -18,6 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    api = sys.argv[1] if len(sys.argv) > 1 else "apiws"
+    if api not in ("apiws", "tws"):
+        raise SystemExit(f"api must be apiws|tws, got {api!r}")
 
     from pyspark.sql import functions as F
 
@@ -29,9 +37,29 @@ def main() -> None:
     from cdc_via_flink_spark.operators.debezium import parse_debezium
     from cdc_via_flink_spark.session import get_spark
     from cdc_via_flink_spark.sources.tables import load_table
-    from cdc_via_flink_spark.streaming.assembler import assemble_transactions_stream
+
+    if api == "tws":
+        from cdc_via_flink_spark.streaming.assembler_tws import (
+            assemble_transactions_stream_tws as assemble_transactions_stream,
+        )
+        from cdc_via_flink_spark.vendor.proto_compat import ensure_protobuf
+
+        ensure_protobuf()
+    else:
+        from cdc_via_flink_spark.streaming.assembler import (
+            assemble_transactions_stream,
+        )
 
     spark = get_spark("cdc_via_flink_spark-stream-bench")
+    if api == "tws":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
+        from cdc_via_flink_spark.vendor.proto_compat import ship_to_workers
+
+        ship_to_workers(spark)
     n_events = _envelopes(spark, sf_dir).count()  # also warms the stage dir
 
     base_ms = (
@@ -102,6 +130,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "st1_stream_throughput",
+                "api": api,
                 "value": round(n_events / wall_1, 1),
                 "unit": "events/sec",
                 "steady_state_events_per_sec": round(steady, 1),
