@@ -21,7 +21,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_via_flink_spark.operators.debezium import parse_debezium
-from cdc_via_flink_spark.plans.cdc_queries import _RECON_ORACLE, _envelopes
+from cdc_via_flink_spark.plans.cdc_queries import CH_SQL, _RECON_ORACLE, _envelopes
 from cdc_via_flink_spark.plans.parity import dsum
 from cdc_via_flink_spark.plans.registry import query
 from cdc_via_flink_spark.sources.tables import load_table
@@ -854,3 +854,93 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-best.getField("neg_cos")).alias("best_cos"),
     )
     return _run_to_memory(out, "append")
+
+
+_TEMPORAL_ORACLE = f"""
+WITH ch AS ({CH_SQL}),
+pr AS (
+  SELECT 'txn-' || CAST(user_id AS VARCHAR) AS txn_id,
+         event_id AS seq,
+         epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type = 'purchase'
+),
+u AS (
+  SELECT txn_id, seq, op, ts_ms, 0 AS is_probe FROM ch
+  UNION ALL
+  SELECT txn_id, seq, CAST(NULL AS VARCHAR) AS op, ts_ms, 1 FROM pr
+),
+a AS (
+  SELECT *,
+         max(CASE WHEN is_probe = 0
+                  THEN {{'ts_ms': ts_ms, 'seq': seq, 'op': op}} END)
+           OVER (PARTITION BY txn_id ORDER BY ts_ms, is_probe, seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dim
+  FROM u
+)
+SELECT txn_id,
+       seq AS probe_seq,
+       ts_ms AS probe_ts_ms,
+       COALESCE(dim.seq, CAST(-1 AS BIGINT)) AS dim_seq,
+       COALESCE(dim.op, 'none') AS dim_op,
+       COALESCE(dim.ts_ms, CAST(-1 AS BIGINT)) AS dim_ts_ms,
+       CASE WHEN dim IS NULL THEN CAST(-1 AS BIGINT)
+            ELSE ts_ms - dim.ts_ms END AS staleness_ms
+FROM a WHERE is_probe = 1
+"""
+
+
+@query(
+    "stream_temporal_join",
+    oracle=_TEMPORAL_ORACLE,
+    tags=("J5", "ST1", "streaming", "stateful", "temporal-join"),
+)
+def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING TEMPORAL TABLE JOIN (Flink `FOR SYSTEM_TIME AS OF`,
+    the join flavor the reference's CDC topics exist to feed): each
+    purchase (probe) is enriched with the CDC change-stream version of
+    its key as of the purchase's event time — inclusive match, ties to
+    the highest seq, unmatched probes surfacing as -1/'none'. Spark
+    has no built-in event-time temporal join, so this runs the
+    sanctioned custom path (streaming/temporal.py): one
+    union-with-discriminator stream, applyInPandasWithState with
+    watermark-matured incremental emission, dim-version compaction,
+    and a TTL timeout flush. The oracle re-derives the as-of match
+    with a running struct-max window over the same union — pure SQL,
+    no JSON, no state."""
+    from cdc_via_flink_spark.streaming.temporal import temporal_join_stream
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts_ms"
+    )
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "click", "u")
+        .when(F.col("event_type") == "view", "r")
+        .otherwise("d")
+    )
+    tagged = ev.select(
+        F.concat(F.lit("txn-"), F.col("user_id").cast("string")).alias("txn_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "purchase", "P").otherwise("D").alias("side"),
+        F.when(F.col("event_type") != "purchase", op).alias("op"),
+        F.col("ts_ms"),
+    )
+    mx_ms = _replay_horizon(spark, sf_dir)[1]
+
+    def sentinel(days: int):
+        far = mx_ms + days * 86_400_000
+        return spark.createDataFrame(
+            [("txn--999", -1, "D", "c", far)], schema=tagged.schema
+        )
+
+    dest = os.path.join(STAGE_ROOT, f"events_{sf_name}", "events_temporal")
+    _stage_ordered_files(spark, [tagged, sentinel(10), sentinel(20)], dest)
+
+    sev = (
+        spark.readStream.schema(tagged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    out = _run_to_memory(temporal_join_stream(sev), "append")
+    return out.filter(F.col("txn_id") != "txn--999")
