@@ -264,3 +264,57 @@ def simhash64(sh: DataFrame) -> DataFrame:
         ) * F.lit(1 << i).cast("long")
         fp = bit if fp is None else fp + bit
     return votes.select("doc_id", fp.alias("simhash"))
+
+
+def semantic_dedup(
+    e: DataFrame, tau: float = 0.4, every_k: int = 100, max_iter: int = 3
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal over an embedding column — the
+    modern-pipeline upgrade of MinHash (catches paraphrases that share
+    no shingles). Cluster the corpus with deterministic distributed
+    k-means (operators/kmeans.py), then compare ONLY within-cluster
+    pairs: a doc is dropped when any lower-id cluster-mate sits at
+    cosine >= tau (drop-if-any policy, independent of the mate's own
+    fate — deterministic, no iteration).
+
+    Scale shape (the paper's point): the pair space is sum_c n_c^2,
+    not n^2 — with k = n/every_k balanced clusters that is
+    O(n * every_k), linear in the corpus. The pair stage is an
+    equi-join on cluster_id (one keyed shuffle), never a cartesian;
+    centroids ride a broadcast.
+
+    Returns per-doc decisions: (vec_id, cluster_id, kept, dup_of,
+    pair_cos) with -1 stand-ins on kept rows (parity policy: no NULLs
+    in declared outputs). dup_of = the lowest close mate's id.
+    """
+    from cdc_via_flink_spark.functions.vectors import cosine, to_double
+    from cdc_via_flink_spark.operators.kmeans import _nearest, kmeans_fit
+
+    v_df = e.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    cents = kmeans_fit(e, every_k=every_k, max_iter=max_iter)
+    assigned = _nearest(v_df, cents)
+    a = assigned.select(
+        "cluster_id", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cluster_id", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    close = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            "id_a",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+    )
+    drops = close.groupBy("id_b").agg(F.min(F.struct("id_a", "cos")).alias("d"))
+    return assigned.join(drops, assigned.vec_id == drops.id_b, "left").select(
+        "vec_id",
+        "cluster_id",
+        F.col("d").isNull().alias("kept"),
+        F.coalesce(F.col("d.id_a"), F.lit(-1).cast("long")).alias("dup_of"),
+        F.coalesce(F.col("d.cos"), F.lit(-1.0)).alias("pair_cos"),
+    )

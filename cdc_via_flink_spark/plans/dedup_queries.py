@@ -661,3 +661,103 @@ def dedup_clusters_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = "dedup_pairs_sql_v"
     pairs.select("id_a", "id_b").createOrReplaceTempView(view)
     return spark.sql(_unrolled_components_sql(view))
+
+
+P_SEM = 200  # probe docs for the declared SemDeDup summary
+SEM_TAU = 0.4
+SEM_RECALL_FLOOR = 0.2
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM d WHERE vec_id < {P_SEM}),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         round(list_dot_product(a.v, q.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+  FROM d a CROSS JOIN q WHERE a.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id AS exact_nn_vec, cos AS exact_nn_cos,
+       cos >= {SEM_TAU} AS exact_neardup, TRUE AS within_bound
+FROM r WHERE rn = 1
+""",
+    tags=("X1", "X2", "semdedup", "kmeans", "iterative"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — embedding-space semantic dedup
+    (operators/dedup.py::semantic_dedup): k-means clusters, then drop
+    any doc with a lower-id cluster-mate at cosine >= {tau}. The
+    clustering is iteratively trained, so the declared output follows
+    the trained-ANN summary pattern: per probe doc, the exact
+    brute-force nearest neighbor (oracle-computable) + within_bound,
+    the conjunction of two in-query assertions the oracle answers TRUE
+    to — (a) every dropped doc's recorded pair really sits at
+    cosine >= tau, and (b) cluster-recall: the fraction of
+    corpus-wide exact tau-pairs (via the verified-exact LSH path) that
+    co-cluster stays above a measured floor (0.26-0.54 across
+    fixtures; floor 0.2 — the fixtures' embeddings are random-ish, so
+    tau=0.4 mates are weakly similar; real duplicate regimes
+    (cos>=0.9) co-cluster near-certainly, which is the paper's
+    operating point). A broken trainer/assignment flips (b); a broken
+    pair stage flips (a) or changes the drop set."""
+    from cdc_via_flink_spark.operators.dedup import semantic_dedup
+    from cdc_via_flink_spark.operators.similarity import (
+        brute_force_topk,
+        neardup_lsh_pairs,
+    )
+    from cdc_via_flink_spark.sources.tables import ensure_min_partitions
+
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    dec = semantic_dedup(e, tau=SEM_TAU)
+
+    drop_ok = dec.agg(
+        F.bool_and(F.col("kept") | (F.col("pair_cos") >= SEM_TAU)).alias("ok")
+    )
+    pairs = neardup_lsh_pairs(e, threshold=SEM_TAU)
+    asg = dec.select("vec_id", "cluster_id")
+    co = pairs.join(
+        asg.select(F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("ca")),
+        "id_a",
+    ).join(
+        asg.select(F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("cb")),
+        "id_b",
+    )
+    rec = co.agg(
+        F.count(F.when(F.col("ca") == F.col("cb"), 1)).alias("n_co"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    bound = drop_ok.crossJoin(rec).select(
+        (
+            F.col("ok")
+            & (
+                (F.col("n_pairs") == 0)
+                | (F.col("n_co") / F.col("n_pairs") >= SEM_RECALL_FLOOR)
+            )
+        ).alias("within_bound")
+    )
+
+    qs = e.filter(F.col("vec_id") < P_SEM).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = brute_force_topk(e, qs, k=1).select(
+        "query_id",
+        F.col("vec_id").alias("exact_nn_vec"),
+        F.col("cos").alias("exact_nn_cos"),
+    )
+    return top1.crossJoin(F.broadcast(bound)).select(
+        "query_id",
+        "exact_nn_vec",
+        "exact_nn_cos",
+        (F.col("exact_nn_cos") >= SEM_TAU).alias("exact_neardup"),
+        "within_bound",
+    )
