@@ -318,3 +318,65 @@ def semantic_dedup(
         F.coalesce(F.col("d.id_a"), F.lit(-1).cast("long")).alias("dup_of"),
         F.coalesce(F.col("d.cos"), F.lit(-1.0)).alias("pair_cos"),
     )
+
+
+def row_minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+) -> DataFrame:
+    """MAP-SIDE MinHash banding: per-ROW signature via array
+    expressions — no shuffle, no per-doc aggregation — so it composes
+    into a streaming pipeline (a doc arrives as one row and leaves as
+    `bands` bucket rows in the same task). Value-identical to the
+    aggregation form in minhash_lsh_neardup: min over the doc's
+    DISTINCT shingles of h_j(token), same hash family, same '-'-joined
+    band signature strings.
+
+    Output: (doc_id, band, bsig). Token ints are materialized in their
+    own projection so the md5 runs once per shingle, not once per hash
+    function (the 16 array_min folds then scan cheap ints).
+    """
+    from cdc_via_flink_spark.functions.text import shingles_from_tokens, tokens
+
+    tk = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
+    )
+    shs = tk.select(
+        "doc_id", F.array_distinct(shingles_from_tokens(F.col("tk"))).alias("shs")
+    )
+    ts = shs.select(
+        "doc_id",
+        F.transform(
+            F.col("shs"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        ).alias("ts"),
+    )
+    from cdc_via_flink_spark.functions.hashing import P, a_j, b_j
+
+    def mh(j: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("ts"),
+                lambda t: (F.lit(a_j(j)) * (t % F.lit(P)) + F.lit(b_j(j))) % F.lit(P),
+            )
+        )
+
+    sig = ts.select(
+        "doc_id", *[mh(j).alias(f"mh{j}") for j in range(num_hashes)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+            ).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("doc_id", F.col("bd.band").alias("band"), F.col("bd.bsig").alias("bsig"))

@@ -944,3 +944,47 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(temporal_join_stream(sev), "append")
     return out.filter(F.col("txn_id") != "txn--999")
+
+
+def _neardup_oracle() -> str:
+    from cdc_via_flink_spark.plans.dedup_queries import (
+        _sql_bands,
+        _sql_minhash_cte,
+    )
+
+    return f"""
+WITH {_sql_minhash_cte()},
+banded AS ({_sql_bands()}),
+k AS (SELECT band, bsig, min(doc_id) AS keeper_id
+      FROM banded GROUP BY band, bsig)
+SELECT b.band, b.bsig, b.doc_id, k.keeper_id
+FROM banded b JOIN k ON b.band = k.band AND b.bsig = k.bsig
+WHERE b.doc_id <> k.keeper_id
+"""
+
+
+@query(
+    "stream_neardup_lsh",
+    oracle=_neardup_oracle(),
+    tags=("X1", "ST1", "streaming", "stateful", "dedup", "minhash"),
+)
+def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MinHash-LSH near-dup detection (streaming/neardup.py):
+    documents stream in, the per-row map-side signature+banding
+    (operators/dedup.py::row_minhash_bands — value-identical to the
+    batch aggregation form, no shuffle) fans each doc into its LSH
+    buckets, and a keyed keeper election emits a collision record for
+    every doc entering an already-claimed bucket. Single-batch replay
+    makes keeper = min doc_id per bucket, so the full SQL oracle
+    (signature CTE + min-per-bucket) applies to the STREAMING path."""
+    from cdc_via_flink_spark.operators.dedup import row_minhash_bands
+    from cdc_via_flink_spark.streaming.neardup import neardup_collisions_stream
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(STAGE_ROOT, f"docs_{sf_name}", "documents")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    os.makedirs(os.path.dirname(stage), exist_ok=True)
+    d.coalesce(1).write.mode("overwrite").parquet(stage)
+    sd = spark.readStream.schema(d.schema).parquet(stage)
+    banded = row_minhash_bands(sd, "text", "doc_id")
+    return _run_to_memory(neardup_collisions_stream(banded), "append")
