@@ -815,3 +815,101 @@ def q_asof_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     left at equal timestamps (side 2 > 1), dropping it from the
     prefix frame — the same mechanism the operator uses."""
     return _asof_events(spark, sf_dir, allow_exact_matches=False)
+
+
+@query(
+    "q_gapfill_interpolate",
+    oracle="""
+WITH obs AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
+              / count(*) AS DOUBLE) AS v,
+         count(*) AS n_obs
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY 1),
+grid AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+g AS (
+  SELECT grid.user_id, grid.day, obs.v, obs.n_obs
+  FROM grid LEFT JOIN obs ON grid.user_id = obs.user_id AND grid.day = obs.day
+),
+w AS (
+  SELECT *,
+         last_value(CASE WHEN v IS NOT NULL THEN {'day': day, 'v': v} END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+         last_value(CASE WHEN v IS NOT NULL THEN {'day': day, 'v': v} END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY day DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nxt
+  FROM g
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       COALESCE(n_obs, 0) AS n_obs,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  ELSE prev.v + (nxt.v - prev.v)
+                       * (date_diff('day', prev.day, day)
+                          / date_diff('day', prev.day, nxt.day)) END
+             + 0.0, 6) AS value_filled,
+       v IS NULL AS is_gap
+FROM w
+""",
+    tags=("A5", "timeseries", "gapfill"),
+)
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series GAP-FILL + LINEAR INTERPOLATION (the hypertable
+    `time_bucket_gapfill`/`interpolate` idiom): per-user daily buckets,
+    a dense calendar grid spanning each user's observed range
+    (`sequence` + explode — generated distributed, never driver-side),
+    and missing days filled by interpolating between the nearest
+    observed neighbors via two IGNORE-NULLS last_value windows (one
+    ASC, one DESC — same hash partitioning, so ONE shuffle feeds both
+    sorts; no self-join, no as-of join against the observation table).
+    Interior gaps only by construction (grid is bounded by each user's
+    min/max observed day), so both interpolation endpoints always
+    exist. At 100 TB the grid explode is map-side from the span
+    aggregate and the whole fill is one keyed window pass."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("v"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    g = grid.join(obs, ["user_id", "day"], "left")
+    marked = F.when(F.col("v").isNotNull(), F.struct("day", "v"))
+    w_prev = (
+        W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("day").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    prev = F.last(marked, ignorenulls=True).over(w_prev)
+    nxt = F.last(marked, ignorenulls=True).over(w_next)
+    frac = F.datediff(F.col("day"), prev.getField("day")) / F.datediff(
+        nxt.getField("day"), prev.getField("day")
+    )
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        prev.getField("v") + (nxt.getField("v") - prev.getField("v")) * frac
+    )
+    return g.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.round(interp + F.lit(0.0), 6).alias("value_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )
