@@ -562,3 +562,140 @@ def text_tfidf_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= 3) & (F.col("doc_id") < 30))
         .select("doc_id", "term", "tfidf", "rn")
     )
+
+
+@query(
+    "text_nb_classify",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split({SQL_NORM}, ' ')) AS t
+  FROM documents
+),
+cnt AS (SELECT lang, t, count(*) AS c FROM tok GROUP BY lang, t),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tc FROM cnt GROUP BY lang),
+vocab AS (SELECT count(DISTINCT t) AS v FROM tok),
+prior AS (
+  SELECT lang, count(*) AS nd,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS ndt
+  FROM documents GROUP BY lang
+),
+pairs AS (
+  SELECT k.doc_id, k.actual_lang, p.lang,
+         CAST(round(ln(CAST(p.nd AS DOUBLE) / p.ndt), 6)
+              AS DECIMAL(28,6)) AS prior_lp,
+         p.lang AS plang
+  FROM (SELECT DISTINCT doc_id, lang AS actual_lang FROM tok) k
+  CROSS JOIN prior p
+),
+terms AS (
+  SELECT tk.doc_id, p.lang,
+         CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (tot.tc + vocab.v)), 6)
+              AS DECIMAL(28,6)) AS lp
+  FROM tok tk
+  CROSS JOIN (SELECT lang FROM tot) p
+  LEFT JOIN cnt c ON c.lang = p.lang AND c.t = tk.t
+  JOIN tot ON tot.lang = p.lang
+  CROSS JOIN vocab
+),
+scored AS (
+  SELECT pr.doc_id, pr.actual_lang, pr.lang,
+         pr.prior_lp + COALESCE(s.slp, CAST(0 AS DECIMAL(28,6))) AS score
+  FROM pairs pr
+  LEFT JOIN (SELECT doc_id, lang, sum(lp) AS slp
+             FROM terms GROUP BY doc_id, lang) s
+    ON s.doc_id = pr.doc_id AND s.lang = pr.lang
+),
+pred AS (
+  SELECT doc_id, actual_lang,
+         min({{'ns': -score, 'lang': lang}}) AS best
+  FROM scored GROUP BY doc_id, actual_lang
+)
+SELECT actual_lang, best.lang AS pred_lang, count(*) AS n_docs
+FROM pred GROUP BY actual_lang, best.lang
+""",
+    tags=("X3", "classifier", "naive-bayes"),
+)
+def text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED text classifier in one declarative DAG — multinomial
+    Naive Bayes with add-1 smoothing, self-trained on the corpus's
+    lang labels and scored back over it (the fastText-classifier slot
+    of a pretraining pipeline: lang-ID / quality gating). Everything
+    is count aggregation + joins + argmax; training is NOT iterative,
+    so the full pipeline carries an exact SQL oracle.
+
+    Cross-engine float policy: each token's log-likelihood is rounded
+    to 6 dp and cast DECIMAL(28,6) BEFORE summation, so per-doc scores
+    are EXACT decimal sums (order-independent across partitions and
+    engines — a raw double sum would be neither); argmax ties break to
+    the lexicographically first lang via struct-min.
+
+    Scale shape: the model (lang × token counts + totals + vocab) is
+    dimension-sized — broadcast; the scoring join is corpus-tokens ×
+    L langs map-side, then ONE (doc, lang) aggregation and ONE doc
+    argmax. The corpus is never shuffled by token."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t"))
+    cnt = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("tc"))
+    vocab = tok.agg(F.countDistinct("t").alias("v"))
+    prior = d.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    ndt = d.agg(F.count(F.lit(1)).alias("ndt"))
+
+    dec6 = "decimal(28,6)"
+    cnt2 = cnt.select(
+        F.col("lang").alias("clang"), F.col("t").alias("ct"), "c"
+    )
+    tot2 = tot.select(F.col("lang").alias("tlang"), "tc")
+    terms = (
+        tok.crossJoin(F.broadcast(tot.select(F.col("lang").alias("plang"))))
+        .join(
+            F.broadcast(cnt2),
+            (F.col("plang") == F.col("clang")) & (F.col("t") == F.col("ct")),
+            "left",
+        )
+        .drop("clang", "ct")
+        .join(F.broadcast(tot2), F.col("plang") == F.col("tlang"))
+        .drop("tlang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.col("plang"),
+            F.round(
+                F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0)) / (F.col("tc") + F.col("v"))),
+                6,
+            )
+            .cast(dec6)
+            .alias("lp"),
+        )
+    )
+    slp = terms.groupBy("doc_id", "plang").agg(F.sum("lp").alias("slp"))
+    pairs = (
+        d.select("doc_id", F.col("lang").alias("actual_lang"))
+        .crossJoin(F.broadcast(prior))
+        .crossJoin(F.broadcast(ndt))
+        .select(
+            "doc_id",
+            "actual_lang",
+            F.col("lang").alias("plang"),
+            F.round(F.log(F.col("nd").cast("double") / F.col("ndt")), 6)
+            .cast(dec6)
+            .alias("prior_lp"),
+        )
+    )
+    scored = pairs.join(slp, ["doc_id", "plang"], "left").select(
+        "doc_id",
+        "actual_lang",
+        "plang",
+        (F.col("prior_lp") + F.coalesce(F.col("slp"), F.lit(0).cast(dec6))).alias(
+            "score"
+        ),
+    )
+    pred = scored.groupBy("doc_id", "actual_lang").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("plang").alias("lang"))).alias(
+            "best"
+        )
+    )
+    return pred.groupBy(
+        "actual_lang", F.col("best.lang").alias("pred_lang")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
