@@ -1,0 +1,133 @@
+"""Graph-analytics declared queries beyond connected components
+(operators/components.py): PageRank with a FIXED unrolled iteration
+count — the canonical "iterative algorithm as a declarative plan"
+shape. Each iteration is one edge-join + one keyed aggregation;
+unrolling 3 iterations keeps the whole computation a single Catalyst
+plan AND makes it expressible as chained SQL CTEs, so the iterative
+result carries an exact DuckDB oracle (unlike loop-until-convergence,
+which is oracle-exempt — see dedup_clusters).
+
+Cross-engine float policy: per-edge rank contributions are rounded to
+12 dp and summed as DECIMAL(38,12) (exact, order-independent); the
+damping arithmetic is plain IEEE double on identical inputs, so both
+engines produce bit-identical ranks.
+
+Graph: part co-occurrence — parts sharing an order are linked
+(undirected, so every node with an in-edge has out-degree > 0: no
+dangling-node correction needed). Scale shape: the edge list is a
+self-equi-join on orderkey (pair space bounded by per-order basket
+size, the attribute-blocking argument from dedup); each PageRank
+iteration shuffles edge contributions by dst — O(E) keyed rows — and
+the node table rides broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from cdc_via_flink_spark.plans.registry import query
+from cdc_via_flink_spark.sources.tables import load_table
+
+N_ITER = 3
+TOP_N = 50
+DAMP = 0.85
+DEC = "decimal(38,12)"
+
+
+def _pagerank_oracle() -> str:
+    its = []
+    prev = "r0"
+    for i in range(1, N_ITER + 1):
+        its.append(f"""
+it{i} AS (
+  SELECT d.src AS node, d.deg,
+         CAST(0.15 AS DOUBLE) / (SELECT nn FROM n)
+         + CAST({DAMP} AS DOUBLE)
+           * CAST(COALESCE(s.sc, 0) AS DOUBLE) AS r
+  FROM deg d LEFT JOIN (
+    SELECT e.dst, sum(CAST(round(p.r / p.deg, 12) AS DECIMAL(38,12))) AS sc
+    FROM {prev} p JOIN edges e ON e.src = p.node GROUP BY e.dst
+  ) s ON s.dst = d.src
+)""")
+        prev = f"it{i}"
+    return f"""
+WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.pk AS src, b.pk AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT count(*) AS nn FROM deg),
+r0 AS (SELECT src AS node, deg, CAST(1 AS DOUBLE) / (SELECT nn FROM n) AS r
+       FROM deg),{",".join(its)},
+ranked AS (
+  SELECT node, round(r, 9) AS rank,
+         row_number() OVER (ORDER BY r DESC, node) AS rn
+  FROM {prev}
+)
+SELECT node, rank, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= {TOP_N}
+"""
+
+
+@query(
+    "q_pagerank3",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative-unrolled"),
+)
+def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 unrolled iterations) over the part
+    co-occurrence graph; output = top-50 parts by final rank. See the
+    module docstring for the scale shape and the decimal-summation
+    parity policy that lets an iterative algorithm carry an exact SQL
+    oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    e1 = li.select("ok", F.col("pk").alias("src"))
+    e2 = li.select("ok", F.col("pk").alias("dst"))
+    edges = (
+        e1.join(e2, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_row = deg.agg(F.count(F.lit(1)).alias("nn"))
+    nodes = deg.select(F.col("src").alias("node"), "deg").crossJoin(
+        F.broadcast(n_row)
+    )
+    r = nodes.select(
+        "node", "deg", "nn", (F.lit(1.0) / F.col("nn")).alias("r")
+    )
+    for _ in range(N_ITER):
+        contrib = (
+            r.join(edges, r.node == edges.src)
+            .select(
+                F.col("dst"),
+                F.round(F.col("r") / F.col("deg"), 12).cast(DEC).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+        )
+        r = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                "deg",
+                "nn",
+                (
+                    F.lit(0.15) / F.col("nn")
+                    + F.lit(DAMP)
+                    * F.coalesce(F.col("sc"), F.lit(0).cast(DEC)).cast("double")
+                ).alias("r"),
+            )
+        )
+    w = W.orderBy(F.col("r").desc(), F.col("node"))
+    return (
+        r.select(
+            "node",
+            F.round("r", 9).alias("rank"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= TOP_N)
+    )
