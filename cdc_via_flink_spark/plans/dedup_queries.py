@@ -761,3 +761,61 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("exact_nn_cos") >= SEM_TAU).alias("exact_neardup"),
         "within_bound",
     )
+
+
+@query(
+    "dedup_ensemble",
+    oracle=f"""
+WITH base AS ({_LSH_ORACLE}),
+ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings)
+SELECT b.id_a, b.id_b, b.jaccard,
+       round(list_dot_product(da.v, db.v)
+             / (sqrt(list_dot_product(da.v, da.v))
+                * sqrt(list_dot_product(db.v, db.v))), 6) AS emb_cos,
+       round(list_dot_product(da.v, db.v)
+             / (sqrt(list_dot_product(da.v, da.v))
+                * sqrt(list_dot_product(db.v, db.v))), 6) >= 0.4
+         AS embedding_confirms
+FROM base b
+JOIN ed da ON da.vec_id = b.id_a
+JOIN ed db ON db.vec_id = b.id_b
+""",
+    tags=("X1", "X2", "dedup", "ensemble"),
+)
+def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE dedup decision — the production pattern of combining
+    independent near-dup signals before destructive removal: every
+    MinHash-LSH text pair (exact-Jaccard >= 0.5) is cross-checked in
+    EMBEDDING space (docs and embeddings share ids — the multimodal
+    alignment join), emitting the exact cosine and whether it confirms
+    at the embedding near-dup threshold (0.4). Disagreements are the
+    interesting rows: surface-level copies with divergent semantics
+    (template spam) vs paraphrases (caught only by embeddings).
+
+    Scale shape: the pair table is collision-bounded (LSH), so it
+    BROADCASTS to the embedding fetches — the embedding corpus is
+    never shuffled; two broadcast-hash joins, no new pair space."""
+    from cdc_via_flink_spark.functions.vectors import cosine, to_double
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_neardup(
+        d, "text", "doc_id", NUM_HASHES, BANDS, ROWS, JACCARD_T
+    ).select("id_a", "id_b", "jaccard")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        ea.join(F.broadcast(pairs), "id_a")
+        .join(F.broadcast(eb.join(F.broadcast(pairs.select("id_b").distinct()), "id_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            cos.alias("emb_cos"),
+            (cos >= 0.4).alias("embedding_confirms"),
+        )
+    )

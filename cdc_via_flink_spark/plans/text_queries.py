@@ -699,3 +699,76 @@ def text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy(
         "actual_lang", F.col("best.lang").alias("pred_lang")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "text_unigram_ppl_buckets",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split({SQL_NORM}, ' ')) AS t
+  FROM documents
+),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc, count(*) AS v FROM cnt),
+nll AS (
+  SELECT tk.doc_id, tk.lang,
+         CAST(sum(CAST(round(-ln((c.c + 1.0) / (tot.tc + tot.v)), 6)
+                       AS DECIMAL(28,6))) AS DOUBLE)
+         / count(*) AS doc_nll
+  FROM tok tk JOIN cnt c ON c.t = tk.t CROSS JOIN tot
+  GROUP BY tk.doc_id, tk.lang
+)
+SELECT lang,
+       CAST(floor(doc_nll * 2) AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       min(round(doc_nll, 6)) AS min_nll,
+       max(round(doc_nll, 6)) AS max_nll
+FROM nll GROUP BY lang, bucket
+""",
+    tags=("X3", "quality", "perplexity"),
+)
+def text_unigram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter (the CCNet idiom: score docs
+    under a corpus LM, bucket, keep the low-perplexity tail) with a
+    self-trained add-1-smoothed UNIGRAM LM — training is one count
+    aggregation, so unlike a neural LM the whole filter carries an
+    exact SQL oracle. Per-token negative log-likelihoods are rounded
+    and summed as exact decimals (engine/order-independent; the
+    text_nb_classify policy), then averaged per doc and histogrammed
+    into 0.5-nat buckets per lang.
+
+    Scale shape: the LM (token→count + one totals row) broadcasts;
+    scoring is a map-side join over corpus tokens; ONE doc aggregation
+    and ONE (lang, bucket) aggregation. Every doc token exists in the
+    self-trained vocab, so the join is inner without loss (unseen
+    tokens would take the +1 smoothing mass in a train/test split)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("tc"), F.count(F.lit(1)).alias("v")
+    )
+    cnt2 = cnt.select(F.col("t").alias("ct"), "c")
+    nll = (
+        tok.join(F.broadcast(cnt2), F.col("t") == F.col("ct"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        -F.log((F.col("c") + F.lit(1.0)) / (F.col("tc") + F.col("v"))),
+                        6,
+                    ).cast("decimal(28,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("doc_nll")
+        )
+    )
+    return nll.groupBy(
+        "lang", F.floor(F.col("doc_nll") * 2).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.round("doc_nll", 6)).alias("min_nll"),
+        F.max(F.round("doc_nll", 6)).alias("max_nll"),
+    )
