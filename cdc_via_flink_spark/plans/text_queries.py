@@ -772,3 +772,58 @@ def text_unigram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.round("doc_nll", 6)).alias("min_nll"),
         F.max(F.round("doc_nll", 6)).alias("max_nll"),
     )
+
+
+@query(
+    "q_bpe_first_merges",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest(string_split({SQL_NORM}, ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> substring(w, i, 2)))
+           AS pair
+  FROM w WHERE len(w) >= 2
+),
+c AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair),
+r AS (
+  SELECT pair, n,
+         row_number() OVER (ORDER BY n DESC, pair) AS rn
+  FROM c
+)
+SELECT pair, n, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 20
+""",
+    tags=("X3", "tokenizer", "bpe"),
+)
+def q_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, round one: the first BPE merge decisions —
+    corpus-frequency counts of adjacent character pairs within words
+    (occurrence-weighted, exactly what the first iteration of
+    byte-pair encoding training ranks). Top-20 by count with
+    lexicographic tie-break. The full BPE loop is sequential by
+    nature (each merge changes the next round's pair stream); the
+    per-round counting shown here is the distributed part — a
+    production trainer alternates this map/agg pass with a
+    driver-side merge-table update of vocabulary size, not corpus
+    size. One explode + one aggregation; the window top-k rides
+    Catalyst's WindowGroupLimit pushdown."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    c = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    win = W.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        c.select(
+            "pair", "n", F.row_number().over(win).cast("long").alias("rn")
+        )
+        .filter(F.col("rn") <= 20)
+    )
