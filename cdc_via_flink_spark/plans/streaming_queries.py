@@ -909,6 +909,16 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     no JSON, no state."""
     from cdc_via_flink_spark.streaming.temporal import temporal_join_stream
 
+    sev = _temporal_tagged_stream(spark, sf_dir, "apiws")
+    out = _run_to_memory(temporal_join_stream(sev), "append")
+    return out.filter(F.col("txn_id") != "txn--999")
+
+
+def _temporal_tagged_stream(spark: SparkSession, sf_dir: str, suffix: str) -> DataFrame:
+    """Stage the union-tagged temporal-join replay (events -> probe
+    purchases + dim changes, plus the two watermark sentinels) and
+    return it as a maxFilesPerTrigger=1 stream. Shared by both
+    stateful-API variants of the temporal join."""
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts_ms"
@@ -934,16 +944,55 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             [("txn--999", -1, "D", "c", far)], schema=tagged.schema
         )
 
-    dest = os.path.join(STAGE_ROOT, f"events_{sf_name}", "events_temporal")
+    dest = os.path.join(STAGE_ROOT, f"events_{sf_name}", f"events_temporal_{suffix}")
     _stage_ordered_files(spark, [tagged, sentinel(10), sentinel(20)], dest)
 
-    sev = (
+    return (
         spark.readStream.schema(tagged.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(dest)
     )
-    out = _run_to_memory(temporal_join_stream(sev), "append")
-    return out.filter(F.col("txn_id") != "txn--999")
+
+
+@query(
+    "stream_temporal_join_tws",
+    oracle=_TEMPORAL_ORACLE,
+    tags=("J5", "ST1", "streaming", "stateful", "temporal-join", "tws"),
+)
+def stream_temporal_join_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temporal table join on transformWithStateInPandas
+    (streaming/temporal_tws.py): two true ListStates (pure RocksDB
+    appends until the watermark matures probes or compacts versions) +
+    a first-class event-time timer for the flush — same semantics,
+    same SQL oracle as stream_temporal_join, so BOTH stateful
+    operators in this engine (assembler, temporal join) are
+    oracle-verified on BOTH stateful APIs. RocksDB provider + the
+    protobuf shim handling mirror stream_reconstruct_end_tws."""
+    from cdc_via_flink_spark.streaming.temporal_tws import temporal_join_stream_tws
+    from cdc_via_flink_spark.vendor.proto_compat import (
+        ensure_protobuf,
+        ship_to_workers,
+    )
+
+    if ensure_protobuf() == "unavailable":
+        raise RuntimeError("no protobuf and the vendored shim failed to load")
+    ship_to_workers(spark)
+
+    sev = _temporal_tagged_stream(spark, sf_dir, "tws")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = _run_to_memory(temporal_join_stream_tws(sev), "append")
+        return out.filter(F.col("txn_id") != "txn--999")
+    finally:
+        if prev:
+            spark.conf.set(provider_key, prev)
+        else:
+            spark.conf.unset(provider_key)
 
 
 def _neardup_oracle() -> str:

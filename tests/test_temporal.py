@@ -15,12 +15,36 @@ from pyspark.sql.types import (
     StructType,
 )
 
+import pytest
+
 from cdc_via_flink_spark.plans.streaming_queries import (
     STAGE_ROOT,
     _run_to_memory,
     _stage_ordered_files,
 )
 from cdc_via_flink_spark.streaming.temporal import temporal_join_stream
+
+
+def _run_temporal(spark, sev, variant):
+    """Run either stateful-API implementation of the temporal join."""
+    if variant == "apiws":
+        return _run_to_memory(temporal_join_stream(sev), "append")
+    from cdc_via_flink_spark.streaming.temporal_tws import (
+        temporal_join_stream_tws,
+    )
+    from cdc_via_flink_spark.vendor.proto_compat import (
+        ensure_protobuf,
+        ship_to_workers,
+    )
+
+    assert ensure_protobuf() != "unavailable"
+    ship_to_workers(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return _run_to_memory(temporal_join_stream_tws(sev), "append")
+
 
 SCHEMA = StructType(
     [
@@ -44,7 +68,8 @@ def _probe(key, seq, ts):
     return (key, seq, "P", None, ts)
 
 
-def test_temporal_join_multibatch(spark):
+@pytest.mark.parametrize("variant", ["apiws", "tws"])
+def test_temporal_join_multibatch(spark, variant):
     # Batch 1: two dim versions + two probes for key k, plus a probe
     # for key u that has no dim versions at all.
     b1 = [
@@ -74,13 +99,13 @@ def test_temporal_join_multibatch(spark):
     frames = [
         spark.createDataFrame(rows, schema=SCHEMA) for rows in (b1, b2, b3, s1, s2)
     ]
-    dest = os.path.join(STAGE_ROOT, "temporal_unit")
+    dest = os.path.join(STAGE_ROOT, f"temporal_unit_{variant}")
     _stage_ordered_files(spark, frames, dest)
 
     sev = (
         spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(dest)
     )
-    out = _run_to_memory(temporal_join_stream(sev), "append")
+    out = _run_temporal(spark, sev, variant)
     got = {
         r["probe_seq"]: (
             r["txn_id"],
