@@ -148,3 +148,66 @@ def test_temporal_join_tie_breaks_to_highest_seq(spark):
     assert len(rows) == 1
     assert rows[0]["dim_seq"] == 2
     assert rows[0]["staleness_ms"] == 0
+
+
+def _stage_one(spark, rows, dest_dir, name, mtime):
+    import glob
+    import shutil
+
+    tmp = dest_dir + f"_w_{name}"
+    spark.createDataFrame(rows, schema=SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, f"{name}.parquet")
+    shutil.copy(part, dest)
+    os.utime(dest, (mtime, mtime))
+    shutil.rmtree(tmp)
+
+
+def test_temporal_join_state_survives_restart(spark, tmp_path):
+    """ST5 for the temporal join: probes and dim versions buffer in
+    run 1 (watermark never reaches them, nothing emits), the query
+    STOPS, sentinels arrive, a NEW query restarts from the same
+    checkpoint — both buffers must be recovered from the state store
+    and the as-of matches emitted by the recovered TTL timer."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _stage_one(
+        spark,
+        [_dim("k", 1, BASE), _probe("k", 10, BASE + 50_000), _probe("u", 20, BASE + 60_000)],
+        src,
+        "0",
+        1_000_000_000,
+    )
+
+    def run_once():
+        sev = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            temporal_join_stream(sev)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 0  # everything buffered
+
+    _stage_one(spark, [_dim("flush", -1, BASE + 10 * DAY)], src, "1", 1_000_000_100)
+    _stage_one(spark, [_dim("flush", -2, BASE + 20 * DAY)], src, "2", 1_000_000_200)
+    run_once()  # restart: buffers recovered, timers fire
+    got = {
+        r["probe_seq"]: (r["dim_seq"], r["staleness_ms"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {10: (1, 50_000), 20: (-1, -1)}
