@@ -40,10 +40,12 @@ def test_match_rows_vs_merge_asof(scen):
     }
 
     left = pd.DataFrame(
-        {"pts": [t for t, _ in probes], "pseq": [s for _, s in probes]}
+        {"pts": [t for t, _ in probes], "pseq": [s for _, s in probes]},
+        dtype="int64",
     )
     right = pd.DataFrame(
-        {"dts": [t for t, _, _ in dims], "dseq": [s for _, s, _ in dims]}
+        {"dts": [t for t, _, _ in dims], "dseq": [s for _, s, _ in dims]},
+        dtype="int64",
     )
     merged = pd.merge_asof(
         left.sort_values("pts"),
