@@ -819,3 +819,132 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
         )
     )
+
+
+from cdc_via_flink_spark.plans.dedup_queries import _LSH_ORACLE  # noqa: E402
+
+
+@query(
+    "q_corpus_build_v2",
+    oracle=f"""
+WITH nd AS (SELECT DISTINCT id_b AS doc_id FROM ({_LSH_ORACLE})),
+tok AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM_DOC}, ' ')) AS t
+  FROM documents
+),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc, count(*) AS v FROM cnt),
+nll AS (
+  SELECT tk.doc_id,
+         CAST(sum(CAST(round(-ln((c.c + 1.0) / (tot.tc + tot.v)), 6)
+                       AS DECIMAL(28,6))) AS DOUBLE)
+         / count(*) AS doc_nll
+  FROM tok tk JOIN cnt c ON c.t = tk.t CROSS JOIN tot
+  GROUP BY tk.doc_id
+),
+thr AS (
+  SELECT CAST(sum(CAST(round(doc_nll, 6) AS DECIMAL(28,6))) AS DOUBLE)
+         / count(*) + 0.5 AS mx
+  FROM nll
+),
+q AS (
+  SELECT d.doc_id, d.lang, d.text, {_SQL_NORM_DOC} AS norm
+  FROM documents d
+  JOIN nll ON nll.doc_id = d.doc_id CROSS JOIN thr
+  WHERE d.n_chars >= 100
+    AND len(string_split({_SQL_NORM_DOC}, ' ')) >= 20
+    AND nll.doc_nll <= thr.mx
+    AND d.doc_id NOT IN (SELECT doc_id FROM nd)
+),
+keepers AS (
+  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(norm)
+),
+k AS (
+  SELECT q.doc_id, q.lang, q.text, {SPLIT_SQL} AS split
+  FROM q JOIN keepers USING (doc_id)
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT) AS total_tokens
+FROM k GROUP BY split, lang
+""",
+    tags=("pipeline", "composite", "X1", "X3", "quality"),
+)
+def q_corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus build, second generation — q_corpus_build plus the two
+    round-4 signals, still ONE oracle-checked composition:
+    quality screen (length + word count) → PERPLEXITY GATE (drop docs
+    whose unigram-LM NLL exceeds the corpus mean + 0.5 nats — the
+    CCNet-style filter, threshold data-derived so no magic constant)
+    → NEAR-DUP removal (MinHash-LSH verified pairs, drop the higher
+    id) → exact-dedup keeper election → deterministic split →
+    per-(split, lang) accounting.
+
+    Scale: the new stages add one broadcastable LM dim + one
+    anti-join against the collision-bounded near-dup id set; the
+    perplexity scoring reuses the map-side join shape of
+    text_unigram_ppl_buckets. Everything stays Catalyst-visible."""
+    from cdc_via_flink_spark.functions.text import normalize_text, tokens
+    from cdc_via_flink_spark.operators.dedup import minhash_lsh_neardup
+    from cdc_via_flink_spark.plans.dedup_queries import (
+        BANDS,
+        JACCARD_T,
+        NUM_HASHES,
+        ROWS,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    nd = (
+        minhash_lsh_neardup(d, "text", "doc_id", NUM_HASHES, BANDS, ROWS, JACCARD_T)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("tc"), F.count(F.lit(1)).alias("v"))
+    cnt2 = cnt.select(F.col("t").alias("ct"), "c")
+    nll = (
+        tok.join(F.broadcast(cnt2), F.col("t") == F.col("ct"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        -F.log((F.col("c") + F.lit(1.0)) / (F.col("tc") + F.col("v"))),
+                        6,
+                    ).cast("decimal(28,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("doc_nll")
+        )
+    )
+    thr = nll.agg(
+        (
+            F.sum(F.round("doc_nll", 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        ).alias("mx")
+    )
+    q = (
+        d.filter(F.col("n_chars") >= 100)
+        .join(nll, "doc_id")
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("doc_nll") <= F.col("mx"))
+        .join(nd, "doc_id", "left_anti")
+        .select("doc_id", "lang", "text", normalize_text(F.col("text")).alias("norm"))
+        .filter(F.size(F.split(F.col("norm"), " ")) >= 20)
+    )
+    keepers = (
+        q.groupBy(F.md5(F.col("norm")).alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    k = hash_split(
+        q.join(keepers, "doc_id"), "doc_id", {"train": 204, "valid": 26, "test": 26}
+    )
+    return k.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)))
+        .cast("bigint")
+        .alias("total_tokens"),
+    )
