@@ -80,7 +80,18 @@ def main() -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     build_scaled(spark)
 
-    specs = {n: s for n, s in load_all().items() if s.bench}
+    # SPARK_GRAFT_SCALING_ONLY=name1,name2 measures an explicit query
+    # list instead of the bench headline set (unknown names rejected).
+    all_specs = load_all()
+    only = os.environ.get("SPARK_GRAFT_SCALING_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = sorted(set(names) - set(all_specs))
+        if unknown:
+            raise SystemExit(f"unknown queries in SPARK_GRAFT_SCALING_ONLY: {unknown}")
+        specs = {n: all_specs[n] for n in names}
+    else:
+        specs = {n: s for n, s in all_specs.items() if s.bench}
     # warm both plan shapes
     for _n, s in sorted(specs.items()):
         s.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()

@@ -48,3 +48,57 @@ def test_keeper_first_seen_across_batches(spark):
         (0, 3): 5,  # late smaller id does not steal; it collides
         (1, 8): 7,
     }
+
+
+def _stage_one(spark, rows, dest_dir, name, mtime):
+    import glob
+    import shutil
+
+    tmp = dest_dir + f"_w_{name}"
+    spark.createDataFrame(rows, schema=SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, f"{name}.parquet")
+    shutil.copy(part, dest)
+    os.utime(dest, (mtime, mtime))
+    shutil.rmtree(tmp)
+
+
+def test_keeper_state_survives_restart(spark, tmp_path):
+    """ST5: the bucket keeper survives a full query restart — a doc
+    arriving after the restart must collide against the keeper elected
+    BEFORE the stop, recovered from the checkpointed state store."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _stage_one(spark, [(4, 0, "X")], src, "0", 1_000_000_000)
+
+    def run_once():
+        sd = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        banded = sd.select(
+            "doc_id", F.col("band").cast("int").alias("band"), "bsig"
+        )
+        q = (
+            neardup_collisions_stream(banded)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # doc 4 claims bucket X; no collisions yet
+    assert spark.read.parquet(sink).count() == 0
+
+    _stage_one(spark, [(9, 0, "X")], src, "1", 1_000_000_100)
+    run_once()  # restart: keeper 4 recovered, doc 9 collides
+    rows = spark.read.parquet(sink).collect()
+    assert [(r["doc_id"], r["keeper_id"]) for r in rows] == [(9, 4)]
