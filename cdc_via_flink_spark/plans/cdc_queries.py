@@ -464,3 +464,127 @@ def cdc_partitioned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("offsets_dense"),
         )
     )
+
+
+@query(
+    "cdc_retract_view",
+    oracle=f"""
+WITH ch AS ({CH_SQL}),
+im AS (
+  SELECT txn_id, seq, ts_ms,
+         CASE WHEN op <> 'd'
+              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
+         lag(CASE WHEN op <> 'd'
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT) END)
+           OVER (PARTITION BY txn_id ORDER BY ts_ms, seq) AS prev_k
+  FROM ch
+),
+d AS (
+  SELECT unnest(list_filter(
+           [CASE WHEN prev_k IS NOT NULL
+                 THEN {{'bucket': prev_k % 5, 'delta': -prev_k}} END,
+            CASE WHEN k IS NOT NULL
+                 THEN {{'bucket': k % 5, 'delta': k}} END],
+           x -> x IS NOT NULL)) AS dl
+  FROM im
+),
+view_side AS (
+  SELECT dl.bucket,
+         CAST(sum(dl.delta) AS BIGINT) AS view_sum,
+         CAST(count(CASE WHEN dl.delta < 0 THEN 1 END) AS BIGINT)
+           AS n_retractions,
+         CAST(count(CASE WHEN dl.delta >= 0 THEN 1 END) AS BIGINT)
+           AS n_additions
+  FROM d GROUP BY dl.bucket
+),
+last_img AS (
+  SELECT txn_id,
+         max({{'ts_ms': ts_ms, 'seq': seq, 'k': k}}) AS li
+  FROM im GROUP BY txn_id
+),
+direct AS (
+  SELECT li.k % 5 AS bucket, CAST(sum(li.k) AS BIGINT) AS direct_sum
+  FROM last_img WHERE li.k IS NOT NULL GROUP BY li.k % 5
+)
+SELECT v.bucket, v.n_retractions, v.n_additions, v.view_sum,
+       COALESCE(direct.direct_sum, 0) AS direct_sum,
+       v.view_sum = COALESCE(direct.direct_sum, 0) AS consistent
+FROM view_side v LEFT JOIN direct ON v.bucket = direct.bucket
+""",
+    tags=("cdc", "ivm", "retract"),
+)
+def cdc_retract_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE over the change stream — the
+    retract-stream capability (Flink retract mode / Materialize /
+    Debezium-fed materialized views): turn each row change into SIGNED
+    deltas against a grouped SUM view, including GROUP MIGRATION (an
+    update whose payload moves the row to a different group emits a
+    retraction in the old group and an addition in the new one) and
+    deletes (pure retraction). The fixture's update envelopes carry
+    the Debezium before==after degeneracy, so true before-images are
+    repaired with lag() per key first — the standard unwrap step.
+
+    The declared output carries BOTH formulations per group: the
+    delta-maintained view_sum (never materializes key state — at
+    100 TB this is one map-side delta explode + one small grouped sum,
+    the shape a streaming sink applies per batch via upsert) and the
+    direct snapshot aggregate over final row images (one keyed argmax),
+    plus their equality as `consistent` — the telescoping-sum
+    invariant a broken delta derivation breaks immediately. Integer
+    arithmetic throughout; no float policy needed."""
+    from pyspark.sql import Window as W
+
+    changes, _ = _streams(spark, sf_dir)
+    k = F.when(
+        F.col("op") != "d",
+        F.get_json_object(F.col("after"), "$.k").cast("long"),
+    )
+    w = W.partitionBy("txn_id").orderBy("ts_ms", "seq")
+    im = changes.select(
+        "txn_id", "seq", "ts_ms", k.alias("k")
+    ).withColumn("prev_k", F.lag("k").over(w))
+
+    delta_list = F.array_compact(
+        F.array(
+            F.when(
+                F.col("prev_k").isNotNull(),
+                F.struct(
+                    (F.col("prev_k") % 5).alias("bucket"),
+                    (-F.col("prev_k")).alias("delta"),
+                ),
+            ),
+            F.when(
+                F.col("k").isNotNull(),
+                F.struct(
+                    (F.col("k") % 5).alias("bucket"), F.col("k").alias("delta")
+                ),
+            ),
+        )
+    )
+    d = im.select(F.explode(delta_list).alias("dl"))
+    view_side = d.groupBy(F.col("dl.bucket").alias("bucket")).agg(
+        F.sum("dl.delta").cast("long").alias("view_sum"),
+        F.count(F.when(F.col("dl.delta") < 0, 1)).alias("n_retractions"),
+        F.count(F.when(F.col("dl.delta") >= 0, 1)).alias("n_additions"),
+    )
+    last_img = im.groupBy("txn_id").agg(
+        F.max(F.struct("ts_ms", "seq", "k")).alias("li")
+    )
+    direct = (
+        last_img.filter(F.col("li.k").isNotNull())
+        .groupBy((F.col("li.k") % 5).alias("bucket"))
+        .agg(F.sum("li.k").cast("long").alias("direct_sum"))
+    )
+    return (
+        view_side.join(direct, "bucket", "left")
+        .select(
+            "bucket",
+            "n_retractions",
+            "n_additions",
+            "view_sum",
+            F.coalesce("direct_sum", F.lit(0)).alias("direct_sum"),
+            (F.col("view_sum") == F.coalesce("direct_sum", F.lit(0))).alias(
+                "consistent"
+            ),
+        )
+    )
