@@ -1037,3 +1037,76 @@ def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = spark.readStream.schema(d.schema).parquet(stage)
     banded = row_minhash_bands(sd, "text", "doc_id")
     return _run_to_memory(neardup_collisions_stream(banded), "append")
+
+
+@query(
+    "stream_retract_view",
+    oracle=f"""
+WITH ch AS ({CH_SQL}),
+im AS (
+  SELECT txn_id, seq, ts_ms,
+         CASE WHEN op <> 'd'
+              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+  FROM ch
+),
+last_img AS (
+  SELECT txn_id, max({{'ts_ms': ts_ms, 'seq': seq, 'k': k}}) AS li
+  FROM im GROUP BY txn_id
+),
+direct AS (
+  SELECT li.k % 5 AS bucket, CAST(sum(li.k) AS BIGINT) AS view_sum
+  FROM last_img WHERE li.k IS NOT NULL GROUP BY li.k % 5
+)
+SELECT r.range AS bucket, COALESCE(direct.view_sum, 0) AS view_sum
+FROM range(5) r LEFT JOIN direct ON r.range = direct.bucket
+""",
+    tags=("cdc", "ivm", "retract", "streaming", "ST5"),
+)
+def stream_retract_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE incremental materialized view (streaming/retract_view.py):
+    the change stream replays in THREE time-ordered micro-batches
+    through a foreachBatch sink that maintains a grouped SUM view via
+    retract deltas against the cross-batch key snapshot (group
+    migration and delete retractions included), behind epoch-versioned
+    snapshots + an atomic pointer (replayed epochs skipped — the
+    idempotent-upsert recipe). After the replay the committed view
+    must equal the direct snapshot aggregate the oracle computes from
+    scratch — multi-batch delta folding is value-verified, not just
+    row-counted."""
+    import shutil
+
+    from cdc_via_flink_spark.operators.reconstruct import derive_change_stream
+    from cdc_via_flink_spark.streaming.retract_view import (
+        read_view,
+        retract_view_query,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    ev = load_table(spark, sf_dir, "events")
+    ch = derive_change_stream(ev).select("txn_id", "seq", "ts_ms", "op", "after")
+    t1, t2 = 1704844800000, 1705708800000  # thirds of the January span
+    frames = [
+        ch.filter(F.col("ts_ms") <= t1),
+        ch.filter((F.col("ts_ms") > t1) & (F.col("ts_ms") <= t2)),
+        ch.filter(F.col("ts_ms") > t2),
+    ]
+    dest = os.path.join(STAGE_ROOT, f"events_{sf_name}", "retract_src")
+    _stage_ordered_files(spark, frames, dest)
+
+    table_dir = os.path.join(STAGE_ROOT, f"events_{sf_name}", "retract_view")
+    ckpt = os.path.join(STAGE_ROOT, f"events_{sf_name}", "retract_ckpt")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    sch = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = retract_view_query(sch, table_dir, ckpt)
+    q.awaitTermination()
+
+    buckets = spark.range(5).select(F.col("id").alias("bucket"))
+    return buckets.join(read_view(spark, table_dir), "bucket", "left").select(
+        "bucket", F.coalesce("view_sum", F.lit(0)).alias("view_sum")
+    )
