@@ -530,3 +530,63 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-query over the IVFPQ results; oracle emits TRUE)."""
     e = load_table(spark, sf_dir, "embeddings")
     return _ann_summary(ivfpq_topk_full(spark, sf_dir), e)
+
+
+_SPLIT_VEC_SQL = """CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+     WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+     ELSE 'test' END"""
+
+
+@query(
+    "q_semantic_contamination",
+    oracle=f"""
+WITH d AS (SELECT vec_id, {SQL_VD} AS v, {_SPLIT_VEC_SQL} AS split
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM d WHERE split = 'test'),
+tr AS (SELECT vec_id, v FROM d WHERE split = 'train'),
+scored AS (
+  SELECT q.query_id, a.vec_id, {SQL_COS} AS cos
+  FROM tr a CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id AS nearest_train_vec, cos AS max_train_cos,
+       cos >= 0.4 AS contaminated
+FROM r WHERE rn = 1
+""",
+    tags=("X2", "pipeline", "contamination"),
+)
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination screen — the embedding-space companion
+    of q_ngram_contamination (catches paraphrased benchmark leakage
+    that shares no 8-grams): every test-split doc's max cosine against
+    the train split, flagged at the embedding near-dup threshold.
+    Splits are the same deterministic md5-bucket assignment the corpus
+    build uses, keyed on vec_id.
+
+    Scale shape: the test side is the small side by construction
+    (~10%), so it broadcasts and the train corpus is never shuffled —
+    the brute_force_topk plan. This is the labelled exact baseline; at
+    100 TB the same screen runs through the IVF/PQ index path
+    (sim_ivf_topk and friends) with this query as its recall oracle."""
+    from cdc_via_flink_spark.operators.sampling import hash_split
+
+    e = load_table(spark, sf_dir, "embeddings")
+    split = hash_split(
+        e, "vec_id", {"train": 204, "valid": 26, "test": 26}
+    )
+    train = split.filter(F.col("split") == "train").select("vec_id", "embedding")
+    test = split.filter(F.col("split") == "test").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = brute_force_topk(train, test, k=1)
+    return top1.select(
+        "query_id",
+        F.col("vec_id").alias("nearest_train_vec"),
+        F.col("cos").alias("max_train_cos"),
+        (F.col("cos") >= 0.4).alias("contaminated"),
+    )
