@@ -103,6 +103,20 @@ def run(args: argparse.Namespace) -> int:
         )
         q.awaitTermination()
         return 0
+    if args.sink == "view":
+        # consume -> maintain a LIVE grouped-SUM materialized view via
+        # retract deltas (streaming/retract_view.py): the Debezium-fed
+        # Materialize shape. Only well-formed change rows feed the
+        # view; txn/dead-letter rows are irrelevant to row state.
+        from cdc_via_flink_spark.streaming.retract_view import retract_view_query
+
+        changes = good.filter(F.col("kind") == "change").select(
+            "txn_id", F.col("seq").cast("long").alias("seq"),
+            F.col("ts_ms").cast("long").alias("ts_ms"), "op", "after"
+        )
+        q = retract_view_query(changes, args.out, args.checkpoint)
+        q.awaitTermination()
+        return 0
     if args.sink == "console":
         q = (
             assembled.writeStream.format("console")
@@ -135,9 +149,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--stage-dir", default=tempfile.mkdtemp(prefix="cdc_replay_"))
     p.add_argument(
         "--sink",
-        choices=["console", "parquet", "upsert", "publish"],
+        choices=["console", "parquet", "upsert", "publish", "view"],
         default="console",
-    )  # upsert = latest-state table; publish = topic-log relay
+    )  # upsert = latest-state table; publish = topic relay; view = live retract-delta SUM view
     p.add_argument("--publish-topic", default="reconstructed.transactions")
     p.add_argument("--out", default=tempfile.mkdtemp(prefix="cdc_out_"))
     p.add_argument("--checkpoint", default=tempfile.mkdtemp(prefix="cdc_ckpt_"))

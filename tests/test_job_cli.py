@@ -85,3 +85,52 @@ def test_job_publish_relay_roundtrip(spark, tmp_path):
     assert back.count() == expected.count()
     one = json.loads(back.head().value)
     assert {"txn_id", "end_seq", "n_events", "ops_concat"} <= set(one)
+
+
+def test_job_view_sink_replay(spark, tmp_path):
+    """--sink view maintains the live retract-delta SUM view; after the
+    replay the committed view must equal the direct aggregate over
+    final row images (the stream_retract_view invariant, via the CLI)."""
+    from cdc_via_flink_spark.operators.reconstruct import derive_change_stream
+    from cdc_via_flink_spark.sources.tables import load_table
+    from cdc_via_flink_spark.streaming.retract_view import read_view
+
+    out = str(tmp_path / "view")
+    rc = reconstructor.main(
+        [
+            "--replay-dir",
+            SF0001,
+            "--sink",
+            "view",
+            "--stage-dir",
+            str(tmp_path / "stage"),
+            "--checkpoint",
+            str(tmp_path / "ckpt"),
+            "--out",
+            out,
+        ]
+    )
+    assert rc == 0
+    got = {
+        r["bucket"]: r["view_sum"]
+        for r in read_view(spark, out).collect()
+        if r["view_sum"] != 0
+    }
+    ch = derive_change_stream(load_table(spark, SF0001, "events"))
+    k = F.when(
+        F.col("op") != "d", F.get_json_object("after", "$.k").cast("long")
+    )
+    li = (
+        ch.select("txn_id", "seq", "ts_ms", k.alias("k"))
+        .groupBy("txn_id")
+        .agg(F.max(F.struct("ts_ms", "seq", "k")).alias("li"))
+        .filter(F.col("li.k").isNotNull())
+    )
+    exp = {
+        r["bucket"]: r["direct"]
+        for r in li.groupBy((F.col("li.k") % 5).alias("bucket"))
+        .agg(F.sum("li.k").cast("long").alias("direct"))
+        .collect()
+        if r["direct"] != 0
+    }
+    assert got == exp
