@@ -948,3 +948,120 @@ def q_corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_tokens"),
     )
+
+
+@query(
+    "q_mixture_epochs",
+    oracle="""
+WITH s AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source
+),
+m AS (SELECT max(chars) AS mx FROM s),
+k AS (
+  SELECT s.source, s.n_docs, s.chars,
+         least(3.0, sqrt(CAST(m.mx AS DOUBLE) / s.chars)) AS epochs
+  FROM s CROSS JOIN m
+),
+p AS (
+  SELECT source, n_docs, epochs,
+         CAST(floor(epochs) AS BIGINT) AS base,
+         CAST(floor((epochs - floor(epochs)) * 256) AS BIGINT) AS thr
+  FROM k
+),
+rep AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         p.base + CASE WHEN CAST(('0x' || substr(md5('ep' || CAST(d.doc_id AS VARCHAR)), 1, 2)) AS BIGINT) < p.thr
+                       THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN p ON d.source = p.source
+),
+ex AS (
+  SELECT doc_id, source, n_chars,
+         unnest(range(1, n_copies + 1)) AS copy_idx
+  FROM rep
+)
+SELECT ex.source,
+       p.n_docs AS n_docs_in,
+       round(p.epochs, 6) AS epochs,
+       count(*) AS n_docs_out,
+       CAST(sum(ex.n_chars) AS BIGINT) AS chars_out,
+       round(CAST(count(*) AS DOUBLE) / p.n_docs, 6) AS achieved_epochs
+FROM ex JOIN p ON ex.source = p.source
+GROUP BY ex.source, p.n_docs, p.epochs
+""",
+    tags=("pipeline", "mixture", "epochs"),
+)
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UP-sampling mixture — per-source EPOCH factors applied by
+    deterministic repetition (the complement of q_mixture_resample's
+    down-sampling): smaller sources train for more epochs
+    (inverse-size temperature, capped at 3.0), with the FRACTIONAL
+    part realized per doc via the md5-bucket trick — doc repeated
+    floor(e) times plus one extra copy iff its salted bucket falls
+    below frac(e)·256. RNG-free, restart-stable, and exactly the
+    Llama-style 'epochs per source' data recipe. The copies are
+    MATERIALIZED (distributed sequence explode — a real up-sampled
+    corpus, not just bookkeeping) and re-aggregated per source with
+    achieved vs target epoch rates.
+
+    Scale: the per-source epoch table is tiny (broadcast); repetition
+    is a map-side explode; one final small aggregate."""
+    from cdc_via_flink_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    m = s.agg(F.max("chars").alias("mx"))
+    k = s.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(3.0), F.sqrt(F.col("mx").cast("double") / F.col("chars"))
+        ).alias("epochs"),
+    )
+    p = k.select(
+        "source",
+        "n_docs",
+        "epochs",
+        F.floor("epochs").cast("long").alias("base"),
+        F.floor((F.col("epochs") - F.floor("epochs")) * 256)
+        .cast("long")
+        .alias("thr"),
+    )
+    bucket_int = F.conv(hash_bucket(F.col("doc_id"), "ep"), 16, 10).cast("long")
+    rep = d.join(F.broadcast(p), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.col("base")
+            + F.when(bucket_int < F.col("thr"), 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    ex = rep.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+    )
+    return (
+        ex.join(F.broadcast(p), "source")
+        .groupBy("source", "n_docs", "epochs")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_out"),
+            F.sum("n_chars").cast("long").alias("chars_out"),
+            F.round(F.count(F.lit(1)).cast("double") / F.col("n_docs"), 6).alias(
+                "achieved_epochs"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_docs").alias("n_docs_in"),
+            F.round("epochs", 6).alias("epochs"),
+            "n_docs_out",
+            "chars_out",
+            "achieved_epochs",
+        )
+    )

@@ -266,3 +266,26 @@ def test_hot_key_default_path_no_cliff(spark):
     # holds 997 * 19/20 changes
     assert len(hot) > 900
     assert sum(r.n_events for r in hot) > 900_000
+
+
+def test_parser_tolerates_schema_evolution(spark):
+    """Debezium producers evolve: payloads grow fields (new columns,
+    source metadata) this consumer has never seen, and may omit fields
+    this consumer knows about. PERMISSIVE from_json must ignore
+    unknown fields and null missing ones — an upstream ALTER TABLE
+    must not dead-letter the stream or corrupt reconstruction."""
+    from cdc_via_flink_spark.operators.debezium import parse_debezium
+
+    evolved = (
+        '{"payload":{"op":"u","ts_ms":5,"transaction":{"id":"t1","extra_txn_field":9},'
+        '"after":"{}","brand_new_column":"surprise","source":{"db":"d","table":"t"}}}'
+    )
+    missing = '{"payload":{"op":"c","transaction":{"id":"t2"}}}'  # no ts_ms/after
+    env = spark.createDataFrame(
+        [(1, evolved), (2, missing)], "seq long, value string"
+    )
+    parsed = parse_debezium(env).collect()
+    by_id = {r["txn_id"]: r for r in parsed}
+    assert by_id["t1"]["kind"] == "change" and by_id["t1"]["ts_ms"] == 5
+    assert by_id["t2"]["kind"] == "change" and by_id["t2"]["ts_ms"] is None
+    assert all(r["kind"] is not None for r in parsed)  # nothing dead-lettered
