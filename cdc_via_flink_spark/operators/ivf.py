@@ -63,7 +63,39 @@ def ivf_topk(
     re-rank inside them, top-k. Output: query_id, vec_id, cos, rn."""
     cents = centroids(corpus, every_k)
     assigned = assign_clusters(corpus, cents)
+    return probe_index(assigned, cents, query_ids_below, nprobe, k)
 
+
+def save_index(corpus: DataFrame, path: str, every_k: int = 40) -> None:
+    """Persist the IVF index — build once, query many (the production
+    ANN lifecycle; FAISS write_index analog): the centroid table plus
+    the cluster assignments written PARTITIONED BY cluster_id, so a
+    probe's equi-join against the broadcast probe set triggers dynamic
+    partition pruning and reads ONLY the probed lists' files — at
+    100 TB a query touches nprobe/k_lists of the index bytes."""
+    cents = centroids(corpus, every_k)
+    assigned = assign_clusters(corpus, cents)
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        path + "/lists"
+    )
+
+
+def load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(assignments, centroids) back from save_index's layout."""
+    cents = spark.read.parquet(path + "/centroids")
+    assigned = spark.read.parquet(path + "/lists")
+    return assigned, cents
+
+
+def probe_index(
+    assigned: DataFrame,
+    cents: DataFrame,
+    query_ids_below: int = 5,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """The probe phase over an (in-memory or loaded) index."""
     q = assigned.filter(F.col("vec_id") < query_ids_below).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )

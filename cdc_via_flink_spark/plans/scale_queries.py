@@ -23,9 +23,7 @@ def _cos(a: str, b: str) -> str:
     )
 
 
-@query(
-    "sim_ivf_topk",
-    oracle=f"""
+_IVF_TOPK_ORACLE = f"""
 WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
 c AS (SELECT vec_id AS centroid_id, v AS cv FROM d WHERE vec_id % 40 = 0),
 asg AS (
@@ -55,7 +53,12 @@ SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
               ORDER BY cos DESC, vec_id) AS rn
   FROM cand
 ) WHERE rn <= 5
-""",
+"""
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=_IVF_TOPK_ORACLE,
     tags=("X2", "similarity", "ivf"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,3 +246,33 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec(F.col("c_acctbal"))).cast("double").alias("sum_bal"),
         )
     )
+
+
+@query(
+    "sim_ivf_persisted_topk",
+    oracle=_IVF_TOPK_ORACLE,
+    tags=("X2", "similarity", "ivf", "index-persistence"),
+)
+def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL index lifecycle: build the IVF index, PERSIST it
+    (centroids + cluster-partitioned inverted lists), reload from
+    disk, probe — value-identical to the in-memory sim_ivf_topk, so
+    both share one oracle. The point at 100 TB: probing a loaded index
+    joins the cluster-partitioned parquet against the broadcast probe
+    set, so DYNAMIC PARTITION PRUNING restricts the scan to the probed
+    lists' files (pinned in tests/test_plans.py) — queries never read
+    the rest of the index."""
+    import os
+
+    from cdc_via_flink_spark.operators.ivf import (
+        load_index,
+        probe_index,
+        save_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/.tmp/ivf_index_{sf_name}"
+    save_index(e, path, every_k=40)
+    assigned, cents = load_index(spark, path)
+    return probe_index(assigned, cents, query_ids_below=5, nprobe=2, k=5)

@@ -335,3 +335,15 @@ def test_no_driver_collects_in_declared_query_bodies():
                         f"{os.path.basename(path)}::{fn.name}:{node.lineno}"
                     )
     assert not offenders, offenders
+
+
+def test_persisted_ivf_probe_prunes_partitions(spark):
+    """Index-lifecycle scale guard: probing the PERSISTED IVF index
+    (cluster-partitioned parquet) must plan dynamic partition pruning
+    — the scan's PartitionFilters carry a dynamicpruning expression
+    fed by the broadcast probe set, so a query reads only its nprobe
+    lists' files. Losing this (e.g. a repartition before the join, or
+    reading without the partition column) silently degrades to a full
+    index scan at 100 TB."""
+    plan = _plan(spark, "sim_ivf_persisted_topk")
+    assert "dynamicpruning" in plan.lower(), plan
