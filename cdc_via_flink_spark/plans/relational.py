@@ -753,3 +753,180 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "q_constraint_checks",
+    oracle="""
+WITH dirty_orders AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 997 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, -1 AS o_custkey
+  FROM orders WHERE o_orderkey % 499 = 0
+  UNION ALL
+  SELECT o_orderkey + 200000000, CAST(NULL AS BIGINT)
+  FROM orders WHERE o_orderkey % 503 = 0
+),
+dirty_li AS (
+  SELECT l_quantity FROM lineitem
+  UNION ALL
+  SELECT 999.0 AS l_quantity FROM lineitem WHERE l_orderkey % 991 = 0
+),
+dirty_ev AS (
+  SELECT event_type FROM events
+  UNION ALL
+  SELECT 'bogus' AS event_type FROM events WHERE event_id % 101 = 0
+),
+o_agg AS (
+  SELECT count(*) AS n,
+         count(*) - count(DISTINCT o_orderkey) AS dups,
+         count(*) - count(o_custkey) AS nulls
+  FROM dirty_orders
+),
+fk AS (
+  SELECT count(*) AS viol FROM dirty_orders d
+  LEFT JOIN customer c ON d.o_custkey = c.c_custkey
+  WHERE d.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+),
+li AS (
+  SELECT count(*) AS n,
+         count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS viol
+  FROM dirty_li
+),
+ev AS (
+  SELECT count(*) AS n,
+         count(CASE WHEN event_type NOT IN
+               ('purchase','signup','click','error','view') THEN 1 END) AS viol
+  FROM dirty_ev
+),
+docs AS (
+  SELECT count(*) AS n,
+         count(CASE WHEN n_chars <> len(text) THEN 1 END) AS viol
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'orders.pk_unique' AS constraint, o_agg.n AS n_checked,
+         CAST(o_agg.dups AS BIGINT) AS n_violations, o_agg.dups = 0 AS passed
+  FROM o_agg
+  UNION ALL
+  SELECT 'orders.custkey_not_null', o_agg.n, CAST(o_agg.nulls AS BIGINT),
+         o_agg.nulls = 0 FROM o_agg
+  UNION ALL
+  SELECT 'orders.fk_customer', o_agg.n, CAST(fk.viol AS BIGINT), fk.viol = 0
+  FROM o_agg CROSS JOIN fk
+  UNION ALL
+  SELECT 'lineitem.qty_in_1_50', li.n, CAST(li.viol AS BIGINT), li.viol = 0
+  FROM li
+  UNION ALL
+  SELECT 'events.type_accepted', ev.n, CAST(ev.viol AS BIGINT), ev.viol = 0
+  FROM ev
+  UNION ALL
+  SELECT 'documents.n_chars_consistent', docs.n, CAST(docs.viol AS BIGINT),
+         docs.viol = 0 FROM docs
+)
+""",
+    tags=("quality", "constraints", "deequ"),
+)
+def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality CONSTRAINT battery (the Deequ / dbt-tests shape):
+    primary-key uniqueness, NOT NULL, referential integrity, accepted
+    value ranges/sets, and derived-column consistency — one row per
+    constraint with checked/violation counts. The fixture is clean, so
+    violations are INJECTED deterministically (duplicate pk rows,
+    orphan and null foreign keys, out-of-range quantities, unknown
+    enum values) and the checker must report their exact counts —
+    a checker that only ever prints zeros proves nothing.
+
+    Scale shape: per-table checks FUSE into one aggregate pass over
+    that table (count/countDistinct/conditional counts in a single
+    agg); only referential integrity needs a join, and its dimension
+    side broadcasts. Six constraints cost four table passes + one
+    broadcast join, not six scans each."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dirty_orders = (
+        o.unionByName(o.filter(F.col("o_orderkey") % 997 == 0))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 499 == 0).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                F.lit(-1).cast("long").alias("o_custkey"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 503 == 0).select(
+                (F.col("o_orderkey") + 200_000_000).alias("o_orderkey"),
+                F.lit(None).cast("long").alias("o_custkey"),
+            )
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    dirty_li = li.select("l_quantity").unionByName(
+        li.filter(F.col("l_orderkey") % 991 == 0).select(
+            F.lit(999.0).alias("l_quantity")
+        )
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dirty_ev = ev.select("event_type").unionByName(
+        ev.filter(F.col("event_id") % 101 == 0).select(
+            F.lit("bogus").alias("event_type")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("n_chars", "text")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    o_agg = dirty_orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dups"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("nulls"),
+    )
+    fk = (
+        dirty_orders.filter(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(cust), dirty_orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("viol"))
+    )
+    li_agg = dirty_li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("viol"),
+    )
+    ev_agg = dirty_ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when(
+                ~F.col("event_type").isin(
+                    "purchase", "signup", "click", "error", "view"
+                ),
+                1,
+            )
+        ).alias("viol"),
+    )
+    d_agg = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("n_chars") != F.length("text"), 1)).alias("viol"),
+    )
+
+    def row(name, n_col, v_col, src):
+        return src.select(
+            F.lit(name).alias("constraint"),
+            F.col(n_col).alias("n_checked"),
+            F.col(v_col).cast("long").alias("n_violations"),
+            (F.col(v_col) == 0).alias("passed"),
+        )
+
+    return (
+        row("orders.pk_unique", "n", "dups", o_agg)
+        .unionByName(row("orders.custkey_not_null", "n", "nulls", o_agg))
+        .unionByName(
+            o_agg.crossJoin(fk).select(
+                F.lit("orders.fk_customer").alias("constraint"),
+                F.col("n").alias("n_checked"),
+                F.col("viol").cast("long").alias("n_violations"),
+                (F.col("viol") == 0).alias("passed"),
+            )
+        )
+        .unionByName(row("lineitem.qty_in_1_50", "n", "viol", li_agg))
+        .unionByName(row("events.type_accepted", "n", "viol", ev_agg))
+        .unionByName(row("documents.n_chars_consistent", "n", "viol", d_agg))
+    )
