@@ -827,3 +827,79 @@ def q_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 20)
     )
+
+
+@query(
+    "text_hashing_tf",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({SQL_NORM}, ' ')) AS t
+  FROM documents WHERE doc_id < 50
+),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 64 AS bucket
+  FROM tok
+),
+tf AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket)
+SELECT doc_id,
+       count(*) AS nnz,
+       CAST(sum(c) AS BIGINT) AS l1,
+       round(sqrt(CAST(sum(c * c) AS DOUBLE)), 6) AS l2_norm,
+       min({{'nc': -c, 'b': bucket}}).b AS top_bucket
+FROM tf GROUP BY doc_id
+""",
+    tags=("X3", "X2", "vectorizer", "hashing-tf"),
+)
+def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-HASHING vectorizer (the HashingTF idiom, DataFrame-
+    native): each doc becomes a DENSE 64-dim term-frequency vector —
+    token -> deterministic 60-bit hash -> bucket = hash % 64, counts
+    assembled into a positional array via map_from_entries + a
+    sequence transform. This is the text -> embedding bridge that
+    feeds the similarity/dedup stack without an external model: the
+    output vectors drop straight into brute_force_topk / IVF / PQ.
+
+    The declared stats (nnz, L1, L2, argmax bucket) are derived FROM
+    the materialized array — not recomputed from the token stream —
+    so the oracle (which re-derives them relationally) hash-verifies
+    the vector assembly itself. Scale: one token explode, one
+    (doc, bucket) agg, one per-doc map build; no UDFs, everything in
+    whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tf = (
+        tok.select("doc_id", (token_int(F.col("t")) % 64).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vec = tf.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "c"))).alias("m")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("long")), F.lit(0)),
+        ).alias("v"),
+    )
+    v = F.col("v")
+    entries = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.struct(
+            (-F.element_at(v, (i + 1).cast("int"))).alias("nc"), i.alias("b")
+        ),
+    )
+    return vec.select(
+        "doc_id",
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("nnz"),
+        F.aggregate(v, F.lit(0).cast("long"), lambda a, x: a + x).alias("l1"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    v, F.lit(0).cast("long"), lambda a, x: a + x * x
+                ).cast("double")
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.array_min(entries).getField("b").cast("long").alias("top_bucket"),
+    )
