@@ -913,3 +913,46 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp + F.lit(0.0), 6).alias("value_filled"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "q_analytic_rank_fns",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(nth_value(c_custkey, 2) OVER
+            (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS second_richest,
+       CAST(lag(c_custkey, 2, -1) OVER w AS BIGINT) AS lag2,
+       CAST(lead(c_custkey, 3, -1) OVER w AS BIGINT) AS lead3
+FROM customer
+WHERE c_custkey <= 300
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+    tags=("A5", "window", "analytic"),
+)
+def q_analytic_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining SQL analytic functions in one declared query:
+    percent_rank / cume_dist (relative standing), nth_value over a
+    running frame (second-richest-so-far), and offset lag/lead with
+    explicit defaults. One keyed window partitioning serves all five
+    — no extra shuffles for extra functions."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wf = w.rowsBetween(W.unboundedPreceding, 0)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value(F.col("c_custkey"), 2).over(wf).cast("long").alias(
+            "second_richest"
+        ),
+        F.lag("c_custkey", 2, -1).over(w).cast("long").alias("lag2"),
+        F.lead("c_custkey", 3, -1).over(w).cast("long").alias("lead3"),
+    )
