@@ -206,3 +206,71 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
     return audio_windows(attach_payload(d), window=400, hop=160)
+
+
+@query(
+    "mm_scene_cuts",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         ascii(substring(text, 1, 1)) AS first_byte
+  FROM documents WHERE doc_id % 11 = 0
+),
+f AS (
+  SELECT doc_id, n_bytes, first_byte,
+         unnest(range(0, n_bytes % 10 + 1, 3)) AS frame_idx
+  FROM b
+),
+crc AS (
+  SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         (n_bytes * 131 + first_byte * 7 + frame_idx * 1009) % 1000003
+           AS frame_crc
+  FROM f
+),
+d AS (
+  SELECT doc_id, frame_idx, frame_crc,
+         abs(frame_crc - lag(frame_crc)
+             OVER (PARTITION BY doc_id ORDER BY frame_idx)) % 997 AS dist
+  FROM crc
+)
+SELECT doc_id,
+       count(*) AS n_frames,
+       CAST(count(CASE WHEN dist > 600 THEN 1 END) AS BIGINT) AS n_cuts,
+       COALESCE(min(CASE WHEN dist > 600 THEN frame_idx END),
+                CAST(-1 AS BIGINT)) AS first_cut_idx
+FROM d GROUP BY doc_id
+""",
+    tags=("X4", "frames", "scene-cut"),
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCENE-CUT detection over the sampled frame stream — the
+    shot-boundary pass a video curation pipeline runs after frame
+    sampling: adjacent-frame fingerprint distance per video (lag
+    window over frame_idx), a cut where the distance clears the
+    threshold, summarized per video. The frames COME THROUGH THE REAL
+    row-expanding mapInPandas path (operators/multimodal.py::
+    sample_frames — decode stubbed, plumbing real); only the
+    deterministic crc leaves Python, and the oracle re-derives crc,
+    distances, and cuts relationally. In production the fingerprint is
+    a perceptual hash per decoded frame; the plan shape — map-side
+    expand, ONE keyed window, tiny per-video aggregate — is identical."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    frames = sample_frames(attach_payload(d), step=3).select(
+        "doc_id", "frame_idx", "frame_crc"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    dist = (
+        F.abs(F.col("frame_crc") - F.lag("frame_crc").over(w)) % 997
+    )
+    dd = frames.withColumn("dist", dist)
+    return dd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.count(F.when(F.col("dist") > 600, 1)).alias("n_cuts"),
+        F.coalesce(
+            F.min(F.when(F.col("dist") > 600, F.col("frame_idx"))),
+            F.lit(-1).cast("long"),
+        ).alias("first_cut_idx"),
+    )
