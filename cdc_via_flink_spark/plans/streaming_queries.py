@@ -1110,3 +1110,50 @@ def stream_retract_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.join(read_view(spark, table_dir), "bucket", "left").select(
         "bucket", F.coalesce("view_sum", F.lit(0)).alias("view_sum")
     )
+
+
+@query(
+    "stream_scd2",
+    oracle=f"""
+WITH ch AS ({CH_SQL})
+SELECT txn_id, seq, op, ts_ms AS valid_from_ms,
+       lead(ts_ms) OVER (PARTITION BY txn_id ORDER BY ts_ms, seq) - 1
+           AS valid_to_ms,
+       CASE WHEN lead(ts_ms) OVER (PARTITION BY txn_id ORDER BY ts_ms, seq)
+                 IS NULL THEN 1 ELSE 0 END AS is_current
+FROM ch
+""",
+    tags=("cdc", "scd2", "ST1", "streaming", "stateful"),
+)
+def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD Type-2 maintenance (streaming/scd2.py): each
+    arriving change CLOSES the key's open version (emitted the moment
+    its end is known) and opens itself; the TTL timer emits still-open
+    versions as current. State per key = ONE open version — constant,
+    not history-sized, unlike any windowed/batch formulation. Shares
+    the batch cdc_scd2_history oracle, so the live path is
+    value-verified against the same SQL."""
+    from cdc_via_flink_spark.operators.reconstruct import derive_change_stream
+    from cdc_via_flink_spark.streaming.scd2 import scd2_stream
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    ev = load_table(spark, sf_dir, "events")
+    ch = derive_change_stream(ev).select("txn_id", "seq", "op", "ts_ms")
+    mx_ms = _replay_horizon(spark, sf_dir)[1]
+
+    def sentinel(days: int):
+        far = mx_ms + days * 86_400_000
+        return spark.createDataFrame(
+            [("scd2--flush", -1, "c", far)], schema=ch.schema
+        )
+
+    dest = os.path.join(STAGE_ROOT, f"events_{sf_name}", "events_scd2")
+    _stage_ordered_files(spark, [ch, sentinel(10), sentinel(20)], dest)
+
+    sch = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    out = _run_to_memory(scd2_stream(sch), "append")
+    return out.filter(F.col("txn_id") != "scd2--flush")

@@ -1,0 +1,126 @@
+"""Streaming SCD Type-2 maintenance — the warehouse-history sink of a
+CDC pipeline, kept current as changes ARRIVE (the live form of the
+batch cdc_scd2_history query): per key, each incoming change CLOSES
+the previously-open version (valid_to = new valid_from - 1, emitted
+immediately) and opens itself; still-open versions emit with a NULL
+valid_to / is_current=1 when the TTL timer closes the key.
+
+State per key is ONE open version (seq, op, ts_ms) — constant, not
+history-sized; closed intervals leave the operator the moment they
+are determined. Input is assumed per-key time-ordered (the guarantee
+keyed Kafka production gives the reference's consumer, readme.md:1;
+replays stage time-ordered files). One shuffle: groupBy(txn_id).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SCD2_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("txn_id", StringType()),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+        StructField("valid_from_ms", LongType()),
+        StructField("valid_to_ms", LongType()),
+        StructField("is_current", IntegerType()),
+    ]
+)
+
+SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+        StructField("ts_ms", LongType()),
+    ]
+)
+
+SCD2_TTL_MS = 2 * 60 * 60 * 1000
+
+_OUT_COLS = [f.name for f in SCD2_OUTPUT_SCHEMA.fields]
+
+
+def _scd2(
+    key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (txn_id,) = key
+
+    if state.hasTimedOut:
+        seq, op, ts = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "txn_id": txn_id,
+                    "seq": int(seq),
+                    "op": op,
+                    "valid_from_ms": int(ts),
+                    "valid_to_ms": None,
+                    "is_current": 1,
+                }
+            ],
+            columns=_OUT_COLS,
+        )
+        return
+
+    open_v = tuple(state.get) if state.exists else None
+    rows = []
+    chunks = list(pdfs)
+    pdf = (
+        chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    ).sort_values(["ts_ms", "seq"])
+    last = 0
+    for r in pdf.itertuples(index=False):
+        t = int(r.ts_ms)
+        last = max(last, t)
+        if open_v is not None:
+            rows.append(
+                {
+                    "txn_id": txn_id,
+                    "seq": int(open_v[0]),
+                    "op": open_v[1],
+                    "valid_from_ms": int(open_v[2]),
+                    "valid_to_ms": t - 1,
+                    "is_current": 0,
+                }
+            )
+        open_v = (int(r.seq), r.op, t)
+
+    if open_v is not None:
+        state.update(open_v)
+        state.setTimeoutTimestamp(last + SCD2_TTL_MS)
+
+    if rows:
+        yield pd.DataFrame(rows, columns=_OUT_COLS)
+
+
+def scd2_stream(changes: DataFrame, event_time: Column | None = None) -> DataFrame:
+    """Wire a streaming change frame (txn_id, seq, op, ts_ms) into the
+    SCD2 maintainer. Caller starts the query."""
+    if event_time is None:
+        event_time = F.timestamp_millis(F.col("ts_ms"))
+    with_time = changes.withColumn("event_time", event_time).withWatermark(
+        "event_time", "10 minutes"
+    )
+    return (
+        with_time.groupBy("txn_id")
+        .applyInPandasWithState(
+            _scd2,
+            outputStructType=SCD2_OUTPUT_SCHEMA,
+            stateStructType=SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        .filter(F.col("txn_id").isNotNull())
+    )

@@ -1,0 +1,45 @@
+"""Streaming SCD2 maintainer (streaming/scd2.py): versions close
+ACROSS micro-batch boundaries (the open version lives in state), and
+the TTL timer emits current versions with NULL valid_to."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cdc_via_flink_spark.plans.streaming_queries import (
+    STAGE_ROOT,
+    _run_to_memory,
+    _stage_ordered_files,
+)
+from cdc_via_flink_spark.streaming.scd2 import scd2_stream
+
+SCHEMA = "txn_id string, seq long, op string, ts_ms long"
+BASE = 1_000_000_000_000
+DAY = 86_400_000
+
+
+def test_scd2_versions_close_across_batches(spark):
+    b1 = [("k", 1, "c", BASE), ("k", 2, "u", BASE + 1000)]
+    b2 = [("k", 3, "u", BASE + 5000)]  # closes seq 2 across the boundary
+    s1 = [("flush", -1, "c", BASE + 10 * DAY)]
+    s2 = [("flush", -2, "c", BASE + 20 * DAY)]
+    frames = [
+        spark.createDataFrame(r, schema=SCHEMA) for r in (b1, b2, s1, s2)
+    ]
+    dest = os.path.join(STAGE_ROOT, "scd2_unit")
+    _stage_ordered_files(spark, frames, dest)
+    sch = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(dest)
+    )
+    out = _run_to_memory(scd2_stream(sch), "append")
+    got = {
+        r["seq"]: (r["valid_from_ms"], r["valid_to_ms"], r["is_current"])
+        for r in out.filter(F.col("txn_id") == "k").collect()
+    }
+    assert got == {
+        1: (BASE, BASE + 999, 0),
+        2: (BASE + 1000, BASE + 4999, 0),  # closed by a LATER batch
+        3: (BASE + 5000, None, 1),  # flushed current by the TTL timer
+    }
