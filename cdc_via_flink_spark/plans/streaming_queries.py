@@ -1157,3 +1157,64 @@ def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(scd2_stream(sch), "append")
     return out.filter(F.col("txn_id") != "scd2--flush")
+
+
+@query(
+    "stream_upsert_latest",
+    oracle=f"""
+WITH ch AS ({CH_SQL}),
+r AS (
+  SELECT txn_id, op, ts_ms, seq, props AS after,
+         row_number() OVER (PARTITION BY txn_id
+                            ORDER BY ts_ms DESC, seq DESC) AS rn
+  FROM ch
+)
+SELECT txn_id, op, ts_ms, seq, after FROM r WHERE rn = 1 AND op <> 'd'
+""",
+    tags=("ST5", "cdc", "upsert", "streaming"),
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UPSERT SINK under the oracle gate (streaming/upsert.py was
+    previously test-verified only): the envelope stream replays in
+    THREE micro-batches through the foreachBatch latest-state merge —
+    per-batch argmax, newest-wins merge with the previous snapshot,
+    epoch-versioned dirs + pointer, tombstones retained — and the
+    COMMITTED snapshot read-back (tombstones filtered) must equal the
+    batch latest-row-image query. Batch split is seq-modulo, which the
+    (ts_ms, seq) newest-wins merge must be insensitive to — an
+    ordering bug in the merge shows up as a hash mismatch."""
+    import shutil
+
+    from cdc_via_flink_spark.streaming.upsert import (
+        read_latest_snapshot,
+        upsert_latest_state_query,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    env = _envelopes(spark, sf_dir)
+    frames = [env.filter(F.col("seq") % 3 == i) for i in range(3)]
+    dest = os.path.join(STAGE_ROOT, f"events_{sf_name}", "upsert_src")
+    _stage_ordered_files(spark, frames, dest)
+
+    table_dir = os.path.join(STAGE_ROOT, f"events_{sf_name}", "upsert_table")
+    ckpt = os.path.join(STAGE_ROOT, f"events_{sf_name}", "upsert_ckpt")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    raw = (
+        spark.readStream.schema(env.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    parsed = parse_debezium(raw)
+    q = upsert_latest_state_query(parsed, table_dir, ckpt)
+    q.awaitTermination()
+
+    snap = read_latest_snapshot(spark, table_dir)
+    return snap.select(
+        "txn_id",
+        "op",
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        F.col("seq").cast("long").alias("seq"),
+        "after",
+    )
