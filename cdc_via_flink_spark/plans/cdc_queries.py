@@ -588,3 +588,69 @@ def cdc_retract_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "cdc_time_weighted_avg",
+    oracle=f"""
+WITH ch AS ({CH_SQL}),
+v AS (
+  SELECT txn_id, ts_ms,
+         CASE WHEN op <> 'd'
+              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
+         COALESCE(lead(ts_ms) OVER (PARTITION BY txn_id ORDER BY ts_ms, seq),
+                  (SELECT max(ts_ms) FROM ch)) AS end_ms
+  FROM ch
+),
+iv AS (
+  SELECT txn_id, k, end_ms - ts_ms AS dur
+  FROM v WHERE k IS NOT NULL AND end_ms > ts_ms
+)
+SELECT txn_id,
+       count(*) AS n_intervals,
+       CAST(sum(dur) AS BIGINT) AS live_ms,
+       round(CAST(sum(k * dur) AS DOUBLE) / sum(dur), 6) AS twap
+FROM iv GROUP BY txn_id
+""",
+    tags=("cdc", "timeseries", "twap", "scd2"),
+)
+def cdc_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE over CDC version intervals — the
+    hypertable/financial `time_weight` idiom applied to reconstructed
+    row history: each version's payload value k holds for
+    [its ts, next change), the last version until the stream's
+    observation horizon (data-derived max ts, no wall clock); deleted
+    periods contribute nothing. TWAP = Σ k·dur / Σ dur with integer
+    numerators (exact, order-free) and ONE final double division —
+    where a plain avg() over change events would overweight rapidly-
+    flapping keys, this weights by how long each value was true.
+
+    Scale: one keyed window (lead) on the single txn_id shuffle +
+    one aggregate; the horizon scalar broadcasts."""
+    from pyspark.sql import Window as W
+
+    changes, _ = _streams(spark, sf_dir)
+    k = F.when(
+        F.col("op") != "d",
+        F.get_json_object(F.col("after"), "$.k").cast("long"),
+    )
+    horizon = changes.agg(F.max("ts_ms").alias("mx"))
+    w = W.partitionBy("txn_id").orderBy("ts_ms", "seq")
+    v = (
+        changes.select("txn_id", "ts_ms", "seq", k.alias("k"))
+        .withColumn("next_ms", F.lead("ts_ms").over(w))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "txn_id",
+            "k",
+            (F.coalesce("next_ms", "mx") - F.col("ts_ms")).alias("dur"),
+        )
+        .filter(F.col("k").isNotNull() & (F.col("dur") > 0))
+    )
+    return v.groupBy("txn_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur").cast("long").alias("live_ms"),
+        F.round(
+            F.sum(F.col("k") * F.col("dur")).cast("double") / F.sum("dur"), 6
+        ).alias("twap"),
+    )
