@@ -930,3 +930,89 @@ def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("events.type_accepted", "n", "viol", ev_agg))
         .unionByName(row("documents.n_chars_consistent", "n", "viol", d_agg))
     )
+
+
+@query(
+    "q_merge_into",
+    oracle="""
+WITH src AS (
+  SELECT c_custkey AS key,
+         CAST(c_acctbal AS DOUBLE) + 100.0 AS new_bal,
+         (c_custkey % 11 = 0) AS is_delete
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS key,
+         CAST(500.0 AS DOUBLE) AS new_bal,
+         FALSE AS is_delete
+  FROM customer WHERE c_custkey % 13 = 0
+),
+merged AS (
+  SELECT COALESCE(t.c_custkey, s.key) AS key,
+         CASE WHEN s.key IS NULL THEN t.c_mktsegment
+              WHEN t.c_custkey IS NULL THEN 'NEW'
+              ELSE t.c_mktsegment END AS seg,
+         CASE WHEN s.key IS NULL THEN CAST(t.c_acctbal AS DOUBLE)
+              ELSE s.new_bal END AS bal,
+         COALESCE(s.is_delete, FALSE) AS del
+  FROM customer t FULL JOIN src s ON t.c_custkey = s.key
+)
+SELECT seg,
+       count(*) AS n_rows,
+       CAST(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE)
+         AS sum_bal
+FROM merged WHERE NOT del
+GROUP BY seg
+""",
+    tags=("merge", "lakehouse", "upsert"),
+)
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames — the lakehouse
+    three-way merge (WHEN MATCHED AND del THEN DELETE / WHEN MATCHED
+    THEN UPDATE / WHEN NOT MATCHED THEN INSERT) expressed as ONE
+    full-outer join + conditional projection, no table format
+    required: the batch form of the streaming upsert sink. The source
+    change set is derived deterministically from the target (updates
+    for keys %7, deletes %11 among them, inserts at shifted keys %13)
+    so both engines merge identical inputs; declared output =
+    per-segment row counts and decimal-exact balance sums of the
+    POST-MERGE table — any wrong action (lost delete, double insert,
+    missed update) shifts a count or a sum.
+
+    Scale: one shuffle on the merge key (or zero with co-bucketed
+    target/source); at 100 TB this is exactly the join Delta/Iceberg
+    MERGE plans, minus their transaction log."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    upd = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("key"),
+        (F.col("c_acctbal").cast("double") + 100.0).alias("new_bal"),
+        (F.col("c_custkey") % 11 == 0).alias("is_delete"),
+    )
+    ins = c.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("key"),
+        F.lit(500.0).alias("new_bal"),
+        F.lit(False).alias("is_delete"),
+    )
+    src = upd.unionByName(ins)
+    merged = c.join(src, c.c_custkey == src.key, "full_outer").select(
+        F.coalesce(F.col("c_custkey"), F.col("key")).alias("mkey"),
+        F.when(F.col("key").isNull(), F.col("c_mktsegment"))
+        .when(F.col("c_custkey").isNull(), F.lit("NEW"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.when(F.col("key").isNull(), F.col("c_acctbal").cast("double"))
+        .otherwise(F.col("new_bal"))
+        .alias("bal"),
+        F.coalesce(F.col("is_delete"), F.lit(False)).alias("del"),
+    )
+    return (
+        merged.filter(~F.col("del"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("bal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+    )
