@@ -1065,3 +1065,115 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "achieved_epochs",
         )
     )
+
+
+@query(
+    "q_erasure_cascade",
+    oracle=f"""
+WITH ch AS (
+  SELECT 'txn-' || CAST(user_id AS VARCHAR) AS txn_id, user_id,
+         event_id AS seq,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'click' THEN 'u'
+              WHEN 'view' THEN 'r' ELSE 'd' END AS op,
+         epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type <> 'purchase'
+),
+latest AS (
+  SELECT user_id, max({{'ts_ms': ts_ms, 'seq': seq, 'op': op}}) AS li
+  FROM ch GROUP BY user_id
+),
+req AS (SELECT user_id FROM latest WHERE li.op = 'd'),
+ev AS (
+  SELECT count(*) AS n_before,
+         count(CASE WHEN user_id IN (SELECT user_id FROM req) THEN 1 END)
+           AS n_removed
+  FROM events
+),
+o AS (
+  SELECT count(*) AS n_before,
+         count(CASE WHEN o_custkey IN (SELECT user_id FROM req) THEN 1 END)
+           AS n_removed
+  FROM orders
+),
+li AS (
+  SELECT count(*) AS n_before,
+         count(CASE WHEN l_orderkey IN (
+             SELECT o_orderkey FROM orders
+             WHERE o_custkey IN (SELECT user_id FROM req)) THEN 1 END)
+           AS n_removed
+  FROM lineitem
+)
+SELECT 'events' AS tbl, n_before, CAST(n_removed AS BIGINT) AS n_removed,
+       n_before - n_removed AS n_after FROM ev
+UNION ALL
+SELECT 'orders', n_before, CAST(n_removed AS BIGINT), n_before - n_removed
+FROM o
+UNION ALL
+SELECT 'lineitem', n_before, CAST(n_removed AS BIGINT), n_before - n_removed
+FROM li
+""",
+    tags=("pipeline", "erasure", "compliance"),
+)
+def q_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-ERASURE cascade — the compliance pass every stored
+    corpus eventually runs: deletion requests are the users whose
+    LATEST CDC change is a delete (the request arrives as a CDC
+    event, the natural Debezium shape), and the scrub propagates
+    events → orders → lineitem (TWO referential hops: lineitems die
+    because their order's customer asked out). Declared output =
+    per-table before/removed/after accounting, which is what an audit
+    wants recorded.
+
+    Scale shape: the request set is small — it rides BROADCAST
+    semi-joins into every fact table; the two-hop cascade broadcasts
+    the scrubbed orders' keys, never shuffling lineitem. Counting via
+    conditional aggregation keeps each table at one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "click", "u")
+        .when(F.col("event_type") == "view", "r")
+        .otherwise("d")
+        .alias("op"),
+        "ts_ms",
+    )
+    req = (
+        ch.groupBy("user_id")
+        .agg(F.max(F.struct("ts_ms", "seq", "op")).alias("li"))
+        .filter(F.col("li.op") == "d")
+        .select("user_id")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    dead_orders = o.join(
+        F.broadcast(req), o.o_custkey == req.user_id, "left_semi"
+    ).select("o_orderkey")
+
+    def acct(name, df, hit_col, keys, key_col):
+        hit = F.col(hit_col).isNotNull()
+        marked = df.join(
+            F.broadcast(keys.withColumnRenamed(key_col, hit_col + "__k")),
+            F.col(hit_col) == F.col(hit_col + "__k"),
+            "left",
+        )
+        return marked.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).alias("n_before"),
+            F.count(F.when(F.col(hit_col + "__k").isNotNull(), 1)).alias(
+                "n_removed"
+            ),
+            (
+                F.count(F.lit(1))
+                - F.count(F.when(F.col(hit_col + "__k").isNotNull(), 1))
+            ).alias("n_after"),
+        )
+
+    return (
+        acct("events", ev.select("user_id"), "user_id", req, "user_id")
+        .unionByName(acct("orders", o, "o_custkey", req, "user_id"))
+        .unionByName(
+            acct("lineitem", li, "l_orderkey", dead_orders, "o_orderkey")
+        )
+    )
