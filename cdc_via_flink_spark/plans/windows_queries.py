@@ -956,3 +956,106 @@ def q_analytic_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("c_custkey", 2, -1).over(w).cast("long").alias("lag2"),
         F.lead("c_custkey", 3, -1).over(w).cast("long").alias("lead3"),
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+),
+cuts AS (
+  SELECT max(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT)
+                  THEN o_totalprice END) AS p01,
+         max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                  THEN o_totalprice END) AS p99
+  FROM r
+)
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            / count(*) AS DOUBLE) AS raw_mean,
+       CAST(CAST(sum(CAST(
+           CASE WHEN o_totalprice < cuts.p01 THEN cuts.p01
+                WHEN o_totalprice > cuts.p99 THEN cuts.p99
+                ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+            / count(*) AS DOUBLE) AS wins_mean,
+       CAST(sum(CASE WHEN o_totalprice < cuts.p01
+                       OR o_totalprice > cuts.p99 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped
+FROM r CROSS JOIN cuts
+GROUP BY o_orderpriority
+""",
+    tags=("A5", "cleaning", "winsorize"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZATION — outlier clipping at exact DISCRETE percentiles
+    (P1/P99 as the element at rank ceil(q·n), the cross-engine-exact
+    formulation this repo's percentile queries standardize on): order
+    totals clamped to the cuts, then per-priority raw vs winsorized
+    means (decimal-exact) and clip counts — the robust-statistics
+    pass a feature pipeline runs before normalization.
+
+    Scale note: the global rank is the one genuinely global step; at
+    100 TB swap it for approx_percentile cuts (the sketch family
+    already declared) — the clamp/aggregate shape is unchanged."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy(F.lit(1))).alias("n"),
+    )
+    cuts = r.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.01 * F.col("n")).cast("long"),
+                F.col("o_totalprice"),
+            )
+        ).alias("p01"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.99 * F.col("n")).cast("long"),
+                F.col("o_totalprice"),
+            )
+        ).alias("p99"),
+    )
+    clamped = F.when(F.col("o_totalprice") < F.col("p01"), F.col("p01")).when(
+        F.col("o_totalprice") > F.col("p99"), F.col("p99")
+    ).otherwise(F.col("o_totalprice"))
+    return (
+        r.crossJoin(F.broadcast(cuts))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("raw_mean"),
+            (
+                F.sum(clamped.cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("wins_mean"),
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") < F.col("p01"))
+                    | (F.col("o_totalprice") > F.col("p99")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+        )
+    )
