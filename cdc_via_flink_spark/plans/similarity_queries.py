@@ -590,3 +590,70 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos").alias("max_train_cos"),
         (F.col("cos") >= 0.4).alias("contaminated"),
     )
+
+
+@query(
+    "sim_dim_standardize",
+    oracle=f"""
+WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
+e AS (
+  SELECT unnest(generate_series(0, 63)) AS dim
+),
+x AS (
+  SELECT e.dim, d.vec_id, d.v[e.dim + 1] AS x
+  FROM d CROSS JOIN e
+),
+s AS (
+  SELECT dim,
+         count(*) AS n,
+         CAST(CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+              / count(*) AS DOUBLE) AS mean,
+         CAST(CAST(sum(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+              / count(*) AS DOUBLE) AS ex2
+  FROM x GROUP BY dim
+)
+SELECT dim, n,
+       round(mean, 6) AS mean,
+       round(sqrt(greatest(ex2 - mean * mean, 0.0)), 6) AS std
+FROM s
+""",
+    tags=("X2", "feature-scaling", "standardize"),
+)
+def sim_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DIMENSION STANDARDIZATION statistics for the embedding
+    corpus — the z-score fit step before distance-based ops
+    (unnormalized dimensions silently dominate cosine/L2): mean and
+    std per dimension via posexplode, with per-element rounding +
+    decimal summation so the moments are order- and engine-exact
+    (the kmeans-update shuffle shape: 64 keys regardless of corpus
+    size). Applying the transform is a map-side zip_with against the
+    broadcast (dim → mean, std) table — fit here, apply anywhere."""
+    from cdc_via_flink_spark.functions.vectors import to_double
+    from cdc_via_flink_spark.sources.tables import ensure_min_partitions
+
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    x = e.select(
+        to_double(F.col("embedding")).alias("v")
+    ).select(F.posexplode("v").alias("dim", "x"))
+    s = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round("x", 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+        (
+            F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(28,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("ex2"),
+    )
+    return s.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round(
+            F.sqrt(F.greatest(F.col("ex2") - F.col("mean") * F.col("mean"), F.lit(0.0))),
+            6,
+        ).alias("std"),
+    )
