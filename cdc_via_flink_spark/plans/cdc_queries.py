@@ -654,3 +654,71 @@ def cdc_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("k") * F.col("dur")).cast("double") / F.sum("dur"), 6
         ).alias("twap"),
     )
+
+
+@query(
+    "cdc_ordering_audit",
+    oracle=f"""
+WITH ch AS ({CH_SQL}),
+l AS (
+  SELECT txn_id, seq, ts_ms,
+         lag(ts_ms) OVER (PARTITION BY txn_id ORDER BY seq) AS prev_ts
+  FROM ch
+),
+per_key AS (
+  SELECT txn_id,
+         count(*) AS n_changes,
+         count(CASE WHEN prev_ts IS NOT NULL AND ts_ms < prev_ts THEN 1 END)
+           AS n_inversions,
+         COALESCE(max(CASE WHEN prev_ts IS NOT NULL AND ts_ms < prev_ts
+                           THEN prev_ts - ts_ms END), 0) AS max_skew_ms
+  FROM l GROUP BY txn_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n_changes) AS BIGINT) AS n_changes,
+       CAST(sum(n_inversions) AS BIGINT) AS n_inversions,
+       round(CAST(sum(n_inversions) AS DOUBLE) / sum(n_changes), 6)
+         AS inversion_rate,
+       CAST(max(max_skew_ms) AS BIGINT) AS max_skew_ms,
+       CAST(count(CASE WHEN n_inversions > 0 THEN 1 END) AS BIGINT)
+         AS n_keys_affected
+FROM per_key
+""",
+    tags=("cdc", "audit", "ordering", "W1"),
+)
+def cdc_ordering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-ORDER ARRIVAL AUDIT over the change stream — the ops
+    metric that SIZES the watermark: per key, compare event time
+    against ARRIVAL order (seq = the Kafka-offset analog) and count
+    inversions (a later-arriving change carrying an earlier
+    timestamp) plus the worst skew in ms. `max_skew_ms` is exactly
+    the lower bound a safe `withWatermark` delay must clear
+    (reference declares 1 minute blind, :57-61; this measures what
+    the data actually needs). One keyed window + two aggregates."""
+    from pyspark.sql import Window as W
+
+    changes, _ = _streams(spark, sf_dir)
+    w = W.partitionBy("txn_id").orderBy("seq")
+    l = changes.select("txn_id", "seq", "ts_ms").withColumn(
+        "prev_ts", F.lag("ts_ms").over(w)
+    )
+    inv = F.col("prev_ts").isNotNull() & (F.col("ts_ms") < F.col("prev_ts"))
+    per_key = l.groupBy("txn_id").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.count(F.when(inv, 1)).alias("n_inversions"),
+        F.coalesce(
+            F.max(F.when(inv, F.col("prev_ts") - F.col("ts_ms"))), F.lit(0)
+        ).alias("max_skew_ms"),
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_changes").cast("long").alias("n_changes"),
+        F.sum("n_inversions").cast("long").alias("n_inversions"),
+        F.round(
+            F.sum("n_inversions").cast("double") / F.sum("n_changes"), 6
+        ).alias("inversion_rate"),
+        F.max("max_skew_ms").cast("long").alias("max_skew_ms"),
+        F.count(F.when(F.col("n_inversions") > 0, 1)).cast("long").alias(
+            "n_keys_affected"
+        ),
+    )
