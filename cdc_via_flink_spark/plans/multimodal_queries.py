@@ -274,3 +274,91 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long"),
         ).alias("first_cut_idx"),
     )
+
+
+@query(
+    "mm_vad_segments",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         ascii(substring(text, 1, 1)) AS first_byte
+  FROM documents WHERE doc_id % 7 = 0
+),
+w AS (
+  SELECT doc_id, n_bytes, first_byte,
+         unnest(range(0, CASE WHEN n_bytes * 2 < 400 THEN 0
+                              ELSE 1 + (n_bytes * 2 - 400) // 160 END))
+           AS win_idx
+  FROM b
+),
+e AS (
+  SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+         CAST((n_bytes * 13 + first_byte + win_idx * 97) % 9973 AS DOUBLE)
+           / 100.0 AS rms_q
+  FROM w
+),
+v AS (
+  SELECT doc_id, win_idx, rms_q >= 50.0 AS voiced,
+         CASE WHEN (rms_q >= 50.0) <> COALESCE(
+                lag(rms_q >= 50.0) OVER (PARTITION BY doc_id ORDER BY win_idx),
+                NOT (rms_q >= 50.0))
+              THEN 1 ELSE 0 END AS starts_seg
+  FROM e
+),
+seg AS (
+  SELECT doc_id, voiced,
+         sum(starts_seg) OVER (PARTITION BY doc_id ORDER BY win_idx
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS seg_id
+  FROM v
+)
+SELECT doc_id,
+       count(DISTINCT CASE WHEN voiced THEN seg_id END) AS n_voiced_segs,
+       CAST(count(CASE WHEN voiced THEN 1 END) AS BIGINT) AS n_voiced_wins,
+       count(*) AS n_windows
+FROM seg GROUP BY doc_id
+""",
+    tags=("X4", "audio", "vad"),
+)
+def mm_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style SEGMENTATION over the framed audio stream — the
+    audio twin of mm_scene_cuts: windows classify voiced/unvoiced by
+    an energy threshold on the (deterministic stub) RMS, and runs of
+    same-class windows collapse into segments via the gaps-and-islands
+    idiom (boundary flag + running sum — one keyed window pass, no
+    self-join). Output per clip: voiced-segment count, voiced-window
+    count, total windows — what a speech-data curation pass keeps as
+    its speech-density features. Frames come through the real
+    row-expanding mapInPandas path; the oracle re-derives framing,
+    energies, and the island numbering relationally."""
+    from cdc_via_flink_spark.operators.multimodal import audio_windows
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    e = audio_windows(attach_payload(d), window=400, hop=160).select(
+        "doc_id", "win_idx", "rms_q"
+    )
+    voiced = F.col("rms_q") >= 50.0
+    w = W.partitionBy("doc_id").orderBy("win_idx")
+    v = e.select(
+        "doc_id",
+        "win_idx",
+        voiced.alias("voiced"),
+        F.when(
+            voiced != F.coalesce(F.lag(voiced).over(w), ~voiced), 1
+        )
+        .otherwise(0)
+        .alias("starts_seg"),
+    )
+    seg = v.withColumn(
+        "seg_id",
+        F.sum("starts_seg").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return seg.groupBy("doc_id").agg(
+        F.countDistinct(F.when(F.col("voiced"), F.col("seg_id"))).alias(
+            "n_voiced_segs"
+        ),
+        F.count(F.when(F.col("voiced"), 1)).alias("n_voiced_wins"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
