@@ -1016,3 +1016,87 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_bal"),
         )
     )
+
+
+@query(
+    "q_chi2_independence",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow, count(*) AS o
+  FROM events GROUP BY event_type, dow
+),
+m AS (
+  SELECT event_type, dow, o,
+         CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS row_tot,
+         CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS col_tot,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM obs
+),
+t AS (
+  SELECT event_type, dow,
+         CAST(round(
+           (o - CAST(row_tot AS DOUBLE) * col_tot / n)
+           * (o - CAST(row_tot AS DOUBLE) * col_tot / n)
+           / (CAST(row_tot AS DOUBLE) * col_tot / n), 6)
+           AS DECIMAL(28,6)) AS term,
+         row_tot, col_tot, n
+  FROM m
+)
+SELECT CAST((SELECT count(DISTINCT event_type) FROM obs) AS BIGINT)
+         AS n_types,
+       CAST((SELECT count(DISTINCT dow) FROM obs) AS BIGINT) AS n_dows,
+       CAST(((SELECT count(DISTINCT event_type) FROM obs) - 1)
+            * ((SELECT count(DISTINCT dow) FROM obs) - 1) AS BIGINT) AS dof,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(CAST(sum(term) AS DOUBLE) AS DOUBLE) AS chi2
+FROM t
+""",
+    tags=("stats", "profiling", "chi2"),
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE INDEPENDENCE statistic between event type and
+    weekday — the categorical-association profile a feature-selection
+    or drift-monitoring pass computes: contingency counts, margins as
+    windows over the cell table (no re-scan), expected frequencies,
+    and the statistic as a decimal-exact sum of 6-dp-rounded cell
+    terms (each term is identical IEEE double arithmetic in both
+    engines; the rounding+decimal makes the SUM order-free). One scan,
+    one cell aggregate, window margins, one final fold."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).cast("long").alias("row_tot"),
+        F.sum("o").over(W.partitionBy("dow")).cast("long").alias("col_tot"),
+        F.sum("o").over(W.partitionBy(F.lit(1))).cast("long").alias("n"),
+    )
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    term = F.round((F.col("o") - exp) * (F.col("o") - exp) / exp, 6).cast(
+        "decimal(28,6)"
+    )
+    t = m.select("event_type", "dow", term.alias("term"), "n")
+    types = obs.agg(F.countDistinct("event_type").alias("n_types"))
+    dows = obs.agg(F.countDistinct("dow").alias("n_dows"))
+    return (
+        t.agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum("term").cast("double").alias("chi2"),
+        )
+        .crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(dows))
+        .select(
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("n_dows").cast("long").alias("n_dows"),
+            ((F.col("n_types") - 1) * (F.col("n_dows") - 1))
+            .cast("long")
+            .alias("dof"),
+            "n",
+            "chi2",
+        )
+    )
