@@ -1100,3 +1100,89 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+WITH g AS (SELECT max(o_orderdate) AS mxd FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), g.mxd) AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders CROSS JOIN g
+  GROUP BY o_custkey, g.mxd
+),
+scored AS (
+  SELECT o_custkey,
+         CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r,
+         CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f,
+         CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m,
+         monetary
+  FROM per_cust
+)
+SELECT r * 100 + f * 10 + m AS rfm_code,
+       count(*) AS n_customers,
+       CAST(CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE)
+         AS total_monetary
+FROM scored GROUP BY rfm_code
+""",
+    tags=("analytics", "rfm", "A5"),
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM CUSTOMER SEGMENTATION — the canonical marketing-analytics
+    scoring: per customer recency (days since last order, horizon =
+    data-derived max date), frequency (order count) and monetary
+    (decimal-exact spend), each quintiled with ntile (custkey
+    tie-break so bucket edges are deterministic cross-engine), folded
+    into the three-digit RFM code and summarized per segment. Three
+    global ntile sorts share one driver-free plan; at 100 TB swap
+    ntile for precomputed quantile cuts (q_winsorize's pattern) to
+    avoid the global sorts."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    g = o.agg(F.max("o_orderdate").alias("mxd"))
+    per_cust = (
+        o.crossJoin(F.broadcast(g))
+        .groupBy("o_custkey", "mxd")
+        .agg(
+            F.datediff(F.col("mxd"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(W.orderBy("recency_days", "o_custkey"))
+        .cast("long")
+        .alias("r"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+        .cast("long")
+        .alias("f"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+        .cast("long")
+        .alias("m"),
+        "monetary",
+    )
+    return (
+        scored.select(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("rfm_code"),
+            "monetary",
+        )
+        .groupBy("rfm_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_monetary"),
+        )
+    )
