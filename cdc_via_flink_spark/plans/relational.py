@@ -1186,3 +1186,58 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_monetary"),
         )
     )
+
+
+@query(
+    "q_status_transitions",
+    oracle="""
+WITH s AS (
+  SELECT o_custkey, o_orderstatus,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+           AS prev_status
+  FROM orders
+),
+t AS (
+  SELECT prev_status AS from_status, o_orderstatus AS to_status, count(*) AS n
+  FROM s WHERE prev_status IS NOT NULL
+  GROUP BY prev_status, o_orderstatus
+),
+tot AS (SELECT from_status, CAST(sum(n) AS BIGINT) AS row_tot FROM t
+        GROUP BY from_status)
+SELECT t.from_status, t.to_status, t.n,
+       round(CAST(t.n AS DOUBLE) / tot.row_tot, 6) AS p
+FROM t JOIN tot ON t.from_status = tot.from_status
+""",
+    tags=("analytics", "sequence", "markov", "A5"),
+)
+def q_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-STATUS TRANSITION MATRIX — first-order Markov estimate
+    over each customer's order sequence (by order date, key
+    tie-break): consecutive-status pairs counted and row-normalized
+    into transition probabilities — the sequence-mining profile behind
+    churn and lifecycle models. One keyed window (lag) on the custkey
+    shuffle, one small pair aggregate, row totals joined back from the
+    pair table itself (never re-scanning orders)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    s = o.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+    t = (
+        s.filter(F.col("prev_status").isNotNull())
+        .groupBy(
+            F.col("prev_status").alias("from_status"),
+            F.col("o_orderstatus").alias("to_status"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = t.groupBy("from_status").agg(F.sum("n").cast("long").alias("row_tot"))
+    return t.join(F.broadcast(tot), "from_status").select(
+        "from_status",
+        "to_status",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_tot"), 6).alias("p"),
+    )
