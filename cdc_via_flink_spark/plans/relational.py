@@ -1241,3 +1241,89 @@ def q_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("row_tot"), 6).alias("p"),
     )
+
+
+@query(
+    "q_basket_affinity",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+item AS (SELECT pk, count(*) AS c FROM li GROUP BY pk),
+pair AS (
+  SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS c_ab
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+),
+scored AS (
+  SELECT p.pk_a, p.pk_b, p.c_ab,
+         round(CAST(p.c_ab AS DOUBLE) / ia.c, 6) AS confidence_a_to_b,
+         round(CAST(p.c_ab AS DOUBLE) * n.n_orders / (ia.c * ib.c), 6) AS lift
+  FROM pair p
+  JOIN item ia ON ia.pk = p.pk_a
+  JOIN item ib ON ib.pk = p.pk_b
+  CROSS JOIN n
+  WHERE p.c_ab >= 3
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY lift DESC, pk_a, pk_b) AS rn
+  FROM scored
+)
+SELECT pk_a, pk_b, c_ab, confidence_a_to_b, lift, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 20
+""",
+    tags=("analytics", "market-basket", "J3"),
+)
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET AFFINITY — association-rule mining core: for
+    co-ordered part pairs with minimum support, confidence P(b|a) and
+    lift P(ab)/(P(a)P(b)), top-20 by lift. The pair space is the
+    order-blocked self-join (bounded by basket size — the same
+    blocking argument as dedup); item counts broadcast back onto the
+    pair table; the top-k rides WindowGroupLimit. At 100 TB this is
+    one keyed self-join + dimension-sized joins, never an all-pairs
+    product over the catalog."""
+    from pyspark.sql import Window as W
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
+    item = li.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
+    a = li.select("ok", F.col("pk").alias("pk_a"))
+    b = li.select("ok", F.col("pk").alias("pk_b"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("pk_a") < F.col("pk_b"))
+        .groupBy("pk_a", "pk_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    ia = item.select(F.col("pk").alias("pk_a"), F.col("c").alias("c_a"))
+    ib = item.select(F.col("pk").alias("pk_b"), F.col("c").alias("c_b"))
+    scored = (
+        pair.join(F.broadcast(ia), "pk_a")
+        .join(F.broadcast(ib), "pk_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pk_a",
+            "pk_b",
+            "c_ab",
+            F.round(F.col("c_ab").cast("double") / F.col("c_a"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("c_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = W.orderBy(F.col("lift").desc(), "pk_a", "pk_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("pk_a", "pk_b", "c_ab", "confidence_a_to_b", "lift", "rn")
+    )
