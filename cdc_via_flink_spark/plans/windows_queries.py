@@ -1059,3 +1059,102 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clipped"),
         )
     )
+
+
+@query(
+    "q_rolling_zscore_anomaly",
+    oracle="""
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE)
+           AS spend
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, day
+),
+w AS (
+  SELECT user_id, day, spend,
+         count(*) OVER win AS n_prev,
+         CAST(CAST(sum(CAST(round(spend, 6) AS DECIMAL(28,6))) OVER win
+              AS DOUBLE) AS DOUBLE) AS sum_prev,
+         CAST(CAST(sum(CAST(round(spend * spend, 6) AS DECIMAL(28,6)))
+              OVER win AS DOUBLE) AS DOUBLE) AS sum2_prev
+  FROM d
+  WINDOW win AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT user_id, day, spend, n_prev,
+         CASE WHEN n_prev >= 3 THEN
+           round((spend - sum_prev / n_prev)
+                 / greatest(sqrt(greatest(sum2_prev / n_prev
+                       - (sum_prev / n_prev) * (sum_prev / n_prev), 0.0)),
+                     1e-9), 4)
+         END AS zscore
+  FROM w
+)
+SELECT user_id,
+       count(*) AS n_days,
+       CAST(count(zscore) AS BIGINT) AS n_scored,
+       CAST(count(CASE WHEN abs(zscore) >= 3.0 THEN 1 END) AS BIGINT)
+         AS n_anomalies,
+       COALESCE(round(max(abs(zscore)), 4), -1.0) AS max_abs_z
+FROM z GROUP BY user_id
+""",
+    tags=("A5", "timeseries", "anomaly"),
+)
+def q_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING Z-SCORE ANOMALY DETECTION — per-user daily spend scored
+    against the TRAILING week's mean/std (the 7-preceding-rows frame
+    EXCLUDES the current day, so an outlier never masks itself),
+    |z| >= 3 flagged; per-user summary with the score coverage an
+    alerting pipeline audits. Moments come from decimal-exact rounded
+    running sums (order/engine-free); days with under 3 prior
+    observations are unscored rather than wrongly scored. One keyed
+    shuffle: the daily rollup and all three frame aggregates share the
+    user partitioning."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    win = W.partitionBy("user_id").orderBy("day").rowsBetween(-7, -1)
+    w = d.select(
+        "user_id",
+        "day",
+        "spend",
+        F.count(F.lit(1)).over(win).alias("n_prev"),
+        F.sum(F.round("spend", 6).cast("decimal(28,6)"))
+        .over(win)
+        .cast("double")
+        .alias("sum_prev"),
+        F.sum(F.round(F.col("spend") * F.col("spend"), 6).cast("decimal(28,6)"))
+        .over(win)
+        .cast("double")
+        .alias("sum2_prev"),
+    )
+    mean = F.col("sum_prev") / F.col("n_prev")
+    var = F.greatest(F.col("sum2_prev") / F.col("n_prev") - mean * mean, F.lit(0.0))
+    z = F.when(
+        F.col("n_prev") >= 3,
+        F.round(
+            (F.col("spend") - mean) / F.greatest(F.sqrt(var), F.lit(1e-9)), 4
+        ),
+    )
+    zz = w.withColumn("zscore", z)
+    return zz.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.count("zscore").alias("n_scored"),
+        F.count(F.when(F.abs(F.col("zscore")) >= 3.0, 1)).alias("n_anomalies"),
+        F.coalesce(F.round(F.max(F.abs(F.col("zscore"))), 4), F.lit(-1.0)).alias(
+            "max_abs_z"
+        ),
+    )
