@@ -903,3 +903,117 @@ def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l2_norm"),
         F.array_min(entries).getField("b").cast("long").alias("top_bucket"),
     )
+
+
+@query(
+    "text_bigram_surprisal",
+    oracle=f"""
+WITH tokp AS (
+  SELECT doc_id, lang, CAST(p.p AS BIGINT) AS pos, tk[p.p] AS t
+  FROM (SELECT doc_id, lang, string_split({SQL_NORM}, ' ') AS tk
+        FROM documents),
+       unnest(generate_series(1, len(tk))) AS p(p)
+),
+uni AS (SELECT t, count(*) AS c FROM tokp GROUP BY t),
+utot AS (SELECT CAST(sum(c) AS BIGINT) AS tc, count(*) AS v FROM uni),
+bi AS (
+  SELECT a.t AS t1, b.t AS t2, count(*) AS c
+  FROM tokp a JOIN tokp b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.t, b.t
+),
+scored AS (
+  SELECT b.doc_id, b.lang,
+         CAST(round(-ln((COALESCE(bg.c, 0) + 1.0)
+                        / (uni.c + utot.v)), 6) AS DECIMAL(28,6)) AS s
+  FROM tokp b
+  JOIN tokp a ON a.doc_id = b.doc_id AND a.pos = b.pos - 1
+  LEFT JOIN bi bg ON bg.t1 = a.t AND bg.t2 = b.t
+  JOIN uni ON uni.t = a.t
+  CROSS JOIN utot
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(sum(s) AS DOUBLE) / count(*) AS surprisal
+  FROM scored GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(floor(surprisal * 2) AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       min(round(surprisal, 6)) AS min_s,
+       max(round(surprisal, 6)) AS max_s
+FROM per_doc GROUP BY lang, bucket
+""",
+    tags=("X3", "quality", "lm", "bigram"),
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM-LM surprisal — the context-aware upgrade of
+    text_unigram_ppl_buckets: each token's conditional negative
+    log-likelihood -ln P(t|prev) with add-1 smoothing over the
+    follower vocabulary (count(prev,t)+1)/(count(prev)+V), averaged
+    per doc and bucketed per lang. Token ADJACENCY comes from a
+    positional self-join (posexplode ordinals — the tokp table is
+    built ONCE and reused for unigrams, bigrams, and scoring), and the
+    same rounded-decimal summation policy keeps a context-conditioned
+    LM exact-hash verifiable. Gibberish with plausible unigrams but
+    broken word ORDER scores high here while passing the unigram
+    filter — the reason real pipelines run both."""
+    d = load_table(spark, sf_dir, "documents")
+    tokp = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(tokens(F.col("text"))).alias("pos0", "t"),
+    ).select("doc_id", "lang", (F.col("pos0") + 1).alias("pos"), "t")
+    uni = tokp.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    utot = uni.agg(
+        F.sum("c").cast("long").alias("tc"), F.count(F.lit(1)).alias("v")
+    )
+    a = tokp.select("doc_id", F.col("pos").alias("apos"), F.col("t").alias("t1"))
+    b = tokp.select(
+        "doc_id", "lang", F.col("pos").alias("bpos"), F.col("t").alias("t2")
+    )
+    bi = (
+        a.join(b, (a.doc_id == b.doc_id) & (b.bpos == a.apos + 1))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = a.join(
+        b.withColumnRenamed("doc_id", "doc_id_b"),
+        (F.col("doc_id") == F.col("doc_id_b")) & (F.col("bpos") == F.col("apos") + 1),
+    )
+    uni1 = uni.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    bi2 = bi.select(
+        F.col("t1").alias("bt1"), F.col("t2").alias("bt2"), F.col("c").alias("cb")
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(bi2),
+            (F.col("t1") == F.col("bt1")) & (F.col("t2") == F.col("bt2")),
+            "left",
+        )
+        .join(F.broadcast(uni1), "t1")
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("c1") + F.col("v"))
+                ),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        (F.sum("s").cast("double") / F.count(F.lit(1))).alias("surprisal")
+    )
+    return per_doc.groupBy(
+        "lang", F.floor(F.col("surprisal") * 2).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.round("surprisal", 6)).alias("min_s"),
+        F.max(F.round("surprisal", 6)).alias("max_s"),
+    )
