@@ -819,3 +819,104 @@ def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cos >= 0.4).alias("embedding_confirms"),
         )
     )
+
+
+@query(
+    "dedup_survivorship",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_LSH_ORACLE})
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, r) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.u
+),
+comp AS (SELECT u AS node, min(r) AS component FROM reach GROUP BY u),
+members AS (
+  SELECT c.component, d.doc_id, d.lang, d.source, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+lang_votes AS (
+  SELECT component, lang, count(*) AS nl FROM members
+  GROUP BY component, lang
+),
+lang_win AS (
+  SELECT component, min({{'neg': -nl, 'lang': lang}}).lang AS lang
+  FROM lang_votes GROUP BY component
+)
+SELECT m.component AS cluster_id,
+       count(*) AS n_members,
+       min(m.doc_id) AS survivor_id,
+       max({{'nc': m.n_chars, 'neg_id': -m.doc_id}}).neg_id * -1
+         AS longest_id,
+       lw.lang AS lang_mode,
+       CAST(sum(m.n_chars) AS BIGINT) AS total_chars
+FROM members m JOIN lang_win lw ON lw.component = m.component
+GROUP BY m.component, lw.lang
+""",
+    tags=("X1", "dedup", "survivorship", "iterative"),
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVORSHIP / GOLDEN-RECORD construction — the step AFTER
+    clustering that entity resolution actually ships: for each
+    duplicate cluster (transitive closure over the verified MinHash
+    pairs), elect the survivor (min doc_id — the stable-id rule),
+    record the longest member (max n_chars, id tie-break — the
+    keep-richest-payload rule), the modal lang (count-majority,
+    lexicographic tie-break via struct-min), member count and total
+    payload. Every rule is an argmax/argmin expressed as struct
+    min/max, so the whole merge policy is deterministic and
+    SQL-oracle-checkable (oracle: recursive-CTE closure + the same
+    votes). Scale: clusters are collision-bounded; one groupBy over
+    the member table, votes as a second small aggregate."""
+    from cdc_via_flink_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_neardup(
+        d, "text", "doc_id", NUM_HASHES, BANDS, ROWS, JACCARD_T
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    members = comp.join(
+        d.select("doc_id", "lang", "source", "n_chars"),
+        comp.node == F.col("doc_id"),
+    ).select(F.col("component"), "doc_id", "lang", "source", "n_chars")
+    votes = members.groupBy("component", "lang").agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    lang_win = votes.groupBy("component").agg(
+        F.min(F.struct((-F.col("nl")).alias("neg"), F.col("lang").alias("lang")))
+        .getField("lang")
+        .alias("lang_mode")
+    )
+    return (
+        members.join(F.broadcast(lang_win), "component")
+        .groupBy("component", "lang_mode")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("survivor_id"),
+            (
+                F.max(
+                    F.struct(
+                        F.col("n_chars").alias("nc"),
+                        (-F.col("doc_id")).alias("neg_id"),
+                    )
+                ).getField("neg_id")
+                * -1
+            ).alias("longest_id"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.col("component").alias("cluster_id"),
+            "n_members",
+            "survivor_id",
+            "longest_id",
+            F.col("lang_mode"),
+            "total_chars",
+        )
+    )
