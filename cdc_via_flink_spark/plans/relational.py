@@ -1327,3 +1327,157 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("pk_a", "pk_b", "c_ab", "confidence_a_to_b", "lift", "rn")
     )
+
+
+@query(
+    "q_weekday_seasonality",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(dayofweek(ts) AS BIGINT) + 1 AS dow,
+         CAST("value" AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+daily AS (
+  SELECT day, dow, CAST(sum(v) AS DOUBLE) AS rev FROM d GROUP BY day, dow
+),
+o AS (
+  SELECT CAST(CAST(sum(CAST(round(rev, 6) AS DECIMAL(28,6))) AS DOUBLE)
+              / count(*) AS DOUBLE) AS grand_mean
+  FROM daily
+)
+SELECT dow,
+       count(*) AS n_days,
+       CAST(CAST(sum(CAST(round(rev, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            / count(*) AS DOUBLE) AS day_mean,
+       round(CAST(CAST(sum(CAST(round(rev, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*) AS DOUBLE) / o.grand_mean, 6) AS seasonal_index
+FROM daily CROSS JOIN o
+GROUP BY dow, o.grand_mean
+""",
+    tags=("analytics", "seasonality", "timeseries"),
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKDAY SEASONALITY INDICES — the multiplicative decomposition
+    step of classical time-series analysis: daily purchase revenue
+    rolled up, each weekday's mean divided by the grand daily mean
+    (index > 1 = above-trend day). Decimal-exact means both levels;
+    the single grand-mean row broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            F.dayofweek("ts").cast("long").alias("dow"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("rev")
+        )
+    )
+    dmean = F.sum(F.round("rev", 6).cast("decimal(28,6)")).cast(
+        "double"
+    ) / F.count(F.lit(1))
+    o = daily.agg(dmean.alias("grand_mean"))
+    return (
+        daily.crossJoin(F.broadcast(o))
+        .groupBy("dow", "grand_mean")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            dmean.alias("day_mean"),
+        )
+        .select(
+            "dow",
+            "n_days",
+            "day_mean",
+            F.round(F.col("day_mean") / F.col("grand_mean"), 6).alias(
+                "seasonal_index"
+            ),
+        )
+    )
+
+
+@query(
+    "q_pareto_abc",
+    oracle="""
+WITH p AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+r AS (
+  SELECT l_partkey, CAST(rev AS DOUBLE) AS rev,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS DOUBLE) AS cum_rev,
+         CAST(sum(rev) OVER () AS DOUBLE) AS tot,
+         row_number() OVER (ORDER BY rev DESC, l_partkey) AS rn,
+         count(*) OVER () AS n_parts
+  FROM p
+),
+c AS (
+  SELECT *,
+         CASE WHEN cum_rev / tot <= 0.8 THEN 'A'
+              WHEN cum_rev / tot <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM r
+)
+SELECT abc,
+       count(*) AS n_parts,
+       round(CAST(count(*) AS DOUBLE) / max(n_parts), 6) AS part_share,
+       round(CAST(CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS DOUBLE)
+             / max(tot), 6) AS revenue_share
+FROM c GROUP BY abc
+""",
+    tags=("analytics", "pareto", "A5"),
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO / ABC ANALYSIS — the 80-20 concentration profile: parts
+    ranked by revenue, cumulative share via a running decimal-exact
+    sum, classed A (first 80% of revenue), B (to 95%), C (tail);
+    output = part and revenue share per class. The classic inventory/
+    catalog concentration report, and the shape (global rank + running
+    sum) matches q_winsorize's documented approx-cut swap at scale."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("decimal(28,4)")
+        .alias("rev_d")
+    )
+    w = W.orderBy(F.col("rev_d").desc(), F.col("l_partkey"))
+    r = p.select(
+        "l_partkey",
+        F.col("rev_d").cast("double").alias("rev"),
+        F.sum("rev_d")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("double")
+        .alias("cum_rev"),
+        F.sum("rev_d").over(W.partitionBy(F.lit(1))).cast("double").alias("tot"),
+        F.count(F.lit(1)).over(W.partitionBy(F.lit(1))).alias("n_parts"),
+    )
+    abc = (
+        F.when(F.col("cum_rev") / F.col("tot") <= 0.8, "A")
+        .when(F.col("cum_rev") / F.col("tot") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        r.withColumn("abc", abc)
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("n_parts"), 6
+            ).alias("part_share"),
+            F.round(
+                F.sum(F.col("rev").cast("decimal(18,4)")).cast("double")
+                / F.max("tot"),
+                6,
+            ).alias("revenue_share"),
+        )
+    )
