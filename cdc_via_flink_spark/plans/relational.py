@@ -1481,3 +1481,59 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+@query(
+    "q_new_vs_returning",
+    oracle="""
+WITH p AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST("value" AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+f AS (SELECT user_id, min(day) AS first_day FROM p GROUP BY user_id)
+SELECT strftime(p.day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT CASE WHEN p.day = f.first_day
+                                THEN p.user_id END) AS BIGINT) AS new_buyers,
+       CAST(count(DISTINCT CASE WHEN p.day > f.first_day
+                                THEN p.user_id END) AS BIGINT)
+         AS returning_buyers,
+       CAST(sum(CASE WHEN p.day = f.first_day THEN v END) AS DOUBLE)
+         AS new_revenue,
+       CAST(COALESCE(sum(CASE WHEN p.day > f.first_day THEN v END), 0)
+            AS DOUBLE) AS returning_revenue
+FROM p JOIN f ON p.user_id = f.user_id
+GROUP BY p.day
+""",
+    tags=("analytics", "cohort", "growth"),
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW vs RETURNING buyer split per day — the growth-accounting
+    daily report: each purchase classed by whether it falls on its
+    user's FIRST purchase day (window-free: the first-day table is one
+    keyed aggregate joined back), with distinct-buyer counts and
+    decimal-exact revenue on both sides. First-day table is
+    user-cardinality — broadcastable at dimension scale, co-partitioned
+    join beyond."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    f = p.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = F.col("day") == F.col("first_day")
+    return (
+        p.join(F.broadcast(f), "user_id")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct(F.when(is_new, F.col("user_id"))).alias("new_buyers"),
+            F.countDistinct(F.when(~is_new, F.col("user_id"))).alias(
+                "returning_buyers"
+            ),
+            F.sum(F.when(is_new, F.col("v"))).cast("double").alias("new_revenue"),
+            F.coalesce(F.sum(F.when(~is_new, F.col("v"))), F.lit(0))
+            .cast("double")
+            .alias("returning_revenue"),
+        )
+    )
