@@ -1017,3 +1017,96 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.round("surprisal", 6)).alias("min_s"),
         F.max(F.round("surprisal", 6)).alias("max_s"),
     )
+
+
+@query(
+    "text_source_js_divergence",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest(string_split({SQL_NORM}, ' ')) AS t
+  FROM documents
+),
+cnt AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tc FROM cnt GROUP BY source),
+p AS (
+  SELECT cnt.source, cnt.t, CAST(cnt.c AS DOUBLE) / tot.tc AS p
+  FROM cnt JOIN tot ON cnt.source = tot.source
+),
+j AS (
+  SELECT a.source AS s1, b.source AS s2,
+         CAST(sum(CAST(round(a.p * ln(2 * a.p / (a.p + b.p)), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS sa,
+         CAST(sum(CAST(round(b.p * ln(2 * b.p / (a.p + b.p)), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS sb,
+         CAST(sum(CAST(round(a.p, 9) AS DECIMAL(28,9))) AS DOUBLE) AS pc_a,
+         CAST(sum(CAST(round(b.p, 9) AS DECIMAL(28,9))) AS DOUBLE) AS pc_b,
+         count(*) AS n_common
+  FROM p a JOIN p b ON a.t = b.t AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s1, s2, n_common,
+       round(0.5 * (sa + (1 - pc_a) * ln(2))
+             + 0.5 * (sb + (1 - pc_b) * ln(2)), 6) AS jsd
+FROM j
+""",
+    tags=("X3", "drift", "divergence"),
+)
+def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON DIVERGENCE between every pair of source token
+    distributions — the corpus-drift diagnostic behind mixture
+    decisions (a source whose distribution diverges is a different
+    domain; JSD is symmetric and bounded by ln 2). Decomposition keeps
+    it one equi-join on token: common-token terms p·ln(2p/(p+q))
+    summed decimal-exact, and each side's EXCLUSIVE probability mass
+    (1 - common mass) contributes ln 2 exactly — no outer join, no
+    null-handling in the log. Pair space = sources², vocabulary join
+    uniformly keyed."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("tc"))
+    p = cnt.join(tot, "source").select(
+        "source", "t", (F.col("c").cast("double") / F.col("tc")).alias("p")
+    )
+    a = p.select(
+        F.col("source").alias("s1"), F.col("t"), F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("s2"), F.col("t").alias("tb"), F.col("p").alias("pb")
+    )
+    j = (
+        a.join(b, (F.col("t") == F.col("tb")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("pa") * F.log(2 * F.col("pa") / (F.col("pa") + F.col("pb"))),
+                    9,
+                ).cast("decimal(28,9)")
+            )
+            .cast("double")
+            .alias("sa"),
+            F.sum(
+                F.round(
+                    F.col("pb") * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb"))),
+                    9,
+                ).cast("decimal(28,9)")
+            )
+            .cast("double")
+            .alias("sb"),
+            F.sum(F.round("pa", 9).cast("decimal(28,9)")).cast("double").alias("pc_a"),
+            F.sum(F.round("pb", 9).cast("decimal(28,9)")).cast("double").alias("pc_b"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    ln2 = float(__import__("math").log(2.0))
+    return j.select(
+        "s1",
+        "s2",
+        "n_common",
+        F.round(
+            0.5 * (F.col("sa") + (1 - F.col("pc_a")) * F.lit(ln2))
+            + 0.5 * (F.col("sb") + (1 - F.col("pc_b")) * F.lit(ln2)),
+            6,
+        ).alias("jsd"),
+    )
