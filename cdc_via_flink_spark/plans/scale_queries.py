@@ -276,3 +276,90 @@ def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     save_index(e, path, every_k=40)
     assigned, cents = load_index(spark, path)
     return probe_index(assigned, cents, query_ids_below=5, nprobe=2, k=5)
+
+
+@query(
+    "sim_ivf_ndcg",
+    oracle=f"""
+WITH ivf AS ({_IVF_TOPK_ORACLE}),
+d2 AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
+q2 AS (SELECT vec_id AS query_id, v FROM d2 WHERE vec_id < 5),
+exact AS (
+  SELECT query_id, vec_id, rn FROM (
+    SELECT q2.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY q2.query_id
+               ORDER BY {_cos('a.v', 'q2.v')} DESC, a.vec_id) AS rn
+    FROM d2 a CROSS JOIN q2 WHERE a.vec_id <> q2.query_id
+  ) WHERE rn <= 5
+),
+gains AS (
+  SELECT i.query_id,
+         CAST(sum(CAST(round(
+           CASE WHEN e.vec_id IS NOT NULL
+                THEN 1.0 / ln(i.rn + 1) ELSE 0 END, 9)
+           AS DECIMAL(28,9))) AS DOUBLE) AS dcg
+  FROM ivf i
+  LEFT JOIN exact e ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+  GROUP BY i.query_id
+),
+ideal AS (
+  SELECT query_id,
+         CAST(sum(CAST(round(1.0 / ln(rn + 1), 9) AS DECIMAL(28,9)))
+              AS DOUBLE) AS idcg
+  FROM exact GROUP BY query_id
+)
+SELECT g.query_id, round(g.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+       round(g.dcg / i.idcg, 6) AS ndcg
+FROM gains g JOIN ideal i ON g.query_id = i.query_id
+""",
+    tags=("X2", "ivf", "evaluation", "ndcg"),
+)
+def sim_ivf_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the IVF index against exact ground truth — ranking
+    evaluation as a first-class declared operator (the IR metric a
+    retrieval pipeline tracks per index build): binary relevance
+    (candidate is in the exact top-5), DCG with 1/ln(rank+1) discounts
+    summed decimal-exact, normalized by the ideal DCG. Both the index
+    result and the truth are relationally derived, so the metric
+    itself carries a full SQL oracle — unlike the recall floors of the
+    trained-index queries, this is exact-hash end to end."""
+    from pyspark.sql import Window as W
+
+    from cdc_via_flink_spark.operators.ivf import ivf_topk
+    from cdc_via_flink_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ivf = ivf_topk(e, query_ids_below=5, every_k=40, nprobe=2, k=5)
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(e, qs, k=5).select(
+        "query_id", F.col("vec_id").alias("evec"), F.col("rn").alias("ern")
+    )
+    term = F.round(
+        F.when(F.col("evec").isNotNull(), 1.0 / F.log(F.col("rn") + 1)).otherwise(
+            0.0
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    gains = (
+        ivf.join(
+            exact,
+            (ivf.query_id == exact.query_id) & (ivf.vec_id == exact.evec),
+            "left",
+        )
+        .drop(exact.query_id)
+        .groupBy("query_id")
+        .agg(F.sum(term).cast("double").alias("dcg"))
+    )
+    ideal = exact.groupBy("query_id").agg(
+        F.sum(F.round(1.0 / F.log(F.col("ern") + 1), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("idcg")
+    )
+    return gains.join(ideal, "query_id").select(
+        "query_id",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
