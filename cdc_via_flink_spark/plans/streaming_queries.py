@@ -1218,3 +1218,51 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").cast("long").alias("seq"),
         "after",
     )
+
+
+@query(
+    "stream_dedup_then_window",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n
+FROM (SELECT DISTINCT event_id, ts, event_type FROM events)
+GROUP BY 1, 2
+""",
+    tags=("ST3", "ST4", "streaming", "multi-stateful"),
+)
+def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO STATEFUL OPERATORS CHAINED IN ONE STREAMING QUERY — the
+    multi-stateful pipeline capability (Spark 3.4+): at-least-once
+    redelivery (every event staged TWICE) flows through
+    dropDuplicatesWithinWatermark and DIRECTLY into a tumbling-window
+    aggregation in the same query — no intermediate sink between the
+    dedup state and the window state, which is exactly how a
+    production ingest collapses the classic dedup-topic + agg-job
+    two-query architecture into one. Single replay batch ⇒ equals the
+    batch DISTINCT + hourly rollup, hence the full oracle."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(STAGE_ROOT, f"events_dup2_{sf_name}")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    doubled = ev.unionByName(ev)
+    os.makedirs(stage, exist_ok=True)
+    path = os.path.join(stage, "events")
+    doubled.coalesce(1).write.mode("overwrite").parquet(path)
+    sev = spark.readStream.schema(doubled.schema).parquet(path)
+    deduped = sev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    return _run_to_memory(agg, "complete")
