@@ -1110,3 +1110,84 @@ def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd"),
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split({SQL_NORM}, ' ')) AS t FROM documents
+),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rank
+  FROM cnt
+),
+xy AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(28,9)) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(28,9)) AS y,
+         CAST(round(ln(CAST(rank AS DOUBLE))
+                    * ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(28,9)) AS xx,
+         CAST(round(ln(CAST(rank AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(28,9)) AS xy
+  FROM r
+),
+s AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(xx) AS DOUBLE) AS sxx, CAST(sum(xy) AS DOUBLE) AS sxy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS vocab_size,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM s
+""",
+    tags=("X3", "profiling", "zipf"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF'S-LAW FIT — corpus-health diagnostic: least-squares slope
+    of log frequency vs log rank over the full vocabulary (natural
+    text sits near -1; template spam and synthetic word-soup flatten
+    or steepen it). Closed-form regression from five decimal-exact
+    moment sums (rounded log terms — the engine-exact policy), one
+    global rank window over the vocabulary (vocab-sized, not
+    corpus-sized), one tiny fold."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    r = cnt.select(
+        "c",
+        F.row_number()
+        .over(W.orderBy(F.col("c").desc(), F.col("t")))
+        .alias("rank"),
+    )
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    dec = "decimal(28,9)"
+    xy = r.select(
+        F.round(lx, 9).cast(dec).alias("x"),
+        F.round(ly, 9).cast(dec).alias("y"),
+        F.round(lx * lx, 9).cast(dec).alias("xx"),
+        F.round(lx * ly, 9).cast(dec).alias("xy"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
