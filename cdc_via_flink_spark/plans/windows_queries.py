@@ -1158,3 +1158,60 @@ def q_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_z"
         ),
     )
+
+
+@query(
+    "q_session_paths",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM e WHERE rn <= 3
+  GROUP BY user_id
+),
+c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path),
+r AS (
+  SELECT path, n_users,
+         row_number() OVER (ORDER BY n_users DESC, path) AS rk
+  FROM c
+)
+SELECT path, n_users, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 15
+""",
+    tags=("analytics", "sequence", "paths", "A5"),
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTRY-PATH ANALYSIS — the first three events of every user's
+    journey concatenated into a path string ('signup>view>click'),
+    ranked by user count: the onboarding-funnel exploration query a
+    product analyst starts from. One keyed window for ordinals, the
+    path via an ORDER-pinned aggregation (collect_list over the
+    windowed rank, array_join — deterministic, no arrival-order
+    dependence), top-15 via WindowGroupLimit."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    p = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    c = p.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    wr = W.orderBy(F.col("n_users").desc(), F.col("path"))
+    return (
+        c.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= 15)
+    )
