@@ -1537,3 +1537,72 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("returning_revenue"),
         )
     )
+
+
+@query(
+    "q_price_elasticity",
+    oracle="""
+WITH x AS (
+  SELECT p.p_brand,
+         CAST(round(ln(CAST(l.l_extendedprice / l.l_quantity AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS lx,
+         CAST(round(ln(CAST(l.l_quantity AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS ly,
+         CAST(round(ln(CAST(l.l_extendedprice / l.l_quantity AS DOUBLE))
+                    * ln(CAST(l.l_extendedprice / l.l_quantity AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS lxx,
+         CAST(round(ln(CAST(l.l_extendedprice / l.l_quantity AS DOUBLE))
+                    * ln(CAST(l.l_quantity AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS lxy
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+s AS (
+  SELECT p_brand, count(*) AS n,
+         CAST(sum(lx) AS DOUBLE) AS sx, CAST(sum(ly) AS DOUBLE) AS sy,
+         CAST(sum(lxx) AS DOUBLE) AS sxx, CAST(sum(lxy) AS DOUBLE) AS sxy
+  FROM x GROUP BY p_brand
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity
+FROM s WHERE n >= 30
+""",
+    tags=("analytics", "regression", "elasticity"),
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED closed-form regression — log-log price elasticity of
+    demand per brand (slope of ln quantity on ln unit price): the
+    text_zipf_fit machinery generalized to per-group fits, each
+    brand's five moment sums decimal-exact and the slope one closed
+    fold — regression over a 100 TB fact table as a single aggregate
+    pass, no per-group iteration or driver loop. Brands under 30
+    observations are suppressed (unstable fits)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    lx = F.log((F.col("l_extendedprice") / F.col("l_quantity")).cast("double"))
+    ly = F.log(F.col("l_quantity").cast("double"))
+    dec = "decimal(28,9)"
+    x = j.select(
+        "p_brand",
+        F.round(lx, 9).cast(dec).alias("lx"),
+        F.round(ly, 9).cast(dec).alias("ly"),
+        F.round(lx * lx, 9).cast(dec).alias("lxx"),
+        F.round(lx * ly, 9).cast(dec).alias("lxy"),
+    )
+    s = x.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum("lxx").cast("double").alias("sxx"),
+        F.sum("lxy").cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.filter(F.col("n") >= 30).select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("elasticity"),
+    )
