@@ -1606,3 +1606,70 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(slope, 6).alias("elasticity"),
     )
+
+
+@query(
+    "q_gini_spend",
+    oracle="""
+WITH s AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS spend
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT spend,
+         row_number() OVER (ORDER BY spend, o_custkey) AS i,
+         count(*) OVER () AS n
+  FROM s
+),
+t AS (
+  SELECT max(n) AS n,
+         CAST(sum(spend) AS DOUBLE) AS tot,
+         CAST(sum(CAST(i AS DECIMAL(28,2)) * spend) AS DOUBLE) AS iws
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(tot, 2) AS total_spend,
+       round(2.0 * iws / (n * tot) - (n + 1.0) / n, 6) AS gini
+FROM t
+""",
+    tags=("analytics", "gini", "concentration"),
+)
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer spend — the scalar inequality
+    measure next to q_pareto_abc's class view: rank-weighted sorted
+    sums (G = 2·Σ i·x_i / (n·Σx) − (n+1)/n), all sums decimal-exact
+    over a single rank window, the final formula one double fold.
+    Whale-dominated revenue (high Gini) changes sampling and CAC
+    decisions — and at 100 TB the rank window swaps for quantile-cut
+    binning exactly as documented in q_winsorize."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("spend")
+    )
+    r = s.select(
+        "spend",
+        F.row_number().over(W.orderBy("spend", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy(F.lit(1))).alias("n"),
+    )
+    t = r.agg(
+        F.max("n").alias("n"),
+        F.sum("spend").cast("double").alias("tot"),
+        F.sum(F.col("i").cast("decimal(28,2)") * F.col("spend"))
+        .cast("double")
+        .alias("iws"),
+    )
+    return t.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round("tot", 2).alias("total_spend"),
+        F.round(
+            2.0 * F.col("iws") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
