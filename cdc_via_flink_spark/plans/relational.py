@@ -1673,3 +1673,54 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q_benford_screen",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+SELECT c.digit, c.n,
+       round(CAST(c.n AS DOUBLE) / t.tot, 6) AS observed,
+       round(ln(1.0 + 1.0 / c.digit) / ln(10.0), 6) AS benford,
+       round(abs(CAST(c.n AS DOUBLE) / t.tot
+                 - ln(1.0 + 1.0 / c.digit) / ln(10.0)), 6) AS abs_dev
+FROM c CROSS JOIN t
+""",
+    tags=("analytics", "forensics", "benford"),
+)
+def q_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW FIRST-DIGIT SCREEN — the classic forensic test
+    for fabricated numeric data: observed leading-digit frequencies of
+    order totals against the log10(1 + 1/d) expectation, with absolute
+    deviations (auditors threshold these). The digit comes from the
+    DECIMAL(18,2) string rendering so both engines extract the same
+    leading character; one aggregation, total broadcast back."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("tot"))
+    import math
+
+    ln10 = float(math.log(10.0))
+    benford = F.log(1.0 + 1.0 / F.col("digit")) / F.lit(ln10)
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("observed"),
+        F.round(benford, 6).alias("benford"),
+        F.round(
+            F.abs(F.col("n").cast("double") / F.col("tot") - benford), 6
+        ).alias("abs_dev"),
+    )
