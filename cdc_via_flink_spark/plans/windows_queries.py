@@ -1215,3 +1215,100 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("rk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rk") <= 15)
     )
+
+
+@query(
+    "q_ma_crossover",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE)
+           AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY day
+),
+m AS (
+  SELECT day, rev,
+         CAST(CAST(sum(CAST(round(rev, 6) AS DECIMAL(28,6)))
+              OVER w3 AS DOUBLE) AS DOUBLE) / count(*) OVER w3 AS ma3,
+         CAST(CAST(sum(CAST(round(rev, 6) AS DECIMAL(28,6)))
+              OVER w10 AS DOUBLE) AS DOUBLE) / count(*) OVER w10 AS ma10,
+         count(*) OVER w10 AS n10
+  FROM d
+  WINDOW w3 AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w10 AS (ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+sig AS (
+  SELECT day, rev, ma3, ma10,
+         CASE WHEN ma3 > ma10 THEN 1 ELSE -1 END AS pos,
+         lag(CASE WHEN ma3 > ma10 THEN 1 ELSE -1 END)
+           OVER (ORDER BY day) AS prev_pos
+  FROM m WHERE n10 = 10
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(rev, 2) AS rev,
+       round(ma3, 6) AS ma3,
+       round(ma10, 6) AS ma10,
+       CASE WHEN prev_pos IS NOT NULL AND pos > prev_pos THEN 'golden'
+            WHEN prev_pos IS NOT NULL AND pos < prev_pos THEN 'death'
+            ELSE 'none' END AS crossover
+FROM sig
+""",
+    tags=("A5", "timeseries", "signal"),
+)
+def q_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOVING-AVERAGE CROSSOVER detection — the short-window (3-day)
+    vs long-window (10-day) trend signal over daily revenue, crossings
+    labelled golden (short crosses above) or death: the trading-style
+    change-point heuristic an ops dashboard runs on any KPI. Both
+    frames ride ONE global sort (decimal-exact running sums); only
+    days with a full long window are scored."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("rev")
+        )
+    )
+    w3 = W.orderBy("day").rowsBetween(-2, 0)
+    w10 = W.orderBy("day").rowsBetween(-9, 0)
+
+    def ma(w):
+        return F.sum(F.round("rev", 6).cast("decimal(28,6)")).over(w).cast(
+            "double"
+        ) / F.count(F.lit(1)).over(w)
+
+    m = d.select(
+        "day",
+        "rev",
+        ma(w3).alias("ma3"),
+        ma(w10).alias("ma10"),
+        F.count(F.lit(1)).over(w10).alias("n10"),
+    ).filter(F.col("n10") == 10)
+    pos = F.when(F.col("ma3") > F.col("ma10"), 1).otherwise(-1)
+    sig = m.select(
+        "day",
+        "rev",
+        "ma3",
+        "ma10",
+        pos.alias("pos"),
+        F.lag(pos).over(W.orderBy("day")).alias("prev_pos"),
+    )
+    return sig.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("rev", 2).alias("rev"),
+        F.round("ma3", 6).alias("ma3"),
+        F.round("ma10", 6).alias("ma10"),
+        F.when(
+            F.col("prev_pos").isNotNull() & (F.col("pos") > F.col("prev_pos")),
+            "golden",
+        )
+        .when(
+            F.col("prev_pos").isNotNull() & (F.col("pos") < F.col("prev_pos")),
+            "death",
+        )
+        .otherwise("none")
+        .alias("crossover"),
+    )
