@@ -362,3 +362,60 @@ def mm_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("voiced"), 1)).alias("n_voiced_wins"),
         F.count(F.lit(1)).alias("n_windows"),
     )
+
+
+@query(
+    "mm_format_sniff",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         ascii(substring(text, 1, 1)) AS b0,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_bytes,
+         CASE WHEN b0 BETWEEN 97 AND 109 THEN 'fmt-a'
+              WHEN b0 BETWEEN 110 AND 122 THEN 'fmt-b'
+              WHEN b0 BETWEEN 65 AND 90 THEN 'fmt-c'
+              ELSE 'unknown' END AS sniffed
+  FROM b
+)
+SELECT sniffed, count(*) AS n_payloads,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+       CAST(max(n_bytes) AS BIGINT) AS max_bytes
+FROM c GROUP BY sniffed
+""",
+    tags=("X4", "format-sniff"),
+)
+def mm_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORMAT SNIFFING over binary payloads — the magic-byte dispatch
+    step in front of any multimodal decode (route JPEG vs PNG vs WAV
+    by header bytes before spending decode CPU): leading-byte ranges
+    classify each payload (deterministic stub ranges standing in for
+    real magic numbers) and per-format size stats are what the ingest
+    planner uses to size decode pools. Pure byte expressions on the
+    payload column; one aggregation."""
+    from cdc_via_flink_spark.operators.multimodal import attach_payload
+
+    d = attach_payload(load_table(spark, sf_dir, "documents"))
+    b0 = F.ascii(F.substring(F.col("text"), 1, 1))
+    sniffed = (
+        F.when(b0.between(97, 109), "fmt-a")
+        .when(b0.between(110, 122), "fmt-b")
+        .when(b0.between(65, 90), "fmt-c")
+        .otherwise("unknown")
+    )
+    return (
+        d.select(
+            sniffed.alias("sniffed"), F.length(F.col("payload")).alias("n_bytes")
+        )
+        .groupBy("sniffed")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.min("n_bytes").cast("long").alias("min_bytes"),
+            F.max("n_bytes").cast("long").alias("max_bytes"),
+        )
+    )

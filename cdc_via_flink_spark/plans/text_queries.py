@@ -1191,3 +1191,68 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@query(
+    "text_readability",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split({SQL_NORM}, ' ')) AS n_words,
+         len(regexp_extract_all({SQL_NORM}, '[aeiouy]+')) AS n_syl,
+         greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS n_sent
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, n_words, n_syl, n_sent,
+         round(206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+               - 84.6 * (CAST(n_syl AS DOUBLE) / n_words), 4) AS flesch
+  FROM t WHERE n_words > 0
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(CAST(sum(CAST(flesch AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+            AS DOUBLE) AS mean_flesch,
+       min(flesch) AS min_flesch,
+       max(flesch) AS max_flesch,
+       CAST(count(CASE WHEN flesch < 30 THEN 1 END) AS BIGINT)
+         AS n_hard_docs
+FROM s GROUP BY lang
+""",
+    tags=("X3", "quality", "readability"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH-STYLE READABILITY — the classic complexity score as a
+    corpus filter feature: vowel-group counts proxy syllables,
+    sentence terminators proxy sentences (floored at 1 for the
+    fixture's run-on word soup), the standard 206.835 − 1.015·(w/s)
+    − 84.6·(syl/w) formula rounded per doc and aggregated per lang
+    with decimal-exact means. All regexp counting — no tokenizer
+    beyond the shared normalizer, everything in codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    n_words = F.size(F.split(norm, " "))
+    n_syl = F.size(F.regexp_extract_all(norm, F.lit("[aeiouy]+"), 0))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), 0)), F.lit(1)
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - 1.015 * (n_words.cast("double") / n_sent)
+        - 84.6 * (n_syl.cast("double") / n_words),
+        4,
+    )
+    s = d.select("lang", flesch.alias("flesch")).filter(n_words > 0)
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("flesch").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("double")
+        .alias("mean_flesch"),
+        F.min("flesch").alias("min_flesch"),
+        F.max("flesch").alias("max_flesch"),
+        F.count(F.when(F.col("flesch") < 30, 1)).alias("n_hard_docs"),
+    )
