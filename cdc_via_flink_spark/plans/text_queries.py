@@ -1256,3 +1256,110 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("flesch").alias("max_flesch"),
         F.count(F.when(F.col("flesch") < 30, 1)).alias("n_hard_docs"),
     )
+
+
+@query(
+    "text_heaps_growth",
+    oracle=f"""
+WITH n AS (SELECT count(*) AS nd FROM documents),
+ft AS (
+  SELECT t, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(string_split({SQL_NORM}, ' ')) AS t
+        FROM documents)
+  GROUP BY t
+),
+cks AS (
+  SELECT k.k, CAST(ceil(n.nd * k.k / 10.0) AS BIGINT) AS n_docs
+  FROM (SELECT unnest(range(1, 11)) AS k) k CROSS JOIN n
+),
+v AS (
+  SELECT c.k, c.n_docs,
+         CAST(count(CASE WHEN ft.first_doc < c.n_docs THEN 1 END) AS BIGINT)
+           AS vocab
+  FROM cks c CROSS JOIN ft
+  GROUP BY c.k, c.n_docs
+),
+xy AS (
+  SELECT CAST(round(ln(CAST(n_docs AS DOUBLE)), 9) AS DECIMAL(28,9)) AS x,
+         CAST(round(ln(CAST(vocab AS DOUBLE)), 9) AS DECIMAL(28,9)) AS y,
+         CAST(round(ln(CAST(n_docs AS DOUBLE))
+                    * ln(CAST(n_docs AS DOUBLE)), 9) AS DECIMAL(28,9)) AS xx,
+         CAST(round(ln(CAST(n_docs AS DOUBLE))
+                    * ln(CAST(vocab AS DOUBLE)), 9) AS DECIMAL(28,9)) AS xy
+  FROM v
+),
+fit AS (
+  SELECT count(*) AS np,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(xx) AS DOUBLE) AS sxx, CAST(sum(xy) AS DOUBLE) AS sxy
+  FROM xy
+)
+SELECT v.k AS checkpoint, v.n_docs, v.vocab,
+       round((fit.np * fit.sxy - fit.sx * fit.sy)
+             / (fit.np * fit.sxx - fit.sx * fit.sx), 6) AS heaps_beta
+FROM v CROSS JOIN fit
+""",
+    tags=("X3", "profiling", "heaps"),
+)
+def text_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW VOCABULARY GROWTH — how the distinct-token count
+    scales with corpus size (V ≈ K·n^β, natural text β ≈ 0.4-0.6):
+    computed in ONE corpus pass via each token's FIRST document
+    (min doc_id), bucketed against ten data-derived checkpoints, with
+    the growth exponent from the closed-form log-log fit attached to
+    every row. Deduplicated or template-heavy corpora bend this curve
+    — it's the capacity-planning number for vocabulary-dependent
+    stages (tokenizer training, hash sizing). Scale: the first-doc
+    table is vocab-sized; checkpoints are 10 rows broadcast."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("nd"))
+    ft = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    cks = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "k",
+            F.ceil(F.col("nd") * F.col("k") / 10.0).cast("long").alias("n_docs"),
+        )
+    )
+    v = (
+        cks.crossJoin(ft)
+        .groupBy("k", "n_docs")
+        .agg(
+            F.count(F.when(F.col("first_doc") < F.col("n_docs"), 1))
+            .cast("long")
+            .alias("vocab")
+        )
+    )
+    lx = F.log(F.col("n_docs").cast("double"))
+    ly = F.log(F.col("vocab").cast("double"))
+    dec = "decimal(28,9)"
+    xy = v.select(
+        F.round(lx, 9).cast(dec).alias("x"),
+        F.round(ly, 9).cast(dec).alias("y"),
+        F.round(lx * lx, 9).cast(dec).alias("xx"),
+        F.round(lx * ly, 9).cast(dec).alias("xy"),
+    )
+    fit = xy.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+    )
+    beta = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return v.crossJoin(F.broadcast(fit)).select(
+        F.col("k").alias("checkpoint"),
+        "n_docs",
+        "vocab",
+        F.round(beta, 6).alias("heaps_beta"),
+    )

@@ -1312,3 +1312,122 @@ def q_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("none")
         .alias("crossover"),
     )
+
+
+@query(
+    "q_repeat_purchase_interval",
+    oracle="""
+WITH p AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ms
+  FROM events WHERE event_type = 'purchase'
+),
+g AS (
+  SELECT user_id, (ts_ms - prev_ms) / 3600000.0 AS gap_h
+  FROM p WHERE prev_ms IS NOT NULL
+),
+r AS (
+  SELECT gap_h, row_number() OVER (ORDER BY gap_h, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM g
+)
+SELECT CAST(max(n) AS BIGINT) AS n_gaps,
+       round(CAST(CAST(sum(CAST(round(gap_h, 6) AS DECIMAL(28,6)))
+             AS DOUBLE) AS DOUBLE) / max(n), 6) AS mean_gap_h,
+       round(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN gap_h END), 6) AS median_gap_h,
+       round(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                      THEN gap_h END), 6) AS p90_gap_h
+FROM r
+""",
+    tags=("analytics", "retention", "A5"),
+)
+def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEAT-PURCHASE INTERVAL distribution — the inter-event-time
+    profile behind churn windows and re-engagement timing: per-user
+    consecutive purchase gaps (one keyed lag), summarized with a
+    decimal-exact mean and DISCRETE median/P90 (element-at-rank, the
+    house percentile formulation)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ms", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    g = (
+        p.withColumn("prev_ms", F.lag("ts_ms").over(w))
+        .filter(F.col("prev_ms").isNotNull())
+        .select(
+            "user_id",
+            ((F.col("ts_ms") - F.col("prev_ms")) / 3600000.0).alias("gap_h"),
+        )
+    )
+    r = g.select(
+        "gap_h",
+        F.row_number().over(W.orderBy("gap_h", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy(F.lit(1))).alias("n"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.round(
+            F.sum(F.round("gap_h", 6).cast("decimal(28,6)")).cast("double")
+            / F.max("n"),
+            6,
+        ).alias("mean_gap_h"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"),
+                    F.col("gap_h"),
+                )
+            ),
+            6,
+        ).alias("median_gap_h"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.9 * F.col("n")).cast("long"),
+                    F.col("gap_h"),
+                )
+            ),
+            6,
+        ).alias("p90_gap_h"),
+    )
+
+
+@query(
+    "q_returnflag_trend",
+    oracle="""
+WITH m AS (
+  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+         l_returnflag, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+t AS (SELECT month, CAST(sum(n) AS BIGINT) AS tot FROM m GROUP BY month)
+SELECT m.month, m.l_returnflag, m.n,
+       round(CAST(m.n AS DOUBLE) / t.tot, 6) AS share
+FROM m JOIN t ON m.month = t.month
+""",
+    tags=("analytics", "trend", "A3"),
+)
+def q_returnflag_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly SHARE-OF-TOTAL trend by return flag — the composition
+    time series a logistics dashboard carries (return-rate drift):
+    per-month flag counts with shares against month totals derived
+    FROM the cell table (no second scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM").alias(
+            "month"
+        ),
+        "l_returnflag",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = m.groupBy("month").agg(F.sum("n").cast("long").alias("tot"))
+    return m.join(F.broadcast(t), "month").select(
+        "month",
+        "l_returnflag",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
+    )
