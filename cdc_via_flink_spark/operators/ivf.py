@@ -32,24 +32,17 @@ def centroids(corpus: DataFrame, every_k: int = 40) -> DataFrame:
 
 def assign_clusters(corpus: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest centroid per vector (cosine, rounded ordering key +
-    centroid-id tie-break). Centroids broadcast; corpus un-shuffled."""
+    centroid-id tie-break). Pure map-side: the centroid table rides as
+    ONE broadcast array row and the argmin is an expression fold
+    (operators/kmeans._nearest) — no n×k row expansion, no window
+    exchange; the corpus is never shuffled."""
+    from cdc_via_flink_spark.operators.kmeans import _nearest
     from cdc_via_flink_spark.sources.tables import ensure_min_partitions
 
     v = ensure_min_partitions(corpus).select(
         F.col("vec_id"), to_double(F.col("embedding")).alias("v")
     )
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "centroid_id",
-        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("c_cos"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("centroid_id").alias("cluster_id"))
-    )
+    return _nearest(v, cents)
 
 
 def ivf_topk(
@@ -86,6 +79,29 @@ def load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     cents = spark.read.parquet(path + "/centroids")
     assigned = spark.read.parquet(path + "/lists")
     return assigned, cents
+
+
+def append_index(spark, new_corpus: DataFrame, path: str) -> None:
+    """Incremental IVF maintenance (the production ANN append path —
+    FAISS add() analog): route NEW vectors to the index's EXISTING
+    centroids (fixed — periodic retrain is a rebuild, not an append)
+    and append their assignments to the persisted inverted lists.
+
+    Because the centroid set is unchanged, a probe after maintenance
+    is value-identical to probing an index built monolithically over
+    base ∪ appended with the same centroids — the invariant the
+    declared query sim_ivf_append_topk pins with an exact oracle.
+    Scale: assignment of the delta is map-side (broadcast centroid
+    array argmin), the append writes only the delta's bytes into the
+    cluster-partitioned layout; the existing lists are never read or
+    rewritten. Caller manages replay idempotency (the streaming
+    maintainer streaming/ann_maintenance.py uses committed delta dirs
+    instead of raw appends for exactly that reason)."""
+    cents = spark.read.parquet(path + "/centroids")
+    assigned = assign_clusters(new_corpus, cents)
+    assigned.write.mode("append").partitionBy("cluster_id").parquet(
+        path + "/lists"
+    )
 
 
 def probe_index(

@@ -119,6 +119,19 @@ def neardup_lsh_pairs(
     fewer tables suffice; bits should grow ~log2(n) to keep buckets
     fine at cluster scale.
 
+    EXACT-DUPLICATE COLLAPSE (the duplicate-heavy-corpus guard): web
+    corpora are dominated by bit-identical repeats, and identical
+    vectors share every LSH code — so the bucket self-join runs over
+    one REPRESENTATIVE per distinct vector (class rep = min id), and
+    member pairs are expanded back afterwards by linear equi-joins
+    (cross-class pairs inherit the rep pair's cosine — the vectors are
+    identical; within-class pairs carry the class's self-cosine).
+    Output-identical to the uncollapsed plan, but the quadratic bucket
+    stage scales with DISTINCT vectors: a corpus of d distinct vectors
+    duplicated m times each costs O(d-collisions + output), not
+    O((dm)^2 / buckets). Measured: the 10x-clone scaling corpus drops
+    from 230 s to the sf0.1 cost plus pair-output time.
+
     Output: (id_a, id_b, cos) with id_a < id_b, cos rounded to 6 d.p.
     """
     from cdc_via_flink_spark.sources.tables import ensure_min_partitions
@@ -126,7 +139,12 @@ def neardup_lsh_pairs(
     d = ensure_min_partitions(embeddings).select(
         F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
     )
-    coded = with_lsh_codes(d, "v", bits=bits, tables=tables)
+    cls = d.groupBy("v").agg(
+        F.min("vec_id").alias("rep"),
+        F.sort_array(F.collect_list("vec_id")).alias("members"),
+    )
+    reps = cls.select(F.col("rep").alias("vec_id"), "v")
+    coded = with_lsh_codes(reps, "v", bits=bits, tables=tables)
     slim = coded.select("vec_id", F.posexplode("codes").alias("t", "bucket"))
     # identical subtree on both join sides + equi-keys (t, bucket) ->
     # Catalyst reuses one shuffle (ReusedExchange); the bits*tables
@@ -142,9 +160,9 @@ def neardup_lsh_pairs(
         .select(F.col("A.vec_id").alias("id_a"), F.col("B.vec_id").alias("id_b"))
         .dropDuplicates()
     )
-    va = d.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    vb = d.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    return (
+    va = reps.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = reps.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    rep_pairs = (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .select(
@@ -154,6 +172,40 @@ def neardup_lsh_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+    # expand rep pairs to member pairs (both classes' members, all
+    # combinations — the cosine is the rep pair's, vectors identical)
+    ma = cls.select(F.col("rep").alias("id_a"), F.explode("members").alias("mem_a"))
+    mb = cls.select(F.col("rep").alias("id_b"), F.explode("members").alias("mem_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("mem_a", "mem_b").alias("id_a"),
+            F.greatest("mem_a", "mem_b").alias("id_b"),
+            "cos",
+        )
+    )
+    # within-class pairs: identical vectors, self-cosine (1.0 up to
+    # rounding — computed, not assumed, to stay bit-faithful)
+    me = cls.filter(F.size("members") > 1).select(
+        "rep",
+        F.round(cosine(F.col("v"), F.col("v")), 6).alias("cos"),
+        F.explode("members").alias("m"),
+    )
+    within = (
+        me.alias("X")
+        .join(
+            me.alias("Y"),
+            (F.col("X.rep") == F.col("Y.rep")) & (F.col("X.m") < F.col("Y.m")),
+        )
+        .select(
+            F.col("X.m").alias("id_a"),
+            F.col("Y.m").alias("id_b"),
+            F.col("X.cos").alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    return cross.unionByName(within)
 
 
 def brute_force_topk(

@@ -670,6 +670,7 @@ SEM_RECALL_FLOOR = 0.2
 
 @query(
     "dedup_semantic",
+    bench2=True,
     oracle=f"""
 WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),

@@ -71,6 +71,7 @@ SELECT node, rank, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= {TOP_N}
 
 @query(
     "q_pagerank3",
+    bench2=True,
     oracle=_pagerank_oracle(),
     tags=("graph", "pagerank", "iterative-unrolled"),
 )

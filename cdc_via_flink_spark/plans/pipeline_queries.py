@@ -826,6 +826,7 @@ from cdc_via_flink_spark.plans.dedup_queries import _LSH_ORACLE  # noqa: E402
 
 @query(
     "q_corpus_build_v2",
+    bench2=True,
     oracle=f"""
 WITH nd AS (SELECT DISTINCT id_b AS doc_id FROM ({_LSH_ORACLE})),
 tok AS (

@@ -29,19 +29,32 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     tags: tuple[str, ...] = field(default_factory=tuple)
-    bench: bool = False  # include in bench.py headline set
+    bench: bool = False  # include in bench.py headline set (tier 1)
+    bench2: bool = False  # heavy tier: expensive new-surface queries
     doc: str = ""
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench: bool = False):
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+    bench2: bool = False,
+):
     """Decorator registering a query under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         QUERIES[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tags, bench=bench, doc=fn.__doc__ or ""
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            tags=tags,
+            bench=bench,
+            bench2=bench2,
+            doc=fn.__doc__ or "",
         )
         return fn
 

@@ -279,6 +279,133 @@ def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_append_topk",
+    oracle=_IVF_TOPK_ORACLE,
+    tags=("X2", "similarity", "ivf", "index-maintenance", "streaming"),
+)
+def sim_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN index maintenance, value-pinned: build the
+    persisted IVF index over HALF the corpus (even vec_ids — the
+    stride-40 centroid set lives entirely in that half), then stream
+    the other half through the incremental maintainer
+    (streaming/ann_maintenance.py) in TWO micro-batches — each batch
+    map-side-assigned to the FIXED centroids and committed as an
+    atomic cluster-partitioned delta — and probe the maintained
+    (base ∪ deltas) view. Because the centroid set is unchanged, the
+    probe must be value-identical to probing a MONOLITHIC index built
+    over the full corpus: the oracle is sim_ivf_topk's, unchanged —
+    a maintenance bug (lost delta, double-applied epoch, wrong
+    routing) breaks the hash."""
+    import os
+    import shutil
+
+    from pyspark.sql.types import StructType
+
+    from cdc_via_flink_spark.operators.ivf import probe_index, save_index
+    from cdc_via_flink_spark.plans.streaming_queries import (
+        STAGE_ROOT,
+        _stage_ordered_files,
+    )
+    from cdc_via_flink_spark.streaming.ann_maintenance import (
+        ann_maintenance_query,
+        read_maintained_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(STAGE_ROOT, f"ivf_maint_{sf_name}")
+    ckpt = os.path.join(STAGE_ROOT, f"ivf_maint_ckpt_{sf_name}")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    save_index(e.filter(F.col("vec_id") % 2 == 0), path, every_k=40)
+
+    arrivals = os.path.join(STAGE_ROOT, f"ivf_maint_in_{sf_name}")
+    _stage_ordered_files(
+        spark,
+        [
+            e.filter(F.col("vec_id") % 4 == 1),
+            e.filter(F.col("vec_id") % 4 == 3),
+        ],
+        arrivals,
+    )
+    schema = StructType.fromDDL("vec_id long, embedding array<float>")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+    )
+    ann_maintenance_query(stream, path, ckpt).awaitTermination()
+
+    assigned, cents = read_maintained_index(spark, path)
+    return probe_index(assigned, cents, query_ids_below=5, nprobe=2, k=5)
+
+
+@query(
+    "sim_ivf_compacted_topk",
+    oracle=_IVF_TOPK_ORACLE,
+    tags=("X2", "similarity", "ivf", "index-maintenance", "compaction"),
+)
+def sim_ivf_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index COMPACTION, value-pinned (the Delta OPTIMIZE / FAISS
+    merge step of the index lifecycle): run the same build-half /
+    stream-the-rest maintenance as sim_ivf_append_topk, then FOLD the
+    committed deltas into the base lists
+    (streaming/ann_maintenance.py::compact_maintained_index — marker-
+    guarded two-rename swap, crash-recoverable, epoch high-water
+    preserved) and probe the compacted single-layout index. The oracle
+    is unchanged from sim_ivf_topk: compaction must be a pure physical
+    rewrite — any lost/duplicated row breaks the hash. After folding,
+    the deltas are gone (asserted) and a probe touches one layout."""
+    import os
+    import shutil
+
+    from pyspark.sql.types import StructType
+
+    from cdc_via_flink_spark.operators.ivf import probe_index, save_index
+    from cdc_via_flink_spark.plans.streaming_queries import (
+        STAGE_ROOT,
+        _stage_ordered_files,
+    )
+    from cdc_via_flink_spark.streaming.ann_maintenance import (
+        ann_maintenance_query,
+        committed_delta_dirs,
+        compact_maintained_index,
+        read_maintained_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(STAGE_ROOT, f"ivf_compact_{sf_name}")
+    ckpt = os.path.join(STAGE_ROOT, f"ivf_compact_ckpt_{sf_name}")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    save_index(e.filter(F.col("vec_id") % 2 == 0), path, every_k=40)
+    arrivals = os.path.join(STAGE_ROOT, f"ivf_compact_in_{sf_name}")
+    _stage_ordered_files(
+        spark,
+        [
+            e.filter(F.col("vec_id") % 4 == 1),
+            e.filter(F.col("vec_id") % 4 == 3),
+        ],
+        arrivals,
+    )
+    schema = StructType.fromDDL("vec_id long, embedding array<float>")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+    )
+    ann_maintenance_query(stream, path, ckpt).awaitTermination()
+
+    folded = compact_maintained_index(spark, path)
+    assert folded["deltas_folded"] == 2, folded
+    assert committed_delta_dirs(path) == []
+    assigned, cents = read_maintained_index(spark, path)
+    return probe_index(assigned, cents, query_ids_below=5, nprobe=2, k=5)
+
+
+@query(
     "sim_ivf_ndcg",
     oracle=f"""
 WITH ivf AS ({_IVF_TOPK_ORACLE}),

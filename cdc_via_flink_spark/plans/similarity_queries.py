@@ -130,6 +130,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_embedding_neardup",
+    bench2=True,
     oracle=f"""
 WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
 p AS (

@@ -891,6 +891,7 @@ FROM a WHERE is_probe = 1
 
 @query(
     "stream_temporal_join",
+    bench2=True,
     oracle=_TEMPORAL_ORACLE,
     tags=("J5", "ST1", "streaming", "stateful", "temporal-join"),
 )

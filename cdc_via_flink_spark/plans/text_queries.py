@@ -194,13 +194,19 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = tk.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tk.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(df, "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    # corpus size as a broadcast 1-row aggregate (no driver action —
+    # the plans/-wide AST guard bans .count() in builder bodies)
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
@@ -548,13 +554,17 @@ def text_tfidf_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tk.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfr = tk.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(dfr, "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfr, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
@@ -566,6 +576,7 @@ def text_tfidf_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_nb_classify",
+    bench2=True,
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, lang,
@@ -703,6 +714,7 @@ def text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_unigram_ppl_buckets",
+    bench2=True,
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, lang, unnest(string_split({SQL_NORM}, ' ')) AS t

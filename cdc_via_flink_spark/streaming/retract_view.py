@@ -34,18 +34,20 @@ from pyspark.sql.streaming import StreamingQuery
 PTR = "_COMMITTED"
 
 
-def _read_ptr(table_dir: str) -> tuple[int, str] | None:
+def _read_ptr(table_dir: str) -> tuple[int, str, str] | None:
     p = os.path.join(table_dir, PTR)
     if not os.path.exists(p):
         return None
-    epoch, name = open(p).read().strip().split("\t")
-    return int(epoch), name
+    parts = open(p).read().strip().split("\t")
+    epoch, name = parts[0], parts[1]
+    run = parts[2] if len(parts) > 2 else ""  # pre-run-identity pointer
+    return int(epoch), name, run
 
 
-def _write_ptr(table_dir: str, epoch: int, name: str) -> None:
+def _write_ptr(table_dir: str, epoch: int, name: str, run: str) -> None:
     tmp = os.path.join(table_dir, PTR + ".tmp")
     with open(tmp, "w") as f:
-        f.write(f"{epoch}\t{name}")
+        f.write(f"{epoch}\t{name}\t{run}")
     os.replace(tmp, os.path.join(table_dir, PTR))
 
 
@@ -64,12 +66,29 @@ def retract_view_query(
     n_buckets: int = 5,
 ) -> StreamingQuery:
     """Start the view-maintenance query over a streaming change frame
-    (txn_id, seq, ts_ms, op, after-JSON with $.k). Caller awaits."""
+    (txn_id, seq, ts_ms, op, after-JSON with $.k). Caller awaits.
+
+    Replay safety: epoch ids are scoped to the CHECKPOINT, so the
+    committed pointer also records a run identity (the canonical
+    checkpoint path). Re-running the same checkpoint replays/extends
+    idempotently; pointing a DIFFERENT checkpoint at an existing
+    table_dir fails loudly instead of silently skipping the first
+    committed+1 batches (epoch numbering would restart at 0 and alias
+    into the guard, corrupting the view with no error)."""
     os.makedirs(table_dir, exist_ok=True)
+    run_key = os.path.abspath(checkpoint_dir)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         committed = _read_ptr(table_dir)
+        if committed is not None and committed[2] not in ("", run_key):
+            raise RuntimeError(
+                f"retract_view table {table_dir!r} was built by checkpoint "
+                f"{committed[2]!r}; refusing epochs from {run_key!r} — "
+                "epoch ids are checkpoint-scoped, so folding a different "
+                "run into this table would corrupt it. Use the original "
+                "checkpoint, or remove the table to rebuild."
+            )
         if committed is not None and epoch_id <= committed[0]:
             return  # replayed epoch: already folded in, skip (idempotent)
 
@@ -136,7 +155,7 @@ def retract_view_query(
         out = os.path.join(table_dir, vname)
         new_view.write.mode("overwrite").parquet(os.path.join(out, "view"))
         new_keys.write.mode("overwrite").parquet(os.path.join(out, "keys"))
-        _write_ptr(table_dir, epoch_id, vname)
+        _write_ptr(table_dir, epoch_id, vname, run_key)
 
     return (
         changes.writeStream.foreachBatch(sink)

@@ -10,6 +10,16 @@ history-sized; closed intervals leave the operator the moment they
 are determined. Input is assumed per-key time-ordered (the guarantee
 keyed Kafka production gives the reference's consumer, readme.md:1;
 replays stage time-ordered files). One shuffle: groupBy(txn_id).
+
+Out-of-order guard: rows are sorted within a batch, but a row arriving
+in a LATER batch with ts_ms before the open version's valid_from —
+which the watermark tolerance admits — would otherwise close the open
+version with an inverted interval (valid_to < valid_from) and corrupt
+the history silently. Such rows are routed to a DEAD-LETTER side
+output instead (is_current = -1, the S4 side-output discriminator:
+valid_from_ms = the late row's ts, valid_to_ms = the open version's
+valid_from it collided with); the open version is untouched. History
+consumers filter is_current >= 0.
 """
 
 from __future__ import annotations
@@ -84,6 +94,20 @@ def _scd2(
     for r in pdf.itertuples(index=False):
         t = int(r.ts_ms)
         last = max(last, t)
+        if open_v is not None and t < open_v[2]:
+            # cross-batch out-of-order arrival: closing the open
+            # version would invert the interval — dead-letter it
+            rows.append(
+                {
+                    "txn_id": txn_id,
+                    "seq": int(r.seq),
+                    "op": r.op,
+                    "valid_from_ms": t,
+                    "valid_to_ms": int(open_v[2]),
+                    "is_current": -1,
+                }
+            )
+            continue
         if open_v is not None:
             rows.append(
                 {

@@ -152,20 +152,25 @@ def _temporal(
     wm = state.getCurrentWatermarkMs()
     dims = sorted(zip(d_tss, d_seqs, d_ops))
 
-    # Incremental emission: probes at-or-behind the watermark are final.
-    matured = sorted((t, s) for t, s in zip(p_tss, p_seqs) if t <= wm)
+    # Incremental emission: probes STRICTLY behind the watermark are
+    # final — Spark drops late rows only when strictly older than the
+    # watermark, so a build-side version timestamped exactly AT the
+    # watermark can still arrive; maturing a t == wm probe here would
+    # emit a match that version could invalidate.
+    matured = sorted((t, s) for t, s in zip(p_tss, p_seqs) if t < wm)
     if matured:
-        keep = [(t, s) for t, s in zip(p_tss, p_seqs) if t > wm]
+        keep = [(t, s) for t, s in zip(p_tss, p_seqs) if t >= wm]
         p_tss, p_seqs = [t for t, _ in keep], [s for _, s in keep]
         rows = _match_rows(txn_id, matured, dims)
     else:
         rows = []
 
-    # Version compaction: of all dim versions with ts <= wm only the
-    # newest can match a future (ts > wm) probe.
-    past = [d for d in dims if d[0] <= wm]
+    # Version compaction: of all dim versions with ts < wm only the
+    # newest can match a future (ts >= wm) probe — strict for the same
+    # late-row-drop boundary reason as probe maturity.
+    past = [d for d in dims if d[0] < wm]
     if len(past) > 1:
-        dims = past[-1:] + [d for d in dims if d[0] > wm]
+        dims = past[-1:] + [d for d in dims if d[0] >= wm]
         d_tss = [d[0] for d in dims]
         d_seqs = [d[1] for d in dims]
         d_ops = [d[2] for d in dims]

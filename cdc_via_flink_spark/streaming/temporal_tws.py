@@ -67,14 +67,19 @@ class TemporalJoiner(StatefulProcessor):
         dims = sorted(dims + new_d)
 
         wm = timerValues.getCurrentWatermarkInMs()
-        matured = sorted(p for p in probes if p[0] <= wm)
+        # STRICT boundary: Spark's late-row filter drops only rows
+        # strictly older than the watermark, so a dim version at
+        # exactly wm can still arrive — probes at wm are not final and
+        # the newest dim version strictly behind wm must survive
+        # compaction (mirrors streaming/temporal.py).
+        matured = sorted(p for p in probes if p[0] < wm)
         out = _match_rows(txn_id, matured, dims) if matured else []
-        keep_p = [p for p in probes if p[0] > wm]
+        keep_p = [p for p in probes if p[0] >= wm]
 
-        past = [d for d in dims if d[0] <= wm]
+        past = [d for d in dims if d[0] < wm]
         compacted = len(past) > 1
         if compacted:
-            dims = past[-1:] + [d for d in dims if d[0] > wm]
+            dims = past[-1:] + [d for d in dims if d[0] >= wm]
 
         # Fast path: nothing matured/compacted -> pure RocksDB appends.
         if not matured and new_p:

@@ -82,3 +82,27 @@ def test_retract_view_replay_idempotent_and_migrating(spark, tmp_path):
     # key snapshot holds B as a tombstone: re-running adds nothing
     _run(spark, src, table, ckpt)
     assert _view(spark, table) == got
+
+
+def test_retract_view_rejects_foreign_checkpoint(spark, tmp_path):
+    """Epoch ids are checkpoint-scoped: a FRESH/different checkpoint
+    restarts at epoch 0, which the <=committed guard would silently
+    swallow, dropping the first committed+1 batches. The committed
+    pointer records the run identity and the sink fails loudly on a
+    mismatch instead of corrupting the view."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+
+    _stage(spark, [("A", 1, 1000, "c", '{"k": 7}')], src, "0", 1_000_000_000)
+    _stage(spark, [("A", 2, 2000, "u", '{"k": 9}')], src, "1", 1_000_000_100)
+    _run(spark, src, table, str(tmp_path / "ckpt1"))
+    before = _view(spark, table)
+    assert before == {2: 0, 4: 9}
+
+    with pytest.raises(StreamingQueryException, match="checkpoint"):
+        _run(spark, src, table, str(tmp_path / "ckpt2"))
+    # view untouched by the refused run
+    assert _view(spark, table) == before

@@ -43,3 +43,46 @@ def test_scd2_versions_close_across_batches(spark):
         2: (BASE + 1000, BASE + 4999, 0),  # closed by a LATER batch
         3: (BASE + 5000, None, 1),  # flushed current by the TTL timer
     }
+
+
+def test_scd2_cross_batch_out_of_order_dead_letters(spark):
+    """A row arriving in a LATER batch with ts before the open
+    version's valid_from (admitted by the watermark tolerance) must
+    NOT close the open version with an inverted interval: it routes to
+    the dead-letter side output (is_current = -1) and the version
+    history stays intact."""
+    b1 = [("k", 1, "c", BASE), ("k", 2, "u", BASE + 5000)]
+    # arrives a batch later but timestamped BEFORE seq 2's valid_from
+    b2 = [("k", 3, "u", BASE + 2000)]
+    b3 = [("k", 4, "u", BASE + 9000)]
+    s1 = [("flush", -1, "c", BASE + 10 * DAY)]
+    s2 = [("flush", -2, "c", BASE + 20 * DAY)]
+    frames = [
+        spark.createDataFrame(r, schema=SCHEMA) for r in (b1, b2, b3, s1, s2)
+    ]
+    dest = os.path.join(STAGE_ROOT, "scd2_ooo_unit")
+    _stage_ordered_files(spark, frames, dest)
+    sch = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(dest)
+    )
+    out = _run_to_memory(scd2_stream(sch), "append")
+    rows = out.filter(F.col("txn_id") == "k").collect()
+    dead = [r for r in rows if r["is_current"] == -1]
+    hist = {
+        r["seq"]: (r["valid_from_ms"], r["valid_to_ms"], r["is_current"])
+        for r in rows
+        if r["is_current"] >= 0
+    }
+    # the late row is dead-lettered with the collision recorded
+    assert [(r["seq"], r["valid_from_ms"], r["valid_to_ms"]) for r in dead] == [
+        (3, BASE + 2000, BASE + 5000)
+    ]
+    # history is uncorrupted: no inverted intervals, seq 2 closed by seq 4
+    assert hist == {
+        1: (BASE, BASE + 4999, 0),
+        2: (BASE + 5000, BASE + 8999, 0),
+        4: (BASE + 9000, None, 1),
+    }
+    assert all(
+        f <= (t if t is not None else f) for f, t, _ in hist.values()
+    )
