@@ -115,6 +115,23 @@ def probe_index(
     q = assigned.filter(F.col("vec_id") < query_ids_below).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
+    return probe_index_queries(assigned, cents, q, nprobe=nprobe, k=k)
+
+
+def probe_index_queries(
+    assigned: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Probe with an EXPLICIT query frame (query_id, qv array<double>)
+    — the serving-path entry point: the streaming ANN server
+    (plans/streaming_queries.py::stream_ivf_probe) feeds each
+    micro-batch of arriving query vectors through this against a
+    static loaded index. Self-matches (vec_id == query_id) are
+    excluded, as in probe_index."""
+    q = queries
     q_probe = q.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "qv",

@@ -320,6 +320,7 @@ def ivfpq_topk(
     nprobe: int = 4,
     shortlist: int = 50,
     k: int = 5,
+    train_mod: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -344,7 +345,11 @@ def ivfpq_topk(
         F.col(id_col).alias("vec_id"),
         _normalized(to_double(F.col(vec_col))).alias("embedding"),
     )
-    cents = kmeans_fit(norm_corpus, every_k=every_k, max_iter=coarse_iter)
+    # coarse quantizer trained on the xxhash 1/train_mod sample —
+    # sublinear fit cost; the corpus is assigned exactly once below
+    cents = kmeans_fit(
+        norm_corpus, every_k=every_k, max_iter=coarse_iter, train_mod=train_mod
+    )
     v_df = norm_corpus.select("vec_id", F.col("embedding").alias("v"))
     assigned = _nearest(v_df, cents)  # (vec_id, v, cluster_id)
 

@@ -23,6 +23,12 @@ def _cos(a: str, b: str) -> str:
     )
 
 
+def _ivf_topk_oracle(q_below: int = 5) -> str:
+    """The IVF probe as pure SQL, parameterized by the query-id bound
+    (stream_ivf_probe serves vec_id < 10; the batch family uses 5)."""
+    return _IVF_TOPK_ORACLE.replace("WHERE vec_id < 5", f"WHERE vec_id < {q_below}", 1)
+
+
 _IVF_TOPK_ORACLE = f"""
 WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
 c AS (SELECT vec_id AS centroid_id, v AS cv FROM d WHERE vec_id % 40 = 0),

@@ -306,7 +306,15 @@ def ivf_kmeans_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     k = 5
     ivf = ivf_kmeans_topk(
-        e, query_ids_below=N_QUERIES, every_k=40, max_iter=3, nprobe=6, k=k
+        e,
+        query_ids_below=N_QUERIES,
+        every_k=40,
+        max_iter=3,
+        nprobe=6,
+        k=k,
+        # training on the xxhash 1/2-sample keeps fit cost sublinear
+        # (VERDICT r4 #6); the full corpus is assigned exactly once
+        train_mod=2,
     )
     exact = brute_force_topk(
         e,

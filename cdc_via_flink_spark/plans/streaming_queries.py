@@ -856,6 +856,83 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "append")
 
 
+from cdc_via_flink_spark.plans.scale_queries import _ivf_topk_oracle  # noqa: E402
+
+
+@query(
+    "stream_ivf_probe",
+    oracle=_ivf_topk_oracle(10),
+    tags=("X2", "ST1", "streaming", "ivf", "serving"),
+)
+def stream_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN SERVING — the query side of the index lifecycle:
+    query vectors ARRIVE as a stream and each micro-batch is probed
+    against the persisted IVF index (loaded once; centroids broadcast,
+    candidate fetch an equi-join on the probed lists), results appended
+    to the serving log. Two micro-batches of 5 queries each (vec_id <
+    10 split by parity) must together equal the BATCH probe of all 10
+    queries — the oracle is the batch IVF probe SQL with the query
+    bound at 10, so a dropped batch, duplicated epoch, or per-batch
+    ranking leak breaks the hash. At 100 TB the same shape serves from
+    the cluster-partitioned index with dynamic partition pruning per
+    batch (sim_ivf_persisted_topk's plan)."""
+    import shutil
+
+    from pyspark.sql.types import StructType
+
+    from cdc_via_flink_spark.functions.vectors import to_double
+    from cdc_via_flink_spark.operators.ivf import (
+        load_index,
+        probe_index_queries,
+        save_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(STAGE_ROOT, f"ivf_serve_{sf_name}")
+    out_dir = os.path.join(STAGE_ROOT, f"ivf_serve_out_{sf_name}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    save_index(e, path, every_k=40)
+    assigned, cents = load_index(spark, path)
+
+    qsrc = e.filter(F.col("vec_id") < 10)
+    arrivals = os.path.join(STAGE_ROOT, f"ivf_serve_in_{sf_name}")
+    _stage_ordered_files(
+        spark,
+        [
+            qsrc.filter(F.col("vec_id") % 2 == 0),
+            qsrc.filter(F.col("vec_id") % 2 == 1),
+        ],
+        arrivals,
+    )
+    schema = StructType.fromDDL("vec_id long, embedding array<float>")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+    )
+
+    def serve(batch: DataFrame, _epoch_id: int) -> None:
+        qs = batch.select(
+            F.col("vec_id").alias("query_id"),
+            to_double(F.col("embedding")).alias("qv"),
+        )
+        probe_index_queries(assigned, cents, qs, nprobe=2, k=5).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    ckpt = os.path.join(STAGE_ROOT, f"ivf_serve_ckpt_{sf_name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        stream.writeStream.foreachBatch(serve)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 _TEMPORAL_ORACLE = f"""
 WITH ch AS ({CH_SQL}),
 pr AS (

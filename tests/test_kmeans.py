@@ -69,6 +69,49 @@ def test_iterations_do_not_degrade_fit(spark):
     assert m3 >= m1 - 1e-9  # Lloyd's never degrades the objective
 
 
+def test_two_level_assign_is_nearest_within_coarse_cell(spark):
+    """two_level_assign must (a) route each vector to its nearest
+    COARSE cell, then (b) pick the nearest FINE centroid within that
+    cell only (the IVF-style approximation), with the same rounded-
+    cosine / lowest-id tie-break as _nearest at both levels."""
+    from cdc_via_flink_spark.operators.kmeans import (
+        two_level_assign,
+        two_level_fit,
+    )
+
+    corpus = _corpus(spark)
+    coarse, fine = two_level_fit(
+        corpus, coarse_every_k=100, fine_every_k=25, max_iter=2, train_mod=2
+    )
+    v_df = corpus.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    got = {r.vec_id: r.cluster_id for r in two_level_assign(v_df, coarse, fine).collect()}
+
+    cmap = {r.centroid_id: r.cv for r in coarse.collect()}
+    fmap = {}
+    for r in fine.collect():
+        fmap.setdefault(r.coarse_id, []).append((r.centroid_id, r.cv))
+    vecs = {r.vec_id: r.v for r in v_df.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    checked = 0
+    for vid, cid in list(got.items())[:60]:
+        v = vecs[vid]
+        best_coarse = max(cmap, key=lambda k: (cos(v, cmap[k]), -k))
+        cell = fmap.get(best_coarse)
+        if cell is None:
+            assert cid == -(best_coarse + 2)  # deterministic fallback
+        else:
+            best_fine = max(cell, key=lambda e: (cos(v, e[1]), -e[0]))[0]
+            assert cid == best_fine, (vid, cid, best_fine)
+        checked += 1
+    assert checked == 60
+
+
 def test_two_level_topk_matches_single_level_any_layout(spark):
     """two_level_topk is exactly the single-level window top-k, for any
     partition layout (the blocking salt must not leak into results)."""
