@@ -165,7 +165,27 @@ def minhash_lsh_neardup(
     minimum for this algorithm; at 100 TB each is keyed small state.
 
     Output: id_a, id_b, inter, size_a, size_b, jaccard (rounded 6).
+
+    EXACT-DUPLICATE COLLAPSE (r5, mirroring
+    similarity.neardup_lsh_pairs): byte-identical texts share every
+    shingle, signature, and band — so the whole pipeline runs over one
+    REPRESENTATIVE per distinct text (rep = min id) and member pairs
+    are expanded back by linear equi-joins afterwards. Cross-class
+    pairs inherit the rep pair's inter/sizes/jaccard (sizes follow the
+    id swap); within-class pairs are identical shingle sets
+    (inter = sz, jaccard = 1.0, computed through the same formula).
+    Output-identical to the uncollapsed plan — a corpus of d distinct
+    docs duplicated m times costs the d-sized pipeline plus
+    output-linear expansion, not m²× the band-join and verify stages
+    (the duplicate-heavy regime is exactly what this operator exists
+    to clean). Empty-shingle docs produce no pairs in either form
+    (their classes never reach the signature aggregate).
     """
+    cls = df.groupBy(F.col(text_col).alias("_text")).agg(
+        F.min(F.col(id_col)).alias("_rep"),
+        F.collect_list(F.col(id_col)).alias("_members"),
+    )
+    df = cls.select(F.col("_rep").alias(id_col), F.col("_text").alias(text_col))
     sh = doc_shingles(df, text_col, id_col)
     t = sh.withColumn("t", token_int(F.col("sh")))
     aggs = [
@@ -227,17 +247,59 @@ def minhash_lsh_neardup(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
-    return (
-        inter.filter(jac >= threshold)
+    rep_pairs = inter.filter(jac >= threshold).select(
+        "id_a",
+        "id_b",
+        "inter",
+        "size_a",
+        "size_b",
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+    # expand rep pairs across both classes' members (sizes follow the
+    # least/greatest id swap — size_a must stay id_a's doc size)
+    ma = cls.select(F.col("_rep").alias("id_a"), F.explode("_members").alias("mem_a"))
+    mb = cls.select(F.col("_rep").alias("id_b"), F.explode("_members").alias("mem_b"))
+    swap = F.col("mem_a") > F.col("mem_b")
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
         .select(
-            "id_a",
-            "id_b",
+            F.least("mem_a", "mem_b").alias("id_a"),
+            F.greatest("mem_a", "mem_b").alias("id_b"),
             "inter",
-            "size_a",
-            "size_b",
-            F.round(jac, 6).alias("jaccard"),
+            F.when(swap, F.col("size_b")).otherwise(F.col("size_a")).alias("size_a"),
+            F.when(swap, F.col("size_a")).otherwise(F.col("size_b")).alias("size_b"),
+            "jaccard",
         )
     )
+    # within-class pairs: identical shingle sets — inter = sz,
+    # jaccard = sz/(sz+sz-sz) = 1.0, evaluated through the same
+    # formula; classes whose rep produced no shingles never reach
+    # sigsz and emit nothing (matching the uncollapsed plan)
+    me = (
+        cls.filter(F.size("_members") > 1)
+        .join(sigsz, cls._rep == sigsz.doc_id)
+        .select("_rep", "sz", F.explode("_members").alias("m"))
+    )
+    within = (
+        me.alias("X")
+        .join(
+            me.alias("Y"),
+            (F.col("X._rep") == F.col("Y._rep")) & (F.col("X.m") < F.col("Y.m")),
+        )
+        .select(
+            F.col("X.m").alias("id_a"),
+            F.col("Y.m").alias("id_b"),
+            F.col("X.sz").alias("inter"),
+            F.col("X.sz").alias("size_a"),
+            F.col("X.sz").alias("size_b"),
+            F.round(
+                F.col("X.sz") / (F.col("X.sz") + F.col("X.sz") - F.col("X.sz")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def simhash64(sh: DataFrame) -> DataFrame:

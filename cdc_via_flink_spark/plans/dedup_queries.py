@@ -696,8 +696,13 @@ FROM r WHERE rn = 1
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup — embedding-space semantic dedup
-    (operators/dedup.py::semantic_dedup): k-means clusters, then drop
-    any doc with a lower-id cluster-mate at cosine >= {tau}. The
+    (operators/dedup.py::semantic_dedup): TWO-LEVEL clustering (coarse
+    Lloyd's-trained cells over a hash-sample, fine selection centroids
+    per cell; assignment is an O(n·(k1+k/k1)) expression argmin over
+    broadcast centroid arrays — never an n×k crossJoin), then drop
+    any doc with a lower-id cluster-mate at cosine >= {tau}; the pair
+    stage collapses exact-duplicate vectors to class reps first, so it
+    is quadratic only in DISTINCT vectors. The
     clustering is iteratively trained, so the declared output follows
     the trained-ANN summary pattern: per probe doc, the exact
     brute-force nearest neighbor (oracle-computable) + within_bound,

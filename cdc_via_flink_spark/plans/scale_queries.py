@@ -496,3 +496,120 @@ def sim_ivf_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 6).alias("idcg"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     )
+
+
+def _z16_sql(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB twin of the Morton interleave below."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _z16(x, y, bits: int = 16):
+    """Morton/Z-order interleave of two ``bits``-bit keys — pure
+    integer bit expressions (2·bits shift-and-mask terms, whole-stage
+    codegen). x rides the odd (higher) positions, y the even."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(
+            F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1
+        )
+        z = z + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i
+        )
+    return z
+
+
+_ZB = 8  # per-column code width: 256 range buckets per dimension
+
+
+def _scale_sql(x: str, mn: str, mx: str) -> str:
+    """Map x over [mn, mx] onto the 8-bit code space (integer-exact in
+    double: products stay far below 2^53)."""
+    return f"CAST(floor(({x} - {mn}) * {1 << _ZB} / ({mx} - {mn} + 1)) AS BIGINT)"
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+WITH mm AS (
+  SELECT min(l_partkey) AS pk_mn, max(l_partkey) AS pk_mx,
+         min(l_suppkey) AS sk_mn, max(l_suppkey) AS sk_mx
+  FROM lineitem
+),
+z AS (
+  SELECT l_partkey, l_suppkey,
+         {_z16_sql(_scale_sql('l_partkey', 'mm.pk_mn', 'mm.pk_mx'),
+                   _scale_sql('l_suppkey', 'mm.sk_mn', 'mm.sk_mx'),
+                   bits=_ZB)} AS zval
+  FROM lineitem CROSS JOIN mm
+),
+b AS (SELECT zval >> 10 AS zbucket, l_partkey, l_suppkey FROM z)
+SELECT zbucket,
+       count(*) AS n_rows,
+       min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+       min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max,
+       max(l_partkey) - min(l_partkey) AS pk_span,
+       max(l_suppkey) - min(l_suppkey) AS sk_span
+FROM b GROUP BY zbucket
+""",
+    tags=("ext", "layout", "zorder", "data-skipping"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data layout (Delta `OPTIMIZE ... ZORDER BY` / Iceberg
+    sort-order analog, on plain expressions): range-SCALE the two
+    predicate columns onto a common 8-bit code space (raw-value
+    interleave is a known z-order trap — with unequal key domains the
+    top interleaved bits all come from the wider column and the second
+    column never clusters; tests/test_zorder.py demonstrates it on
+    parquet footer stats), Morton-interleave the codes into one
+    clustering key, and profile the file-sized buckets a zval-sorted
+    rewrite would produce — per bucket the MIN/MAX of BOTH columns and
+    their spans, i.e. exactly the parquet row-group statistics that
+    make data-skipping work. The point at 100 TB: a linear sort
+    clusters only its leading column; the Z-curve keeps BOTH spans
+    narrow, so selective predicates on EITHER column prune most files.
+    The min/max scale constants ride a broadcast 1-row aggregate (no
+    driver action); the interleave is 2·8 shift-and-mask integer terms
+    — whole-stage codegen, map-side; the bucket profile is one hash
+    aggregate. Writing the layout is then
+    `df.repartitionByRange(F.col('zval')).sortWithinPartitions('zval')
+    .write...` — exercised with footer-stats assertions in
+    tests/test_zorder.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_partkey").alias("pk_mn"),
+        F.max("l_partkey").alias("pk_mx"),
+        F.min("l_suppkey").alias("sk_mn"),
+        F.max("l_suppkey").alias("sk_mx"),
+    )
+
+    def scale(x, mn, mx):
+        return F.floor(
+            (x - mn) * (1 << _ZB) / (mx - mn + F.lit(1))
+        ).cast("long")
+
+    z = li.crossJoin(F.broadcast(mm)).select(
+        "l_partkey",
+        "l_suppkey",
+        _z16(
+            scale(F.col("l_partkey"), F.col("pk_mn"), F.col("pk_mx")),
+            scale(F.col("l_suppkey"), F.col("sk_mn"), F.col("sk_mx")),
+            bits=_ZB,
+        ).alias("zval"),
+    )
+    return (
+        z.withColumn("zbucket", F.shiftright(F.col("zval"), 10))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+            F.min("l_suppkey").alias("sk_min"),
+            F.max("l_suppkey").alias("sk_max"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("pk_span"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("sk_span"),
+        )
+    )
