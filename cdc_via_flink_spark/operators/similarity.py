@@ -17,6 +17,7 @@ corpus, per-partition fold — no shuffle at all for brute-force scoring
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from cdc_via_flink_spark.functions.vectors import cosine, dot, to_double
@@ -69,12 +70,54 @@ def with_lsh_codes(
 ) -> DataFrame:
     """Add `codes`: array of `tables` bucket ids, table t's id built
     from sign bits of projections j = t*bits..t*bits+bits-1 (same
-    deterministic family as with_bucket). One nested higher-order
-    expression — JVM-side, no Python; each of the bits*tables dot
-    products is evaluated exactly once per row (NO intermediate
-    signature column: CollapseProject would inline it into every
-    reference site and re-evaluate the whole signature per aggregate
-    step — measured as a >100x slowdown)."""
+    deterministic family as with_bucket).
+
+    Computed as ONE Arrow-batched numpy matmul per partition
+    (X @ P.T → signs → bit-pack): bits×tables projections of a 64-d
+    vector are dense linear algebra, which the Catalyst higher-order
+    fold evaluates interpreted at ~1.4 M mult-adds/s (measured 17.8 s
+    for 2 000 rows — it was the whole pipeline's bottleneck) while the
+    vectorized kernel does it in milliseconds. This is the vectorized-
+    Pandas-UDF-for-embedding-math pattern (same sanction class as the
+    NFC normalizer, functions/text.py); codes are engine-internal
+    (never oracle-compared — declared outputs are exact-verified
+    PAIRS), and the integer projection family makes the sign
+    fp-robust: products are exact in float64, so a sign flip would
+    need |Σ| below accumulated ulp — the expression-twin parity test
+    (tests/test_plans.py::test_lsh_codes_pandas_matches_expression)
+    pins equality on every fixture. `_with_lsh_codes_expr` keeps the
+    pure-expression twin."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(
+        [proj_vector(j, dim) for j in range(bits * tables)], dtype=np.float64
+    )
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<bigint>")
+    def codes_udf(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        signs = (X @ P.T) > 0.0  # (n, bits*tables)
+        C = (signs.reshape(len(X), tables, bits) * weights).sum(axis=2)
+        return pd.Series(list(C.astype(np.int64)))
+
+    return df.withColumn("codes", codes_udf(to_double(F.col(vec_col))))
+
+
+def _with_lsh_codes_expr(
+    df: DataFrame,
+    vec_col: str,
+    bits: int = NEARDUP_BITS,
+    tables: int = NEARDUP_TABLES,
+    dim: int = 64,
+) -> DataFrame:
+    """Pure-Catalyst twin of with_lsh_codes (the pre-r5 form): one
+    nested higher-order expression, each dot evaluated exactly once
+    (NO intermediate signature column: CollapseProject would inline it
+    into every reference site and re-evaluate the whole signature per
+    aggregate step — measured as a >100x slowdown). Kept for the
+    parity test and as the no-numpy fallback."""
     proj = F.expr(_proj2d_sql(bits * tables, dim))
     v = to_double(F.col(vec_col))
     codes = F.transform(
@@ -162,6 +205,12 @@ def neardup_lsh_pairs(
     )
     va = reps.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     vb = reps.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    # Verify stays a pure Catalyst fold: an Arrow-side approximate
+    # prefilter was tried in r5 and LOST — shipping the ~2 M candidate
+    # (va, vb) pairs through Arrow costs more than the interpreted
+    # cosine saves; the join + fold never leaves the JVM. (The codes
+    # stage IS Arrow-vectorized — there the transfer is one 64-d
+    # vector per ROW, not per candidate pair.)
     rep_pairs = (
         pairs.join(va, "id_a")
         .join(vb, "id_b")

@@ -67,6 +67,37 @@ def test_no_python_udfs_in_relational_core(spark):
         assert "ArrowEvalPython" not in plan, f"{name} fell off the JVM path"
 
 
+def test_lsh_codes_pandas_matches_expression(spark):
+    """The Arrow-matmul LSH coder must emit bit-identical codes to the
+    pure-Catalyst expression twin on every fixture (integer projection
+    family → exact float64 products → the sign is fp-robust; this pins
+    it, so the candidate sets — and hence the exact-verified pair
+    outputs — cannot drift between the two forms)."""
+    from cdc_via_flink_spark.operators.similarity import (
+        _with_lsh_codes_expr,
+        to_double,
+        with_lsh_codes,
+    )
+    from cdc_via_flink_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = load_table(spark, sf, "embeddings").select(
+            "vec_id", to_double(F.col("embedding")).alias("v")
+        )
+        fast = {
+            r.vec_id: list(r.codes)
+            for r in with_lsh_codes(d, "v").select("vec_id", "codes").collect()
+        }
+        slow = {
+            r.vec_id: list(r.codes)
+            for r in _with_lsh_codes_expr(d, "v")
+            .select("vec_id", "codes")
+            .collect()
+        }
+        assert fast == slow, sf
+
+
 def test_decode_stub_uses_arrow(spark):
     """The multimodal decode is the ONE sanctioned Python operator and
     must go through Arrow (mapInPandas), not row-at-a-time eval."""
