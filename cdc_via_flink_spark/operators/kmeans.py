@@ -67,7 +67,10 @@ def _argmin(cent_arr: Column, v: Column, nv: Column) -> Column:
     )
 
     def step(acc: Column, c: Column) -> Column:
-        sc = F.round(dot(v, c["cv"]) / (nv * c["cn"]), 6)
+        # try_divide: a zero-norm vector (or centroid) yields a NULL
+        # score — the fold then keeps its -1 init (the documented
+        # unassignable sentinel) instead of throwing under ANSI mode
+        sc = F.round(F.try_divide(dot(v, c["cv"]), nv * c["cn"]), 6)
         better = (sc > acc["c_cos"]) | (
             (sc == acc["c_cos"]) & (c["centroid_id"] < acc["centroid_id"])
         )
@@ -122,7 +125,10 @@ def kmeans_fit(
     operators/reconstruct.py), keeping TRAINING sublinear while the
     caller's single full-corpus assignment stays the only O(n) pass.
     Init vectors are the every-Kth stride over the FULL corpus (not the
-    sample), so k is unchanged by sampling."""
+    sample), AND the update step left-joins against the previous
+    centroid table (empty clusters keep their old centroid), so k is
+    invariant across iterations even when a sampled iteration assigns
+    a centroid no members (likelier as train_mod grows)."""
     v_df = corpus.select(
         F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
     )
@@ -147,7 +153,13 @@ def kmeans_fit(
             )
             .select(F.col("cluster_id").alias("centroid_id"), "cv")
         )
-        cents = upd.localCheckpoint(eager=True)
+        # a centroid that attracted no (sampled) members keeps its
+        # previous position instead of silently dropping out — k is
+        # invariant across iterations (k-row left join, trivial cost)
+        kept = cents.select("centroid_id", F.col("cv").alias("old_cv")).join(
+            upd.withColumnRenamed("cv", "new_cv"), "centroid_id", "left"
+        ).select("centroid_id", F.coalesce("new_cv", "old_cv").alias("cv"))
+        cents = kept.localCheckpoint(eager=True)
     return cents
 
 
@@ -208,7 +220,12 @@ def two_level_assign(
     divide the id space evenly) falls back to cluster_id =
     -(coarse_id+2): its members still co-cluster deterministically,
     at coarse granularity, without colliding with fine ids (which are
-    vec_ids ≥ 0) or the -1 empty-array sentinel."""
+    vec_ids ≥ 0) or the -1 empty-array sentinel. A row whose coarse
+    argmin itself returned the -1 sentinel (zero-norm vector → NULL
+    cosines, or an empty coarse set) stays at -1 rather than being
+    re-encoded as -(-1+2) = -1-colliding fallback: the guard keeps the
+    sentinel space disjoint (-1 = unassignable, -(c+2) = coarse-only
+    cell c ≥ 0)."""
     ca = _nearest(v_df, coarse).withColumnRenamed("cluster_id", "coarse_id")
     cells = _cent_array(
         fine.select("coarse_id", "centroid_id", "cv"), "coarse_id"
@@ -222,7 +239,9 @@ def two_level_assign(
             "v",
             F.when(
                 F.col("cent_arr").isNull(),
-                -(F.col("coarse_id") + F.lit(2)),
+                F.when(
+                    F.col("coarse_id") >= 0, -(F.col("coarse_id") + F.lit(2))
+                ).otherwise(F.lit(-1).cast("long")),
             )
             .otherwise(best["centroid_id"])
             .alias("cluster_id"),

@@ -102,9 +102,14 @@ def _fit_vdf(
     and replaces each codeword by its members' per-dimension mean
     (empty codewords keep their previous value so code indices never
     shift)."""
-    n = v_df.count()  # tiny scalar agg; precedent: ivf.py centroids
+    # one tiny scalar job for BOTH fit probes (n and dim) — a 1-row
+    # broadcastable aggregate; precedent: ivf.py centroids. min(size)
+    # is deterministic where first() is not, and the fixed-dim
+    # invariant makes min == every row's size.
+    n, d = v_df.agg(
+        F.count(F.lit(1)).alias("n"), F.min(F.size("v")).alias("d")
+    ).head()
     stride = max(1, -(-n // codebook_k))  # ceil
-    d = v_df.select(F.size("v")).head()[0]
     d_sub = d // m
     if d_sub * m != d:
         raise ValueError(f"dim {d} not divisible into {m} subvectors")
@@ -202,8 +207,8 @@ def pq_topk(
         corpus, m=m, codebook_k=codebook_k, max_iter=max_iter,
         vec_col=vec_col, id_col=id_col,
     )
-    d = corpus.select(F.size(vec_col)).head()[0]
-    d_sub = d // m
+    # dim off the checkpointed 1-row codebook (free) — no corpus scan
+    d_sub = len(cb_row.head()["cb"][0][0])
 
     v_df = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -367,8 +372,7 @@ def ivfpq_topk(
         codebook_k=codebook_k,
         max_iter=pq_iter,
     )
-    d = corpus.select(F.size(vec_col)).head()[0]
-    d_sub = d // m
+    d_sub = len(cb_row.head()["cb"][0][0])  # off the checkpointed row
     codes = resid.crossJoin(F.broadcast(cb_row)).select(
         "vec_id",
         "cluster_id",

@@ -97,10 +97,23 @@ def with_lsh_codes(
 
     @pandas_udf("array<bigint>")
     def codes_udf(vs: pd.Series) -> pd.Series:
-        X = np.asarray(vs.tolist(), dtype=np.float64)
-        signs = (X @ P.T) > 0.0  # (n, bits*tables)
-        C = (signs.reshape(len(X), tables, bits) * weights).sum(axis=2)
-        return pd.Series(list(C.astype(np.int64)))
+        # degenerate-input parity with the expression twin: an empty
+        # Arrow batch returns an empty series (np.asarray of [] would
+        # be shape (0,) and break the matmul), and NULL embeddings map
+        # to NULL codes (the expression fold propagates NULL the same
+        # way) instead of poisoning the batch with an object-dtype X.
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        out = pd.Series([None] * len(vs), dtype=object, index=vs.index)
+        mask = vs.notna()
+        if mask.any():
+            X = np.asarray(vs[mask].tolist(), dtype=np.float64)
+            signs = (X @ P.T) > 0.0  # (n, bits*tables)
+            C = (signs.reshape(len(X), tables, bits) * weights).sum(axis=2)
+            out[mask] = pd.Series(
+                list(C.astype(np.int64)), index=vs.index[mask], dtype=object
+            )
+        return out
 
     return df.withColumn("codes", codes_udf(to_double(F.col(vec_col))))
 
@@ -131,7 +144,10 @@ def _with_lsh_codes_expr(
             * F.pow(F.lit(2.0), k.cast("double")).cast("long"),
         ),
     )
-    return df.withColumn("codes", codes)
+    # NULL embedding → NULL codes (not the all-zero vector the bare
+    # when/otherwise fold would yield): a NULL row must never share a
+    # bucket with real vectors whose signs are genuinely all-negative
+    return df.withColumn("codes", F.when(v.isNotNull(), codes))
 
 
 def neardup_lsh_pairs(

@@ -20,6 +20,17 @@ output instead (is_current = -1, the S4 side-output discriminator:
 valid_from_ms = the late row's ts, valid_to_ms = the open version's
 valid_from it collided with); the open version is untouched. History
 consumers filter is_current >= 0.
+
+EQUAL-timestamp arrivals (t == open valid_from) are deliberately NOT
+dead-lettered: the batch oracle (cdc_scd2_history:
+lead(ts_ms) OVER (ORDER BY ts_ms, seq) - 1) closes the earlier-seq
+row of a tie with valid_to = t - 1 = valid_from - 1, i.e. batch SCD2
+itself renders a same-instant supersession as a zero/negative-width
+interval — so the streaming path does the same (within a batch the
+ts,seq sort makes the lower-seq row close first; cross-batch the open
+version closes). Dead-lettering ties would diverge from the batch
+history under replay. Pinned by
+tests/test_stream_scd2.py::test_scd2_equal_ts_tie_matches_batch.
 """
 
 from __future__ import annotations

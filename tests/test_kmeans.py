@@ -112,6 +112,47 @@ def test_two_level_assign_is_nearest_within_coarse_cell(spark):
     assert checked == 60
 
 
+def test_sampled_fit_keeps_every_centroid(spark):
+    """k is invariant across iterations even under aggressive training
+    sampling: a centroid whose (sampled) member set comes up empty
+    keeps its previous position instead of silently dropping out
+    (ADVICE r5 — the update groupBy alone would shrink k)."""
+    corpus = _corpus(spark)
+    init_k = corpus.filter(F.col("vec_id") % 10 == 0).count()
+    for mod in (7, 23):
+        cents = kmeans_fit(corpus, every_k=10, max_iter=3, train_mod=mod)
+        assert cents.count() == init_k, mod
+
+
+def test_two_level_assign_sentinels_disjoint(spark):
+    """Zero-norm vectors (NULL cosines → coarse argmin returns its -1
+    init) must stay at -1, NOT be re-encoded through the empty-cell
+    fallback as -(-1+2) = -1 by accident of arithmetic; cells with no
+    fine centroid map to -(coarse_id+2) ≥ -2 only for coarse_id ≥ 0
+    (ADVICE r5 sentinel-collision guard)."""
+    from cdc_via_flink_spark.operators.kmeans import two_level_assign
+
+    coarse = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id long, cv array<double>",
+    )
+    # fine centroids only for coarse cell 0 — cell 1 is fine-empty
+    fine = spark.createDataFrame(
+        [(0, 10, [1.0, 0.1, 0.0]), (0, 11, [1.0, -0.1, 0.0])],
+        "coarse_id long, centroid_id long, cv array<double>",
+    )
+    v_df = spark.createDataFrame(
+        [
+            (100, [0.0, 0.0, 0.0]),   # zero-norm → sentinel -1
+            (101, [0.1, 1.0, 0.0]),   # cell 1, fine-empty → -(1+2)
+            (102, [1.0, 0.05, 0.0]),  # cell 0 → nearest fine id 10
+        ],
+        "vec_id long, v array<double>",
+    )
+    got = {r.vec_id: r.cluster_id for r in two_level_assign(v_df, coarse, fine).collect()}
+    assert got == {100: -1, 101: -3, 102: 10}
+
+
 def test_two_level_topk_matches_single_level_any_layout(spark):
     """two_level_topk is exactly the single-level window top-k, for any
     partition layout (the blocking salt must not leak into results)."""

@@ -98,6 +98,29 @@ def test_lsh_codes_pandas_matches_expression(spark):
         assert fast == slow, sf
 
 
+def test_lsh_codes_degenerate_inputs_match_expression(spark):
+    """Degenerate-input parity (ADVICE r5): NULL embeddings → NULL
+    codes (like the expression fold), and an all-NULL / empty slice
+    must not crash the Arrow matmul on a shape-(0,) batch."""
+    from cdc_via_flink_spark.operators.similarity import (
+        _with_lsh_codes_expr,
+        with_lsh_codes,
+    )
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(0, [float(i % 7 - 3) for i in range(64)]), (1, None), (2, None)],
+        "vec_id long, v array<double>",
+    ).repartition(4)  # some partitions get empty / all-NULL batches
+    fast = {r.vec_id: r.codes and list(r.codes) for r in with_lsh_codes(d, "v").collect()}
+    slow = {
+        r.vec_id: r.codes and list(r.codes)
+        for r in _with_lsh_codes_expr(d, "v").collect()
+    }
+    assert fast == slow
+    assert fast[1] is None and fast[2] is None and fast[0] is not None
+
+
 def test_decode_stub_uses_arrow(spark):
     """The multimodal decode is the ONE sanctioned Python operator and
     must go through Arrow (mapInPandas), not row-at-a-time eval."""

@@ -86,3 +86,36 @@ def test_scd2_cross_batch_out_of_order_dead_letters(spark):
     assert all(
         f <= (t if t is not None else f) for f, t, _ in hist.values()
     )
+
+
+def test_scd2_equal_ts_tie_matches_batch(spark):
+    """EQUAL-timestamp supersessions are kept (NOT dead-lettered), both
+    within a batch and across the batch boundary, because the batch
+    oracle (cdc_scd2_history: lead(ts_ms) OVER (ORDER BY ts_ms, seq)-1)
+    itself closes the earlier-seq row of a tie at valid_to = t-1.
+    Streaming must replay to the identical history (ADVICE r5)."""
+    # key "j": within-batch tie; key "k": cross-batch tie
+    b1 = [("j", 1, "c", BASE), ("j", 2, "u", BASE), ("k", 1, "c", BASE)]
+    b2 = [("k", 2, "u", BASE)]
+    s1 = [("flush", -1, "c", BASE + 10 * DAY)]
+    s2 = [("flush", -2, "c", BASE + 20 * DAY)]
+    frames = [
+        spark.createDataFrame(r, schema=SCHEMA) for r in (b1, b2, s1, s2)
+    ]
+    dest = os.path.join(STAGE_ROOT, "scd2_tie_unit")
+    _stage_ordered_files(spark, frames, dest)
+    sch = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(dest)
+    )
+    out = _run_to_memory(scd2_stream(sch), "append")
+    got = {
+        (r["txn_id"], r["seq"]): (r["valid_from_ms"], r["valid_to_ms"], r["is_current"])
+        for r in out.filter(F.col("txn_id").isin("j", "k")).collect()
+    }
+    # the batch window semantics: lower-seq row of the tie closes at t-1
+    assert got == {
+        ("j", 1): (BASE, BASE - 1, 0),
+        ("j", 2): (BASE, None, 1),
+        ("k", 1): (BASE, BASE - 1, 0),
+        ("k", 2): (BASE, None, 1),
+    }
