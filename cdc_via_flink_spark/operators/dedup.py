@@ -180,10 +180,22 @@ def minhash_lsh_neardup(
     (the duplicate-heavy regime is exactly what this operator exists
     to clean). Empty-shingle docs produce no pairs in either form
     (their classes never reach the signature aggregate).
+
+    The collapse groupBy is keyed on a FIXED-WIDTH 128-bit digest pair
+    (xxhash64 + murmur3 of the raw text), not the multi-KB text itself
+    — the exchange hashes/sorts 12-byte keys while the text rides as a
+    min() payload (the exact_dedup digest precedent; at 100 TB a
+    content-valued shuffle key inflates exchange CPU and spill-sort
+    cost for no semantic gain). Two texts are merged only on a joint
+    64+32-bit collision — negligible at any corpus size.
     """
-    cls = df.groupBy(F.col(text_col).alias("_text")).agg(
+    cls = df.groupBy(
+        F.xxhash64(F.col(text_col)).alias("_h1"),
+        F.hash(F.col(text_col)).alias("_h2"),
+    ).agg(
         F.min(F.col(id_col)).alias("_rep"),
         F.collect_list(F.col(id_col)).alias("_members"),
+        F.min(F.col(text_col)).alias("_text"),
     )
     df = cls.select(F.col("_rep").alias(id_col), F.col("_text").alias(text_col))
     sh = doc_shingles(df, text_col, id_col)
@@ -389,9 +401,15 @@ def semantic_dedup(
     #   b's class B, rep_C < b } ∪ { (rep_B, selfcos) : rep_B < b }
     # — exact, because the lowest member of a class IS its rep, and
     # every member of a close class is a close mate (identical v).
-    cls = assigned.groupBy("cluster_id", "v").agg(
+    # digest-keyed collapse (fixed-width exchange keys — see
+    # similarity.neardup_lsh_pairs): group on (cluster_id, 96-bit
+    # vector digest), carry the vector as a min() payload
+    cls = assigned.groupBy(
+        "cluster_id", F.xxhash64("v").alias("_h1"), F.hash("v").alias("_h2")
+    ).agg(
         F.min("vec_id").alias("rep"),
         F.collect_list("vec_id").alias("members"),
+        F.min("v").alias("v"),
     )
     cls = cls.withColumn(
         "self_cos", F.round(cosine(F.col("v"), F.col("v")), 6)

@@ -198,9 +198,17 @@ def neardup_lsh_pairs(
     d = ensure_min_partitions(embeddings).select(
         F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
     )
-    cls = d.groupBy("v").agg(
+    # collapse keyed on a fixed-width 96-bit digest pair of the vector
+    # (xxhash64 + murmur3 over the array), NOT the 512-byte vector
+    # itself: the exchange hashes/sorts 12-byte keys and the vector
+    # rides as a min() payload (values identical within a class). Two
+    # distinct vectors merge only on a joint 64+32-bit collision.
+    cls = d.groupBy(
+        F.xxhash64("v").alias("_h1"), F.hash("v").alias("_h2")
+    ).agg(
         F.min("vec_id").alias("rep"),
         F.sort_array(F.collect_list("vec_id")).alias("members"),
+        F.min("v").alias("v"),
     )
     reps = cls.select(F.col("rep").alias("vec_id"), "v")
     coded = with_lsh_codes(reps, "v", bits=bits, tables=tables)

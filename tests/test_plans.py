@@ -282,6 +282,25 @@ def test_neardup_lsh_equals_bruteforce(spark):
     assert got == exact and len(got) > 0
 
 
+def test_dedup_collapse_exchanges_are_digest_keyed(spark):
+    """The exact-duplicate class collapses must shuffle on FIXED-WIDTH
+    digest keys (xxhash64+murmur3 of the content), never on the raw
+    text / 64-d vector itself — a content-valued hashpartitioning key
+    inflates exchange CPU and spill-sort cost at scale (VERDICT r5
+    finding #2). Pinned on the physical plans of the three collapse
+    sites' declared queries."""
+    import re
+
+    for name in ("dedup_minhash_lsh", "sim_embedding_neardup", "dedup_semantic"):
+        plan = _plan(spark, name)
+        for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+            keys = m.group(1)
+            assert "text#" not in keys and not re.search(r"\bv#\d+", keys), (
+                name,
+                keys,
+            )
+
+
 def test_argmin_and_scalar_max_single_fact_scan(spark):
     """Q2/Q15 shapes: the min/max over a derived aggregate must come
     from a WINDOW on the aggregated frame, not a joined-back second
