@@ -27,6 +27,7 @@ from cdc_via_flink_spark.operators.debezium import (  # noqa: F401
 )
 from cdc_via_flink_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
+    minhash_lsh_components,
     minhash_lsh_neardup,
     simhash64,
 )
@@ -70,6 +71,7 @@ __all__ = [
     "latest_state",
     "load_table",
     "load_tables",
+    "minhash_lsh_components",
     "minhash_lsh_neardup",
     "pack_greedy",
     "parse_debezium",

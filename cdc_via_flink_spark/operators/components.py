@@ -54,6 +54,13 @@ def connected_components(
     )
     # undirected: keep both directions, so one join covers all neighbors
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if use_checkpoint:
+        # materialize the edge list ONCE: every propagation round joins
+        # against sym, and without this the whole upstream pair
+        # pipeline (LSH banding + verify) re-enters the plan — and may
+        # re-execute — per round; duplicate-cluster edge lists are
+        # collision-bounded, so the materialization is small
+        sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

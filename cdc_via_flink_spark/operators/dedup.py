@@ -149,46 +149,33 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_neardup(
+def _lsh_core(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    num_hashes: int = 16,
-    bands: int = 4,
-    rows: int = 4,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Fused near-dup pipeline: signature+set-size in ONE aggregation,
-    banding via explode (no 4-way union), candidate sizes carried
-    through the band join (no post-hoc size joins). Shuffle count:
-    1 (signature agg) + 1 (band self-join) + 1 (pair agg) — the
-    minimum for this algorithm; at 100 TB each is keyed small state.
+    num_hashes: int,
+    bands: int,
+    rows: int,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of the MinHash-LSH pipeline, up to exact-verified
+    REP pairs: returns (cls, sigsz, rep_pairs).
 
-    Output: id_a, id_b, inter, size_a, size_b, jaccard (rounded 6).
+    - cls: one row per distinct-text class — (_rep = min member id,
+      _members, _text), grouped on a FIXED-WIDTH digest pair
+      (xxhash64 + murmur3) of the raw text, not the multi-KB text
+      itself (the exact_dedup precedent; the exchange hashes/sorts
+      12-byte keys and the text rides as a min() payload; classes
+      merge only on a joint 64+32-bit collision — negligible).
+    - sigsz: per shingled rep, the MinHash signature + distinct-
+      shingle count (one aggregation).
+    - rep_pairs: (id_a, id_b, inter, size_a, size_b, jaccard) over
+      class REPS only, exact-Jaccard-verified at `threshold`.
 
-    EXACT-DUPLICATE COLLAPSE (r5, mirroring
-    similarity.neardup_lsh_pairs): byte-identical texts share every
-    shingle, signature, and band — so the whole pipeline runs over one
-    REPRESENTATIVE per distinct text (rep = min id) and member pairs
-    are expanded back by linear equi-joins afterwards. Cross-class
-    pairs inherit the rep pair's inter/sizes/jaccard (sizes follow the
-    id swap); within-class pairs are identical shingle sets
-    (inter = sz, jaccard = 1.0, computed through the same formula).
-    Output-identical to the uncollapsed plan — a corpus of d distinct
-    docs duplicated m times costs the d-sized pipeline plus
-    output-linear expansion, not m²× the band-join and verify stages
-    (the duplicate-heavy regime is exactly what this operator exists
-    to clean). Empty-shingle docs produce no pairs in either form
-    (their classes never reach the signature aggregate).
-
-    The collapse groupBy is keyed on a FIXED-WIDTH 128-bit digest pair
-    (xxhash64 + murmur3 of the raw text), not the multi-KB text itself
-    — the exchange hashes/sorts 12-byte keys while the text rides as a
-    min() payload (the exact_dedup digest precedent; at 100 TB a
-    content-valued shuffle key inflates exchange CPU and spill-sort
-    cost for no semantic gain). Two texts are merged only on a joint
-    64+32-bit collision — negligible at any corpus size.
-    """
+    Consumers: minhash_lsh_neardup expands rep pairs to the full
+    member-pair contract; minhash_lsh_components skips the
+    member-quadratic expansion entirely and feeds class membership
+    straight into connected components (VERDICT r5 #3)."""
     cls = df.groupBy(
         F.xxhash64(F.col(text_col)).alias("_h1"),
         F.hash(F.col(text_col)).alias("_h2"),
@@ -218,21 +205,14 @@ def minhash_lsh_neardup(
         "doc_id", "sz", F.explode(F.array(*band_structs)).alias("bd")
     ).select("doc_id", "sz", F.col("bd.band").alias("band"), F.col("bd.bsig").alias("bsig"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # skew-guarded band self-join (operators/banding.py): a hot band
+    # bucket of near-identical-but-not-byte-identical docs is salted
+    # into ≤cap sub-buckets so no single task owns a quadratic key
+    from cdc_via_flink_spark.operators.banding import band_self_join
+
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sz").alias("size_a"),
-            F.col("b.sz").alias("size_b"),
-        )
+        band_self_join(banded, ("band", "bsig"), "doc_id", payload_cols=("sz",))
+        .withColumnsRenamed({"sz_a": "size_a", "sz_b": "size_b"})
         .distinct()
     )
 
@@ -267,7 +247,50 @@ def minhash_lsh_neardup(
         "size_b",
         F.round(jac, 6).alias("jaccard"),
     )
+    return cls, sigsz, rep_pairs
 
+
+def minhash_lsh_neardup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fused near-dup pipeline: signature+set-size in ONE aggregation,
+    banding via explode (no 4-way union), candidate sizes carried
+    through the skew-guarded band join (operators/banding.py — no
+    post-hoc size joins, no single-task quadratic bucket). Shuffle
+    count: 1 (signature agg) + the band self-join + 1 (pair agg) —
+    keyed small state at 100 TB.
+
+    Output: id_a, id_b, inter, size_a, size_b, jaccard (rounded 6) —
+    ALL member pairs.
+
+    EXACT-DUPLICATE COLLAPSE (r5, mirroring
+    similarity.neardup_lsh_pairs): byte-identical texts share every
+    shingle, signature, and band — so the whole pipeline (_lsh_core)
+    runs over one REPRESENTATIVE per distinct text (rep = min id) and
+    member pairs are expanded back by linear equi-joins afterwards.
+    Cross-class pairs inherit the rep pair's inter/sizes/jaccard
+    (sizes follow the id swap); within-class pairs are identical
+    shingle sets (inter = sz, jaccard = 1.0, computed through the
+    same formula). Output-identical to the uncollapsed plan — a
+    corpus of d distinct docs duplicated m times costs the d-sized
+    pipeline plus output-linear expansion. Empty-shingle docs produce
+    no pairs in either form (their classes never reach the signature
+    aggregate).
+
+    NOTE the pair contract itself is member-quadratic: a duplicate
+    class of m copies owes C(m, 2) rows. Cluster/survivorship/corpus
+    consumers should use minhash_lsh_components instead, which never
+    materializes member pairs (VERDICT r5 #3).
+    """
+    cls, sigsz, rep_pairs = _lsh_core(
+        df, text_col, id_col, num_hashes, bands, rows, threshold
+    )
     # expand rep pairs across both classes' members (sizes follow the
     # least/greatest id swap — size_a must stay id_a's doc size)
     ma = cls.select(F.col("_rep").alias("id_a"), F.explode("_members").alias("mem_a"))
@@ -312,6 +335,53 @@ def minhash_lsh_neardup(
         )
     )
     return cross.unionByName(within)
+
+
+def minhash_lsh_components(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """CLASS-MODE duplicate clusters (VERDICT r5 #3): (node, component)
+    for every doc in a near-dup cluster, WITHOUT ever materializing
+    member pairs — output-linear in corpus size even when one viral
+    duplicate class holds 10⁶ copies (the pair contract would owe
+    C(10⁶, 2) ≈ 5·10¹¹ rows; this path emits 10⁶).
+
+    Exactly equal to connected_components(minhash_lsh_neardup(...))
+    by construction: identical texts always share a class, so the
+    member-pair graph is the rep-pair graph with each rep node blown
+    up into a clique of its class members —
+    - rep-graph edges = verified rep pairs, PLUS a self-loop per
+      multi-member SHINGLED class (within-class pairs exist in pair
+      mode only when the rep produced shingles, so empty-shingle
+      classes stay out of the graph in both forms);
+    - component labels agree because each class's rep IS its minimum
+      member, hence min-member over a component == min-rep;
+    - member expansion is one linear equi-join on the rep id.
+    Pinned by tests/test_property_dedup.py (clone corpus equality).
+    """
+    from cdc_via_flink_spark.operators.components import connected_components
+
+    cls, sigsz, rep_pairs = _lsh_core(
+        df, text_col, id_col, num_hashes, bands, rows, threshold
+    )
+    loops = (
+        cls.filter(F.size("_members") > 1)
+        .join(sigsz, cls._rep == sigsz.doc_id, "left_semi")
+        .select(F.col("_rep").alias("id_a"), F.col("_rep").alias("id_b"))
+    )
+    edges = rep_pairs.select("id_a", "id_b").unionByName(loops)
+    comp = connected_components(edges, max_iter=max_iter)
+    mem = cls.select(F.col("_rep").alias("node"), F.explode("_members").alias("member"))
+    return comp.join(mem, "node").select(
+        F.col("member").alias("node"), "component"
+    )
 
 
 def simhash64(sh: DataFrame) -> DataFrame:

@@ -268,16 +268,20 @@ SELECT u AS node, min(r) AS component FROM reach GROUP BY u
     tags=("X1", "dedup", "clusters", "iterative"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate CLUSTERS from near-dup PAIRS (transitive closure):
-    min-label-propagation connected components over the MinHash-LSH
-    pair graph — the iterative keeper-election step a production dedup
-    runs after pair generation. The oracle states the same closure as
-    a recursive CTE."""
-    from cdc_via_flink_spark.operators.components import connected_components
+    """Duplicate CLUSTERS (transitive closure): min-label-propagation
+    connected components over the MinHash-LSH graph — the iterative
+    keeper-election step a production dedup runs after pair
+    generation. CLASS MODE (operators/dedup.py::minhash_lsh_components,
+    r6): the closure runs over class REPS + membership, never
+    materializing the member-quadratic pair expansion — output-linear
+    even when one duplicate class is huge. The oracle states the same
+    closure over the (equivalent) pair graph as a recursive CTE."""
+    from cdc_via_flink_spark.operators.dedup import minhash_lsh_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_neardup(d, "text", "doc_id", NUM_HASHES, BANDS, ROWS, JACCARD_T)
-    return connected_components(pairs.select("id_a", "id_b"))
+    return minhash_lsh_components(
+        d, "text", "doc_id", NUM_HASHES, BANDS, ROWS, JACCARD_T
+    )
 
 
 @query(
@@ -316,12 +320,16 @@ def dedup_final_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars). This is the materialization step a training-data pipeline
     runs after pairs→clusters — the anti-join of the corpus against
     the non-keeper set. Dropped set is tiny relative to the corpus
-    (it's only clustered duplicates), so the anti-join broadcasts."""
-    from cdc_via_flink_spark.operators.components import connected_components
+    (it's only clustered duplicates), so the anti-join broadcasts.
+    CLASS MODE (r6): clustering consumes (rep, members) classes
+    directly — no member-pair materialization, so the end-to-end
+    corpus build stays output-linear under any duplication factor."""
+    from cdc_via_flink_spark.operators.dedup import minhash_lsh_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_neardup(d, "text", "doc_id", NUM_HASHES, BANDS, ROWS, JACCARD_T)
-    comp = connected_components(pairs.select("id_a", "id_b"))
+    comp = minhash_lsh_components(
+        d, "text", "doc_id", NUM_HASHES, BANDS, ROWS, JACCARD_T
+    )
     dropped = comp.filter(F.col("node") != F.col("component")).select("node")
     joined = d.join(
         F.broadcast(dropped), d.doc_id == dropped.node, "left"
@@ -659,7 +667,13 @@ def dedup_clusters_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", NUM_HASHES, BANDS, ROWS, JACCARD_T
     )
     view = "dedup_pairs_sql_v"
-    pairs.select("id_a", "id_b").createOrReplaceTempView(view)
+    # materialize the pair list before the view: the unrolled CTE
+    # references it 12×, and inlining the whole LSH pipeline 12× both
+    # re-executes it and inflates the plan string past driver heap
+    # (the connected_components edge-checkpoint precedent)
+    pairs.select("id_a", "id_b").localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView(view)
     return spark.sql(_unrolled_components_sql(view))
 
 
@@ -880,14 +894,15 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max, so the whole merge policy is deterministic and
     SQL-oracle-checkable (oracle: recursive-CTE closure + the same
     votes). Scale: clusters are collision-bounded; one groupBy over
-    the member table, votes as a second small aggregate."""
-    from cdc_via_flink_spark.operators.components import connected_components
+    the member table, votes as a second small aggregate. CLASS MODE
+    (r6): membership comes straight from the class table — no
+    member-pair materialization."""
+    from cdc_via_flink_spark.operators.dedup import minhash_lsh_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_neardup(
+    comp = minhash_lsh_components(
         d, "text", "doc_id", NUM_HASHES, BANDS, ROWS, JACCARD_T
     )
-    comp = connected_components(pairs.select("id_a", "id_b"))
     members = comp.join(
         d.select("doc_id", "lang", "source", "n_chars"),
         comp.node == F.col("doc_id"),

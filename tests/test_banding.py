@@ -1,0 +1,62 @@
+"""Skew-guarded band self-join (operators/banding.py): the salted
+hot-bucket path must emit EXACTLY the plain self-join's pair set —
+every pair once, payloads attached to the right side — and the guard
+must engage only on buckets above the cap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_via_flink_spark.operators.banding import band_self_join
+
+
+def _plain_pairs(banded, key_cols, id_col, payload_cols=()):
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & (F.col(f"A.{c}") == F.col(f"B.{c}"))
+    cond = cond & (F.col(f"A.{id_col}") < F.col(f"B.{id_col}"))
+    sel = [
+        F.col(f"A.{id_col}").alias("id_a"),
+        F.col(f"B.{id_col}").alias("id_b"),
+    ] + [
+        c
+        for p in payload_cols
+        for c in (F.col(f"A.{p}").alias(f"{p}_a"), F.col(f"B.{p}").alias(f"{p}_b"))
+    ]
+    return banded.alias("A").join(banded.alias("B"), cond).select(*sel)
+
+
+def test_hot_bucket_salting_is_exact(spark):
+    """One 300-row hot bucket (cap=50 → 6 sub-buckets) + one 40-row
+    cold bucket + a 3-row bucket: pair set identical to the plain
+    join, each pair emitted exactly once (no dropDuplicates needed to
+    repair double-counting), payloads side-correct."""
+    rows = (
+        [(0, "h", i, i * 10) for i in range(300)]
+        + [(0, "c", 1000 + i, i) for i in range(40)]
+        + [(1, "h", 2000 + i, i) for i in range(3)]
+    )
+    banded = spark.createDataFrame(rows, "band int, bsig string, doc_id long, sz long")
+    got = band_self_join(
+        banded, ("band", "bsig"), "doc_id", payload_cols=("sz",), cap=50
+    )
+    exact = _plain_pairs(banded, ("band", "bsig"), "doc_id", ("sz",))
+    g = sorted(tuple(r) for r in got.collect())
+    e = sorted(tuple(r) for r in exact.collect())
+    assert g == e
+    # exactly-once: C(300,2) + C(40,2) + C(3,2)
+    assert len(g) == 300 * 299 // 2 + 40 * 39 // 2 + 3
+
+
+def test_cold_only_matches_plain_join(spark):
+    rows = [(t, b, t * 100 + i) for t in range(4) for b in range(3) for i in range(7)]
+    banded = spark.createDataFrame(rows, "t int, bucket int, vec_id long")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in band_self_join(banded, ("t", "bucket"), "vec_id", cap=100).collect()
+    )
+    exact = sorted(
+        (r.id_a, r.id_b)
+        for r in _plain_pairs(banded, ("t", "bucket"), "vec_id").collect()
+    )
+    assert got == exact and len(got) == 4 * 3 * (7 * 6 // 2)

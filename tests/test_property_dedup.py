@@ -58,6 +58,39 @@ def test_lsh_pairs_sound_and_identical_complete(spark, docs):
                 assert (a, b) in got
 
 
+def test_class_mode_components_equal_pair_mode_on_clone_corpus(spark):
+    """minhash_lsh_components (class mode, VERDICT r5 #3) must produce
+    the exact (node, component) labeling of
+    connected_components(minhash_lsh_neardup(...)) — on a corpus with
+    heavy exact duplication (5 clones per sf0.001 doc), where the
+    pair-mode path materializes C(5,2)·n member pairs and the class
+    path materializes none."""
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.operators.components import connected_components
+    from cdc_via_flink_spark.operators.dedup import minhash_lsh_components
+    from cdc_via_flink_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    d = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    clones = d
+    for k in range(1, 5):
+        clones = clones.unionByName(
+            d.select((F.col("doc_id") + k * 1_000_000).alias("doc_id"), "text")
+        )
+    pair_mode = sorted(
+        (r.node, r.component)
+        for r in connected_components(
+            minhash_lsh_neardup(clones, "text", "doc_id").select("id_a", "id_b")
+        ).collect()
+    )
+    class_mode = sorted(
+        (r.node, r.component)
+        for r in minhash_lsh_components(clones, "text", "doc_id").collect()
+    )
+    assert class_mode == pair_mode and len(class_mode) > 0
+
+
 @settings(
     max_examples=8,
     deadline=None,
