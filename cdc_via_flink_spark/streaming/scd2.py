@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -154,6 +155,147 @@ def scd2_stream(changes: DataFrame, event_time: Column | None = None) -> DataFra
             _scd2,
             outputStructType=SCD2_OUTPUT_SCHEMA,
             stateStructType=SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        .filter(F.col("txn_id").isNotNull())
+    )
+
+
+# --- watermark-buffered mode (VERDICT r5 #4) -------------------------
+#
+# The eager maintainer above OPENS a version the moment its row
+# arrives, so a row admitted by the watermark but arriving a batch
+# after a newer row must be dead-lettered (closing the open version
+# would invert the interval). The BUFFERED mode below instead holds
+# rows in state until the event-time watermark passes them (the
+# streaming/temporal.py maturity pattern): a version only opens once
+# no earlier-timestamped row can still arrive, so admitted-late rows
+# INTEGRATE into the history and the dead-letter path vanishes —
+# by construction every new arrival has ts >= the previous watermark
+# > every already-opened version's valid_from (Spark drops rows
+# strictly older than the watermark before the stateful operator).
+#
+# Trade-off vs the eager mode: closures emit up to one watermark lag
+# later, and state per key is O(rows inside the lag) instead of O(1).
+# Both modes replay to the identical batch history on in-order input;
+# on out-of-order (in-tolerance) input the buffered mode matches the
+# batch oracle exactly while the eager mode dead-letters.
+
+SCD2_BUF_STATE_SCHEMA = StructType(
+    [
+        StructField("o_seq", LongType()),
+        StructField("o_op", StringType()),
+        StructField("o_ts", LongType()),  # -1 = no open version yet
+        StructField("b_seqs", ArrayType(LongType())),
+        StructField("b_ops", ArrayType(StringType())),
+        StructField("b_tss", ArrayType(LongType())),
+    ]
+)
+
+
+def _close_chain(txn_id: str, open_v, ordered, final: bool) -> tuple[list, tuple]:
+    """Run the close/open chain over (ts, seq, op)-sorted rows; returns
+    (emitted closures, new open version). With final=True the last
+    open version emits as current."""
+    rows = []
+    for t, seq, op in ordered:
+        if open_v is not None:
+            rows.append(
+                {
+                    "txn_id": txn_id,
+                    "seq": int(open_v[0]),
+                    "op": open_v[1],
+                    "valid_from_ms": int(open_v[2]),
+                    "valid_to_ms": int(t) - 1,
+                    "is_current": 0,
+                }
+            )
+        open_v = (int(seq), op, int(t))
+    if final and open_v is not None:
+        rows.append(
+            {
+                "txn_id": txn_id,
+                "seq": int(open_v[0]),
+                "op": open_v[1],
+                "valid_from_ms": int(open_v[2]),
+                "valid_to_ms": None,
+                "is_current": 1,
+            }
+        )
+    return rows, open_v
+
+
+def _scd2_buffered(
+    key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (txn_id,) = key
+
+    if state.hasTimedOut:
+        o_seq, o_op, o_ts, b_seqs, b_ops, b_tss = state.get
+        state.remove()
+        open_v = (o_seq, o_op, o_ts) if o_ts >= 0 else None
+        ordered = sorted(zip(b_tss, b_seqs, b_ops))
+        rows, _ = _close_chain(txn_id, open_v, ordered, final=True)
+        if rows:
+            yield pd.DataFrame(rows, columns=_OUT_COLS)
+        return
+
+    if state.exists:
+        o_seq, o_op, o_ts, b_seqs, b_ops, b_tss = state.get
+        open_v = (o_seq, o_op, o_ts) if o_ts >= 0 else None
+        buf = list(zip(b_tss, b_seqs, b_ops))
+    else:
+        open_v, buf = None, []
+
+    last = max([t for t, _, _ in buf], default=open_v[2] if open_v else 0)
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            t = int(r.ts_ms)
+            last = max(last, t)
+            buf.append((t, int(r.seq), r.op))
+
+    # maturity boundary is STRICT (t < wm), matching temporal.py: a row
+    # timestamped exactly AT the watermark can still arrive, so opening
+    # a t == wm version now could later invert against it.
+    wm = state.getCurrentWatermarkMs()
+    matured = sorted(r for r in buf if r[0] < wm)
+    buf = [r for r in buf if r[0] >= wm]
+    rows, open_v = _close_chain(txn_id, open_v, matured, final=False)
+
+    state.update(
+        (
+            open_v[0] if open_v else -1,
+            open_v[1] if open_v else "",
+            open_v[2] if open_v else -1,
+            [r[1] for r in buf],
+            [r[2] for r in buf],
+            [r[0] for r in buf],
+        )
+    )
+    state.setTimeoutTimestamp(last + SCD2_TTL_MS)
+
+    if rows:
+        yield pd.DataFrame(rows, columns=_OUT_COLS)
+
+
+def scd2_stream_buffered(
+    changes: DataFrame, event_time: Column | None = None
+) -> DataFrame:
+    """Watermark-buffered SCD2 maintainer: identical output contract to
+    scd2_stream minus the dead-letter rows — admitted-late arrivals
+    integrate into the history instead (see module comment)."""
+    if event_time is None:
+        event_time = F.timestamp_millis(F.col("ts_ms"))
+    with_time = changes.withColumn("event_time", event_time).withWatermark(
+        "event_time", "10 minutes"
+    )
+    return (
+        with_time.groupBy("txn_id")
+        .applyInPandasWithState(
+            _scd2_buffered,
+            outputStructType=SCD2_OUTPUT_SCHEMA,
+            stateStructType=SCD2_BUF_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
