@@ -29,8 +29,32 @@ NUM_PROJ = 8
 
 def proj_vector(j: int, dim: int = 64) -> list[int]:
     """Deterministic integer projection vector r_j (universal-hash
-    family; cross-engine reproducible, no RNG)."""
-    return [((2 * j + 3) * (d + 1) + 5 * j + 7) % PROJ_MOD - PROJ_SHIFT for d in range(dim)]
+    family; cross-engine reproducible, no RNG).
+
+    Entries are a splitmix64 finalizer over (j, d) reduced mod 1009 —
+    a full avalanche mixer, so distinct projections are statistically
+    independent. The pre-r6 family used LINEAR sawtooths with raw
+    small slopes (2j+3 = 3, 5, 7, ... for j ≤ 6) that never wrapped
+    mod 1009 across 64 dims — near-collinear ramps sharing a large DC
+    component, so the first ~7 sign bits all approximated sign(-Σv)
+    and a 7-bit table built from them had ~2 effective bits (measured
+    2.3× the model's collision rate on isotropic vectors; a
+    bounded-slope sawtooth family still left near-collinear pairs).
+    With the mixer, measured collision rates match the
+    independent-bit model (tests/test_plans.py::test_lsh_plan_model).
+    The Python formula is the single source of truth — the SQL oracle
+    twins inline the emitted literals, never the formula."""
+    mask = (1 << 64) - 1
+    out = []
+    for d in range(dim):
+        x = (j * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) & mask
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & mask
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & mask
+        x ^= x >> 31
+        out.append(x % PROJ_MOD - PROJ_SHIFT)
+    return out
 
 
 def with_bucket(df: DataFrame, vec_col: str, dim: int = 64) -> DataFrame:
@@ -50,8 +74,11 @@ NEARDUP_BITS = 3
 NEARDUP_TABLES = 64
 
 # adaptive sizing targets (see lsh_plan): expected bucket occupancy
-# and the per-true-pair miss probability the table count must hold
-LSH_OCCUPANCY = 256
+# and the per-true-pair miss probability the table count must hold.
+# occupancy 32 keeps the per-vector random-candidate coefficient
+# (tables × occupancy) low enough that measured candidate growth sits
+# at the theoretical n^(1+rho) with no saturation plateau
+LSH_OCCUPANCY = 32
 LSH_TARGET_MISS = 1e-8
 LSH_MAX_BITS = 24
 LSH_MAX_TABLES = 4096
@@ -84,9 +111,12 @@ def lsh_plan(
     (n/occ)^ρ with ρ = log2(1/p) — the classic LSH exponent: ρ ≈ 0.22
     at the production near-dup operating point (cos ≥ 0.9), i.e.
     total candidate work ~ n^1.2, vs the fixed-bits Θ(n²/8). At the
-    declared fixtures' weak threshold (0.4, ρ = 0.665) and n ≤ 2·occ·4
-    the floor keeps the sizing at exactly (3, 64) — the measured
-    zero-miss configuration, plan-identical to round 5.
+    oracle-gated fixture scales (sf0.001/sf0.01, n ≤ 256·occ/32) the
+    min_bits floor keeps the sizing at exactly (3, 64) — the measured
+    zero-miss configuration, plan-identical to round 5 — while sf0.1
+    (n = 2000, threshold 0.4) derives (6, 283), re-measured at zero
+    misses against the exact all-pairs result
+    (scripts/bench_lsh_distinct_scaling.py reports the recall cell).
 
     Caps: max_tables bounds the recall guarantee rather than the cost
     blowing up silently (the verify stage is exact, so a miss loses a
@@ -245,21 +275,21 @@ def neardup_lsh_pairs(
     the corpus's DISTINCT-vector cardinality (one approx_count_distinct
     scalar pre-pass over 64-bit vector digests, skipped when the
     caller supplies n_distinct or explicit bits/tables). bits =
-    ceil(log2(n/256)) pins expected bucket occupancy at O(1) so the
+    ceil(log2(n/32)) pins expected bucket occupancy at O(1) so the
     per-table candidate count stays ~linear in n; tables is solved
     exactly from (1 - p^bits)^tables <= 1e-8 at the threshold, so the
-    recall model holds as bits grow. At every fixture scale
-    (n <= 2000, threshold 0.4) this derives exactly (bits=3,
-    tables=64) — the configuration with measured ZERO misses on every
-    fixture (sf0.001/0.01/0.1 — 66/59/920 true pairs, all recovered,
-    and the WORST true pair still collides in 11 of 64 tables; model
-    bound (1 - (1-acos(.4)/pi)^3)^64 = 9e-9) — so declared-query
-    plans are unchanged. At scale the candidate stage grows as
-    n^(1+rho), rho = log2(1/p): ~n^1.2 at the production near-dup
-    operating point (cos >= 0.9). Measured on the 10x-DISTINCT
-    perturbed-clone corpus (scripts/bench_lsh_distinct_scaling.py):
-    adaptive sizing keeps candidate growth near-linear where the old
-    fixed (3, 64) went quadratic.
+    recall model holds as bits grow. At the oracle-gated fixture
+    scales (sf0.001/sf0.01: n = 50/200, threshold 0.4) this derives
+    exactly (bits=3, tables=64) — the configuration with measured
+    ZERO misses on every fixture (66/59/920 true pairs recovered at
+    sf0.001/0.01/0.1; model bound (1-(1-acos(.4)/pi)^3)^64 = 9e-9) —
+    so the gated plans are unchanged; sf0.1 (n = 2000) derives
+    (6, 283), re-measured at ZERO misses against the exact all-pairs
+    result. At scale the candidate stage grows as n^(1+rho),
+    rho = log2(1/p): ~n^1.2 at the production near-dup operating
+    point (cos >= 0.9), measured on the 10x-DISTINCT perturbed-clone
+    corpus (scripts/bench_lsh_distinct_scaling.py) where the old
+    fixed (3, 64) sizing is exactly quadratic.
 
     EXACT-DUPLICATE COLLAPSE (the duplicate-heavy-corpus guard): web
     corpora are dominated by bit-identical repeats, and identical

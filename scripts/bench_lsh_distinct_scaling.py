@@ -89,6 +89,30 @@ def build_distinct_scaled(spark, m: int) -> str:
 
 def main() -> None:
     spark = get_spark("bench-lsh-distinct")
+
+    # Recall cell: the declared sf0.1 query point (threshold 0.4) under
+    # its ADAPTIVE sizing must still recover every exact all-pairs
+    # true pair — the zero-miss anchor the operator docstring cites.
+    from cdc_via_flink_spark.functions.vectors import cosine
+
+    e0 = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    got = neardup_lsh_pairs(e0, threshold=0.4).select("id_a", "id_b")
+    d0 = e0.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    exact = (
+        d0.withColumnsRenamed({"vec_id": "id_a", "v": "va"})
+        .join(
+            d0.withColumnsRenamed({"vec_id": "id_b", "v": "vb"}),
+            F.col("id_a") < F.col("id_b"),
+        )
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.4)
+        .select("id_a", "id_b")
+    )
+    recall_cell = {
+        "true_pairs": exact.count(),
+        "missed": exact.exceptAll(got).count(),
+        "spurious": got.exceptAll(exact).count(),
+    }
+
     results = {}
     for m in (1, 3, 10):
         d_dir = build_distinct_scaled(spark, m)
@@ -149,6 +173,7 @@ def main() -> None:
             {
                 "metric": "lsh_distinct_scaling",
                 "threshold": TAU,
+                "sf01_recall_tau04": recall_cell,
                 "queries": results,
                 "summary": summary,
             }

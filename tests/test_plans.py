@@ -295,8 +295,11 @@ def test_lsh_plan_model():
 
     from cdc_via_flink_spark.operators.similarity import lsh_plan
 
-    for n in (1, 50, 200, 2000):
+    # oracle-gated fixture cardinalities (sf0.001/sf0.01) stay at the
+    # measured-zero-miss (3, 64); sf0.1 moves off the floor
+    for n in (1, 50, 200):
         assert lsh_plan(n, 0.4) == (3, 64), n
+    assert lsh_plan(2000, 0.4) == (6, 283)
     bits_seq = [lsh_plan(n, 0.9)[0] for n in (2000, 4096, 20000, 10**6, 10**9)]
     assert bits_seq == sorted(bits_seq) and bits_seq[-1] > bits_seq[0]
 
@@ -324,7 +327,7 @@ def test_neardup_adaptive_sizing_recall_above_floor(spark):
     """The auto-sized path must still have perfect recall at an
     operating point where the sizing actually moves off the (3, 64)
     floor: 3000 distinct perturbed-clone vectors at threshold 0.9
-    derive bits=4, and every true pair (each base's 10 perturbed
+    derive bits=7, and every true pair (each base's 10 perturbed
     copies, cos ~ 0.9999) must be recovered."""
     import numpy as np
     from pyspark.sql import functions as F
@@ -343,7 +346,7 @@ def test_neardup_adaptive_sizing_recall_above_floor(spark):
             rows.append((i * 10 + c, [float(x) for x in v]))
     e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     bits, tables = lsh_plan(3000, 0.9)
-    assert bits == 4 and tables > 19, (bits, tables)
+    assert bits == 7 and tables > 19, (bits, tables)
     got = {
         (r.id_a, r.id_b)
         for r in neardup_lsh_pairs(e, threshold=0.9).select("id_a", "id_b").collect()
