@@ -83,7 +83,11 @@ def lsh_candidate_pairs(
     sig: DataFrame, bands: int, rows: int
 ) -> DataFrame:
     """Band the signature and emit candidate pairs (a < b) colliding in
-    at least one band. Equi-join per band bucket — no cross product."""
+    at least one band. Equi-join per band bucket — no cross product;
+    the self-join goes through the skew-guarded kernel
+    (operators/banding.py) like the fused pipeline's."""
+    from cdc_via_flink_spark.operators.banding import band_self_join
+
     band_frames = []
     for b in range(bands):
         cols = [f"mh{b * rows + r}" for r in range(rows)]
@@ -97,18 +101,7 @@ def lsh_candidate_pairs(
     banded = band_frames[0]
     for bf in band_frames[1:]:
         banded = banded.unionByName(bf)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    return band_self_join(banded, ("band", "bsig"), "doc_id").distinct()
 
 
 def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
