@@ -13,7 +13,13 @@ normal buckets:
 
 - each row learns its bucket size via a window count over the band
   keys and a salt factor s = ceil(m / cap) (s = 1 for buckets within
-  the cap — the common case);
+  the cap — the common case). A sizes-aggregate + broadcast-hot-list
+  join was tried instead (its exchange carries distinct keys, not
+  rows) and measured SLOWER end-to-end (q_corpus_build_v2 4.25 s →
+  5.02 s): the aggregate is a distinct subtree, so the expensive
+  upstream (shingle + 16-way MinHash) evaluates twice, while the
+  window's exchange is byte-identical on both join sides and
+  Catalyst reuses it — upstream evaluates once;
 - each row carries salt _r = xxhash64(id) % s and replicates to
   _j = 0..s-1 (for s = 1 that is ONE row — zero overhead);
 - the join requires A._r == B._j AND A._j == B._r on top of the band
