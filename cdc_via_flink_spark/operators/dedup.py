@@ -477,19 +477,25 @@ def semantic_dedup(
     cls = cls.withColumn(
         "self_cos", F.round(cosine(F.col("v"), F.col("v")), 6)
     )
-    rx = cls.select(
-        "cluster_id", F.col("rep").alias("rep_x"), F.col("v").alias("vx")
-    )
-    ry = cls.select(
-        "cluster_id", F.col("rep").alias("rep_y"), F.col("v").alias("vy")
-    )
+    # within-cluster class pairs via the skew-guarded self-join kernel
+    # (operators/banding.py, key = cluster_id): SemDeDup's fixed-size-
+    # cluster design targets every_k members, but cluster sizes are
+    # data-driven — a pathological hot cluster of distinct vectors
+    # would otherwise land its whole quadratic pair space on ONE task
+    # (the r6 band-join guard, applied to the cluster equi-join)
+    from cdc_via_flink_spark.operators.banding import band_self_join
+
     cp = (
-        rx.join(ry, "cluster_id")
-        .filter(F.col("rep_x") < F.col("rep_y"))
+        band_self_join(
+            cls.select("cluster_id", "rep", "v"),
+            ("cluster_id",),
+            "rep",
+            payload_cols=("v",),
+        )
         .select(
-            "rep_x",
-            "rep_y",
-            F.round(cosine(F.col("vx"), F.col("vy")), 6).alias("cos"),
+            F.col("id_a").alias("rep_x"),
+            F.col("id_b").alias("rep_y"),
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= tau)
     )

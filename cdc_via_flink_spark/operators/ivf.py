@@ -22,8 +22,40 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from cdc_via_flink_spark.functions.vectors import cosine, to_double
 
 
-def centroids(corpus: DataFrame, every_k: int = 40) -> DataFrame:
-    """Deterministic centroid selection: every K-th vector."""
+IVF_NLIST_FACTOR = 4  # FAISS guidance: nlist ≈ 4–16 · √n
+
+
+def ivf_plan(n: int, nlist_factor: int = IVF_NLIST_FACTOR) -> tuple[int, int]:
+    """Data-driven IVF sizing: (every_k, nlist_estimate) for a corpus
+    of n vectors, targeting nlist ≈ nlist_factor·√n (the FAISS
+    operating band). A FIXED every_k makes nlist = n/every_k grow
+    LINEARLY with the corpus — at 10⁹ vectors that is 2.5·10⁷
+    centroids (a ~13 GB broadcast array) and an O(n·nlist) = O(n²/40)
+    assignment argmin: the same flat-assignment scale bug SemDeDup's
+    two-level rebuild fixed. √n-sizing keeps both sides bounded: the
+    broadcast centroid row is O(√n) structs (126 k / ~65 MB at 10⁹ —
+    an explicit broadcast, cheap against executor memory) and a probe
+    scans nprobe·n/nlist = O(√n) candidates per query. Beyond ~10⁶
+    lists, route assignment through kmeans.two_level_fit/assign
+    (O(n·√nlist) work) instead of the flat argmin.
+
+    Declared queries pin every_k explicitly (their SQL oracles mirror
+    the stride); this helper is the production caller's sizing,
+    derived from a catalog rowcount or the one-row count probe the
+    every_k=None auto path performs."""
+    import math
+
+    every_k = max(1, round(math.sqrt(max(n, 1)) / nlist_factor))
+    return every_k, max(1, n // every_k)
+
+
+def centroids(corpus: DataFrame, every_k: int | None = 40) -> DataFrame:
+    """Deterministic centroid selection: every K-th vector.
+    every_k=None derives the stride from the corpus cardinality via
+    ivf_plan (one tiny count aggregate — the PQ-fit precedent)."""
+    if every_k is None:
+        n = corpus.agg(F.count(F.lit(1)).alias("n")).head()["n"]
+        every_k, _ = ivf_plan(n)
     return corpus.filter(F.col("vec_id") % every_k == 0).select(
         F.col("vec_id").alias("centroid_id"),
         to_double(F.col("embedding")).alias("cv"),
@@ -48,7 +80,7 @@ def assign_clusters(corpus: DataFrame, cents: DataFrame) -> DataFrame:
 def ivf_topk(
     corpus: DataFrame,
     query_ids_below: int = 5,
-    every_k: int = 40,
+    every_k: int | None = 40,
     nprobe: int = 2,
     k: int = 5,
 ) -> DataFrame:
@@ -59,7 +91,7 @@ def ivf_topk(
     return probe_index(assigned, cents, query_ids_below, nprobe, k)
 
 
-def save_index(corpus: DataFrame, path: str, every_k: int = 40) -> None:
+def save_index(corpus: DataFrame, path: str, every_k: int | None = 40) -> None:
     """Persist the IVF index — build once, query many (the production
     ANN lifecycle; FAISS write_index analog): the centroid table plus
     the cluster assignments written PARTITIONED BY cluster_id, so a

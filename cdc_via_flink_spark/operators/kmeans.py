@@ -163,6 +163,22 @@ def kmeans_fit(
     return cents
 
 
+def two_level_plan(n: int, fine_every_k: int = 100) -> tuple[int, int]:
+    """Data-driven stride sizing for the two-level index (the
+    'production caller sizes the strides from the catalog rowcount'
+    note in two_level_fit, made executable — the ivf_plan companion):
+    k = n/fine_every_k fine clusters, k1 ≈ √k coarse cells, so
+    two_level_assign's O(n·(k1 + k/k1)) work sits at its O(n·√k)
+    minimum. Returns (coarse_every_k, fine_every_k). At n = 10⁹ with
+    100-vector fine clusters: k = 10⁷, k1 ≈ 3162 — both broadcast
+    sides stay a few MB."""
+    import math
+
+    k = max(1, n // fine_every_k)
+    k1 = max(1, round(math.sqrt(k)))
+    return max(1, round(n / k1)), fine_every_k
+
+
 def two_level_fit(
     corpus: DataFrame,
     coarse_every_k: int = 2000,

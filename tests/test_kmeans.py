@@ -191,3 +191,45 @@ def test_ivf_kmeans_query_self_validates(spark):
         (r.query_id, r.recall_at_k, r.mean_recall) for r in rows
     ]
     assert all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
+
+
+def test_ivf_plan_sizing_and_auto_path(spark):
+    """Data-driven IVF sizing (r6): nlist tracks 4·√n (the FAISS band)
+    instead of growing linearly with a fixed stride — the broadcast
+    centroid table stays O(√n) — and the every_k=None auto path must
+    produce exactly the explicitly-sized result on a real corpus."""
+    import math
+
+    from cdc_via_flink_spark.operators.ivf import ivf_plan, ivf_topk
+
+    for n in (1_000, 100_000, 10_000_000, 1_000_000_000):
+        every_k, nlist = ivf_plan(n)
+        assert abs(nlist - 4 * math.sqrt(n)) / (4 * math.sqrt(n)) < 0.35, (
+            n,
+            nlist,
+        )
+        # the broadcast centroid row stays far under executor memory
+        assert nlist * 64 * 8 < 100 * 2**20, n
+
+    corpus = _corpus(spark)
+    n = corpus.count()
+    derived_k, _ = ivf_plan(n)
+    auto = sorted(tuple(r) for r in ivf_topk(corpus, every_k=None).collect())
+    explicit = sorted(
+        tuple(r) for r in ivf_topk(corpus, every_k=derived_k).collect()
+    )
+    assert auto == explicit and len(auto) > 0
+
+
+def test_two_level_plan_sizes_k1_near_sqrt_k():
+    """two_level_plan places the coarse level at k1 ~ sqrt(k), the
+    O(n*sqrt(k)) operating point of the two-level assignment."""
+    import math
+
+    from cdc_via_flink_spark.operators.kmeans import two_level_plan
+
+    for n in (10_000, 1_000_000, 1_000_000_000):
+        coarse_every_k, fine_every_k = two_level_plan(n, 100)
+        k = n // fine_every_k
+        k1 = max(1, round(n / coarse_every_k))
+        assert abs(k1 - math.sqrt(k)) / math.sqrt(k) < 0.25, (n, k1)
