@@ -483,19 +483,28 @@ def semantic_dedup(
     # data-driven — a pathological hot cluster of distinct vectors
     # would otherwise land its whole quadratic pair space on ONE task
     # (the r6 band-join guard, applied to the cluster equi-join)
+    from cdc_via_flink_spark.functions.vectors import dot, norm
     from cdc_via_flink_spark.operators.banding import band_self_join
 
+    # per-class norms computed once below the self-join (materialized
+    # at its exchange) → one dot fold per pair, not cosine's three;
+    # same float-op order, bit-identical rounding
     cp = (
         band_self_join(
-            cls.select("cluster_id", "rep", "v"),
+            cls.select(
+                "cluster_id", "rep", "v", norm(F.col("v")).alias("nv")
+            ),
             ("cluster_id",),
             "rep",
-            payload_cols=("v",),
+            payload_cols=("v", "nv"),
         )
         .select(
             F.col("id_a").alias("rep_x"),
             F.col("id_b").alias("rep_y"),
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"),
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("nv_a") * F.col("nv_b")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= tau)
     )

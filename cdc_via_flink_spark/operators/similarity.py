@@ -336,8 +336,24 @@ def neardup_lsh_pairs(
         tables = auto_tables if tables is None else tables
     reps = cls.select(F.col("rep").alias("vec_id"), "v")
     pairs = _rep_candidates(reps, bits=bits, tables=tables)
-    va = reps.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    vb = reps.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    from cdc_via_flink_spark.functions.vectors import norm
+
+    # per-REP norms computed ONCE below the join boundary (the
+    # exchange/broadcast materializes them), so the per-PAIR verify is
+    # a single dot fold instead of cosine's three (dot + two norms) —
+    # bit-identical arithmetic: sqrt(dot(a,a))*sqrt(dot(b,b)) in the
+    # same order, just not re-evaluated per pair. Higher-order folds
+    # evaluate interpreted, so at ~2 M candidates this is the 3× lever.
+    va = reps.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        norm(F.col("v")).alias("na"),
+    )
+    vb = reps.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        norm(F.col("v")).alias("nb"),
+    )
     # Verify stays a pure Catalyst fold: an Arrow-side approximate
     # prefilter was tried in r5 and LOST — shipping the ~2 M candidate
     # (va, vb) pairs through Arrow costs more than the interpreted
@@ -350,7 +366,9 @@ def neardup_lsh_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -402,19 +420,30 @@ def brute_force_topk(
     cos (rounded 6 — also the ordering key, with vec_id tie-break)."""
     from cdc_via_flink_spark.sources.tables import ensure_min_partitions
 
+    from cdc_via_flink_spark.functions.vectors import norm
+
+    # norms factored out of the pair loop: corpus-side norm evaluates
+    # once per corpus ROW (its Project sits below the join, not
+    # collapsed into the per-pair stage), query-side norms ride the
+    # broadcast — the N×Q scoring loop runs ONE dot fold per pair,
+    # same float-op order as cosine() (bit-identical rounding)
     c = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
-    )
+        F.col(id_col).alias("vec_id"),
+        to_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nv", norm(F.col("v")))
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
-    )
+        F.col(query_id_col).alias("query_id"),
+        to_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("nq", norm(F.col("qv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")), 6
+            ).alias("cos"),
         )
     )
     # The rank<=k filter lets Catalyst insert WindowGroupLimit (rank-
