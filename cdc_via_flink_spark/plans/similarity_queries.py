@@ -99,7 +99,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via signed-random-projection buckets: candidates share the
     query's 8-bit bucket (equi-join, no cross product), exact cosine
     re-rank, top-5. Deterministic integer projections — reproducible
-    across engines and cluster sizes."""
+    across engines and cluster sizes. The 8-bit width is pinned
+    because the SQL oracle inlines the same projection literals
+    (static SQL cannot size from data); the DATA-DRIVEN form of this
+    operator is neardup_lsh_pairs + lsh_plan (bits grow with
+    log2(n_distinct), tables hold the recall model) — that is the
+    100 TB path, this query is its fixed-size oracle-checked twin."""
     e = load_table(spark, sf_dir, "embeddings")
     b = with_bucket(e.select("vec_id", "embedding"), "embedding")
     from cdc_via_flink_spark.functions.vectors import cosine, to_double
