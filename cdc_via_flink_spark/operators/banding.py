@@ -84,8 +84,28 @@ def band_self_join(
     # (salt, replica j), B carries (replica i, salt); equality of
     # A._r/B._j and A._j/B._r pins the one meeting key. s = 1 buckets
     # reduce to the plain equi self-join (0 == 0).
-    pairs = rep.alias("A").join(
-        rep.alias("B"),
+    #
+    # The join partitioning is PINNED with an explicit keyed
+    # repartition: AQE coalesces shuffle partitions by INPUT size, and
+    # a salted hot bucket is exactly the small-input/huge-output shape
+    # it misjudges — measured on a 24 000-row bucket, AQE folded all
+    # 36 sub-bucket groups back onto ONE task (92.6 s) while the
+    # pinned layout spreads them (scripts/bench_hotbucket_stress.py).
+    # The column lists match the join-key ORDER per side
+    # ((k, _r, _j) vs (k, _j, _r)), so a matching pair's two replicas
+    # hash to the same partition and EnsureRequirements inserts no
+    # further exchange — same shuffle count as the unpinned form.
+    n_parts = int(
+        banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    lhs = rep.repartition(
+        n_parts, *[F.col(c) for c in key_cols], F.col("_r"), F.col("_j")
+    )
+    rhs = rep.repartition(
+        n_parts, *[F.col(c) for c in key_cols], F.col("_j"), F.col("_r")
+    )
+    pairs = lhs.alias("A").join(
+        rhs.alias("B"),
         eq("A", "B", key_cols)
         & (F.col("A._r") == F.col("B._j"))
         & (F.col("A._j") == F.col("B._r"))
