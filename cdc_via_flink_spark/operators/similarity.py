@@ -92,6 +92,7 @@ def lsh_plan(
     min_bits: int = NEARDUP_BITS,
     max_bits: int = LSH_MAX_BITS,
     max_tables: int = LSH_MAX_TABLES,
+    bits_override: int | None = None,
 ) -> tuple[int, int]:
     """Size (bits, tables) from corpus DISTINCT-vector cardinality and
     the cosine threshold — the round-5 judge's fix for the fixture
@@ -121,16 +122,32 @@ def lsh_plan(
     Caps: max_tables bounds the recall guarantee rather than the cost
     blowing up silently (the verify stage is exact, so a miss loses a
     pair, never emits a wrong one); max_bits bounds code width.
+
+    bits_override: when the caller pins bits but wants tables solved
+    from the model, the table count MUST be sized for the effective
+    bits (sizing tables for the auto bits while hashing with wider
+    pinned bits would silently void the recall bound).
     """
     import math
 
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     if p <= 0.0:
         raise ValueError(f"threshold {threshold} gives no sign-bit correlation")
-    bits = min_bits
-    if n_distinct > occupancy:
-        bits = max(min_bits, min(max_bits, math.ceil(math.log2(n_distinct / occupancy))))
+    if bits_override is not None:
+        bits = bits_override
+    else:
+        bits = min_bits
+        if n_distinct > occupancy:
+            bits = max(
+                min_bits, min(max_bits, math.ceil(math.log2(n_distinct / occupancy)))
+            )
     collide = p**bits
+    if collide <= 0.0:  # p**bits underflowed: no finite table count
+        raise ValueError(
+            f"threshold {threshold} with bits={bits}: per-table collision "
+            "probability underflows to 0 — no table count can hold the "
+            "recall bound"
+        )
     tables = math.ceil(math.log(1.0 / target_miss) / -math.log1p(-collide))
     return bits, max(1, min(max_tables, tables))
 
@@ -331,7 +348,11 @@ def neardup_lsh_pairs(
             n_distinct = d.agg(
                 F.approx_count_distinct(F.xxhash64(F.col("v"))).alias("n")
             ).head()["n"]
-        auto_bits, auto_tables = lsh_plan(n_distinct, threshold)
+        # tables are solved for the EFFECTIVE bits: a caller-pinned
+        # bits with auto tables must still hold the recall bound
+        auto_bits, auto_tables = lsh_plan(
+            n_distinct, threshold, bits_override=bits
+        )
         bits = auto_bits if bits is None else bits
         tables = auto_tables if tables is None else tables
     reps = cls.select(F.col("rep").alias("vec_id"), "v")

@@ -79,7 +79,9 @@ def _staged_envelope_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     stage = os.path.join(STAGE_ROOT, f"stage_{sf_name}")
     env = _envelopes(spark, sf_dir).coalesce(1)
-    return file_envelope_stream(spark, env, stage)
+    # skip_if_staged is safe HERE: the staged content is a pure
+    # function of sf_dir, which names the stage dir
+    return file_envelope_stream(spark, env, stage, skip_if_staged=True)
 
 
 @query(
@@ -1273,7 +1275,16 @@ def stream_scd2_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
     OUT-OF-ORDER: micro-batch files are ordered by ts_ms JITTERED
     ±4 minutes (deterministic hash of seq — inside the 10-minute
     watermark tolerance, so nothing is dropped), yet the output must
-    equal the same in-order batch lead() oracle stream_scd2 shares."""
+    equal the same in-order batch lead() oracle stream_scd2 shares.
+
+    TTL discipline (r6 review finding): because this replay is
+    multi-batch, the watermark ADVANCES mid-stream — a TTL shorter
+    than a key's quiet gap would finalize it early (premature
+    is_current=1, then a second chain: oracle divergence). The query
+    passes ttl_ms = 35 days, longer than the fixture's entire event
+    span, and pushes the flush sentinels to +40/+80 days — premature
+    flushes are impossible by construction, and every key still
+    flushes at the first sentinel."""
     from cdc_via_flink_spark.operators.reconstruct import derive_change_stream
     from cdc_via_flink_spark.streaming.scd2 import scd2_stream_buffered
 
@@ -1297,14 +1308,16 @@ def stream_scd2_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     dest = os.path.join(STAGE_ROOT, f"events_{sf_name}", "events_scd2_buf")
-    _stage_ordered_files(spark, frames + [sentinel(10), sentinel(20)], dest)
+    _stage_ordered_files(spark, frames + [sentinel(40), sentinel(80)], dest)
 
     sch = (
         spark.readStream.schema(ch.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(dest)
     )
-    out = _run_to_memory(scd2_stream_buffered(sch), "append")
+    out = _run_to_memory(
+        scd2_stream_buffered(sch, ttl_ms=35 * 86_400_000), "append"
+    )
     return out.filter(F.col("txn_id") != "scd2b--flush")
 
 

@@ -226,65 +226,86 @@ def _close_chain(txn_id: str, open_v, ordered, final: bool) -> tuple[list, tuple
     return rows, open_v
 
 
-def _scd2_buffered(
-    key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (txn_id,) = key
+def _make_scd2_buffered(ttl_ms: int):
+    """Build the buffered maintainer with a caller-chosen TTL.
 
-    if state.hasTimedOut:
-        o_seq, o_op, o_ts, b_seqs, b_ops, b_tss = state.get
-        state.remove()
-        open_v = (o_seq, o_op, o_ts) if o_ts >= 0 else None
-        ordered = sorted(zip(b_tss, b_seqs, b_ops))
-        rows, _ = _close_chain(txn_id, open_v, ordered, final=True)
+    The TTL is a SEMANTIC knob, not just an eviction tuning: the TTL
+    flush FINALIZES a key (emits its open version as current and drops
+    state), so a key that revives after a flush starts a fresh chain —
+    two is_current=1 rows, which diverges from a batch lead() oracle.
+    In append mode that earlier current row cannot be retracted, so
+    the operator contract is: choose ttl_ms LONGER than the longest
+    quiet gap a live key can have (the eager maintainer shares this
+    contract; its single-file declared replay never advances the
+    watermark mid-stream, while the buffered declared replay is
+    multi-batch and therefore passes a TTL above the fixture's whole
+    time span — correctness by construction, not by data luck)."""
+
+    def _scd2_buffered(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (txn_id,) = key
+
+        if state.hasTimedOut:
+            o_seq, o_op, o_ts, b_seqs, b_ops, b_tss = state.get
+            state.remove()
+            open_v = (o_seq, o_op, o_ts) if o_ts >= 0 else None
+            ordered = sorted(zip(b_tss, b_seqs, b_ops))
+            rows, _ = _close_chain(txn_id, open_v, ordered, final=True)
+            if rows:
+                yield pd.DataFrame(rows, columns=_OUT_COLS)
+            return
+
+        if state.exists:
+            o_seq, o_op, o_ts, b_seqs, b_ops, b_tss = state.get
+            open_v = (o_seq, o_op, o_ts) if o_ts >= 0 else None
+            buf = list(zip(b_tss, b_seqs, b_ops))
+        else:
+            open_v, buf = None, []
+
+        last = max([t for t, _, _ in buf], default=open_v[2] if open_v else 0)
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                t = int(r.ts_ms)
+                last = max(last, t)
+                buf.append((t, int(r.seq), r.op))
+
+        # maturity boundary is STRICT (t < wm), matching temporal.py: a
+        # row timestamped exactly AT the watermark can still arrive, so
+        # opening a t == wm version now could later invert against it.
+        wm = state.getCurrentWatermarkMs()
+        matured = sorted(r for r in buf if r[0] < wm)
+        buf = [r for r in buf if r[0] >= wm]
+        rows, open_v = _close_chain(txn_id, open_v, matured, final=False)
+
+        state.update(
+            (
+                open_v[0] if open_v else -1,
+                open_v[1] if open_v else "",
+                open_v[2] if open_v else -1,
+                [r[1] for r in buf],
+                [r[2] for r in buf],
+                [r[0] for r in buf],
+            )
+        )
+        state.setTimeoutTimestamp(last + ttl_ms)
+
         if rows:
             yield pd.DataFrame(rows, columns=_OUT_COLS)
-        return
 
-    if state.exists:
-        o_seq, o_op, o_ts, b_seqs, b_ops, b_tss = state.get
-        open_v = (o_seq, o_op, o_ts) if o_ts >= 0 else None
-        buf = list(zip(b_tss, b_seqs, b_ops))
-    else:
-        open_v, buf = None, []
-
-    last = max([t for t, _, _ in buf], default=open_v[2] if open_v else 0)
-    for pdf in pdfs:
-        for r in pdf.itertuples(index=False):
-            t = int(r.ts_ms)
-            last = max(last, t)
-            buf.append((t, int(r.seq), r.op))
-
-    # maturity boundary is STRICT (t < wm), matching temporal.py: a row
-    # timestamped exactly AT the watermark can still arrive, so opening
-    # a t == wm version now could later invert against it.
-    wm = state.getCurrentWatermarkMs()
-    matured = sorted(r for r in buf if r[0] < wm)
-    buf = [r for r in buf if r[0] >= wm]
-    rows, open_v = _close_chain(txn_id, open_v, matured, final=False)
-
-    state.update(
-        (
-            open_v[0] if open_v else -1,
-            open_v[1] if open_v else "",
-            open_v[2] if open_v else -1,
-            [r[1] for r in buf],
-            [r[2] for r in buf],
-            [r[0] for r in buf],
-        )
-    )
-    state.setTimeoutTimestamp(last + SCD2_TTL_MS)
-
-    if rows:
-        yield pd.DataFrame(rows, columns=_OUT_COLS)
+    return _scd2_buffered
 
 
 def scd2_stream_buffered(
-    changes: DataFrame, event_time: Column | None = None
+    changes: DataFrame,
+    event_time: Column | None = None,
+    ttl_ms: int = SCD2_TTL_MS,
 ) -> DataFrame:
     """Watermark-buffered SCD2 maintainer: identical output contract to
     scd2_stream minus the dead-letter rows — admitted-late arrivals
-    integrate into the history instead (see module comment)."""
+    integrate into the history instead (see module comment). ttl_ms
+    must exceed the longest quiet gap a live key can have (see
+    _make_scd2_buffered — a TTL flush finalizes the key)."""
     if event_time is None:
         event_time = F.timestamp_millis(F.col("ts_ms"))
     with_time = changes.withColumn("event_time", event_time).withWatermark(
@@ -293,7 +314,7 @@ def scd2_stream_buffered(
     return (
         with_time.groupBy("txn_id")
         .applyInPandasWithState(
-            _scd2_buffered,
+            _make_scd2_buffered(ttl_ms),
             outputStructType=SCD2_OUTPUT_SCHEMA,
             stateStructType=SCD2_BUF_STATE_SCHEMA,
             outputMode="append",

@@ -78,15 +78,23 @@ _ENVELOPE_STAGE_MEMO: set[str] = set()
 
 
 def file_envelope_stream(
-    spark: SparkSession, envelopes: DataFrame, stage_dir: str
+    spark: SparkSession,
+    envelopes: DataFrame,
+    stage_dir: str,
+    skip_if_staged: bool = False,
 ) -> DataFrame:
     """Materialize (seq, value) envelopes once and replay as a stream.
-    Memoized per (process, stage_dir): the staged envelopes are a pure
-    function of the stage dir's source dataset, so repeat invocations
-    (the bench's min-of-N) measure the stream, not the staging."""
+
+    skip_if_staged=True memoizes per (process, stage_dir) so repeat
+    invocations (the bench's min-of-N) measure the stream, not the
+    staging. It is OPT-IN because the memo is keyed on the path alone:
+    only a caller whose staged content is a pure function of the path
+    (the declared queries' _staged_envelope_stream derives it from
+    sf_dir) may assert that — a general caller passing different
+    envelope frames to the same dir must restage."""
     os.makedirs(stage_dir, exist_ok=True)
     out = os.path.join(stage_dir, "envelopes")
-    if out not in _ENVELOPE_STAGE_MEMO:
+    if not (skip_if_staged and out in _ENVELOPE_STAGE_MEMO):
         envelopes.select(
             F.col("seq").cast("long"), F.col("value").cast("string")
         ).write.mode("overwrite").parquet(out)

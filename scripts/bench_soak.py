@@ -252,6 +252,44 @@ def main() -> None:
             "curve": _curve(q),
         }
 
+    # -------- SCD2 maintainers (eager + watermark-buffered, r6) -------
+    # reuse the temporal staging's dim side as a change stream: both
+    # maintainers must show FLAT state (eager: one open version per
+    # key; buffered: open version + in-watermark-lag buffer only)
+    from cdc_via_flink_spark.streaming.scd2 import (
+        scd2_stream,
+        scd2_stream_buffered,
+    )
+
+    for name, wire in (
+        ("scd2_eager", scd2_stream),
+        ("scd2_buffered", scd2_stream_buffered),
+    ):
+        stream = (
+            spark.readStream.schema(
+                "txn_id string, seq long, side string, op string, ts_ms long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_t)
+        )
+        ch = stream.filter(F.col("side") == "D").select(
+            "txn_id", "seq", "op", "ts_ms"
+        )
+        # only the dim half of the staged rows reaches the maintainer —
+        # report THAT count, not n_t (review finding: n_t would
+        # overstate throughput 2×)
+        n_ch = n_t // 2
+        ckpt = os.path.join(root, f"ckpt_{name}")
+        q, wall, n_out = _run_stream(spark, wire(ch), ckpt, f"soak_{name}")
+        results[name] = {
+            "events": n_ch,
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(n_ch / wall, 1),
+            "rows_emitted": n_out,
+            "checkpoint_state_bytes": _du(os.path.join(ckpt, "state")),
+            "curve": _curve(q),
+        }
+
     print(
         json.dumps(
             {

@@ -310,6 +310,16 @@ def test_lsh_plan_model():
             if t < 4096:  # below the cap the bound must hold exactly
                 assert (1.0 - p**b) ** t <= 1e-8 + 1e-12, (n, tau, b, t)
 
+    # caller-pinned bits with auto tables: tables must be solved for
+    # the PINNED bits, so the bound still holds (r6 review finding —
+    # sizing tables for the auto bits would silently void recall)
+    for pinned in (10, 16):
+        b, t = lsh_plan(4096, 0.9, bits_override=pinned)
+        p = 1.0 - math.acos(0.9) / math.pi
+        assert b == pinned
+        if t < 4096:
+            assert (1.0 - p**b) ** t <= 1e-8 + 1e-12, (pinned, t)
+
     def model_cands(n, b, t):
         # expected distinct random-collision pairs (p_bit ~ 1/2)
         return n * n / 2.0 * (1.0 - (1.0 - 2.0**-b) ** t)
