@@ -408,7 +408,7 @@ def semantic_dedup(
     tau: float = 0.4,
     every_k: int = 100,
     max_iter: int = 3,
-    coarse_every_k: int = 2000,
+    coarse_every_k: int | None = 2000,
     train_mod: int = 4,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -441,9 +441,16 @@ def semantic_dedup(
     from cdc_via_flink_spark.operators.kmeans import (
         two_level_assign,
         two_level_fit,
+        two_level_plan,
     )
 
     v_df = e.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    if coarse_every_k is None:
+        # derive the coarse stride from the corpus cardinality so
+        # k1 ≈ √k (the O(n·√k) operating point) — one tiny count
+        # probe; the declared query pins 2000 for oracle determinism
+        n = e.agg(F.count(F.lit(1)).alias("n")).head()["n"]
+        coarse_every_k, every_k = two_level_plan(n, every_k)
     coarse, fine = two_level_fit(
         e,
         coarse_every_k=coarse_every_k,

@@ -48,6 +48,44 @@ def test_hot_bucket_salting_is_exact(spark):
     assert len(g) == 300 * 299 // 2 + 40 * 39 // 2 + 3
 
 
+def test_property_random_bucket_structures_match_plain_join(spark):
+    """Property pin over random bucket structures and caps: whatever
+    the bucket-size distribution (empty-ish, all-hot, mixed, cap=1
+    extreme salting), the guarded join's (pair, payload) multiset must
+    equal the plain join's."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=6),
+        cap=st.integers(min_value=1, max_value=12),
+    )
+    def check(sizes, cap):
+        rows = [
+            (b, i + b * 1000, (i * 7 + b) % 13)
+            for b, m in enumerate(sizes)
+            for i in range(m)
+        ]
+        banded = spark.createDataFrame(rows, "bucket int, doc_id long, sz long")
+        got = sorted(
+            tuple(r)
+            for r in band_self_join(
+                banded, ("bucket",), "doc_id", payload_cols=("sz",), cap=cap
+            ).collect()
+        )
+        exact = sorted(
+            tuple(r) for r in _plain_pairs(banded, ("bucket",), "doc_id", ("sz",)).collect()
+        )
+        assert got == exact
+
+    check()
+
+
 def test_cold_only_matches_plain_join(spark):
     rows = [(t, b, t * 100 + i) for t in range(4) for b in range(3) for i in range(7)]
     banded = spark.createDataFrame(rows, "t int, bucket int, vec_id long")

@@ -64,3 +64,25 @@ def test_semantic_dedup_deterministic(spark):
     b = semantic_dedup(e, tau=TAU).orderBy("vec_id").collect()
     assert a == b
     assert any(not r["kept"] for r in a)  # fixture actually exercises drops
+
+
+def test_auto_coarse_stride_matches_explicit(spark):
+    """semantic_dedup(coarse_every_k=None) derives the coarse stride
+    from the corpus via two_level_plan and must equal the explicitly
+    sized run (r6 auto-sizing path)."""
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.operators.dedup import semantic_dedup
+    from cdc_via_flink_spark.operators.kmeans import two_level_plan
+    from cdc_via_flink_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    e = load_table(spark, SF0001, "embeddings")
+    n = e.count()
+    ck, fk = two_level_plan(n, 100)
+    auto = sorted(tuple(r) for r in semantic_dedup(e, coarse_every_k=None).collect())
+    explicit = sorted(
+        tuple(r)
+        for r in semantic_dedup(e, every_k=fk, coarse_every_k=ck).collect()
+    )
+    assert auto == explicit and len(auto) > 0
