@@ -377,6 +377,150 @@ def minhash_lsh_components(
     )
 
 
+def _banded_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int, rows: int
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, sh) for a document frame: per-doc distinct shingles and
+    the banded MinHash signature rows (doc_id, sz, band, bsig) — the
+    persistable text near-dup index payload (save_dedup_index)."""
+    sh = doc_shingles(df, text_col, id_col)
+    t = sh.withColumn("t", token_int(F.col("sh")))
+    aggs = [
+        F.min(minhash_expr(F.col("t"), j)).alias(f"mh{j}") for j in range(num_hashes)
+    ] + [F.count(F.lit(1)).alias("sz")]
+    sigsz = t.groupBy("doc_id").agg(*aggs)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+            ).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigsz.select(
+        "doc_id", "sz", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("doc_id", "sz", F.col("bd.band").alias("band"), F.col("bd.bsig").alias("bsig"))
+    return banded, sh
+
+
+def save_dedup_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+) -> None:
+    """Persist the corpus's banded MinHash signatures — the text-side
+    analog of ivf.save_index (build once, dedup arriving batches
+    forever): the stored rows are (doc_id, sz, band, bsig), CLUSTERED
+    by (band, bsig) on disk so an incremental probe's equi-join reads
+    co-located bucket runs. Signatures are per-doc-independent, so the
+    stored index equals what a monolithic run would compute — the
+    invariant incremental_neardup_pairs relies on."""
+    banded, _sh = _banded_signatures(df, text_col, id_col, num_hashes, bands, rows)
+    banded.repartition("band", "bsig").sortWithinPartitions(
+        "band", "bsig"
+    ).write.mode("overwrite").parquet(path)
+
+
+def incremental_neardup_pairs(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.5,
+    old_banded: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup: all verified pairs involving at least one
+    NEW document — exactly minhash_lsh_neardup(old ∪ new) restricted
+    to new-involving pairs (signatures are per-doc-independent, so
+    banding the sides separately collides identically; pinned by
+    tests/test_property_dedup.py). This is the production dedup flow
+    for a continuously-growing corpus: the old side's banded
+    signatures come from the persisted index (save_dedup_index via
+    old_banded) — only the NEW batch is shingled and hashed end to
+    end, and OLD documents are re-shingled ONLY if they land in a
+    candidate pair (the verify stage semi-join-prunes the shingle
+    recomputation to candidate ids, so old-side work scales with
+    collisions, not corpus size).
+
+    Candidate stages: new×new through the skew-guarded
+    band_self_join; new×old as a plain (band, bsig) equi-join with
+    the NEW side broadcastable when small (the common append shape).
+    Output matches minhash_lsh_neardup: (id_a, id_b, inter, size_a,
+    size_b, jaccard), id_a < id_b.
+    """
+    from cdc_via_flink_spark.operators.banding import band_self_join
+
+    banded_new, sh_new = _banded_signatures(
+        new_df, text_col, id_col, num_hashes, bands, rows
+    )
+    if old_banded is None:
+        old_banded, _ = _banded_signatures(
+            old_df, text_col, id_col, num_hashes, bands, rows
+        )
+    nn = band_self_join(
+        banded_new, ("band", "bsig"), "doc_id", payload_cols=("sz",)
+    ).withColumnsRenamed({"sz_a": "size_a", "sz_b": "size_b"})
+    no = (
+        banded_new.alias("n")
+        .join(
+            old_banded.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bsig") == F.col("o.bsig")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("id_a"),
+            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("id_b"),
+            F.when(F.col("n.doc_id") < F.col("o.doc_id"), F.col("n.sz"))
+            .otherwise(F.col("o.sz"))
+            .alias("size_a"),
+            F.when(F.col("n.doc_id") < F.col("o.doc_id"), F.col("o.sz"))
+            .otherwise(F.col("n.sz"))
+            .alias("size_b"),
+        )
+    )
+    cand = nn.unionByName(no).distinct()
+
+    # exact-Jaccard verify over the union's shingles, semi-pruned to
+    # candidate ids: old docs outside any candidate pair are never
+    # re-shingled
+    sh_old = doc_shingles(old_df, text_col, id_col)
+    sh = sh_new.unionByName(sh_old)
+    cand_long = cand.select(
+        "id_a",
+        "id_b",
+        "size_a",
+        "size_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id"),
+    )
+    ids = cand_long.select("doc_id").distinct()
+    sh = sh.join(ids, "doc_id", "left_semi")
+    inter = (
+        cand_long.join(sh, "doc_id")
+        .groupBy("id_a", "id_b", "size_a", "size_b", "sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 2)
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return inter.filter(jac >= threshold).select(
+        "id_a",
+        "id_b",
+        "inter",
+        "size_a",
+        "size_b",
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
 def simhash64(sh: DataFrame) -> DataFrame:
     """64-bit SimHash per doc from shingle hashes: bit i of the
     fingerprint is the majority vote of bit i across token hashes.

@@ -784,6 +784,38 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_pairs",
+    oracle=f"""
+WITH base AS ({_LSH_ORACLE})
+SELECT id_a, id_b, inter, size_a, size_b, jaccard
+FROM base WHERE id_a % 5 = 0 OR id_b % 5 = 0
+""",
+    tags=("X1", "dedup", "incremental", "lifecycle"),
+)
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup — the production flow for a
+    continuously-growing training corpus (the text-side analog of the
+    ANN append lifecycle): an arriving batch (every 5th doc plays the
+    NEW side) is near-dup-checked against the EXISTING corpus's
+    persisted banded-signature index
+    (operators/dedup.py::save_dedup_index /
+    incremental_neardup_pairs) without re-hashing the old corpus —
+    old docs are re-shingled only if they land in a candidate pair.
+    The result must equal the monolithic full-corpus MinHash-LSH run
+    restricted to new-involving pairs, which is exactly what the
+    oracle states (signatures are per-doc-independent, so separate
+    banding collides identically)."""
+    from cdc_via_flink_spark.operators.dedup import incremental_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    return incremental_neardup_pairs(
+        old, new, "text", "doc_id", NUM_HASHES, BANDS, ROWS, JACCARD_T
+    )
+
+
+@query(
     "dedup_ensemble",
     oracle=f"""
 WITH base AS ({_LSH_ORACLE}),

@@ -91,6 +91,55 @@ def test_class_mode_components_equal_pair_mode_on_clone_corpus(spark):
     assert class_mode == pair_mode and len(class_mode) > 0
 
 
+def test_incremental_pairs_equal_monolithic_run(spark, tmp_path):
+    """incremental_neardup_pairs (old index + new batch) must equal
+    minhash_lsh_neardup over the whole corpus restricted to
+    new-involving pairs — both directly and through the PERSISTED
+    index (save_dedup_index roundtrip), including when the new batch
+    re-introduces texts identical to old docs."""
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        save_dedup_index,
+    )
+    from cdc_via_flink_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    d = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    # clone every 7th doc under a new-side id: identical-text pairs
+    # must cross the old/new boundary with jaccard 1.0
+    extra = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(extra)
+    new = corpus.filter((F.col("doc_id") % 5 == 0) | (F.col("doc_id") >= 500_000))
+    old = corpus.subtract(new)
+
+    full = minhash_lsh_neardup(corpus, "text", "doc_id")
+    new_ids = {r.doc_id for r in new.collect()}
+    expected = sorted(
+        tuple(r)
+        for r in full.collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    )
+    direct = sorted(
+        tuple(r)
+        for r in incremental_neardup_pairs(old, new, "text", "doc_id").collect()
+    )
+    assert direct == expected and len(direct) > 0
+
+    path = str(tmp_path / "dedup_idx")
+    save_dedup_index(old, path)
+    via_index = sorted(
+        tuple(r)
+        for r in incremental_neardup_pairs(
+            old, new, "text", "doc_id", old_banded=spark.read.parquet(path)
+        ).collect()
+    )
+    assert via_index == expected
+
+
 @settings(
     max_examples=8,
     deadline=None,
