@@ -267,6 +267,31 @@ def _rep_candidates(reps: DataFrame, bits: int, tables: int) -> DataFrame:
     return band_self_join(slim, ("t", "bucket"), "vec_id").dropDuplicates()
 
 
+def _vector_classes(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """(d, cls): the normalized (vec_id, v) frame and its
+    exact-duplicate classes — the collapse keyed on a fixed-width
+    96-bit digest pair of the vector (xxhash64 + murmur3 over the
+    array), NOT the 512-byte vector itself: the exchange hashes/sorts
+    12-byte keys and the vector rides as a min() payload (values
+    identical within a class). Two distinct vectors merge only on a
+    joint 64+32-bit collision."""
+    from cdc_via_flink_spark.sources.tables import ensure_min_partitions
+
+    d = ensure_min_partitions(embeddings).select(
+        F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
+    )
+    cls = d.groupBy(
+        F.xxhash64("v").alias("_h1"), F.hash("v").alias("_h2")
+    ).agg(
+        F.min("vec_id").alias("rep"),
+        F.sort_array(F.collect_list("vec_id")).alias("members"),
+        F.min("v").alias("v"),
+    )
+    return d, cls
+
+
 def neardup_lsh_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -323,23 +348,7 @@ def neardup_lsh_pairs(
 
     Output: (id_a, id_b, cos) with id_a < id_b, cos rounded to 6 d.p.
     """
-    from cdc_via_flink_spark.sources.tables import ensure_min_partitions
-
-    d = ensure_min_partitions(embeddings).select(
-        F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
-    )
-    # collapse keyed on a fixed-width 96-bit digest pair of the vector
-    # (xxhash64 + murmur3 over the array), NOT the 512-byte vector
-    # itself: the exchange hashes/sorts 12-byte keys and the vector
-    # rides as a min() payload (values identical within a class). Two
-    # distinct vectors merge only on a joint 64+32-bit collision.
-    cls = d.groupBy(
-        F.xxhash64("v").alias("_h1"), F.hash("v").alias("_h2")
-    ).agg(
-        F.min("vec_id").alias("rep"),
-        F.sort_array(F.collect_list("vec_id")).alias("members"),
-        F.min("v").alias("v"),
-    )
+    d, cls = _vector_classes(embeddings, id_col, vec_col)
     if bits is None or tables is None:
         if n_distinct is None:
             # tiny scalar pre-pass (one scan, 1-row result — the
@@ -357,8 +366,26 @@ def neardup_lsh_pairs(
         tables = auto_tables if tables is None else tables
     reps = cls.select(F.col("rep").alias("vec_id"), "v")
     pairs = _rep_candidates(reps, bits=bits, tables=tables)
+    return _verify_and_expand(cls, pairs, threshold)
+
+
+def _verify_and_expand(
+    cls: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    within_cls: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-cosine verify of candidate REP pairs + member expansion —
+    shared by the monolithic and incremental pipelines. `cls` supplies
+    vectors for verification and members for expansion; `within_cls`
+    (default: cls) is the subset of classes whose INTERNAL member
+    pairs are emitted (the incremental path passes only the NEW
+    batch's classes — old-old pairs are already known)."""
     from cdc_via_flink_spark.functions.vectors import norm
 
+    if within_cls is None:
+        within_cls = cls
+    reps = cls.select(F.col("rep").alias("vec_id"), "v")
     # per-REP norms computed ONCE below the join boundary (the
     # exchange/broadcast materializes them), so the per-PAIR verify is
     # a single dot fold instead of cosine's three (dot + two norms) —
@@ -408,7 +435,7 @@ def neardup_lsh_pairs(
     )
     # within-class pairs: identical vectors, self-cosine (1.0 up to
     # rounding — computed, not assumed, to stay bit-faithful)
-    me = cls.filter(F.size("members") > 1).select(
+    me = within_cls.filter(F.size("members") > 1).select(
         "rep",
         F.round(cosine(F.col("v"), F.col("v")), 6).alias("cos"),
         F.explode("members").alias("m"),
@@ -427,6 +454,99 @@ def neardup_lsh_pairs(
         .filter(F.col("cos") >= threshold)
     )
     return cross.unionByName(within)
+
+
+def save_srp_index(
+    embeddings: DataFrame,
+    path: str,
+    threshold: float = 0.4,
+    bits: int | None = None,
+    tables: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the SRP-LSH near-dup index — the embedding-side analog
+    of dedup.save_dedup_index (and of the ANN index lifecycle):
+    duplicate classes (rep, members, v), the reps' exploded code rows
+    (vec_id, t, bucket) clustered by (t, bucket) for co-located
+    incremental probes, and a one-row meta frame pinning the sizing
+    (bits, tables, threshold) so every later batch codes with the
+    SAME tables — per-vector codes are input-independent, so the
+    stored index equals what a monolithic run at this sizing computes."""
+    d, cls = _vector_classes(embeddings, id_col, vec_col)
+    if bits is None or tables is None:
+        n_distinct = d.agg(
+            F.approx_count_distinct(F.xxhash64(F.col("v"))).alias("n")
+        ).head()["n"]
+        auto_bits, auto_tables = lsh_plan(n_distinct, threshold, bits_override=bits)
+        bits = auto_bits if bits is None else bits
+        tables = auto_tables if tables is None else tables
+    reps = cls.select(F.col("rep").alias("vec_id"), "v")
+    slim = with_lsh_codes(reps, "v", bits=bits, tables=tables).select(
+        "vec_id", F.posexplode("codes").alias("t", "bucket")
+    )
+    cls.select("rep", "members", "v").write.mode("overwrite").parquet(
+        path + "/classes"
+    )
+    slim.repartition("t", "bucket").sortWithinPartitions(
+        "t", "bucket"
+    ).write.mode("overwrite").parquet(path + "/codes")
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(int(bits), int(tables), float(threshold))],
+        "bits int, tables int, threshold double",
+    ).write.mode("overwrite").parquet(path + "/meta")
+
+
+def incremental_srp_pairs(
+    spark,
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL embedding near-dup: all verified pairs involving at
+    least one NEW vector, against the persisted index — exactly
+    neardup_lsh_pairs(old ∪ new, bits, tables) at the index's stored
+    sizing, restricted to new-involving pairs (pinned by
+    tests/test_plans.py::test_incremental_srp_equals_monolithic).
+    Only the NEW batch is coded end-to-end; the old side contributes
+    its stored code rows to one equi-join and its stored class
+    vectors to the verify — old work scales with collisions, not
+    corpus size. New×new candidates go through the skew-guarded
+    band_self_join; old-old pairs (already known) are never generated,
+    and within-class pairs are emitted only for NEW classes."""
+    bits, tables, threshold = spark.read.parquet(path + "/meta").head()
+    old_cls = spark.read.parquet(path + "/classes")
+    old_slim = spark.read.parquet(path + "/codes")
+
+    from cdc_via_flink_spark.operators.banding import band_self_join
+
+    _d, new_cls = _vector_classes(new_embeddings, id_col, vec_col)
+    new_reps = new_cls.select(F.col("rep").alias("vec_id"), "v")
+    new_slim = with_lsh_codes(new_reps, "v", bits=bits, tables=tables).select(
+        "vec_id", F.posexplode("codes").alias("t", "bucket")
+    )
+    nn = band_self_join(new_slim, ("t", "bucket"), "vec_id")
+    no = (
+        new_slim.alias("n")
+        .join(
+            old_slim.alias("o"),
+            (F.col("n.t") == F.col("o.t"))
+            & (F.col("n.bucket") == F.col("o.bucket")),
+        )
+        .select(
+            F.least(F.col("n.vec_id"), F.col("o.vec_id")).alias("id_a"),
+            F.greatest(F.col("n.vec_id"), F.col("o.vec_id")).alias("id_b"),
+        )
+    )
+    pairs = nn.unionByName(no).dropDuplicates()
+    cls_all = new_cls.select("rep", "members", "v").unionByName(
+        old_cls.select("rep", "members", "v")
+    )
+    return _verify_and_expand(
+        cls_all, pairs, threshold, within_cls=new_cls
+    )
 
 
 def brute_force_topk(

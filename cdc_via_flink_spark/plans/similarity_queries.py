@@ -158,6 +158,47 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_lsh_pairs(e, threshold=0.4)
 
 
+@query(
+    "sim_incremental_neardup",
+    oracle=f"""
+WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, q.vec_id AS id_b, {SQL_COS} AS cos
+  FROM d a JOIN d q ON a.vec_id < q.vec_id
+)
+SELECT id_a, id_b, cos FROM p
+WHERE cos >= 0.4 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+""",
+    tags=("X1", "X2", "neardup", "incremental", "lifecycle"),
+)
+def sim_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL embedding near-dup — the vector-side twin of
+    dedup_incremental_pairs and the near-dup face of the ANN index
+    lifecycle: the existing corpus (vec_id % 5 != 0) persists its
+    SRP code index once (operators/similarity.py::save_srp_index —
+    classes + code rows clustered by (t, bucket) + pinned sizing),
+    and the arriving batch (vec_id % 5 == 0) is verified against it
+    (incremental_srp_pairs) — only the new batch is coded end to end,
+    old-old pairs are never generated. Output = all verified pairs
+    involving a new vector; the oracle keeps the exact brute-force
+    formulation restricted the same way."""
+    import os
+
+    from cdc_via_flink_spark.operators.similarity import (
+        incremental_srp_pairs,
+        save_srp_index,
+    )
+    from cdc_via_flink_spark.plans.streaming_queries import STAGE_ROOT
+
+    e = load_table(spark, sf_dir, "embeddings")
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(STAGE_ROOT, f"srp_index_{sf_name}")
+    save_srp_index(old, path, threshold=0.4)
+    return incremental_srp_pairs(spark, new, path)
+
+
 SQL_QUANT = (
     "list_transform(v, x -> CAST(round((x * 127.0) / mx) AS BIGINT))"
 )

@@ -373,6 +373,51 @@ def test_neardup_adaptive_sizing_recall_above_floor(spark):
     assert len(got - expected) == 0
 
 
+def test_incremental_srp_equals_monolithic(spark, tmp_path):
+    """incremental_srp_pairs (persisted index + new batch) must equal
+    neardup_lsh_pairs over the whole corpus at the index's stored
+    sizing, restricted to new-involving pairs — including cross-
+    boundary IDENTICAL vectors (a new clone of an old vector must pair
+    at cos 1.0 through the index) and duplicate classes inside the
+    new batch (within-class pairs emitted for new classes only)."""
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.operators.similarity import (
+        incremental_srp_pairs,
+        neardup_lsh_pairs,
+        save_srp_index,
+    )
+    from cdc_via_flink_spark.sources.tables import load_table
+
+    e = load_table(spark, SF001, "embeddings").select("vec_id", "embedding")
+    # clones crossing the old/new boundary AND duplicating inside new
+    extra = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(extra)
+    new = corpus.filter(
+        (F.col("vec_id") % 5 == 0) | (F.col("vec_id") >= 500_000)
+    )
+    old = corpus.subtract(new)
+
+    path = str(tmp_path / "srp_idx")
+    save_srp_index(old, path, threshold=0.4)
+    bits, tables, thr = spark.read.parquet(path + "/meta").head()
+
+    full = neardup_lsh_pairs(corpus, threshold=thr, bits=bits, tables=tables)
+    new_ids = {r.vec_id for r in new.collect()}
+    expected = sorted(
+        (r.id_a, r.id_b, r.cos)
+        for r in full.collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.cos)
+        for r in incremental_srp_pairs(spark, new, path).collect()
+    )
+    assert got == expected and len(got) > 0
+
+
 def test_dedup_collapse_exchanges_are_digest_keyed(spark):
     """The exact-duplicate class collapses must shuffle on FIXED-WIDTH
     digest keys (xxhash64+murmur3 of the content), never on the raw
