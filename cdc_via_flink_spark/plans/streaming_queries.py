@@ -1133,6 +1133,76 @@ def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(neardup_collisions_stream(banded), "append")
 
 
+def _incremental_neardup_oracle() -> str:
+    from cdc_via_flink_spark.plans.dedup_queries import _LSH_ORACLE
+
+    return f"""
+WITH base AS ({_LSH_ORACLE})
+SELECT id_a, id_b, inter, size_a, size_b, jaccard
+FROM base WHERE id_a % 5 = 0 OR id_b % 5 = 0
+"""
+
+
+@query(
+    "stream_incremental_neardup",
+    oracle=_incremental_neardup_oracle(),
+    tags=("X1", "ST5", "streaming", "dedup", "incremental", "lifecycle"),
+)
+def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental corpus dedup
+    (streaming/dedup_maintenance.py): the existing corpus
+    (doc_id % 5 != 0) persists a base signature index; new docs
+    (doc_id % 5 == 0) ARRIVE over three micro-batches, each checked
+    against base ∪ previously committed batch deltas AND itself, then
+    appended to the index as a crash-atomic committed delta (the ANN
+    maintainer's epoch + checkpoint-identity pointer recipe). The
+    UNION of the per-epoch pair outputs must equal the monolithic
+    full-corpus MinHash-LSH restricted to new-involving pairs — the
+    same oracle dedup_incremental_pairs carries, now proven for the
+    maintained streaming flow."""
+    import shutil
+
+    from cdc_via_flink_spark.streaming.dedup_maintenance import (
+        dedup_maintenance_query,
+        read_emitted_pairs,
+        save_streaming_dedup_index,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+
+    root = os.path.join(STAGE_ROOT, f"dedup_maint_{sf_name}")
+    idx, out, ckpt = (
+        os.path.join(root, "idx"),
+        os.path.join(root, "pairs"),
+        os.path.join(root, "ckpt"),
+    )
+    # index/checkpoint/staging state is rebuilt FRESH every run (not
+    # memoized): the run must exercise the maintenance flow itself,
+    # not read back stale commits from a previous invocation
+    for p in (idx, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    save_streaming_dedup_index(old, idx)
+    frames = [
+        new.filter(F.pmod(F.col("doc_id"), 3) == k).orderBy("doc_id")
+        for k in range(3)
+    ]
+    dest = os.path.join(root, "staged")
+    shutil.rmtree(dest, ignore_errors=True)
+    _STAGED_DESTS.discard(dest)
+    _stage_ordered_files(spark, frames, dest)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = dedup_maintenance_query(stream, idx, out, ckpt)
+    q.awaitTermination()
+    return read_emitted_pairs(spark, out)
+
+
 @query(
     "stream_retract_view",
     oracle=f"""

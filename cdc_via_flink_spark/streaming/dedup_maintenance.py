@@ -1,0 +1,200 @@
+"""Streaming incremental corpus dedup — the MAINTAINED form of
+operators/dedup.py::incremental_neardup_pairs (SURVEY.md X1 + ST5;
+the text-side twin of streaming/ann_maintenance.py): documents arrive
+as a stream, and every micro-batch is
+
+  1. near-dup-checked against the maintained signature index
+     (base ∪ COMMITTED deltas) AND against itself — emitting exactly
+     the verified pairs that involve a batch document;
+  2. appended to the index as a crash-atomic committed DELTA (banded
+     signatures + the batch's docs, so later batches can exact-verify
+     against it), behind the same epoch + checkpoint-identity pointer
+     recipe as the ANN maintainer: tmp-dir staging, one-rename
+     publish, pointer commit last, orphan GC, replayed epochs skipped,
+     foreign checkpoints refused.
+
+Because batch k sees base ∪ batches < k in the index and itself via
+the skew-guarded self-join, the UNION of all epochs' pair outputs
+equals the one-shot batch incremental run over (base, all new docs) —
+which itself equals the monolithic full-corpus LSH restricted to
+new-involving pairs. Each pair is found exactly once (at the epoch of
+its max-epoch member). Pinned by tests/test_dedup_maintenance.py and
+the declared stream_incremental_neardup query's restricted full-LSH
+oracle.
+
+Scale: per-batch work = shingling/hashing the BATCH (old docs are
+re-shingled only when they land in a candidate pair — the
+incremental_neardup_pairs contract), one equi-join against the stored
+band rows, and a delta-sized write; the base index is never rewritten.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+DEDUP_PTR = "_DEDUP_COMMITTED"
+
+
+def _read_ptr(index_path: str) -> tuple[int, str] | None:
+    p = os.path.join(index_path, DEDUP_PTR)
+    if not os.path.exists(p):
+        return None
+    epoch, _, run = open(p).read().strip().partition("\t")
+    return int(epoch), run
+
+
+def _write_ptr(index_path: str, epoch: int, run: str) -> None:
+    tmp = os.path.join(index_path, DEDUP_PTR + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(f"{epoch}\t{run}")
+    os.replace(tmp, os.path.join(index_path, DEDUP_PTR))
+
+
+def _committed_deltas(index_path: str) -> list[str]:
+    ptr = _read_ptr(index_path)
+    if ptr is None:
+        return []
+    droot = os.path.join(index_path, "deltas")
+    if not os.path.isdir(droot):
+        return []
+    out = [
+        os.path.join(droot, d)
+        for d in os.listdir(droot)
+        if d.startswith("e") and d[1:].isdigit() and int(d[1:]) <= ptr[0]
+    ]
+    return sorted(out, key=lambda p: int(os.path.basename(p)[1:]))
+
+
+def save_streaming_dedup_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+) -> None:
+    """Base index for the maintained flow: banded signatures (the
+    save_dedup_index layout) PLUS the docs themselves (id, text) so
+    later batches can exact-verify candidate pairs against corpus
+    members without a side channel."""
+    from cdc_via_flink_spark.operators.dedup import _banded_signatures
+
+    banded, _sh = _banded_signatures(df, text_col, id_col, num_hashes, bands, rows)
+    banded.repartition("band", "bsig").sortWithinPartitions(
+        "band", "bsig"
+    ).write.mode("overwrite").parquet(path + "/banded")
+    df.select(
+        df[id_col].alias("doc_id"), df[text_col].alias("text")
+    ).write.mode("overwrite").parquet(path + "/docs")
+
+
+def read_dedup_index(
+    spark: SparkSession, index_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, docs) over base ∪ committed deltas."""
+    banded = spark.read.parquet(index_path + "/banded")
+    docs = spark.read.parquet(index_path + "/docs")
+    for d in _committed_deltas(index_path):
+        banded = banded.unionByName(spark.read.parquet(d + "/banded"))
+        docs = docs.unionByName(spark.read.parquet(d + "/docs"))
+    return banded, docs
+
+
+def dedup_maintenance_query(
+    new_docs: DataFrame,
+    index_path: str,
+    pairs_out: str,
+    checkpoint_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.5,
+) -> StreamingQuery:
+    """Start the maintained dedup gate over a streaming document frame
+    (doc_id long, text string). Verified new-involving pairs land in
+    pairs_out/e<epoch>; the batch joins the index as delta e<epoch>.
+    Caller awaits the query."""
+    from cdc_via_flink_spark.operators.dedup import (
+        _banded_signatures,
+        incremental_neardup_pairs,
+    )
+
+    run_key = os.path.abspath(checkpoint_dir)
+    droot = os.path.join(index_path, "deltas")
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        committed = _read_ptr(index_path)
+        if committed is not None and committed[1] not in ("", run_key):
+            raise RuntimeError(
+                f"dedup index {index_path!r} is maintained by checkpoint "
+                f"{committed[1]!r}; refusing epochs from {run_key!r} — "
+                "epoch ids are checkpoint-scoped."
+            )
+        if committed is not None and epoch_id <= committed[0]:
+            return  # replayed epoch already committed — skip
+        os.makedirs(droot, exist_ok=True)
+        os.makedirs(pairs_out, exist_ok=True)
+        for root in (droot, pairs_out):
+            for d in os.listdir(root):
+                if d.startswith("_tmp_"):
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+        old_banded, old_docs = read_dedup_index(spark, index_path)
+        pairs = incremental_neardup_pairs(
+            old_docs,
+            batch,
+            "text",
+            "doc_id",
+            num_hashes,
+            bands,
+            rows,
+            threshold,
+            old_banded=old_banded,
+        )
+        ptmp = os.path.join(pairs_out, f"_tmp_{uuid.uuid4().hex}")
+        pairs.write.mode("overwrite").parquet(ptmp)
+        pfinal = os.path.join(pairs_out, f"e{epoch_id}")
+        if os.path.isdir(pfinal):
+            shutil.rmtree(pfinal)  # crash between renames: rewrite
+        os.replace(ptmp, pfinal)
+
+        banded, _sh = _banded_signatures(
+            batch, "text", "doc_id", num_hashes, bands, rows
+        )
+        dtmp = os.path.join(droot, f"_tmp_{uuid.uuid4().hex}")
+        banded.write.mode("overwrite").parquet(dtmp + "/banded")
+        batch.select("doc_id", "text").write.mode("overwrite").parquet(
+            dtmp + "/docs"
+        )
+        dfinal = os.path.join(droot, f"e{epoch_id}")
+        if os.path.isdir(dfinal):
+            shutil.rmtree(dfinal)
+        os.replace(dtmp, dfinal)
+        _write_ptr(index_path, epoch_id, run_key)
+
+    return (
+        new_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_emitted_pairs(spark: SparkSession, pairs_out: str) -> DataFrame:
+    """Union of all committed epochs' pair outputs."""
+    dirs = sorted(
+        os.path.join(pairs_out, d)
+        for d in os.listdir(pairs_out)
+        if d.startswith("e") and d[1:].isdigit()
+    )
+    out = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        out = out.unionByName(spark.read.parquet(d))
+    return out

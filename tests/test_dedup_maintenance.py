@@ -1,0 +1,95 @@
+"""Streaming dedup maintenance (streaming/dedup_maintenance.py): the
+union of per-epoch pair outputs equals the one-shot batch incremental
+run — and the monolithic full-corpus LSH restricted to new-involving
+pairs; epochs are replay-idempotent and foreign checkpoints refused."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_via_flink_spark.operators.dedup import minhash_lsh_neardup
+from cdc_via_flink_spark.plans.streaming_queries import (
+    STAGE_ROOT,
+    _stage_ordered_files,
+)
+from cdc_via_flink_spark.sources.tables import load_table
+from cdc_via_flink_spark.streaming.dedup_maintenance import (
+    dedup_maintenance_query,
+    read_emitted_pairs,
+    save_streaming_dedup_index,
+)
+from tests.conftest import SF0001
+
+SCHEMA = "doc_id long, text string"
+
+
+def _corpus(spark):
+    d = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    extra = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(extra)
+    new = corpus.filter(
+        (F.col("doc_id") % 5 == 0) | (F.col("doc_id") >= 500_000)
+    )
+    old = corpus.subtract(new)
+    return corpus, old, new
+
+
+def _run(spark, tmp_path, old, new, name):
+    idx = str(tmp_path / f"{name}_idx")
+    out = str(tmp_path / f"{name}_pairs")
+    ckpt = str(tmp_path / f"{name}_ckpt")
+    save_streaming_dedup_index(old, idx)
+    frames = [
+        new.filter(F.pmod(F.col("doc_id"), 3) == k).orderBy("doc_id")
+        for k in range(3)
+    ]
+    dest = os.path.join(STAGE_ROOT, f"dedup_maint_{name}")
+    _stage_ordered_files(spark, frames, dest)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(dest)
+    )
+    q = dedup_maintenance_query(stream, idx, out, ckpt)
+    q.awaitTermination()
+    return idx, out, ckpt, dest
+
+
+def test_epoch_union_equals_monolithic_restricted(spark, tmp_path):
+    corpus, old, new = _corpus(spark)
+    idx, out, ckpt, dest = _run(spark, tmp_path, old, new, "main")
+
+    got = sorted(tuple(r) for r in read_emitted_pairs(spark, out).collect())
+    full = minhash_lsh_neardup(corpus, "text", "doc_id")
+    new_ids = {r.doc_id for r in new.collect()}
+    expected = sorted(
+        tuple(r)
+        for r in full.collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    )
+    assert got == expected and len(got) > 0
+
+    # replay idempotency: a fresh query on the SAME checkpoint and
+    # source has nothing new — outputs and committed epochs unchanged
+    before = sorted(os.listdir(out))
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(dest)
+    )
+    q2 = dedup_maintenance_query(stream, idx, out, ckpt)
+    q2.awaitTermination()
+    assert sorted(os.listdir(out)) == before
+    got2 = sorted(tuple(r) for r in read_emitted_pairs(spark, out).collect())
+    assert got2 == expected
+
+    # foreign checkpoint refused: same index, different checkpoint
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(dest)
+    )
+    q3 = dedup_maintenance_query(
+        stream, idx, out, str(tmp_path / "other_ckpt")
+    )
+    with pytest.raises(Exception, match="refusing epochs"):
+        q3.awaitTermination()
