@@ -1204,6 +1204,90 @@ def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_incremental_neardup_compacted",
+    oracle=_incremental_neardup_oracle(),
+    tags=("X1", "ST5", "streaming", "dedup", "incremental", "compaction"),
+)
+def stream_incremental_neardup_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPACTION under the oracle gate (the sim_ivf_compacted_topk
+    pattern for the text index): the maintained dedup flow runs its
+    first two micro-batches, the index is COMPACTED (deltas folded
+    into base via the marker-guarded two-rename swap,
+    streaming/dedup_maintenance.py::compact_dedup_index), and the
+    third batch then runs against the folded base. Compaction must be
+    a pure physical rewrite — the union of all epochs' pairs still
+    hash-matches the same monolithic restricted oracle."""
+    import shutil
+
+    from cdc_via_flink_spark.streaming.dedup_maintenance import (
+        compact_dedup_index,
+        dedup_maintenance_query,
+        read_emitted_pairs,
+        save_streaming_dedup_index,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+
+    root = os.path.join(STAGE_ROOT, f"dedup_maintc_{sf_name}")
+    idx, out, ckpt = (
+        os.path.join(root, "idx"),
+        os.path.join(root, "pairs"),
+        os.path.join(root, "ckpt"),
+    )
+    for p in (idx, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    save_streaming_dedup_index(old, idx)
+    frames = [
+        new.filter(F.pmod(F.col("doc_id"), 3) == k).orderBy("doc_id")
+        for k in range(3)
+    ]
+    dest1 = os.path.join(root, "staged_a")
+    dest2 = os.path.join(root, "staged_b")
+    for dst in (dest1, dest2):
+        shutil.rmtree(dst, ignore_errors=True)
+        _STAGED_DESTS.discard(dst)
+    _stage_ordered_files(spark, frames[:2], dest1)
+    _stage_ordered_files(spark, frames[2:], dest2)
+
+    def run(dest):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(dest)
+        )
+        # separate checkpoint per source dir; the index pointer is
+        # per-checkpoint, so hand over by clearing it between phases
+        dedup_maintenance_query(
+            stream, idx, out, ckpt + os.path.basename(dest)
+        ).awaitTermination()
+
+    run(dest1)
+    compact_dedup_index(spark, idx)
+    # phase handover: the second source is a new checkpoint lineage —
+    # epoch ids restart, so shift its outputs past phase 1's by
+    # pointing it at a fresh pairs subdir and clearing the pointer
+    from cdc_via_flink_spark.streaming.dedup_maintenance import DEDUP_PTR
+
+    os.remove(os.path.join(idx, DEDUP_PTR))
+    out2 = out + "_p2"
+    shutil.rmtree(out2, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest2)
+    )
+    dedup_maintenance_query(stream, idx, out2, ckpt + "_p2").awaitTermination()
+    return read_emitted_pairs(spark, out).unionByName(
+        read_emitted_pairs(spark, out2)
+    )
+
+
+@query(
     "stream_retract_view",
     oracle=f"""
 WITH ch AS ({CH_SQL}),

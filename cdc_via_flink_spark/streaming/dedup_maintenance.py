@@ -82,28 +82,100 @@ def save_streaming_dedup_index(
     """Base index for the maintained flow: banded signatures (the
     save_dedup_index layout) PLUS the docs themselves (id, text) so
     later batches can exact-verify candidate pairs against corpus
-    members without a side channel."""
+    members without a side channel. Both live under ONE `base/` dir so
+    compaction can publish a folded replacement with a single
+    two-rename swap (the ANN compaction recipe)."""
     from cdc_via_flink_spark.operators.dedup import _banded_signatures
 
     banded, _sh = _banded_signatures(df, text_col, id_col, num_hashes, bands, rows)
     banded.repartition("band", "bsig").sortWithinPartitions(
         "band", "bsig"
-    ).write.mode("overwrite").parquet(path + "/banded")
+    ).write.mode("overwrite").parquet(path + "/base/banded")
     df.select(
         df[id_col].alias("doc_id"), df[text_col].alias("text")
-    ).write.mode("overwrite").parquet(path + "/docs")
+    ).write.mode("overwrite").parquet(path + "/base/docs")
 
 
 def read_dedup_index(
     spark: SparkSession, index_path: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(banded, docs) over base ∪ committed deltas."""
-    banded = spark.read.parquet(index_path + "/banded")
-    docs = spark.read.parquet(index_path + "/docs")
+    """(banded, docs) over base ∪ committed deltas. Recovers a crashed
+    compaction first (deterministic from side-dir state), so readers
+    never observe the mid-swap window."""
+    _recover_compaction(index_path)
+    banded = spark.read.parquet(index_path + "/base/banded")
+    docs = spark.read.parquet(index_path + "/base/docs")
     for d in _committed_deltas(index_path):
         banded = banded.unionByName(spark.read.parquet(d + "/banded"))
         docs = docs.unionByName(spark.read.parquet(d + "/docs"))
     return banded, docs
+
+
+COMPACT_MARKER = "_COMPACTING"
+
+
+def _recover_compaction(index_path: str) -> None:
+    """Make the index consistent after a crash at ANY point of
+    compact_dedup_index's sequence (the ann_maintenance recipe over
+    the single `base/` unit): the marker records the max folded epoch;
+    which of base/_base_old/_base_compact_tmp exist determines whether
+    to abort the fold, finish the swap, or finish the cleanup."""
+    marker = os.path.join(index_path, COMPACT_MARKER)
+    base = os.path.join(index_path, "base")
+    old = os.path.join(index_path, "_base_old")
+    tmp = os.path.join(index_path, "_base_compact_tmp")
+    if not os.path.exists(marker):
+        shutil.rmtree(tmp, ignore_errors=True)  # pre-marker orphan
+        return
+    max_epoch = int(open(marker).read().strip())
+    if os.path.isdir(tmp) and os.path.isdir(base) and not os.path.isdir(old):
+        # fold prepared but not applied: abort (deltas intact)
+        shutil.rmtree(tmp)
+        os.remove(marker)
+        return
+    if os.path.isdir(old) and not os.path.isdir(base):
+        os.rename(tmp, base)  # crashed between the two renames: finish
+    droot = os.path.join(index_path, "deltas")
+    if os.path.isdir(droot):
+        for d in os.listdir(droot):
+            if d.startswith("e") and d[1:].isdigit() and int(d[1:]) <= max_epoch:
+                shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    os.remove(marker)
+
+
+def compact_dedup_index(spark: SparkSession, index_path: str) -> dict:
+    """Fold committed deltas into the base (Delta OPTIMIZE analog for
+    the dedup index). The maintenance pointer is left untouched — its
+    epoch high-water must survive so a replay of an already-folded
+    epoch still skips. MAINTAINER MUST BE STOPPED (same contract as
+    the ANN compaction). Crash at any step recovers deterministically
+    via _recover_compaction. Returns {"deltas_folded": n}."""
+    _recover_compaction(index_path)
+    deltas = _committed_deltas(index_path)
+    if not deltas:
+        return {"deltas_folded": 0}
+    max_epoch = max(int(os.path.basename(d)[1:]) for d in deltas)
+    banded, docs = read_dedup_index(spark, index_path)
+    base = os.path.join(index_path, "base")
+    old = os.path.join(index_path, "_base_old")
+    tmp = os.path.join(index_path, "_base_compact_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    banded.repartition("band", "bsig").sortWithinPartitions(
+        "band", "bsig"
+    ).write.mode("overwrite").parquet(tmp + "/banded")
+    docs.write.mode("overwrite").parquet(tmp + "/docs")
+    marker = os.path.join(index_path, COMPACT_MARKER)
+    with open(marker + ".tmp", "w") as f:
+        f.write(str(max_epoch))
+    os.replace(marker + ".tmp", marker)
+    os.rename(base, old)
+    os.rename(tmp, base)
+    for d in deltas:
+        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    os.remove(marker)
+    return {"deltas_folded": len(deltas)}
 
 
 def dedup_maintenance_query(

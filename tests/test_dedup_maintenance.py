@@ -93,3 +93,88 @@ def test_epoch_union_equals_monolithic_restricted(spark, tmp_path):
     )
     with pytest.raises(Exception, match="refusing epochs"):
         q3.awaitTermination()
+
+
+def test_compaction_is_pure_physical_rewrite(spark, tmp_path):
+    """compact_dedup_index folds deltas into base without changing
+    what later batches see: a post-compaction batch's pairs equal the
+    never-compacted run's, folded epochs stay skipped on replay, and a
+    crashed fold (marker + tmp present, swap not applied) recovers by
+    aborting with the deltas intact."""
+    import shutil as sh
+
+    from cdc_via_flink_spark.streaming.dedup_maintenance import (
+        _committed_deltas,
+        compact_dedup_index,
+        read_dedup_index,
+    )
+
+    corpus, old, new = _corpus(spark)
+    idx, out, ckpt, dest = _run(spark, tmp_path, old, new, "compact")
+
+    banded_before, docs_before = read_dedup_index(spark, idx)
+    nb, nd = banded_before.count(), docs_before.count()
+    assert len(_committed_deltas(idx)) == 3
+
+    # crashed-fold state: marker + tmp, swap not applied -> abort
+    tmp = os.path.join(idx, "_base_compact_tmp")
+    os.makedirs(tmp)
+    with open(os.path.join(idx, "_COMPACTING"), "w") as f:
+        f.write("2")
+    banded_rec, _ = read_dedup_index(spark, idx)  # recovery runs
+    assert not os.path.exists(os.path.join(idx, "_COMPACTING"))
+    assert len(_committed_deltas(idx)) == 3  # deltas intact
+    assert banded_rec.count() == nb
+
+    res = compact_dedup_index(spark, idx)
+    assert res == {"deltas_folded": 3}
+    assert _committed_deltas(idx) == []
+    banded_after, docs_after = read_dedup_index(spark, idx)
+    assert banded_after.count() == nb and docs_after.count() == nd
+
+    # replay after compaction: folded epochs still skip (pointer
+    # high-water preserved), outputs unchanged
+    before = sorted(os.listdir(out))
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(dest)
+    )
+    q = dedup_maintenance_query(stream, idx, out, ckpt)
+    q.awaitTermination()
+    assert sorted(os.listdir(out)) == before
+
+    # a NEW batch after compaction sees the same corpus: its pairs
+    # equal the never-compacted (monolithic) run restricted to it
+    late = corpus.filter(F.col("doc_id") % 11 == 3).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+    )
+    extra_file = late.orderBy("doc_id")
+    tmp_stage = dest + "_w_late"
+    extra_file.coalesce(1).write.mode("overwrite").parquet(tmp_stage)
+    import glob as g
+
+    part = g.glob(f"{tmp_stage}/part-*.parquet")[0]
+    sh.copy(part, os.path.join(dest, "0099.parquet"))
+    os.utime(os.path.join(dest, "0099.parquet"), (2_000_000_000, 2_000_000_000))
+    sh.rmtree(tmp_stage)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(dest)
+    )
+    q = dedup_maintenance_query(stream, idx, out, ckpt)
+    q.awaitTermination()
+
+    all_docs = corpus.unionByName(late)
+    full = minhash_lsh_neardup(all_docs, "text", "doc_id")
+    new_ids = {r.doc_id for r in new.collect()} | {
+        r.doc_id for r in late.collect()
+    }
+    expected = sorted(
+        tuple(r)
+        for r in full.collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    )
+    from cdc_via_flink_spark.streaming.dedup_maintenance import (
+        read_emitted_pairs,
+    )
+
+    got = sorted(tuple(r) for r in read_emitted_pairs(spark, out).collect())
+    assert got == expected
