@@ -1174,23 +1174,22 @@ def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = d.filter(F.col("doc_id") % 5 != 0)
 
     root = os.path.join(STAGE_ROOT, f"dedup_maint_{sf_name}")
+    # the WHOLE root (index, pairs, checkpoint, staging) is rebuilt
+    # FRESH every run — the run must exercise the maintenance flow
+    # itself, never read back stale commits or checkpoints from a
+    # previous invocation
+    shutil.rmtree(root, ignore_errors=True)
     idx, out, ckpt = (
         os.path.join(root, "idx"),
         os.path.join(root, "pairs"),
         os.path.join(root, "ckpt"),
     )
-    # index/checkpoint/staging state is rebuilt FRESH every run (not
-    # memoized): the run must exercise the maintenance flow itself,
-    # not read back stale commits from a previous invocation
-    for p in (idx, out, ckpt):
-        shutil.rmtree(p, ignore_errors=True)
     save_streaming_dedup_index(old, idx)
     frames = [
         new.filter(F.pmod(F.col("doc_id"), 3) == k).orderBy("doc_id")
         for k in range(3)
     ]
     dest = os.path.join(root, "staged")
-    shutil.rmtree(dest, ignore_errors=True)
     _STAGED_DESTS.discard(dest)
     _stage_ordered_files(spark, frames, dest)
     stream = (
@@ -1234,13 +1233,16 @@ def stream_incremental_neardup_compacted(
     old = d.filter(F.col("doc_id") % 5 != 0)
 
     root = os.path.join(STAGE_ROOT, f"dedup_maintc_{sf_name}")
+    # wipe the WHOLE root: the two phase checkpoints live at derived
+    # paths (ckpt + suffix), and a stale checkpoint from a previous
+    # process would make availableNow process ZERO batches against the
+    # freshly wiped index/pairs dirs (caught by the r6 closing sweep)
+    shutil.rmtree(root, ignore_errors=True)
     idx, out, ckpt = (
         os.path.join(root, "idx"),
         os.path.join(root, "pairs"),
         os.path.join(root, "ckpt"),
     )
-    for p in (idx, out, ckpt):
-        shutil.rmtree(p, ignore_errors=True)
     save_streaming_dedup_index(old, idx)
     frames = [
         new.filter(F.pmod(F.col("doc_id"), 3) == k).orderBy("doc_id")
@@ -1249,7 +1251,6 @@ def stream_incremental_neardup_compacted(
     dest1 = os.path.join(root, "staged_a")
     dest2 = os.path.join(root, "staged_b")
     for dst in (dest1, dest2):
-        shutil.rmtree(dst, ignore_errors=True)
         _STAGED_DESTS.discard(dst)
     _stage_ordered_files(spark, frames[:2], dest1)
     _stage_ordered_files(spark, frames[2:], dest2)
