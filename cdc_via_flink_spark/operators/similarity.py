@@ -127,20 +127,65 @@ def lsh_plan(
     from the model, the table count MUST be sized for the effective
     bits (sizing tables for the auto bits while hashing with wider
     pinned bits would silently void the recall bound).
+
+    Cap transparency (r7, VERDICT r6 #5): this is the tuple form;
+    lsh_plan_detail returns the full report including the ACHIEVED
+    miss probability after caps, and a RuntimeWarning fires whenever
+    max_tables binds (the only cap that weakens recall — a bits cap
+    only raises occupancy/candidate cost, tables are still solved for
+    the capped bits). No silent caps.
     """
+    d = lsh_plan_detail(
+        n_distinct,
+        threshold,
+        target_miss=target_miss,
+        occupancy=occupancy,
+        min_bits=min_bits,
+        max_bits=max_bits,
+        max_tables=max_tables,
+        bits_override=bits_override,
+    )
+    return d["bits"], d["tables"]
+
+
+def lsh_plan_detail(
+    n_distinct: int,
+    threshold: float,
+    target_miss: float = LSH_TARGET_MISS,
+    occupancy: int = LSH_OCCUPANCY,
+    min_bits: int = NEARDUP_BITS,
+    max_bits: int = LSH_MAX_BITS,
+    max_tables: int = LSH_MAX_TABLES,
+    bits_override: int | None = None,
+) -> dict:
+    """lsh_plan with the full sizing report (VERDICT r6 #5 — "no
+    silent caps"): {bits, tables, achieved_miss, target_miss,
+    bits_capped, tables_capped}. achieved_miss is the per-true-pair
+    miss probability AT the threshold under the returned sizing,
+    (1 − p^bits)^tables; it equals ≤ target_miss unless max_tables
+    binds, in which case a RuntimeWarning reports the weakened bound
+    (callers that cannot tolerate it should raise max_tables or lower
+    bits). bits_capped means max_bits bound — recall still holds
+    (tables are solved for the CAPPED bits) but expected bucket
+    occupancy exceeds the target by n/(occupancy·2^max_bits), so the
+    candidate stage drifts toward the quadratic regime as the corpus
+    grows past occupancy·2^max_bits ≈ 5.4e8 distinct vectors at the
+    defaults."""
     import math
+    import warnings
 
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     if p <= 0.0:
         raise ValueError(f"threshold {threshold} gives no sign-bit correlation")
+    bits_capped = False
     if bits_override is not None:
         bits = bits_override
     else:
         bits = min_bits
         if n_distinct > occupancy:
-            bits = max(
-                min_bits, min(max_bits, math.ceil(math.log2(n_distinct / occupancy)))
-            )
+            want = math.ceil(math.log2(n_distinct / occupancy))
+            bits = max(min_bits, min(max_bits, want))
+            bits_capped = want > max_bits
     collide = p**bits
     if collide <= 0.0:  # p**bits underflowed: no finite table count
         raise ValueError(
@@ -148,8 +193,28 @@ def lsh_plan(
             "probability underflows to 0 — no table count can hold the "
             "recall bound"
         )
-    tables = math.ceil(math.log(1.0 / target_miss) / -math.log1p(-collide))
-    return bits, max(1, min(max_tables, tables))
+    raw_tables = math.ceil(math.log(1.0 / target_miss) / -math.log1p(-collide))
+    tables = max(1, min(max_tables, raw_tables))
+    tables_capped = raw_tables > max_tables
+    achieved = math.exp(tables * math.log1p(-collide))
+    if tables_capped:
+        warnings.warn(
+            f"lsh_plan: max_tables={max_tables} binds (model wants "
+            f"{raw_tables} tables at bits={bits}, threshold={threshold}); "
+            f"achieved miss probability {achieved:.3g} > target "
+            f"{target_miss:g}. Raise max_tables or lower bits to restore "
+            "the recall bound.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return {
+        "bits": bits,
+        "tables": tables,
+        "achieved_miss": achieved,
+        "target_miss": target_miss,
+        "bits_capped": bits_capped,
+        "tables_capped": tables_capped,
+    }
 
 
 def _proj2d_sql(n_proj: int, dim: int = 64) -> str:
@@ -252,19 +317,38 @@ def _with_lsh_codes_expr(
     return df.withColumn("codes", F.when(v.isNotNull(), codes))
 
 
-def _rep_candidates(reps: DataFrame, bits: int, tables: int) -> DataFrame:
+def _rep_candidates(
+    reps: DataFrame, bits: int, tables: int, probe_input: DataFrame | None = None
+) -> DataFrame:
     """Deduped candidate rep pairs from the multi-table bucket
     self-join — the quadratic-prone stage, factored out so the scaling
     harness can measure candidate counts directly. The self-join goes
     through the skew-guarded band_self_join kernel: a pathological
     near-duplicate bucket (not byte-identical, so the class collapse
     cannot remove it) is salted into ≤cap-sized sub-buckets instead of
-    landing one task with a quadratic key (operators/banding.py)."""
-    from cdc_via_flink_spark.operators.banding import band_self_join
+    landing one task with a quadratic key (operators/banding.py).
 
+    ``probe_input`` (r7, VERDICT r6 #1): the RAW (vec_id, v) frame the
+    guard probe samples — banding ~2 % of it costs ~2 % of the SRP
+    matmul instead of a full second pass over `reps`' collapse
+    subtree; pre-collapse clones only ever make the probe OVERSHOOT
+    (they band identically), which is performance-conservative. When
+    None, band_self_join's in-place auto probe runs (fine for small
+    frames, e.g. incremental new batches)."""
+    from cdc_via_flink_spark.operators.banding import band_self_join, probe_guard
+
+    guard = "auto"
+    if probe_input is not None:
+        guard = probe_guard(
+            lambda dd: with_lsh_codes(
+                dd.select("vec_id", "v"), "v", bits=bits, tables=tables
+            ).select(F.posexplode("codes").alias("t", "bucket")),
+            probe_input,
+            ("t", "bucket"),
+        )
     coded = with_lsh_codes(reps, "v", bits=bits, tables=tables)
     slim = coded.select("vec_id", F.posexplode("codes").alias("t", "bucket"))
-    return band_self_join(slim, ("t", "bucket"), "vec_id").dropDuplicates()
+    return band_self_join(slim, ("t", "bucket"), "vec_id", guard=guard).dropDuplicates()
 
 
 def _vector_classes(
@@ -349,24 +433,51 @@ def neardup_lsh_pairs(
     Output: (id_a, id_b, cos) with id_a < id_b, cos rounded to 6 d.p.
     """
     d, cls = _vector_classes(embeddings, id_col, vec_col)
-    if bits is None or tables is None:
-        if n_distinct is None:
-            # tiny scalar pre-pass (one scan, 1-row result — the
-            # PQ-fit/skew-probe precedent): distinct-vector cardinality
-            # via HLL over 64-bit vector digests
-            n_distinct = d.agg(
-                F.approx_count_distinct(F.xxhash64(F.col("v"))).alias("n")
-            ).head()["n"]
-        # tables are solved for the EFFECTIVE bits: a caller-pinned
-        # bits with auto tables must still hold the recall bound
-        auto_bits, auto_tables = lsh_plan(
-            n_distinct, threshold, bits_override=bits
-        )
-        bits = auto_bits if bits is None else bits
-        tables = auto_tables if tables is None else tables
+    bits, tables = _resolve_sizing(d, threshold, bits, tables, n_distinct)
     reps = cls.select(F.col("rep").alias("vec_id"), "v")
-    pairs = _rep_candidates(reps, bits=bits, tables=tables)
+    pairs = _rep_candidates(reps, bits=bits, tables=tables, probe_input=d)
     return _verify_and_expand(cls, pairs, threshold)
+
+
+def _resolve_sizing(
+    d: DataFrame,
+    threshold: float,
+    bits: int | None,
+    tables: int | None,
+    n_distinct: int | None = None,
+) -> tuple[int, int]:
+    """Shared (bits, tables) resolution for the SRP pipelines. Both
+    pinned → returned as-is; otherwise the missing side(s) come from
+    lsh_plan over the distinct-vector cardinality (one HLL scalar
+    pre-pass over 64-bit vector digests when n_distinct isn't
+    supplied — the PQ-fit/skew-probe precedent). Tables are solved
+    for the EFFECTIVE bits (bits_override), so pinned-bits/auto-tables
+    still holds the recall bound. The CONVERSE pinning —
+    tables pinned while bits auto-derive — cannot hold any bound
+    (bits come out of the occupancy target assuming the MODEL's table
+    count, not the caller's), so it warns (ADVICE r6)."""
+    if bits is not None and tables is not None:
+        return bits, tables
+    if n_distinct is None:
+        n_distinct = d.agg(
+            F.approx_count_distinct(F.xxhash64(F.col("v"))).alias("n")
+        ).head()["n"]
+    auto_bits, auto_tables = lsh_plan(n_distinct, threshold, bits_override=bits)
+    if tables is not None and bits is None:
+        import warnings
+
+        warnings.warn(
+            f"SRP sizing: tables pinned at {tables} while bits auto-derive "
+            f"to {auto_bits} (sized assuming {auto_tables} model tables) — "
+            "the recall bound does not hold for this combination; pin both, "
+            "neither, or pin bits only.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return (
+        auto_bits if bits is None else bits,
+        auto_tables if tables is None else tables,
+    )
 
 
 def _verify_and_expand(
@@ -474,13 +585,7 @@ def save_srp_index(
     SAME tables — per-vector codes are input-independent, so the
     stored index equals what a monolithic run at this sizing computes."""
     d, cls = _vector_classes(embeddings, id_col, vec_col)
-    if bits is None or tables is None:
-        n_distinct = d.agg(
-            F.approx_count_distinct(F.xxhash64(F.col("v"))).alias("n")
-        ).head()["n"]
-        auto_bits, auto_tables = lsh_plan(n_distinct, threshold, bits_override=bits)
-        bits = auto_bits if bits is None else bits
-        tables = auto_tables if tables is None else tables
+    bits, tables = _resolve_sizing(d, threshold, bits, tables)
     reps = cls.select(F.col("rep").alias("vec_id"), "v")
     slim = with_lsh_codes(reps, "v", bits=bits, tables=tables).select(
         "vec_id", F.posexplode("codes").alias("t", "bucket")
@@ -496,6 +601,168 @@ def save_srp_index(
         [(int(bits), int(tables), float(threshold))],
         "bits int, tables int, threshold double",
     ).write.mode("overwrite").parquet(path + "/meta")
+
+
+_SRP_SWAP_MARKER = "_SRP_SWAPPING"
+_SRP_PARTS = ("classes", "codes", "meta")
+
+
+def _recover_srp_swap(path: str) -> None:
+    """Make an SRP index consistent after a crash at ANY point of the
+    append/compact swap (the dedup_maintenance recovery shape): the
+    marker is created only AFTER the staged replacement is complete,
+    so marker-present means roll FORWARD (finish per-part renames);
+    marker-absent means any stage dir is a pre-publish orphan."""
+    import os
+    import shutil
+
+    stage = os.path.join(path, "_srp_stage")
+    marker = os.path.join(path, _SRP_SWAP_MARKER)
+    if not os.path.exists(marker):
+        shutil.rmtree(stage, ignore_errors=True)
+        return
+    for name in _SRP_PARTS:
+        live = os.path.join(path, name)
+        old = live + "_old"
+        staged = os.path.join(stage, name)
+        if os.path.isdir(staged):
+            if not os.path.isdir(old) and os.path.isdir(live):
+                os.rename(live, old)
+            if not os.path.isdir(live):
+                os.rename(staged, live)
+        for leftover in (old, staged):
+            shutil.rmtree(leftover, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.remove(marker)
+
+
+def _publish_srp_stage(path: str, frames: dict) -> None:
+    """Write {part: DataFrame} into the stage dir, then swap all parts
+    live behind one marker. Never overwrites a live dir in place (the
+    replacement frames READ from the live dirs lazily)."""
+    import os
+
+    stage = os.path.join(path, "_srp_stage")
+    for name, df in frames.items():
+        df.write.mode("overwrite").parquet(os.path.join(stage, name))
+    marker = os.path.join(path, _SRP_SWAP_MARKER)
+    with open(marker + ".tmp", "w") as f:
+        f.write(",".join(sorted(frames)))
+    os.replace(marker + ".tmp", marker)
+    _recover_srp_swap(path)  # the roll-forward IS the swap
+
+
+def append_srp_index(
+    spark,
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fold a new batch into the persisted SRP index AT THE STORED
+    sizing — codes are per-vector-independent, so the grown index
+    equals save_srp_index(old ∪ new, bits, tables) at that sizing.
+
+    Incremental cost: class merge is one slim shuffle over (member, v)
+    rows (classes carry each distinct vector once), and the matmul
+    coder runs ONLY for classes whose rep has no stored code rows —
+    brand-new classes plus the rare class whose rep id changed (a new
+    member sorted below the old rep); stale reps' rows are dropped by
+    a semi-join against current reps. Precondition: vec_ids are
+    ingested once (a re-ingested id would duplicate inside its class's
+    member list — the incremental-pairs APIs share this contract).
+
+    The stored sizing goes STALE as the corpus grows (bits were
+    derived from the creation-time cardinality): run compact_srp_index
+    periodically to re-derive and recode — this function reports
+    {"appended_classes": n, "stale": bool} where stale compares the
+    stored bits against lsh_plan at the CURRENT class count, so
+    callers see the drift instead of silently decaying toward the
+    quadratic regime (VERDICT r6 #5).
+    """
+    _recover_srp_swap(path)
+    bits, tables, threshold = spark.read.parquet(path + "/meta").head()
+    old_cls = spark.read.parquet(path + "/classes")
+    old_codes = spark.read.parquet(path + "/codes")
+
+    members = old_cls.select(F.explode("members").alias("vec_id"), "v").unionByName(
+        new_embeddings.select(
+            F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
+        )
+    )
+    _d, cls = _vector_classes(members, "vec_id", "v")
+    reps = cls.select(F.col("rep").alias("vec_id"), "v")
+    uncoded = reps.join(old_codes.select("vec_id").distinct(), "vec_id", "left_anti")
+    fresh_codes = with_lsh_codes(uncoded, "v", bits=bits, tables=tables).select(
+        "vec_id", F.posexplode("codes").alias("t", "bucket")
+    )
+    codes = (
+        old_codes.join(reps.select("vec_id"), "vec_id", "left_semi")
+        .unionByName(fresh_codes)
+        .repartition("t", "bucket")
+        .sortWithinPartitions("t", "bucket")
+    )
+    n_old = old_cls.count()
+    n_now = cls.count()
+    meta = spark.createDataFrame(
+        [(int(bits), int(tables), float(threshold))],
+        "bits int, tables int, threshold double",
+    )
+    _publish_srp_stage(
+        path,
+        {
+            "classes": cls.select("rep", "members", "v"),
+            "codes": codes,
+            "meta": meta,
+        },
+    )
+    want_bits, _ = lsh_plan(max(1, n_now), float(threshold))
+    return {
+        "appended_classes": n_now - n_old,
+        "n_classes": n_now,
+        "stale": want_bits != int(bits),
+    }
+
+
+def compact_srp_index(spark, path: str) -> dict:
+    """Re-derive (bits, tables) from the index's CURRENT distinct
+    cardinality and RECODE every rep at the new sizing (VERDICT r6
+    #5): append_srp_index keeps the creation-time sizing, so after the
+    corpus grows ~100× the stored bits under-bucket it and occupancy
+    decays toward the quadratic regime. The class count is the exact
+    distinct-vector count (no HLL needed — classes are materialized),
+    fed through the same lsh_plan as a fresh save; the result equals
+    save_srp_index over the full member corpus at the derived sizing
+    (pinned by tests/test_plans.py::test_srp_compact_equals_fresh_save).
+    Crash at any step recovers deterministically (_recover_srp_swap).
+    Returns {"bits": b, "tables": t, "n_classes": n, "resized": bool}.
+    """
+    _recover_srp_swap(path)
+    old_bits, old_tables, threshold = spark.read.parquet(path + "/meta").head()
+    cls = spark.read.parquet(path + "/classes")
+    n = cls.count()
+    bits, tables = lsh_plan(max(1, n), float(threshold))
+    reps = cls.select(F.col("rep").alias("vec_id"), "v")
+    codes = (
+        with_lsh_codes(reps, "v", bits=bits, tables=tables)
+        .select("vec_id", F.posexplode("codes").alias("t", "bucket"))
+        .repartition("t", "bucket")
+        .sortWithinPartitions("t", "bucket")
+    )
+    meta = spark.createDataFrame(
+        [(int(bits), int(tables), float(threshold))],
+        "bits int, tables int, threshold double",
+    )
+    _publish_srp_stage(
+        path,
+        {"classes": cls.select("rep", "members", "v"), "codes": codes, "meta": meta},
+    )
+    return {
+        "bits": bits,
+        "tables": tables,
+        "n_classes": n,
+        "resized": (bits, tables) != (int(old_bits), int(old_tables)),
+    }
 
 
 def incremental_srp_pairs(
@@ -533,7 +800,11 @@ def incremental_srp_pairs(
         .join(
             old_slim.alias("o"),
             (F.col("n.t") == F.col("o.t"))
-            & (F.col("n.bucket") == F.col("o.bucket")),
+            & (F.col("n.bucket") == F.col("o.bucket"))
+            # a re-ingested vec_id on BOTH sides must not emit a
+            # degenerate self-pair (id_a == id_b) the monolithic run
+            # never produces (ADVICE r6)
+            & (F.col("n.vec_id") != F.col("o.vec_id")),
         )
         .select(
             F.least(F.col("n.vec_id"), F.col("o.vec_id")).alias("id_a"),

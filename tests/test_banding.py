@@ -86,6 +86,37 @@ def test_property_random_bucket_structures_match_plain_join(spark):
     check()
 
 
+def test_auto_guard_engages_only_when_a_bucket_is_hot(spark):
+    """r7 (VERDICT r6 #1): 'auto' must pick the PLAIN reused-exchange
+    join on healthy inputs (no RepartitionByExpression, no salt
+    window) and the pinned salted plan when a bucket exceeds the cap —
+    with identical pair sets either way."""
+
+    def lplan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    hot = spark.createDataFrame(
+        [(0, "h", i) for i in range(300)], "band int, bsig string, doc_id long"
+    )
+    cold = spark.createDataFrame(
+        [(b, "c", b * 1000 + i) for b in range(20) for i in range(6)],
+        "band int, bsig string, doc_id long",
+    )
+    hot_df = band_self_join(hot, ("band", "bsig"), "doc_id", cap=50)
+    cold_df = band_self_join(cold, ("band", "bsig"), "doc_id", cap=50)
+    assert "RepartitionByExpression" in lplan(hot_df)
+    assert "RepartitionByExpression" not in lplan(cold_df)
+    assert hot_df.count() == 300 * 299 // 2
+    assert cold_df.count() == 20 * (6 * 5 // 2)
+    # explicit overrides win in both directions
+    forced = band_self_join(cold, ("band", "bsig"), "doc_id", cap=50, guard="force")
+    plain = band_self_join(hot, ("band", "bsig"), "doc_id", cap=50, guard="off")
+    assert "RepartitionByExpression" in lplan(forced)
+    assert "RepartitionByExpression" not in lplan(plain)
+    assert forced.count() == 20 * (6 * 5 // 2)
+    assert plain.count() == 300 * 299 // 2
+
+
 def test_cold_only_matches_plain_join(spark):
     rows = [(t, b, t * 100 + i) for t in range(4) for b in range(3) for i in range(7)]
     banded = spark.createDataFrame(rows, "t int, bucket int, vec_id long")

@@ -418,6 +418,97 @@ def test_incremental_srp_equals_monolithic(spark, tmp_path):
     assert got == expected and len(got) > 0
 
 
+def test_srp_append_then_compact_equals_fresh_save(spark, tmp_path):
+    """VERDICT r6 #5: append_srp_index grows the index at the STORED
+    sizing (and must equal a fresh save at that sizing), then
+    compact_srp_index re-derives (bits, tables) from the CURRENT
+    class count and recodes — equal to a fresh save_srp_index over
+    the full corpus at the derived sizing. The corpus is sized so the
+    growth actually crosses a bits boundary (500 -> 1200 distinct:
+    bits 4 -> 6), so the compaction measurably RESIZES."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.operators.similarity import (
+        append_srp_index,
+        compact_srp_index,
+        lsh_plan,
+        save_srp_index,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((1200, 64))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(1200)]
+    # a few exact clones crossing the boundary and inside the batch
+    rows += [(5000 + i, rows[i][1]) for i in range(6)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = corpus.filter((F.col("vec_id") < 500) | (F.col("vec_id") >= 5003))
+    new = corpus.subtract(old)
+
+    path = str(tmp_path / "grow_idx")
+    save_srp_index(old, path, threshold=0.4)
+    b0, t0, _ = spark.read.parquet(path + "/meta").head()
+    assert (b0, t0) == lsh_plan(500, 0.4)
+
+    def same(p1, p2):
+        for part in ("classes", "codes", "meta"):
+            a = spark.read.parquet(f"{p1}/{part}")
+            b = spark.read.parquet(f"{p2}/{part}")
+            assert a.count() == b.count(), part
+            assert a.exceptAll(b).count() == 0, part
+            assert b.exceptAll(a).count() == 0, part
+
+    rep = append_srp_index(spark, new, path)
+    assert rep["appended_classes"] > 0 and rep["stale"]
+    fresh_stored = str(tmp_path / "fresh_stored")
+    save_srp_index(corpus, fresh_stored, threshold=0.4, bits=int(b0), tables=int(t0))
+    same(path, fresh_stored)
+
+    out = compact_srp_index(spark, path)
+    want = lsh_plan(1200, 0.4)
+    assert out["resized"] and (out["bits"], out["tables"]) == want
+    fresh_auto = str(tmp_path / "fresh_auto")
+    save_srp_index(
+        corpus, fresh_auto, threshold=0.4, bits=want[0], tables=want[1]
+    )
+    same(path, fresh_auto)
+
+
+def test_lsh_plan_detail_surfaces_caps(spark):
+    """VERDICT r6 #5 (no silent caps): when max_tables binds, the
+    planner must report the ACHIEVED miss probability and warn; when
+    nothing binds, achieved <= target and no warning fires."""
+    import warnings
+
+    from cdc_via_flink_spark.operators.similarity import lsh_plan_detail
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        d = lsh_plan_detail(2000, 0.4)
+        assert not d["tables_capped"] and d["achieved_miss"] <= d["target_miss"]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        d = lsh_plan_detail(2000, 0.4, max_tables=50)
+        assert d["tables_capped"] and d["tables"] == 50
+        assert d["achieved_miss"] > d["target_miss"]
+        assert any("max_tables" in str(x.message) for x in w)
+
+
+def test_srp_tables_pinned_bits_auto_warns(spark):
+    """ADVICE r6: pinning tables while bits auto-derive voids the
+    recall model — the sizing resolver must warn."""
+    import warnings
+
+    from cdc_via_flink_spark.operators.similarity import neardup_lsh_pairs
+    from cdc_via_flink_spark.sources.tables import load_table
+
+    e = load_table(spark, SF001, "embeddings").select("vec_id", "embedding")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        neardup_lsh_pairs(e, threshold=0.4, tables=8)
+        assert any("tables pinned" in str(x.message) for x in w)
+
+
 def test_dedup_collapse_exchanges_are_digest_keyed(spark):
     """The exact-duplicate class collapses must shuffle on FIXED-WIDTH
     digest keys (xxhash64+murmur3 of the content), never on the raw
