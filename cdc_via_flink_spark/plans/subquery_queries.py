@@ -466,10 +466,12 @@ WITH per_part AS (
   SELECT l_partkey, {sql_dsum('l_extendedprice')} AS part_value
   FROM lineitem GROUP BY l_partkey
 ),
-total AS (SELECT {sql_dsum('l_extendedprice')} AS total_value FROM lineitem)
+total AS (SELECT {sql_dsum('l_extendedprice')} AS total_value,
+                 count(DISTINCT l_partkey) AS n_parts
+          FROM lineitem)
 SELECT p.l_partkey AS partkey, p.part_value
 FROM per_part p, total t
-WHERE p.part_value > 0.001 * t.total_value
+WHERE p.part_value > 1.5 / t.n_parts * t.total_value
 """,
     tags=("A3", "subquery", "q11"),
 )
@@ -477,18 +479,29 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-group value above a fraction of the GLOBAL
     total (group-vs-global comparison). The global total is a 1-row
     re-aggregation of the per-part aggregate — same shuffle, tiny
-    broadcast back; the decimal-exact sums make the 0.001× threshold
-    comparison deterministic across engines and partitionings."""
+    broadcast back; decimal-exact sums make the threshold comparison
+    deterministic across engines and partitionings.
+
+    The fraction is SCALE-FREE (VERDICT r6 #4): TPC-H's literal
+    0.0001/SF assumes the official part-count growth, and a fixed
+    0.001 over this fixture's ~20 k parts (max share ~0.05 %) returned
+    0 rows at EVERY shipped SF — a 0-row result hash-matches a 0-row
+    oracle no matter what either side computes. "1.5× the mean part
+    share" (1.5/n_parts of the total) keeps the Q11 group-vs-global
+    shape and emits rows at any corpus size (the fixture's part-value
+    spread tops out at ~1.9× the mean, so a 2× cut would still be
+    vacuous; ~1 % of parts clear 1.5×)."""
     li = _t(spark, sf_dir, "lineitem")
     per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("part_value")
     )
     total = li.agg(
-        F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("total_value")
+        F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("total_value"),
+        F.countDistinct("l_partkey").alias("n_parts"),
     )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("part_value") > 0.001 * F.col("total_value"))
+        .filter(F.col("part_value") > 1.5 / F.col("n_parts") * F.col("total_value"))
         .select("partkey", "part_value")
     )
 

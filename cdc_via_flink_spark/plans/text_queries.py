@@ -279,6 +279,12 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 LEXICON = [
     ("good", 2), ("great", 3), ("love", 3), ("happy", 2), ("best", 3),
     ("bad", -2), ("terrible", -3), ("hate", -3), ("sad", -2), ("worst", -3),
+    # fixture-vocabulary terms (VERDICT r6 #4): the synthetic corpus
+    # contains none of the classic AFINN words above, so the check
+    # hash-matched two empty results — verifying nothing. "fast" and
+    # "slow" are real sentiment-bearing terms that DO occur at every
+    # shipped SF (sf0.01: 854/918 hits), making the oracle load-bearing.
+    ("fast", 2), ("slow", -2),
 ]
 _SQL_LEXICON = ", ".join(f"('{w}', {s})" for w, s in LEXICON)
 

@@ -48,6 +48,13 @@ def get_spark(app_name: str = "cdc_via_flink_spark", cpus: int | None = None) ->
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(_NANOS_AS_LONG, "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # call-site capture for error context wraps EVERY Column op in
+        # ~4 extra py4j round-trips (getActiveSession + conf.get +
+        # origin set/clear); a wide plan (54-agg MinHash signature)
+        # measurably pays seconds of pure driver latency per build.
+        # Error MESSAGES keep their class/state — only the Python call
+        # -site line is dropped.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
@@ -70,6 +77,10 @@ def tune_for_session(spark: SparkSession, shuffle_partitions: int | None = None)
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        # plan-build latency: see get_spark. PySpark caches the flag at
+        # the FIRST Column op, so this helps only when tuning runs
+        # before any expression is built — harmless otherwise.
+        ("spark.python.sql.dataFrameDebugging.enabled", "false"),
     ]:
         try:
             spark.conf.set(k, v)

@@ -75,18 +75,25 @@ def save_streaming_dedup_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
-    rows: int = 4,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    rows: int | None = None,
+    threshold: float = 0.5,
 ) -> None:
     """Base index for the maintained flow: banded signatures (the
     save_dedup_index layout) PLUS the docs themselves (id, text) so
     later batches can exact-verify candidate pairs against corpus
     members without a side channel. Both live under ONE `base/` dir so
     compaction can publish a folded replacement with a single
-    two-rename swap (the ANN compaction recipe)."""
-    from cdc_via_flink_spark.operators.dedup import _banded_signatures
+    two-rename swap (the ANN compaction recipe). Sizing defaults to
+    minhash_plan(threshold) — the maintainer must run at the SAME
+    sizing (its own defaults derive identically)."""
+    from cdc_via_flink_spark.operators.dedup import (
+        _banded_signatures,
+        resolve_banding,
+    )
 
+    num_hashes, bands, rows = resolve_banding(num_hashes, bands, rows, threshold)
     banded, _sh = _banded_signatures(df, text_col, id_col, num_hashes, bands, rows)
     banded.repartition("band", "bsig").sortWithinPartitions(
         "band", "bsig"
@@ -183,9 +190,9 @@ def dedup_maintenance_query(
     index_path: str,
     pairs_out: str,
     checkpoint_dir: str,
-    num_hashes: int = 16,
-    bands: int = 4,
-    rows: int = 4,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    rows: int | None = None,
     threshold: float = 0.5,
 ) -> StreamingQuery:
     """Start the maintained dedup gate over a streaming document frame
@@ -195,8 +202,10 @@ def dedup_maintenance_query(
     from cdc_via_flink_spark.operators.dedup import (
         _banded_signatures,
         incremental_neardup_pairs,
+        resolve_banding,
     )
 
+    num_hashes, bands, rows = resolve_banding(num_hashes, bands, rows, threshold)
     run_key = os.path.abspath(checkpoint_dir)
     droot = os.path.join(index_path, "deltas")
 

@@ -73,8 +73,29 @@ SCD2_TTL_MS = 2 * 60 * 60 * 1000
 _OUT_COLS = [f.name for f in SCD2_OUTPUT_SCHEMA.fields]
 
 
-def _scd2(
-    key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+def _make_scd2(dead_letter_ties: bool):
+    """Build the keyed SCD2 co-process. ``dead_letter_ties`` selects
+    the STRICT tie policy (VERDICT r6 #6, the as-of operator's option
+    style): a row whose ts EQUALS the open version's valid_from is
+    routed to the dead-letter side output instead of closing it with
+    the zero/negative-width interval the batch oracle renders. Default
+    False — the documented batch-parity policy pinned by
+    test_scd2_equal_ts_tie_matches_batch; True is for sources where a
+    same-instant supersession can only mean clock corruption."""
+
+    def fn(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        return _scd2_impl(key, pdfs, state, dead_letter_ties)
+
+    return fn
+
+
+def _scd2_impl(
+    key: tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    dead_letter_ties: bool = False,
 ) -> Iterator[pd.DataFrame]:
     (txn_id,) = key
 
@@ -106,9 +127,12 @@ def _scd2(
     for r in pdf.itertuples(index=False):
         t = int(r.ts_ms)
         last = max(last, t)
-        if open_v is not None and t < open_v[2]:
+        if open_v is not None and (
+            t < open_v[2] or (dead_letter_ties and t == open_v[2])
+        ):
             # cross-batch out-of-order arrival: closing the open
             # version would invert the interval — dead-letter it
+            # (strict mode also rejects exact ties, see _make_scd2)
             rows.append(
                 {
                     "txn_id": txn_id,
@@ -141,9 +165,15 @@ def _scd2(
         yield pd.DataFrame(rows, columns=_OUT_COLS)
 
 
-def scd2_stream(changes: DataFrame, event_time: Column | None = None) -> DataFrame:
+def scd2_stream(
+    changes: DataFrame,
+    event_time: Column | None = None,
+    dead_letter_ties: bool = False,
+) -> DataFrame:
     """Wire a streaming change frame (txn_id, seq, op, ts_ms) into the
-    SCD2 maintainer. Caller starts the query."""
+    SCD2 maintainer. Caller starts the query. ``dead_letter_ties``
+    selects the strict equal-timestamp policy (see _make_scd2);
+    default keeps batch parity."""
     if event_time is None:
         event_time = F.timestamp_millis(F.col("ts_ms"))
     with_time = changes.withColumn("event_time", event_time).withWatermark(
@@ -152,7 +182,7 @@ def scd2_stream(changes: DataFrame, event_time: Column | None = None) -> DataFra
     return (
         with_time.groupBy("txn_id")
         .applyInPandasWithState(
-            _scd2,
+            _make_scd2(dead_letter_ties),
             outputStructType=SCD2_OUTPUT_SCHEMA,
             stateStructType=SCD2_STATE_SCHEMA,
             outputMode="append",

@@ -98,5 +98,10 @@ def file_envelope_stream(
         envelopes.select(
             F.col("seq").cast("long"), F.col("value").cast("string")
         ).write.mode("overwrite").parquet(out)
-        _ENVELOPE_STAGE_MEMO.add(out)
+        if skip_if_staged:
+            # memoize ONLY under the caller's pure-function-of-path
+            # assertion — a skip_if_staged=False caller never vouches
+            # for the dir's content, so a later =True call to the same
+            # path must restage rather than trust it (ADVICE r6)
+            _ENVELOPE_STAGE_MEMO.add(out)
     return spark.readStream.schema(ENVELOPE_STREAM_SCHEMA).parquet(out)

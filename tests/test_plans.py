@@ -494,6 +494,46 @@ def test_lsh_plan_detail_surfaces_caps(spark):
         assert any("max_tables" in str(x.message) for x in w)
 
 
+def test_minhash_plan_model():
+    """VERDICT r6 #2: MinHash banding derives from (threshold, miss
+    budget) like lsh_plan — pinned at the defaults, recall bound held
+    exactly, precision anchor enforced, caps loud."""
+    import math
+    import warnings
+
+    from cdc_via_flink_spark.operators.dedup import (
+        minhash_plan,
+        minhash_plan_detail,
+        resolve_banding,
+    )
+
+    # the derived default replacing the (16, 4, 4) fixture constants
+    assert minhash_plan(0.5) == (54, 18, 3)
+    d = minhash_plan_detail(0.5)
+    assert d["miss"] <= 0.1 and d["fp_at_bg"] <= 0.05 and not d["capped"]
+    # recall bound holds for every returned plan across thresholds
+    for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+        k, b, r = minhash_plan(t)
+        assert k == b * r
+        assert 1 - (1 - t**r) ** b >= 0.9 - 1e-12, t
+    # higher threshold -> easier recall -> fewer hashes
+    assert minhash_plan(0.8)[0] < minhash_plan(0.5)[0]
+    # impossible budget warns (never silently weakens precision)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = minhash_plan_detail(0.5, max_hashes=20)
+        assert capped["capped"] and capped["miss"] <= 0.1
+        assert any("max_hashes" in str(x.message) for x in w)
+    # mixed pinning is rejected — no silent constant fallback
+    try:
+        resolve_banding(16, None, 4, 0.5)
+        raise AssertionError("mixed pinning must raise")
+    except ValueError:
+        pass
+    assert resolve_banding(None, None, None, 0.5) == (54, 18, 3)
+    assert resolve_banding(16, 4, 4, 0.5) == (16, 4, 4)
+
+
 def test_srp_tables_pinned_bits_auto_warns(spark):
     """ADVICE r6: pinning tables while bits auto-derive voids the
     recall model — the sizing resolver must warn."""
@@ -658,6 +698,17 @@ def test_readme_query_count_matches_registry():
     assert int(m.group(1)) == len(SPECS), (
         f"README says {m.group(1)} declared queries; registry has "
         f"{len(SPECS)} — update README.md"
+    )
+    # COVERAGE.md's evidence note must not drift either (VERDICT r6
+    # #8: it still said 205 when the artifact recorded 209)
+    coverage = open(
+        os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    ).read()
+    m2 = re.search(r"(\d+) exact-hash OK", coverage)
+    assert m2, "COVERAGE.md must state the exact-hash query count"
+    assert int(m2.group(1)) == len(SPECS), (
+        f"COVERAGE.md says {m2.group(1)} exact-hash OK; registry has "
+        f"{len(SPECS)} — update COVERAGE.md"
     )
 
 

@@ -45,6 +45,41 @@ def test_scd2_versions_close_across_batches(spark):
     }
 
 
+def test_scd2_strict_tie_policy_dead_letters(spark):
+    """dead_letter_ties=True (VERDICT r6 #6): an EQUAL-timestamp
+    arrival — within a batch or across the boundary — routes to the
+    dead-letter side output instead of closing the open version with
+    the zero/negative-width interval batch parity renders. The default
+    policy is unchanged (test_scd2_equal_ts_tie_matches_batch)."""
+    # key "j": within-batch tie; key "k": cross-batch tie
+    b1 = [("j", 1, "c", BASE), ("j", 2, "u", BASE), ("k", 1, "c", BASE)]
+    b2 = [("k", 2, "u", BASE)]
+    s1 = [("flush", -1, "c", BASE + 10 * DAY)]
+    s2 = [("flush", -2, "c", BASE + 20 * DAY)]
+    frames = [
+        spark.createDataFrame(r, schema=SCHEMA) for r in (b1, b2, s1, s2)
+    ]
+    dest = os.path.join(STAGE_ROOT, "scd2_tie_strict_unit")
+    _stage_ordered_files(spark, frames, dest)
+    sch = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(dest)
+    )
+    out = _run_to_memory(scd2_stream(sch, dead_letter_ties=True), "append")
+    got = {
+        (r["txn_id"], r["seq"]): (r["valid_from_ms"], r["valid_to_ms"], r["is_current"])
+        for r in out.filter(F.col("txn_id").isin("j", "k")).collect()
+    }
+    # the tie row dead-letters (is_current -1, valid_to = the open
+    # version's valid_from it collided with); the open version stays
+    # and flushes current via the TTL timer
+    assert got == {
+        ("j", 1): (BASE, None, 1),
+        ("j", 2): (BASE, BASE, -1),
+        ("k", 1): (BASE, None, 1),
+        ("k", 2): (BASE, BASE, -1),
+    }
+
+
 def test_scd2_cross_batch_out_of_order_dead_letters(spark):
     """A row arriving in a LATER batch with ts before the open
     version's valid_from (admitted by the watermark tolerance) must
