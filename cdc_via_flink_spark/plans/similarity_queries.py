@@ -199,6 +199,52 @@ def sim_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_srp_pairs(spark, new, path)
 
 
+@query(
+    "sim_srp_grown_compacted",
+    oracle=f"""
+WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, q.vec_id AS id_b, {SQL_COS} AS cos
+  FROM d a JOIN d q ON a.vec_id < q.vec_id
+)
+SELECT id_a, id_b, cos FROM p
+WHERE cos >= 0.4 AND (id_a % 3 = 0 OR id_b % 3 = 0)
+""",
+    tags=("X1", "X2", "neardup", "incremental", "lifecycle", "compaction"),
+)
+def sim_srp_grown_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL SRP index lifecycle (r7, VERDICT r6 #5): the base corpus
+    (vec_id % 3 == 1) persists the index, a growth batch (% 3 == 2)
+    folds in AT the stored sizing (append_srp_index — only new
+    classes are coded), compaction RE-DERIVES (bits, tables) from the
+    grown distinct cardinality and recodes (compact_srp_index — at
+    sf0.1 this is a real resize, bits 5 → 6), and the probe batch
+    (% 3 == 0) verifies against the compacted index. Output = all
+    verified pairs involving a probe vector; the oracle keeps the
+    exact brute-force formulation restricted the same way, so a
+    recall loss anywhere in the grow/compact/probe chain hash-fails."""
+    import os
+
+    from cdc_via_flink_spark.operators.similarity import (
+        append_srp_index,
+        compact_srp_index,
+        incremental_srp_pairs,
+        save_srp_index,
+    )
+    from cdc_via_flink_spark.plans.streaming_queries import STAGE_ROOT
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 3 == 1)
+    growth = e.filter(F.col("vec_id") % 3 == 2)
+    probe = e.filter(F.col("vec_id") % 3 == 0)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(STAGE_ROOT, f"srp_lifecycle_{sf_name}")
+    save_srp_index(base, path, threshold=0.4)
+    append_srp_index(spark, growth, path)
+    compact_srp_index(spark, path)
+    return incremental_srp_pairs(spark, probe, path)
+
+
 SQL_QUANT = (
     "list_transform(v, x -> CAST(round((x * 127.0) / mx) AS BIGINT))"
 )
