@@ -126,7 +126,9 @@ def main() -> None:
         cell["adaptive"] = {
             "bits": ab,
             "tables": at,
-            "candidates": _rep_candidates(reps, bits=ab, tables=at).count(),
+            "candidates": _rep_candidates(
+                reps, bits=ab, tables=at, probe_input=reps
+            ).count(),
             "cand_sec": round(time.time() - t0, 2),
         }
         t0 = time.time()
@@ -138,7 +140,9 @@ def main() -> None:
         if m <= 3:
             t0 = time.time()
             cell["fixed_3_64"] = {
-                "candidates": _rep_candidates(reps, bits=3, tables=64).count(),
+                "candidates": _rep_candidates(
+                    reps, bits=3, tables=64, probe_input=reps
+                ).count(),
                 "cand_sec": round(time.time() - t0, 2),
             }
         else:
