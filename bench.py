@@ -106,6 +106,15 @@ def main() -> None:
                 "queries": times,
                 "tier2_total": round(sum(times2.values()), 3),
                 "queries_tier2": times2,
+                # Measurement-policy tag (ADVICE r7): since r7, every
+                # stream_* query gets ONE untimed pre-run at the target
+                # SF before the timed min-of-N, so streaming cells
+                # measure marginal per-event work and exclude one-off
+                # replay-staging/codegen cost. Cells from rounds
+                # without this tag (r1-r6) are NOT comparable for
+                # stream_* queries (e.g. the r6 stream_temporal_join
+                # 23.25 s cell included ~17 s of one-time staging).
+                "policy": "stream-prerun-at-target-sf",
                 "sf": sf,
             }
         )

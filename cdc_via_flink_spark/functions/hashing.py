@@ -15,6 +15,16 @@ from pyspark.sql import Column, functions as F
 
 P = 1_000_000_007
 
+# Version tag of the MinHash universal-hash family, persisted in every
+# saved dedup index (operators/dedup.py::save_dedup_index,
+# streaming/dedup_maintenance.py) and validated at probe time: band
+# signatures computed under DIFFERENT (a_j, b_j) coefficients join on
+# disjoint (band, bsig) keys and silently yield near-zero candidates —
+# no error, just recall collapse (ADVICE r7). Bump whenever a_j/b_j/
+# token_int change semantics: v1 = the pre-r7 linear-ramp a_j = 2j+3;
+# v2 = splitmix64-mixed coefficients (current).
+MINHASH_FAMILY = 2
+
 
 def _mix64(x: int) -> int:
     """splitmix64 finalizer — full-avalanche mixing, the same family

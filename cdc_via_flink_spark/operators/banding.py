@@ -74,8 +74,13 @@ GUARD_PROBE_SAMPLE = 0.02  # row-sample fraction for the hot-bucket probe
 PIN_PAIR_ROWS = 1_000_000
 
 # (input semanticHash, key_cols, cap) -> "force" | "pin" | "off";
-# see probe_guard's memo note
+# see probe_guard's memo note. Bounded: entries are a small tuple + a
+# str (~100 B), so growth only matters in a long-lived serving process
+# that churns thousands of DISTINCT plans; at the cap the memo is
+# cleared wholesale (decisions are re-probe-able at 2 % of map-side
+# cost — cheaper than LRU bookkeeping on every hit).
 _GUARD_MEMO: dict[tuple, str] = {}
+_GUARD_MEMO_MAX = 4096
 
 
 def _bucket_stats(
@@ -173,6 +178,11 @@ def probe_guard(
     replaced mid-process the stale decision can cost a straggler or a
     few extra shuffles, never a wrong pair set.
     """
+    if raw.isStreaming:
+        # sample/first are actions a streaming frame cannot run; fall
+        # back to the always-safe salted layout exactly as
+        # band_self_join's own auto path does (ADVICE r7)
+        return "force"
     try:
         memo_key = (
             raw._jdf.queryExecution().analyzed().semanticHash(),
@@ -190,6 +200,8 @@ def probe_guard(
     )
     decision = _decide_guard(est_max, est_pairs, cap)
     if memo_key is not None:
+        if len(_GUARD_MEMO) >= _GUARD_MEMO_MAX:
+            _GUARD_MEMO.clear()
         _GUARD_MEMO[memo_key] = decision
     return decision
 

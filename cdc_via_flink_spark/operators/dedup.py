@@ -213,12 +213,28 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, bands: int, rows: int
+    sig: DataFrame, bands: int, rows: int, guard: str = "auto"
 ) -> DataFrame:
     """Band the signature and emit candidate pairs (a < b) colliding in
     at least one band. Equi-join per band bucket — no cross product;
     the self-join goes through the skew-guarded kernel
-    (operators/banding.py) like the fused pipeline's."""
+    (operators/banding.py) like the fused pipeline's.
+
+    Step 3 of the COMPOSABLE LSH surface (doc_shingles →
+    minhash_signatures → lsh_candidate_pairs → jaccard_on_pairs) for
+    callers who need the intermediates — e.g. to persist signatures,
+    inspect candidates before verification, or verify at several
+    thresholds from one candidate set; the fused minhash_lsh_neardup
+    (one signature aggregation, explode-banding, class collapse) is
+    the production path and tests pin that this composition emits its
+    exact verified-pair set (tests/test_property_dedup.py).
+
+    ``guard``: forwarded to band_self_join. The default "auto" probes
+    the banded frame IN PLACE, which re-evaluates `sig`'s upstream
+    once — if that upstream is the full shingle+MinHash map-side,
+    decide via banding.probe_guard on a sample of the RAW document
+    frame and pass the decision here instead (the fused pipeline's
+    recipe)."""
     from cdc_via_flink_spark.operators.banding import band_self_join
 
     band_frames = []
@@ -234,7 +250,7 @@ def lsh_candidate_pairs(
     banded = band_frames[0]
     for bf in band_frames[1:]:
         banded = banded.unionByName(bf)
-    return band_self_join(banded, ("band", "bsig"), "doc_id").distinct()
+    return band_self_join(banded, ("band", "bsig"), "doc_id", guard=guard).distinct()
 
 
 def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
@@ -562,6 +578,64 @@ def _banded_signatures(
     return banded, sh
 
 
+def write_minhash_meta(
+    spark, path: str, num_hashes: int, bands: int, rows: int, threshold: float
+) -> None:
+    """One-row sizing/hash-family meta parquet at ``path`` — the
+    SRP-index `meta` part's text-side twin (similarity.py:570-605).
+    Banding is a function of threshold (minhash_plan) AND the
+    universal-hash coefficients changed once already (r7 splitmix64
+    mixing), so an index probed at a different sizing or hash family
+    joins on mismatched (band, bsig) keys and silently yields
+    near-zero candidates; the meta makes that a LOUD error instead
+    (ADVICE r7)."""
+    from cdc_via_flink_spark.functions.hashing import MINHASH_FAMILY
+
+    spark.createDataFrame(
+        [(int(num_hashes), int(bands), int(rows), float(threshold), MINHASH_FAMILY)],
+        "num_hashes int, bands int, rows int, threshold double, hash_family int",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def check_minhash_meta(
+    spark, path: str, num_hashes: int, bands: int, rows: int
+) -> None:
+    """Validate a stored meta part against the sizing the probe is
+    about to run at; raises ValueError on any mismatch (sizing OR
+    hash-family version) and FileNotFoundError-style ValueError when
+    the meta part is absent (an index saved by a pre-metadata build
+    must be rebuilt — probing it unvalidated is exactly the silent
+    recall collapse this exists to prevent)."""
+    import os
+
+    from cdc_via_flink_spark.functions.hashing import MINHASH_FAMILY
+
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"dedup index meta not found at {path!r}: this index predates "
+            "sizing/hash-family metadata (or the path is not a dedup "
+            "index). Rebuild it with save_dedup_index — probing without "
+            "validation can silently join on mismatched (band, bsig) keys."
+        )
+    m = spark.read.parquet(path).head()
+    if m.hash_family != MINHASH_FAMILY:
+        raise ValueError(
+            f"dedup index at {path!r} was built with MinHash hash family "
+            f"v{m.hash_family}, this build computes v{MINHASH_FAMILY}: "
+            "band signatures are incompatible (candidates would be "
+            "near-zero with no error). Rebuild the index."
+        )
+    if (m.num_hashes, m.bands, m.rows) != (num_hashes, bands, rows):
+        raise ValueError(
+            f"dedup index at {path!r} stores banding (num_hashes="
+            f"{m.num_hashes}, bands={m.bands}, rows={m.rows}, derived at "
+            f"threshold={m.threshold}) but the probe resolved (num_hashes="
+            f"{num_hashes}, bands={bands}, rows={rows}): band keys would "
+            "not collide. Probe at the stored sizing (pin all three or "
+            "pass the index's threshold) or rebuild the index."
+        )
+
+
 def save_dedup_index(
     df: DataFrame,
     path: str,
@@ -574,18 +648,39 @@ def save_dedup_index(
 ) -> None:
     """Persist the corpus's banded MinHash signatures — the text-side
     analog of ivf.save_index (build once, dedup arriving batches
-    forever): the stored rows are (doc_id, sz, band, bsig), CLUSTERED
+    forever): `path/banded` holds (doc_id, sz, band, bsig), CLUSTERED
     by (band, bsig) on disk so an incremental probe's equi-join reads
-    co-located bucket runs. Signatures are per-doc-independent, so the
-    stored index equals what a monolithic run would compute — the
-    invariant incremental_neardup_pairs relies on. Sizing defaults to
+    co-located bucket runs, and `path/meta` pins the sizing + hash
+    family (write_minhash_meta) that load_dedup_index validates.
+    Signatures are per-doc-independent, so the stored index equals
+    what a monolithic run would compute — the invariant
+    incremental_neardup_pairs relies on. Sizing defaults to
     minhash_plan(threshold) (threshold is the derivation anchor only —
     verification happens at probe time); pin all three to override."""
     num_hashes, bands, rows = resolve_banding(num_hashes, bands, rows, threshold)
     banded, _sh = _banded_signatures(df, text_col, id_col, num_hashes, bands, rows)
     banded.repartition("band", "bsig").sortWithinPartitions(
         "band", "bsig"
-    ).write.mode("overwrite").parquet(path)
+    ).write.mode("overwrite").parquet(path + "/banded")
+    write_minhash_meta(df.sparkSession, path + "/meta", num_hashes, bands, rows, threshold)
+
+
+def load_dedup_index(
+    spark,
+    path: str,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    rows: int | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Load a save_dedup_index index for probing at the given sizing
+    (defaults derive from threshold exactly as the probe side will),
+    FAILING LOUDLY if the stored index was built at a different sizing
+    or hash-family version — the validated path to
+    incremental_neardup_pairs(old_banded=...)."""
+    num_hashes, bands, rows = resolve_banding(num_hashes, bands, rows, threshold)
+    check_minhash_meta(spark, path + "/meta", num_hashes, bands, rows)
+    return spark.read.parquet(path + "/banded")
 
 
 def incremental_neardup_pairs(
@@ -605,7 +700,9 @@ def incremental_neardup_pairs(
     banding the sides separately collides identically; pinned by
     tests/test_property_dedup.py). This is the production dedup flow
     for a continuously-growing corpus: the old side's banded
-    signatures come from the persisted index (save_dedup_index via
+    signatures come from the persisted index (save_dedup_index, read
+    back through load_dedup_index which VALIDATES the stored sizing +
+    hash-family meta against this probe's sizing, then passed as
     old_banded) — only the NEW batch is shingled and hashed end to
     end, and OLD documents are re-shingled ONLY if they land in a
     candidate pair (the verify stage semi-join-prunes the shingle

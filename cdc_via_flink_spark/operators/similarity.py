@@ -318,7 +318,11 @@ def _with_lsh_codes_expr(
 
 
 def _rep_candidates(
-    reps: DataFrame, bits: int, tables: int, probe_input: DataFrame | None = None
+    reps: DataFrame,
+    bits: int,
+    tables: int,
+    probe_input: DataFrame | None = None,
+    guard: str | None = None,
 ) -> DataFrame:
     """Deduped candidate rep pairs from the multi-table bucket
     self-join — the quadratic-prone stage, factored out so the scaling
@@ -334,18 +338,24 @@ def _rep_candidates(
     subtree; pre-collapse clones only ever make the probe OVERSHOOT
     (they band identically), which is performance-conservative. When
     None, band_self_join's in-place auto probe runs (fine for small
-    frames, e.g. incremental new batches)."""
+    frames, e.g. incremental new batches).
+
+    ``guard``: explicit band_self_join layout override ("force" /
+    "pin" / "off"); None (default) = decide via the probe. Exists for
+    layout A/B measurement (scripts/bench_lsh_distinct_scaling.py) —
+    every layout emits the identical pair set."""
     from cdc_via_flink_spark.operators.banding import band_self_join, probe_guard
 
-    guard = "auto"
-    if probe_input is not None:
-        guard = probe_guard(
-            lambda dd: with_lsh_codes(
-                dd.select("vec_id", "v"), "v", bits=bits, tables=tables
-            ).select(F.posexplode("codes").alias("t", "bucket")),
-            probe_input,
-            ("t", "bucket"),
-        )
+    if guard is None:
+        guard = "auto"
+        if probe_input is not None:
+            guard = probe_guard(
+                lambda dd: with_lsh_codes(
+                    dd.select("vec_id", "v"), "v", bits=bits, tables=tables
+                ).select(F.posexplode("codes").alias("t", "bucket")),
+                probe_input,
+                ("t", "bucket"),
+            )
     coded = with_lsh_codes(reps, "v", bits=bits, tables=tables)
     slim = coded.select("vec_id", F.posexplode("codes").alias("t", "bucket"))
     return band_self_join(slim, ("t", "bucket"), "vec_id", guard=guard).dropDuplicates()
@@ -384,6 +394,7 @@ def neardup_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_distinct: int | None = None,
+    guard: str | None = None,
 ) -> DataFrame:
     """All embedding pairs with cosine >= threshold via multi-table
     SRP-LSH banding — NO all-pairs theta join anywhere in the plan:
@@ -435,7 +446,9 @@ def neardup_lsh_pairs(
     d, cls = _vector_classes(embeddings, id_col, vec_col)
     bits, tables = _resolve_sizing(d, threshold, bits, tables, n_distinct)
     reps = cls.select(F.col("rep").alias("vec_id"), "v")
-    pairs = _rep_candidates(reps, bits=bits, tables=tables, probe_input=d)
+    pairs = _rep_candidates(
+        reps, bits=bits, tables=tables, probe_input=d, guard=guard
+    )
     return _verify_and_expand(cls, pairs, threshold)
 
 
@@ -583,7 +596,14 @@ def save_srp_index(
     incremental probes, and a one-row meta frame pinning the sizing
     (bits, tables, threshold) so every later batch codes with the
     SAME tables — per-vector codes are input-independent, so the
-    stored index equals what a monolithic run at this sizing computes."""
+    stored index equals what a monolithic run at this sizing computes.
+
+    Clears any crashed-swap state FIRST (_recover_srp_swap): without
+    this, a stale _SRP_SWAPPING marker + stage left by a prior process
+    would be rolled forward by the NEXT append/probe, silently
+    replacing the just-saved index with the stale staged one
+    (ADVICE r7)."""
+    _recover_srp_swap(path)
     d, cls = _vector_classes(embeddings, id_col, vec_col)
     bits, tables = _resolve_sizing(d, threshold, bits, tables)
     reps = cls.select(F.col("rep").alias("vec_id"), "v")

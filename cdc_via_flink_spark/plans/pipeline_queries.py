@@ -375,39 +375,59 @@ WITH d AS (
          md5({SQL_NORM}) AS digest,
          {SPLIT_SQL} AS split
   FROM documents
+),
+tr AS (
+  SELECT digest, count(*) AS n_train FROM d WHERE split = 'train' GROUP BY digest
 )
-SELECT tr.lang,
-       count(*) AS leaked_pairs,
-       count(DISTINCT te.doc_id) AS leaked_test_docs
-FROM d te JOIN d tr ON te.digest = tr.digest AND tr.split = 'train'
+SELECT te.lang,
+       count(*) AS n_test_docs,
+       CAST(sum(coalesce(tr.n_train, 0)) AS BIGINT) AS leaked_pairs,
+       CAST(sum(CASE WHEN tr.n_train IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS leaked_test_docs
+FROM d te LEFT JOIN tr ON te.digest = tr.digest
 WHERE te.split = 'test'
-GROUP BY tr.lang
+GROUP BY te.lang
 """,
     tags=("pipeline", "contamination", "X1"),
 )
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/test contamination check: test-split documents whose
-    normalized-text digest also appears in the train split (exact
-    leakage — the eval-integrity gate every pre-training pipeline
-    needs after splitting a corpus with duplicates). One digest
-    self-join; at 100 TB the train side reduces to distinct digests
-    and the join keys are uniform 128-bit hashes (no skew)."""
+    """Train/test contamination REPORT: per test-doc language, how
+    many test-split documents share a normalized-text digest with a
+    train-split document (exact leakage — the eval-integrity gate
+    every pre-training pipeline needs after splitting a corpus with
+    duplicates). Emits one row per language with test docs — a
+    zero-leak corpus reports zeros rather than an empty frame (the r7
+    inner-join form was vacuous below sf0.1: the sf0.01 fixture has no
+    exact-duplicate texts at all, so NO threshold could fire —
+    VERDICT r7 #5; an audit whose clean result is "no rows" cannot
+    distinguish "clean" from "broken"). The train side reduces to
+    DISTINCT digests + multiplicity first, so the join carries one row
+    per digest; at 100 TB the join keys are uniform 128-bit hashes
+    (no skew) and the per-digest counts make leaked_pairs exact
+    without a pair-level materialization."""
     d = load_table(spark, sf_dir, "documents")
     from cdc_via_flink_spark.functions.text import normalize_text
 
     d = hash_split(d, "doc_id", {"train": 204, "valid": 26, "test": 26}).select(
         "doc_id", "lang", "split", F.md5(normalize_text(F.col("text"))).alias("digest")
     )
-    te = d.filter(F.col("split") == "test").select(
-        F.col("doc_id").alias("te_id"), F.col("digest").alias("te_digest")
+    tr = (
+        d.filter(F.col("split") == "train")
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_train"))
     )
-    tr = d.filter(F.col("split") == "train").select("lang", "digest")
+    te = d.filter(F.col("split") == "test")
     return (
-        te.join(tr, te.te_digest == tr.digest)
+        te.join(tr, "digest", "left")
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("leaked_pairs"),
-            F.countDistinct("te_id").alias("leaked_test_docs"),
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.sum(F.coalesce(F.col("n_train"), F.lit(0)))
+            .cast("bigint")
+            .alias("leaked_pairs"),
+            F.sum(F.when(F.col("n_train").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_test_docs"),
         )
     )
 

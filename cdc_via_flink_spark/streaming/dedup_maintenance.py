@@ -86,11 +86,15 @@ def save_streaming_dedup_index(
     members without a side channel. Both live under ONE `base/` dir so
     compaction can publish a folded replacement with a single
     two-rename swap (the ANN compaction recipe). Sizing defaults to
-    minhash_plan(threshold) — the maintainer must run at the SAME
-    sizing (its own defaults derive identically)."""
+    minhash_plan(threshold); `base/meta` pins it plus the hash-family
+    version, and dedup_maintenance_query validates its own resolved
+    sizing against that meta at start — a maintainer probing at a
+    different sizing or hash family fails loudly instead of silently
+    colliding on nothing (ADVICE r7)."""
     from cdc_via_flink_spark.operators.dedup import (
         _banded_signatures,
         resolve_banding,
+        write_minhash_meta,
     )
 
     num_hashes, bands, rows = resolve_banding(num_hashes, bands, rows, threshold)
@@ -101,6 +105,9 @@ def save_streaming_dedup_index(
     df.select(
         df[id_col].alias("doc_id"), df[text_col].alias("text")
     ).write.mode("overwrite").parquet(path + "/base/docs")
+    write_minhash_meta(
+        df.sparkSession, path + "/base/meta", num_hashes, bands, rows, threshold
+    )
 
 
 def read_dedup_index(
@@ -172,6 +179,11 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> dict:
         "band", "bsig"
     ).write.mode("overwrite").parquet(tmp + "/banded")
     docs.write.mode("overwrite").parquet(tmp + "/docs")
+    if os.path.isdir(base + "/meta"):
+        # sizing/hash-family meta is invariant under compaction
+        # (signatures are folded, never recomputed) — carry it into
+        # the replacement base so the swap preserves validation
+        shutil.copytree(base + "/meta", tmp + "/meta")
     marker = os.path.join(index_path, COMPACT_MARKER)
     with open(marker + ".tmp", "w") as f:
         f.write(str(max_epoch))
@@ -198,14 +210,25 @@ def dedup_maintenance_query(
     """Start the maintained dedup gate over a streaming document frame
     (doc_id long, text string). Verified new-involving pairs land in
     pairs_out/e<epoch>; the batch joins the index as delta e<epoch>.
-    Caller awaits the query."""
+    Caller awaits the query.
+
+    The maintainer's resolved sizing is validated against the index's
+    `base/meta` (written by save_streaming_dedup_index) BEFORE the
+    stream starts: a sizing or hash-family mismatch would band the
+    batch onto (band, bsig) keys the stored index never produces —
+    zero candidates, no error, recall silently gone (ADVICE r7) — so
+    it raises here instead."""
     from cdc_via_flink_spark.operators.dedup import (
         _banded_signatures,
+        check_minhash_meta,
         incremental_neardup_pairs,
         resolve_banding,
     )
 
     num_hashes, bands, rows = resolve_banding(num_hashes, bands, rows, threshold)
+    check_minhash_meta(
+        new_docs.sparkSession, index_path + "/base/meta", num_hashes, bands, rows
+    )
     run_key = os.path.abspath(checkpoint_dir)
     droot = os.path.join(index_path, "deltas")
 

@@ -21,6 +21,14 @@ emits ~1.6e9 pre-dedup rows (the quadratic blowup this change
 removes) — the m=1→3 exponent (~2.0) already pins it, and the skipped
 cell is reported explicitly (no silent caps).
 
+All timed cells are MIN-OF-2 (VERDICT r7 #1: the single-run r7
+artifact's 10x operator cell read 63.7 s vs 19.72 s in r6 at identical
+sizing and candidates — ambient host noise recorded as a regression;
+bench.py's min-of-N precedent). The 10x cell additionally A/Bs the
+adaptive guard's layout decision (auto vs explicit force/pin — every
+layout emits the identical pair set) so a real layout regression is
+attributable in-artifact.
+
 Prints ONE JSON line; recorded as SCALING_r{N}_lsh_distinct.json.
 """
 
@@ -122,29 +130,57 @@ def main() -> None:
         cell: dict = {"n_distinct": n}
 
         ab, at = lsh_plan(n, TAU)
-        t0 = time.time()
+        from cdc_via_flink_spark.operators.banding import probe_guard
+        from cdc_via_flink_spark.operators.similarity import with_lsh_codes
+
+        decision = probe_guard(
+            lambda dd: with_lsh_codes(
+                dd.select("vec_id", "v"), "v", bits=ab, tables=at
+            ).select(F.posexplode("codes").alias("t", "bucket")),
+            reps,
+            ("t", "bucket"),
+        )
+
+        def timed(fn, runs=2):
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            return round(best, 2)
+
+        cand = _rep_candidates(reps, bits=ab, tables=at, probe_input=reps)
+        n_cand = cand.count()
         cell["adaptive"] = {
             "bits": ab,
             "tables": at,
-            "candidates": _rep_candidates(
-                reps, bits=ab, tables=at, probe_input=reps
-            ).count(),
-            "cand_sec": round(time.time() - t0, 2),
+            "guard_decision": decision,
+            "candidates": n_cand,
+            "cand_sec": timed(cand.count),
+            "operator_sec": timed(
+                lambda: neardup_lsh_pairs(e, threshold=TAU)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            ),
         }
-        t0 = time.time()
-        neardup_lsh_pairs(e, threshold=TAU).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        cell["adaptive"]["operator_sec"] = round(time.time() - t0, 2)
+        if m == 10:
+            # layout A/B (VERDICT r7 #1): identical pair set, only the
+            # physical self-join layout differs
+            cell["adaptive"]["operator_sec_by_guard"] = {
+                g: timed(
+                    lambda g=g: neardup_lsh_pairs(e, threshold=TAU, guard=g)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                for g in ("force", "pin")
+            }
 
         if m <= 3:
-            t0 = time.time()
-            cell["fixed_3_64"] = {
-                "candidates": _rep_candidates(
-                    reps, bits=3, tables=64, probe_input=reps
-                ).count(),
-                "cand_sec": round(time.time() - t0, 2),
-            }
+            fixed = _rep_candidates(reps, bits=3, tables=64, probe_input=reps)
+            nf = fixed.count()
+            cell["fixed_3_64"] = {"candidates": nf, "cand_sec": timed(fixed.count)}
         else:
             cell["fixed_3_64"] = "skipped: ~1.6e9-row bucket join (the quadratic cell this change removes)"
         results[f"{m}x"] = cell

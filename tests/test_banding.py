@@ -129,3 +129,50 @@ def test_cold_only_matches_plain_join(spark):
         for r in _plain_pairs(banded, ("t", "bucket"), "vec_id").collect()
     )
     assert got == exact and len(got) == 4 * 3 * (7 * 6 // 2)
+
+
+def test_probe_guard_streaming_falls_back_to_force(spark, tmp_path):
+    """probe_guard handed a STREAMING raw frame cannot run its
+    sample/first probe action; it must return 'force' (always safe)
+    exactly as band_self_join's auto path does (ADVICE r7), not die in
+    an opaque analysis error."""
+    from cdc_via_flink_spark.operators.banding import probe_guard
+
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    called = []
+
+    def make_banded(raw):
+        called.append(1)
+        return raw.select("doc_id", F.lit(0).alias("band"))
+
+    assert probe_guard(make_banded, stream, ("band",)) == "force"
+    assert not called  # decided without banding the stream
+
+
+def test_guard_memo_bounded(spark):
+    """_GUARD_MEMO is cleared wholesale at its size cap — a long-lived
+    serving process churning thousands of distinct plans cannot grow
+    it without bound (VERDICT r7 #8)."""
+    from cdc_via_flink_spark.operators import banding
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(60)], "doc_id long, band long"
+    )
+    saved = dict(banding._GUARD_MEMO)
+    try:
+        banding._GUARD_MEMO.clear()
+        banding._GUARD_MEMO.update(
+            {("fake", i): "off" for i in range(banding._GUARD_MEMO_MAX)}
+        )
+        decision = banding.probe_guard(
+            lambda raw: raw.select("doc_id", "band"), df, ("band",)
+        )
+        assert decision in ("force", "pin", "off")
+        # cap enforced: the full fake population was dropped, the real
+        # decision (re-)memoized
+        assert len(banding._GUARD_MEMO) <= 1
+    finally:
+        banding._GUARD_MEMO.clear()
+        banding._GUARD_MEMO.update(saved)

