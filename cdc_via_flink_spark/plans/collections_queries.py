@@ -504,3 +504,117 @@ def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketch_rollup_full(spark, sf_dir).select(
         "quantile", "exact", "n_points", "within_bound"
     )
+
+
+def freq_sketch_rollup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE frequent-items summaries (Misra-Gries family,
+    completing the classic sketch trio next to the HLL distinct and
+    KLL-style quantile rollups above): token frequencies over the
+    documents corpus — a genuinely Zipf-skewed stream, the workload
+    heavy-hitter sketches exist for.
+
+    Per shard (doc_id mod 32 here; a partition/day in deployment) the
+    corpus reduces to a TRUNCATE-AND-BOUND summary: the shard's exact
+    (word, count) pairs cut to the top m=32 by count, plus one error
+    scalar err_s = the largest DROPPED count (0 when nothing drops).
+    Summaries merge by unioning kept rows and summing: for any word,
+      est = sum of kept counts  <=  true  <=  est + slack,
+    slack = sum of err_s over exactly the shards where the word was
+    NOT kept (a dropped word's in-shard count is <= that shard's max
+    dropped count; kept shards contribute no error). The union is
+    associative/commutative, so it distributes over any partitioning
+    — and any word whose true count exceeds total error is GUARANTEED
+    to surface (the Misra-Gries property).
+
+    Scale shape: each shard's summary is m+1 rows regardless of shard
+    size, so the merge handles shards*33 rows while the raw corpus is
+    TBs; the top-m cut is one window row_number per shard (map-side
+    partial counts first). The exact side below exists only to
+    VALIDATE the bound in-query (the within_bound contract of the
+    sketch family) — production reads the summaries alone.
+    """
+    from pyspark.sql import Window as W
+
+    from cdc_via_flink_spark.functions.text import tokens
+
+    m = 32
+    d = load_table(spark, sf_dir, "documents").select(
+        F.pmod(F.col("doc_id"), F.lit(32)).alias("shard"),
+        tokens(F.col("text")).alias("tk"),
+    )
+    tok = d.select("shard", F.explode("tk").alias("w"))
+    counts = tok.groupBy("shard", "w").agg(F.count(F.lit(1)).alias("c"))
+    rk = F.row_number().over(
+        W.partitionBy("shard").orderBy(F.col("c").desc(), F.col("w"))
+    )
+    ranked = counts.withColumn("rk", rk)
+    kept = ranked.filter(F.col("rk") <= m).select("shard", "w", "c")
+    shard_err = (
+        ranked.groupBy("shard")
+        .agg(F.max(F.when(F.col("rk") > m, F.col("c"))).alias("err"))
+        .select("shard", F.coalesce("err", F.lit(0)).alias("err"))
+    )
+    total_err = shard_err.agg(F.sum("err").alias("total_err"))
+    # per-word merge: est + the error mass of shards that KEPT it
+    # (slack = total_err - present_err covers every other shard)
+    merged = (
+        kept.join(shard_err, "shard")
+        .groupBy("w")
+        .agg(
+            F.sum("c").alias("est"),
+            F.sum("err").alias("present_err"),
+        )
+    )
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("exact_n").desc(), F.col("w")))
+    ).filter(F.col("rk") <= 10)
+    out = (
+        top.join(merged, "w", "left")
+        .crossJoin(F.broadcast(total_err))
+        .select(
+            "w",
+            "exact_n",
+            F.coalesce("est", F.lit(0)).alias("est"),
+            (
+                F.col("total_err") - F.coalesce("present_err", F.lit(0))
+            ).alias("slack"),
+        )
+    )
+    return out.withColumn(
+        "within_bound",
+        (F.col("est") <= F.col("exact_n"))
+        & (F.col("exact_n") <= F.col("est") + F.col("slack")),
+    )
+
+
+@query(
+    "q_freq_sketch_rollup",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w FROM documents
+),
+exact AS (
+  SELECT w, count(*) AS exact_n FROM tok GROUP BY w
+),
+top AS (
+  SELECT w, exact_n,
+         row_number() OVER (ORDER BY exact_n DESC, w) AS rk
+  FROM exact
+)
+SELECT w, exact_n, TRUE AS within_bound FROM top WHERE rk <= 10
+""",
+    tags=("A3", "approx", "sketch", "heavy-hitters", "rollup"),
+)
+def q_freq_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared, fully-deterministic projection of the mergeable
+    frequent-items rollup (freq_sketch_rollup_full has the summaries
+    and the design docstring): the corpus's top-10 words by EXACT
+    count (oracle-computable, ties broken by word) + `within_bound`,
+    where Spark asserts the merged Misra-Gries bound
+    est <= exact <= est + slack for each in-query and the oracle
+    emits TRUE — a broken truncation, merge, or error ledger flips
+    the boolean and hash-mismatches."""
+    return freq_sketch_rollup_full(spark, sf_dir).select(
+        "w", "exact_n", "within_bound"
+    )

@@ -217,7 +217,20 @@ def dedup_maintenance_query(
     stream starts: a sizing or hash-family mismatch would band the
     batch onto (band, bsig) keys the stored index never produces —
     zero candidates, no error, recall silently gone (ADVICE r7) — so
-    it raises here instead."""
+    it raises here instead.
+
+    THROUGHPUT vs RECALL (measured, STATESTORE_r08_dedup.json): the
+    derived batch sizing minhash_plan(0.5) = (54, 18, 3) sustains
+    ~0.49x the docs/s of the old (16, 4, 4) fixture sizing (which
+    missed ~77 % of boundary pairs) at ~2.2x the index bytes/doc. A
+    latency-sensitive deployment can run the maintainer at a DERIVED
+    streaming profile — minhash_plan(threshold, target_miss=0.2)
+    = (39, 13, 3) at t=0.5, ~1.55x the derived throughput — accepting
+    a 20 % per-batch boundary-miss budget, and restore the full bound
+    by periodically re-running the batch pipeline at the default plan
+    over the compacted corpus. Build the index and the maintainer
+    with the SAME plan either way (the meta validation enforces it).
+    """
     from cdc_via_flink_spark.operators.dedup import (
         _banded_signatures,
         check_minhash_meta,

@@ -118,3 +118,27 @@ def test_quantile_sketch_rollup_bounds_and_mergeability(spark):
         # summaries are bounded: ≤ 64 points per day regardless of SF
         n_days = 31
         assert rows["p50"].n_points <= 64 * n_days
+
+
+def test_freq_sketch_rollup_bounds_and_guarantee(spark):
+    """Misra-Gries rollup (freq_sketch_rollup_full): for the top-10
+    exact heavy words at both fixture SFs, est <= exact <= est + slack
+    must hold — and the heavy-hitter GUARANTEE: a word whose exact
+    count exceeds the total error mass must be in the merged summary
+    (est > 0)."""
+    from cdc_via_flink_spark.plans.collections_queries import (
+        freq_sketch_rollup_full,
+    )
+
+    for sf in (SF0001, SF001):
+        rows = freq_sketch_rollup_full(spark, sf).collect()
+        assert len(rows) == 10, sf
+        total_err_bound = max(r.est + r.slack - r.exact_n for r in rows)
+        assert total_err_bound >= 0
+        for r in rows:
+            assert r.within_bound, (sf, r)
+            assert r.est <= r.exact_n <= r.est + r.slack, (sf, r)
+            # Zipf head: the corpus's top words dwarf per-shard error
+            # mass, so the guarantee engages for at least the head
+        head = max(rows, key=lambda r: r.exact_n)
+        assert head.est > 0, (sf, head)
