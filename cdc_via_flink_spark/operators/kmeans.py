@@ -158,8 +158,31 @@ def kmeans_fit(
         # invariant across iterations (k-row left join, trivial cost)
         kept = cents.select("centroid_id", F.col("cv").alias("old_cv")).join(
             upd.withColumnRenamed("cv", "new_cv"), "centroid_id", "left"
-        ).select("centroid_id", F.coalesce("new_cv", "old_cv").alias("cv"))
-        cents = kept.localCheckpoint(eager=True)
+        ).select(
+            "centroid_id",
+            F.coalesce("new_cv", "old_cv").alias("cv"),
+            # moved flag computed inside the SAME k-row join (no extra
+            # join); a memberless centroid keeps old_cv = unmoved
+            (
+                F.col("new_cv").isNotNull()
+                & ~F.col("new_cv").eqNullSafe(F.col("old_cv"))
+            ).alias("_moved"),
+        )
+        new_cents = kept.localCheckpoint(eager=True)
+        converged = (
+            new_cents.agg(F.sum(F.col("_moved").cast("int")).alias("n")).head()["n"]
+            == 0
+        )
+        cents = new_cents.drop("_moved")
+        if converged:
+            # Lloyd's fixpoint: the update reproduced every centroid
+            # bit-for-bit, so further iterations are no-ops — stop
+            # paying an assignment + update job per remaining iter
+            # (the k1=1 coarse pass of the declared two-level queries
+            # converges at iteration 2 of 3). Exactness of the check
+            # only costs opportunity: a fp-noise "miss" runs the loop
+            # to max_iter exactly as before.
+            break
     return cents
 
 

@@ -566,9 +566,11 @@ def freq_sketch_rollup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_n"))
-    top = exact.withColumn(
-        "rk", F.row_number().over(W.orderBy(F.col("exact_n").desc(), F.col("w")))
-    ).filter(F.col("rk") <= 10)
+    # distributed top-k (TakeOrderedAndProject: per-partition heads +
+    # one k-row merge), NOT a global row_number window — that would
+    # sort the whole vocabulary on one task; the full (count, word)
+    # ordering makes the cut deterministic at ties
+    top = exact.orderBy(F.col("exact_n").desc(), F.col("w")).limit(10)
     out = (
         top.join(merged, "w", "left")
         .crossJoin(F.broadcast(total_err))

@@ -142,3 +142,51 @@ def test_freq_sketch_rollup_bounds_and_guarantee(spark):
             # mass, so the guarantee engages for at least the head
         head = max(rows, key=lambda r: r.exact_n)
         assert head.est > 0, (sf, head)
+
+
+def test_freq_sketch_guarantee_on_synthetic_skew(spark):
+    """Constructed Zipf-extreme corpus: one word dominating every
+    shard plus a uniform tail. The dominant word's merged estimate
+    must be EXACT (kept in every shard => slack contribution 0 from
+    kept shards and est = true), and tail words must stay inside
+    [est, est+slack] — the merge math on data where the answer is
+    computable by hand."""
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.plans.collections_queries import (
+        freq_sketch_rollup_full,
+    )
+
+    # 320 docs over 32 shards; every doc: 5x "hot" + 3 distinct tail
+    # words from a 400-word pool (tail words repeat across docs only
+    # occasionally)
+    rows = [
+        (
+            i,
+            " ".join(
+                ["hot"] * 5
+                + [f"tail{(i * 3 + j) % 400}" for j in range(3)]
+            ),
+        )
+        for i in range(320)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import cdc_via_flink_spark.plans.collections_queries as CQ
+    from cdc_via_flink_spark.sources import tables
+
+    orig = tables.load_table
+    try:
+        # route the full function's load_table at our synthetic frame
+        tables_patch = lambda spark_, sf_, name: df  # noqa: E731
+        CQ.load_table = tables_patch
+        out = {r.w: r for r in freq_sketch_rollup_full(spark, "unused").collect()}
+    finally:
+        CQ.load_table = orig
+
+    hot = out["hot"]
+    assert hot.exact_n == 320 * 5
+    assert hot.est == hot.exact_n  # kept in every shard => exact
+    assert hot.within_bound
+    for r in out.values():
+        assert r.est <= r.exact_n <= r.est + r.slack, r

@@ -772,3 +772,12 @@ def test_srp_save_clears_crashed_swap_state(spark, tmp_path):
     assert rep["appended_classes"] > 0
     stored2 = {r.rep for r in spark.read.parquet(path + "/classes").collect()}
     assert stored2 == set(range(8)) | set(range(40, 80))
+
+
+def test_freq_sketch_topk_no_global_sort(spark):
+    """The frequent-items rollup's exact top-10 must plan as
+    TakeOrderedAndProject (per-partition heads + k-row merge), never a
+    single-task global window sort of the whole vocabulary."""
+    plan = _plan(spark, "q_freq_sketch_rollup")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "WindowGroupLimit" not in plan or "TakeOrderedAndProject" in plan
