@@ -32,15 +32,3 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
-
-# DuckDB twins over DOUBLE[] columns:
-def sql_to_double(col: str) -> str:
-    return f"list_transform({col}, x -> CAST(x AS DOUBLE))"
-
-
-def sql_dot(a: str, b: str) -> str:
-    return f"list_dot_product({a}, {b})"
-
-
-def sql_cosine(a: str, b: str) -> str:
-    return f"(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"

@@ -121,8 +121,12 @@ def append_index(spark, new_corpus: DataFrame, path: str) -> None:
 
     Because the centroid set is unchanged, a probe after maintenance
     is value-identical to probing an index built monolithically over
-    base ∪ appended with the same centroids — the invariant the
-    declared query sim_ivf_append_topk pins with an exact oracle.
+    base ∪ appended with the same centroids — pinned directly by
+    tests/test_ann_maintenance.py::test_batch_append_index_equals_monolithic;
+    the STREAMING maintainer (streaming/ann_maintenance.py, which the
+    declared sim_ivf_append_topk query exercises against an exact
+    oracle) holds the same invariant with crash-atomic delta commits
+    on top.
     Scale: assignment of the delta is map-side (broadcast centroid
     array argmin), the append writes only the delta's bytes into the
     cluster-partitioned layout; the existing lists are never read or

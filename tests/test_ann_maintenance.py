@@ -214,3 +214,33 @@ def test_foreign_checkpoint_refused(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="checkpoint"):
         _run(spark, str(tmp_path / "in"), path, str(tmp_path / "ckpt2"))
     assert read_maintained_index(spark, path)[0].count() == n
+
+
+def test_batch_append_index_equals_monolithic(spark, tmp_path):
+    """append_index (the batch FAISS-add analog, caller-managed
+    idempotency): save over half the corpus, append the other half,
+    probe — must be value-identical to probing a monolithic index
+    built over the full corpus with the SAME centroid set (even
+    vec_ids hold the stride-40 centroids, so both builds derive
+    identical centroids)."""
+    from cdc_via_flink_spark.operators.ivf import append_index
+
+    e = _emb(spark)
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+
+    grown = str(tmp_path / "grown_idx")
+    save_index(base, grown, every_k=40)
+    append_index(spark, rest, grown)
+    a1, c1 = load_index(spark, grown)
+    got = sorted(
+        tuple(r) for r in probe_index(a1, c1, 5, 2, 5).collect()
+    )
+
+    mono = str(tmp_path / "mono_idx")
+    save_index(e, mono, every_k=40)
+    a2, c2 = load_index(spark, mono)
+    want = sorted(
+        tuple(r) for r in probe_index(a2, c2, 5, 2, 5).collect()
+    )
+    assert got == want and len(got) > 0
