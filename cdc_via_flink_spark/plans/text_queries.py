@@ -1381,3 +1381,116 @@ def text_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab",
         F.round(beta, 6).alias("heaps_beta"),
     )
+
+
+_WINNOW_K = 4  # gram width (words)
+_WINNOW_W = 4  # window width (consecutive grams)
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split({SQL_NORM}, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, i AS pos,
+         {SQL_TOKEN_INT.format(col=f"array_to_string(tk[i:i+{_WINNOW_K - 1}], ' ')")}
+           % 1000000007 AS h
+  FROM tok, unnest(range(1, greatest(len(tk) - {_WINNOW_K - 1}, 1) + 1)) AS t(i)
+),
+sel AS (
+  SELECT DISTINCT doc_id, lang,
+         min(h * 1024 + (1023 - pos % 1024))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS se
+  FROM grams
+),
+fp AS (SELECT doc_id, lang, se // 1024 AS fh FROM sel),
+shared AS (
+  SELECT fh FROM fp GROUP BY fh HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT f.lang, count(DISTINCT f.doc_id) AS n_docs,
+       count(*) AS n_fps,
+       count(DISTINCT f.fh) AS n_distinct_fps,
+       count(DISTINCT CASE WHEN s.fh IS NOT NULL THEN f.doc_id END)
+         AS docs_with_shared
+FROM fp f LEFT JOIN shared s ON f.fh = s.fh
+GROUP BY f.lang
+""",
+    tags=("X3", "X1", "fingerprint", "winnowing"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING local fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS algorithm; the local-fingerprinting scheme the whole-doc
+    digest and k-gram Jaccard queries can't replace: it detects
+    PARTIAL overlap with a guaranteed-density sketch). Per document:
+    word {_WINNOW_K}-gram hashes with positions; every window of
+    {_WINNOW_W} consecutive grams selects its MINIMUM hash (rightmost
+    position on ties — encoded as h*1024 + (1023 - pos%1024) so one
+    integer min does hash-then-rightmost ordering; the pos%1024
+    tie-break aliases only beyond 1024-gram documents, where a
+    deployment widens the encoding); the distinct selected
+    fingerprints are the document's sketch, guaranteed to include at
+    least one fingerprint from every {_WINNOW_W + _WINNOW_K - 1}-word
+    stretch. Declared output: per language, docs / selected
+    fingerprints / distinct fingerprint values / docs sharing at
+    least one fingerprint with another doc (the plagiarism-candidate
+    set).
+
+    Scale shape: gram hashing and the window-min are map-side after
+    ONE per-doc sort (window over (doc_id, pos) — partition-local,
+    no skew: window length is bounded by doc length); the cross-doc
+    sharing check joins on uniform fingerprint hashes reduced to
+    distinct values first. Tail windows (< {_WINNOW_W} grams
+    remaining) select suffix minima — deterministic and
+    engine-identical, slightly denser than the paper's full-window
+    form at document tails."""
+    d = load_table(spark, sf_dir, "documents")
+    from cdc_via_flink_spark.functions.hashing import P
+    from cdc_via_flink_spark.functions.text import shingles_from_tokens
+
+    toks = d.select("doc_id", "lang", tokens(F.col("text")).alias("tk"))
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.posexplode(shingles_from_tokens(F.col("tk"), _WINNOW_K)).alias("p", "g"),
+    ).select(
+        "doc_id",
+        "lang",
+        (F.col("p") + 1).alias("pos"),
+        (token_int(F.col("g")) % F.lit(P)).alias("h"),
+    )
+    enc = grams.select(
+        "doc_id",
+        "lang",
+        "pos",
+        (F.col("h") * 1024 + (1023 - F.pmod(F.col("pos"), F.lit(1024)))).alias("e"),
+    )
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, _WINNOW_W - 1)
+    )
+    sel = enc.select(
+        "doc_id", "lang", F.min("e").over(win).alias("se")
+    ).distinct()
+    fp = sel.select("doc_id", "lang", F.expr("se DIV 1024").alias("fh"))
+    shared = (
+        fp.groupBy("fh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fh", F.lit(1).alias("is_shared"))
+    )
+    return (
+        fp.join(shared, "fh", "left")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_fps"),
+            F.countDistinct("fh").alias("n_distinct_fps"),
+            F.countDistinct(
+                F.when(F.col("is_shared").isNotNull(), F.col("doc_id"))
+            ).alias("docs_with_shared"),
+        )
+    )

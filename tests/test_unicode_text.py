@@ -51,3 +51,53 @@ def test_nfc_collapses_nfd_spelling(spark):
 def test_nfc_null_passthrough(spark):
     df = spark.createDataFrame([(None,)], "t string")
     assert df.select(nfc_normalize(F.col("t")).alias("n")).collect()[0].n is None
+
+
+def test_winnowing_density_guarantee(spark):
+    """Winnowing's defining property (Schleimer et al. 2003): every
+    window of W consecutive grams selects at least one fingerprint,
+    so no gap between selected positions exceeds W — checked on the
+    fixture corpus per document."""
+    from pyspark.sql import Window as W_, functions as F
+
+    from cdc_via_flink_spark.functions.hashing import P, token_int
+    from cdc_via_flink_spark.functions.text import shingles_from_tokens, tokens
+    from cdc_via_flink_spark.plans.text_queries import _WINNOW_K, _WINNOW_W
+    from cdc_via_flink_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    d = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(shingles_from_tokens(F.col("tk"), _WINNOW_K)).alias("p", "g"),
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).alias("pos"),
+        (token_int(F.col("g")) % F.lit(P)).alias("h"),
+    )
+    enc = grams.select(
+        "doc_id",
+        "pos",
+        (F.col("h") * 1024 + (1023 - F.pmod(F.col("pos"), F.lit(1024)))).alias("e"),
+    )
+    win = W_.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
+    sel = (
+        enc.select("doc_id", F.min("e").over(win).alias("se"))
+        .distinct()
+        .select(
+            "doc_id",
+            (1023 - F.pmod(F.col("se"), F.lit(1024))).alias("sel_pos"),
+        )
+    )
+    lag_w = W_.partitionBy("doc_id").orderBy("sel_pos")
+    gaps = sel.select(
+        "doc_id",
+        (F.col("sel_pos") - F.lag("sel_pos", 1, 0).over(lag_w)).alias("gap"),
+    )
+    max_gap = gaps.agg(F.max("gap")).head()[0]
+    assert max_gap <= _WINNOW_W, max_gap
+    # and the sketch is a real subsample, not everything
+    n_sel = sel.count()
+    n_grams = grams.count()
+    assert n_sel < n_grams
