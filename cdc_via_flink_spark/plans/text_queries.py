@@ -1494,3 +1494,103 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("docs_with_shared"),
         )
     )
+
+
+_WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many fps
+_WINNOW_FP_CAP = 256  # drop fingerprints shared by more docs (uninformative)
+
+
+@query(
+    "text_winnow_pairs",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         {SQL_TOKEN_INT.format(col=f"array_to_string(tk[i:i+{_WINNOW_K - 1}], ' ')")}
+           % 1000000007 AS h
+  FROM tok, unnest(range(1, greatest(len(tk) - {_WINNOW_K - 1}, 1) + 1)) AS t(i)
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         min(h * 1024 + (1023 - pos % 1024))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS se
+  FROM grams
+),
+fp AS (SELECT DISTINCT doc_id, se // 1024 AS fh FROM sel),
+keep AS (
+  SELECT fh FROM fp GROUP BY fh
+  HAVING count(*) BETWEEN 2 AND {_WINNOW_FP_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+  FROM fp a JOIN keep k ON a.fh = k.fh
+            JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared_fps FROM pairs
+WHERE shared_fps >= {_WINNOW_MIN_SHARED}
+""",
+    tags=("X3", "X1", "fingerprint", "winnowing", "pairs"),
+)
+def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing PAIR detection — the MOSS output surface on top of
+    text_winnow_fingerprints' sketch: document pairs sharing >=
+    {_WINNOW_MIN_SHARED} selected fingerprints (each a localized
+    {_WINNOW_K}-word match the density guarantee places within any
+    {_WINNOW_W + _WINNOW_K - 1}-word overlap), ranked by the caller
+    via shared_fps. Fingerprints shared by more than
+    {_WINNOW_FP_CAP} documents are dropped BEFORE the pair join (the
+    standard over-common-fingerprint cut: a boilerplate gram shared
+    by thousands of docs is uninformative for overlap AND would land
+    a quadratic bucket on the join — the cut bounds per-fingerprint
+    pair work at C({_WINNOW_FP_CAP},2), the same per-task-bound
+    philosophy as banding.BUCKET_CAP). Both sides of the pair join
+    reduce to DISTINCT (doc, fingerprint) rows first."""
+    d = load_table(spark, sf_dir, "documents")
+    from cdc_via_flink_spark.functions.hashing import P
+    from cdc_via_flink_spark.functions.text import shingles_from_tokens
+
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(shingles_from_tokens(F.col("tk"), _WINNOW_K)).alias("p", "g"),
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).alias("pos"),
+        (token_int(F.col("g")) % F.lit(P)).alias("h"),
+    )
+    enc = grams.select(
+        "doc_id",
+        "pos",
+        (F.col("h") * 1024 + (1023 - F.pmod(F.col("pos"), F.lit(1024)))).alias("e"),
+    )
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, _WINNOW_W - 1)
+    )
+    fp = (
+        enc.select("doc_id", F.min("e").over(win).alias("se"))
+        .distinct()
+        .select("doc_id", F.expr("se DIV 1024").alias("fh"))
+        .distinct()
+    )
+    keep = (
+        fp.groupBy("fh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _WINNOW_FP_CAP))
+        .select("fh")
+    )
+    pruned = fp.join(keep, "fh", "left_semi")
+    a = pruned.select(F.col("doc_id").alias("id_a"), "fh")
+    b = pruned.select(F.col("doc_id").alias("id_b"), "fh")
+    return (
+        a.join(b, ["fh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
+    )
