@@ -1387,6 +1387,57 @@ _WINNOW_K = 4  # gram width (words)
 _WINNOW_W = 4  # window width (consecutive grams)
 
 
+def _winnow_selected(d: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra_cols, se): each document's DISTINCT winnowing
+    selections, se = h*1024 + (1023 - pos%1024) (min over every
+    _WINNOW_W-gram window; the encoding makes one integer min order
+    by hash then rightmost position).
+
+    ENTIRELY MAP-SIDE: winnowing is document-local, so the gram
+    hashes, per-window minima, and distinct selection are higher-order
+    expressions over the token array — NO shuffle of gram rows by
+    doc_id (the windowed-SQL formulation the oracle uses would
+    hashpartition every gram row; at 100 TB that exchange is the
+    whole cost). Only the ~2/(W+1)-dense SELECTED fingerprints ever
+    become rows. Arrays are materialized one per projection
+    (tk → hs → enc) so the multiply-referenced non-cheap aliases stay
+    materialized (the shingles_from_tokens CollapseProject note)."""
+    from cdc_via_flink_spark.functions.hashing import P
+    from cdc_via_flink_spark.functions.text import shingles_from_tokens
+
+    toks = d.select("doc_id", *extra_cols, tokens(F.col("text")).alias("tk"))
+    hs = toks.select(
+        "doc_id",
+        *extra_cols,
+        F.transform(
+            shingles_from_tokens(F.col("tk"), _WINNOW_K),
+            lambda g: token_int(g) % F.lit(P),
+        ).alias("hs"),
+    )
+    enc = hs.select(
+        "doc_id",
+        *extra_cols,
+        F.transform(
+            F.col("hs"),
+            lambda h, i: h * 1024 + (1023 - F.pmod(i + 1, F.lit(1024))),
+        ).alias("enc"),
+    )
+    return enc.select(
+        "doc_id",
+        *extra_cols,
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.col("enc"),
+                    lambda _x, i: F.array_min(
+                        F.slice(F.col("enc"), i + 1, _WINNOW_W)
+                    ),
+                )
+            )
+        ).alias("se"),
+    )
+
+
 @query(
     "text_winnow_fingerprints",
     oracle=f"""
@@ -1438,43 +1489,18 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one fingerprint with another doc (the plagiarism-candidate
     set).
 
-    Scale shape: gram hashing and the window-min are map-side after
-    ONE per-doc sort (window over (doc_id, pos) — partition-local,
-    no skew: window length is bounded by doc length); the cross-doc
-    sharing check joins on uniform fingerprint hashes reduced to
-    distinct values first. Tail windows (< {_WINNOW_W} grams
-    remaining) select suffix minima — deterministic and
-    engine-identical, slightly denser than the paper's full-window
-    form at document tails."""
+    Scale shape: the ENTIRE selection is map-side higher-order
+    expressions over the token array (_winnow_selected — winnowing is
+    document-local, so no gram row ever shuffles by doc_id; the
+    oracle's windowed-SQL formulation is the semantic twin, not the
+    plan); only the ~2/(W+1)-dense selected fingerprints become rows,
+    and the cross-doc sharing check joins on uniform fingerprint
+    hashes reduced to distinct values first. Tail windows
+    (< {_WINNOW_W} grams remaining) select suffix minima —
+    deterministic and engine-identical, slightly denser than the
+    paper's full-window form at document tails."""
     d = load_table(spark, sf_dir, "documents")
-    from cdc_via_flink_spark.functions.hashing import P
-    from cdc_via_flink_spark.functions.text import shingles_from_tokens
-
-    toks = d.select("doc_id", "lang", tokens(F.col("text")).alias("tk"))
-    grams = toks.select(
-        "doc_id",
-        "lang",
-        F.posexplode(shingles_from_tokens(F.col("tk"), _WINNOW_K)).alias("p", "g"),
-    ).select(
-        "doc_id",
-        "lang",
-        (F.col("p") + 1).alias("pos"),
-        (token_int(F.col("g")) % F.lit(P)).alias("h"),
-    )
-    enc = grams.select(
-        "doc_id",
-        "lang",
-        "pos",
-        (F.col("h") * 1024 + (1023 - F.pmod(F.col("pos"), F.lit(1024)))).alias("e"),
-    )
-    win = (
-        W.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(W.currentRow, _WINNOW_W - 1)
-    )
-    sel = enc.select(
-        "doc_id", "lang", F.min("e").over(win).alias("se")
-    ).distinct()
+    sel = _winnow_selected(d, "lang")
     fp = sel.select("doc_id", "lang", F.expr("se DIV 1024").alias("fh"))
     shared = (
         fp.groupBy("fh")
@@ -1548,33 +1574,12 @@ def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a quadratic bucket on the join — the cut bounds per-fingerprint
     pair work at C({_WINNOW_FP_CAP},2), the same per-task-bound
     philosophy as banding.BUCKET_CAP). Both sides of the pair join
-    reduce to DISTINCT (doc, fingerprint) rows first."""
+    reduce to DISTINCT (doc, fingerprint) rows first; selection is
+    the shuffle-free map-side _winnow_selected (see
+    text_winnow_fingerprints' scale note)."""
     d = load_table(spark, sf_dir, "documents")
-    from cdc_via_flink_spark.functions.hashing import P
-    from cdc_via_flink_spark.functions.text import shingles_from_tokens
-
-    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(shingles_from_tokens(F.col("tk"), _WINNOW_K)).alias("p", "g"),
-    ).select(
-        "doc_id",
-        (F.col("p") + 1).alias("pos"),
-        (token_int(F.col("g")) % F.lit(P)).alias("h"),
-    )
-    enc = grams.select(
-        "doc_id",
-        "pos",
-        (F.col("h") * 1024 + (1023 - F.pmod(F.col("pos"), F.lit(1024)))).alias("e"),
-    )
-    win = (
-        W.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(W.currentRow, _WINNOW_W - 1)
-    )
     fp = (
-        enc.select("doc_id", F.min("e").over(win).alias("se"))
-        .distinct()
+        _winnow_selected(d)
         .select("doc_id", F.expr("se DIV 1024").alias("fh"))
         .distinct()
     )

@@ -781,3 +781,13 @@ def test_freq_sketch_topk_no_global_sort(spark):
     plan = _plan(spark, "q_freq_sketch_rollup")
     assert "TakeOrderedAndProject" in plan, plan
     assert "WindowGroupLimit" not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_winnow_selection_is_map_side(spark):
+    """Winnowing is document-local: the selection must be higher-order
+    expressions (no Window operator, no gram-row exchange by doc_id) —
+    the only shuffles in the fingerprint profile are the downstream
+    fh/lang aggregations."""
+    plan = _plan(spark, "text_winnow_fingerprints")
+    assert "Window" not in plan, plan
+    assert "hashpartitioning(doc_id" not in plan, plan

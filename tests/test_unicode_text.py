@@ -101,3 +101,20 @@ def test_winnowing_density_guarantee(spark):
     n_sel = sel.count()
     n_grams = grams.count()
     assert n_sel < n_grams
+
+    # the production MAP-SIDE selection (_winnow_selected, higher-order
+    # exprs, no doc_id shuffle) must equal this straightforward
+    # windowed-SQL construction row for row
+    from cdc_via_flink_spark.plans.text_queries import _winnow_selected
+
+    fast = sorted(
+        (r.doc_id, r.se)
+        for r in _winnow_selected(d).collect()
+    )
+    slow = sorted(
+        (r.doc_id, r.se)
+        for r in enc.select("doc_id", F.min("e").over(win).alias("se"))
+        .distinct()
+        .collect()
+    )
+    assert fast == slow
