@@ -1383,59 +1383,19 @@ def text_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINNOW_K = 4  # gram width (words)
-_WINNOW_W = 4  # window width (consecutive grams)
+from cdc_via_flink_spark.operators.winnow import (  # noqa: E402
+    WINNOW_FP_CAP as _WINNOW_FP_CAP,
+    WINNOW_K as _WINNOW_K,
+    WINNOW_MIN_SHARED as _WINNOW_MIN_SHARED,
+    WINNOW_W as _WINNOW_W,
+    winnow_selected as _winnow_selected_op,
+)
 
 
-def _winnow_selected(d: DataFrame, *extra_cols: str) -> DataFrame:
-    """(doc_id, *extra_cols, se): each document's DISTINCT winnowing
-    selections, se = h*1024 + (1023 - pos%1024) (min over every
-    _WINNOW_W-gram window; the encoding makes one integer min order
-    by hash then rightmost position).
-
-    ENTIRELY MAP-SIDE: winnowing is document-local, so the gram
-    hashes, per-window minima, and distinct selection are higher-order
-    expressions over the token array — NO shuffle of gram rows by
-    doc_id (the windowed-SQL formulation the oracle uses would
-    hashpartition every gram row; at 100 TB that exchange is the
-    whole cost). Only the ~2/(W+1)-dense SELECTED fingerprints ever
-    become rows. Arrays are materialized one per projection
-    (tk → hs → enc) so the multiply-referenced non-cheap aliases stay
-    materialized (the shingles_from_tokens CollapseProject note)."""
-    from cdc_via_flink_spark.functions.hashing import P
-    from cdc_via_flink_spark.functions.text import shingles_from_tokens
-
-    toks = d.select("doc_id", *extra_cols, tokens(F.col("text")).alias("tk"))
-    hs = toks.select(
-        "doc_id",
-        *extra_cols,
-        F.transform(
-            shingles_from_tokens(F.col("tk"), _WINNOW_K),
-            lambda g: token_int(g) % F.lit(P),
-        ).alias("hs"),
-    )
-    enc = hs.select(
-        "doc_id",
-        *extra_cols,
-        F.transform(
-            F.col("hs"),
-            lambda h, i: h * 1024 + (1023 - F.pmod(i + 1, F.lit(1024))),
-        ).alias("enc"),
-    )
-    return enc.select(
-        "doc_id",
-        *extra_cols,
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.col("enc"),
-                    lambda _x, i: F.array_min(
-                        F.slice(F.col("enc"), i + 1, _WINNOW_W)
-                    ),
-                )
-            )
-        ).alias("se"),
-    )
+def _winnow_selected(d, *extra_cols):
+    """Back-compat shim over operators.winnow.winnow_selected (the
+    operator home since the index/incremental surfaces landed)."""
+    return _winnow_selected_op(d, "text", "doc_id", tuple(extra_cols))
 
 
 @query(
@@ -1522,10 +1482,6 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many fps
-_WINNOW_FP_CAP = 256  # drop fingerprints shared by more docs (uninformative)
-
-
 @query(
     "text_winnow_pairs",
     oracle=f"""
@@ -1599,3 +1555,68 @@ def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
     )
+
+
+@query(
+    "text_winnow_incremental",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         {SQL_TOKEN_INT.format(col=f"array_to_string(tk[i:i+{_WINNOW_K - 1}], ' ')")}
+           % 1000000007 AS h
+  FROM tok, unnest(range(1, greatest(len(tk) - {_WINNOW_K - 1}, 1) + 1)) AS t(i)
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         min(h * 1024 + (1023 - pos % 1024))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS se
+  FROM grams
+),
+fp AS (SELECT DISTINCT doc_id, se // 1024 AS fh FROM sel),
+keep AS (
+  SELECT fh FROM fp GROUP BY fh
+  HAVING count(*) BETWEEN 2 AND {_WINNOW_FP_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+  FROM fp a JOIN keep k ON a.fh = k.fh
+            JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared_fps FROM pairs
+WHERE shared_fps >= {_WINNOW_MIN_SHARED}
+  AND (id_a % 5 = 0 OR id_b % 5 = 0)
+""",
+    tags=("X3", "X1", "winnowing", "incremental", "index-maintenance"),
+)
+def text_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME overlap gate, value-pinned: build the persisted
+    winnowing fingerprint index (operators/winnow.py::
+    save_winnow_index — distinct (doc, fh) clustered by fh, per-fh
+    doc counts, validated sizing meta) over the corpus MINUS every
+    5th document, then run the arriving batch (the held-out fifth)
+    through incremental_winnow_pairs. The result must equal the
+    MONOLITHIC text_winnow_pairs over the full corpus restricted to
+    batch-involving pairs — the oracle computes exactly that, so a
+    broken count merge (the common-fingerprint cut is recomputed over
+    stored + batch counts), a double-counted new×new/new×old branch,
+    or stale index rows all hash-mismatch. Only the batch is
+    tokenized; the stored side joins by fh."""
+    import os
+
+    from cdc_via_flink_spark.operators.winnow import (
+        incremental_winnow_pairs,
+        save_winnow_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.pmod(F.col("doc_id"), 5) != 0)
+    new = d.filter(F.pmod(F.col("doc_id"), 5) == 0)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/.tmp/winnow_index_{sf_name}"
+    save_winnow_index(old, path)
+    return incremental_winnow_pairs(new, path)

@@ -118,3 +118,88 @@ def test_winnowing_density_guarantee(spark):
         .collect()
     )
     assert fast == slow
+
+
+def test_incremental_winnow_equals_monolithic_restricted(spark, tmp_path):
+    """incremental_winnow_pairs (stored index + new batch) must equal
+    the monolithic pair computation over the whole corpus restricted
+    to new-involving pairs — including when the batch RE-INGESTS
+    documents already indexed (no degenerate self-pairs, no
+    double-counted shared fingerprints across the new×new / new×old
+    branches)."""
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.operators.winnow import (
+        WINNOW_MIN_SHARED,
+        incremental_winnow_pairs,
+        save_winnow_index,
+        winnow_fingerprints,
+    )
+    from cdc_via_flink_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    d = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    new = d.filter(F.pmod(F.col("doc_id"), 4) == 0)
+    old = d.subtract(new)
+    # re-ingestion: the batch also re-sends some already-indexed docs
+    batch = new.unionByName(d.filter(F.pmod(F.col("doc_id"), 10) == 1))
+
+    # monolithic reference over old ∪ batch (= d plus re-ingested ids
+    # collapsing to the same fingerprints)
+    fp = winnow_fingerprints(d)
+    keep = (
+        fp.groupBy("fh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= 256))
+        .select("fh")
+    )
+    pruned = fp.join(keep, "fh", "left_semi")
+    mono = (
+        pruned.alias("a")
+        .join(
+            pruned.alias("b"),
+            (F.col("a.fh") == F.col("b.fh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+    )
+    batch_ids = {r.doc_id for r in batch.collect()}
+    expected = sorted(
+        tuple(r)
+        for r in mono.collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    )
+
+    path = str(tmp_path / "winnow_idx")
+    save_winnow_index(old, path)
+    got = sorted(
+        tuple(r) for r in incremental_winnow_pairs(batch, path).collect()
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_winnow_index_meta_validation(spark, tmp_path):
+    """A winnow index saved at different sizing/version must refuse the
+    probe loudly (the dedup-index meta recipe)."""
+    import pytest
+
+    from cdc_via_flink_spark.operators import winnow
+    from cdc_via_flink_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    d = load_table(spark, SF0001, "documents").select("doc_id", "text").limit(30)
+    path = str(tmp_path / "wi")
+    winnow.save_winnow_index(d, path)
+    # matching build probes fine
+    assert winnow.incremental_winnow_pairs(d.limit(5), path).count() >= 0
+    with pytest.raises(ValueError, match="not a"):
+        winnow.incremental_winnow_pairs(d.limit(5), str(tmp_path / "nope"))
+    orig = winnow.WINNOW_VERSION
+    winnow.WINNOW_VERSION = orig + 1
+    try:
+        with pytest.raises(ValueError, match="stores"):
+            winnow.incremental_winnow_pairs(d.limit(5), path)
+    finally:
+        winnow.WINNOW_VERSION = orig
