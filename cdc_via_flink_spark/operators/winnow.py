@@ -155,31 +155,20 @@ def check_winnow_meta(spark, path: str) -> None:
         )
 
 
-def incremental_winnow_pairs(
+def incremental_pairs_against(
+    fp_old: DataFrame,
+    cnt_old: DataFrame,
     new_df: DataFrame,
-    path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """INCREMENTAL winnowing overlap: all (id_a < id_b, shared_fps >=
-    WINNOW_MIN_SHARED) pairs involving at least one NEW document —
-    exactly the monolithic pair query over (indexed ∪ new) restricted
-    to new-involving pairs (fingerprints are per-doc-independent;
-    pinned by tests/test_unicode_text.py::
-    test_incremental_winnow_equals_monolithic_restricted). The
-    common-fingerprint cut is computed over the UNION's counts
-    (stored per-fh counts + the batch's), so the kept-fingerprint set
-    matches the monolithic run's — only the batch is tokenized, and
-    stored fingerprints participate through one equi-join.
-
-    This is the ingest-time decontamination gate: arriving documents
-    checked for partial overlap (benchmark text, boilerplate, dup
-    spans) against the indexed corpus before admission."""
-    spark = new_df.sparkSession
-    check_winnow_meta(spark, path)
-    fp_old = spark.read.parquet(path + "/fp")
-    cnt_old = spark.read.parquet(path + "/fp_counts")
-
+    """Core of the incremental gate given the stored side as frames:
+    fp_old = (doc_id, fh) distinct rows, cnt_old = (fh, n_docs)
+    per-fingerprint doc counts of the SAME corpus. Both
+    incremental_winnow_pairs (parquet index) and the streaming
+    maintainer (base ∪ committed deltas) call this; semantics and the
+    monolithic-equivalence argument live here (see
+    incremental_winnow_pairs)."""
     fp_new = winnow_fingerprints(new_df, text_col, id_col)
     cnt_new = fp_new.groupBy("fh").agg(F.count(F.lit(1)).alias("n_new"))
     keep = (
@@ -236,3 +225,30 @@ def incremental_winnow_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
     )
+
+
+def incremental_winnow_pairs(
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL winnowing overlap: all (id_a < id_b, shared_fps >=
+    WINNOW_MIN_SHARED) pairs involving at least one NEW document —
+    exactly the monolithic pair query over (indexed ∪ new) restricted
+    to new-involving pairs (fingerprints are per-doc-independent;
+    pinned by tests/test_unicode_text.py::
+    test_incremental_winnow_equals_monolithic_restricted). The
+    common-fingerprint cut is computed over the UNION's counts
+    (stored per-fh counts + the batch's), so the kept-fingerprint set
+    matches the monolithic run's — only the batch is tokenized, and
+    stored fingerprints participate through one equi-join.
+
+    This is the ingest-time decontamination gate: arriving documents
+    checked for partial overlap (benchmark text, boilerplate, dup
+    spans) against the indexed corpus before admission."""
+    spark = new_df.sparkSession
+    check_winnow_meta(spark, path)
+    fp_old = spark.read.parquet(path + "/fp")
+    cnt_old = spark.read.parquet(path + "/fp_counts")
+    return incremental_pairs_against(fp_old, cnt_old, new_df, text_col, id_col)

@@ -1583,3 +1583,119 @@ def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+def _winnow_stream_oracle() -> str:
+    from cdc_via_flink_spark.functions.hashing import SQL_TOKEN_INT
+    from cdc_via_flink_spark.operators.winnow import (
+        WINNOW_FP_CAP,
+        WINNOW_K,
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+    )
+
+    sql_norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    gram = SQL_TOKEN_INT.format(
+        col=f"array_to_string(tk[i:i+{WINNOW_K - 1}], ' ')"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split({sql_norm}, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, {gram} % 1000000007 AS h
+  FROM tok, unnest(range(1, greatest(len(tk) - {WINNOW_K - 1}, 1) + 1)) AS t(i)
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         min(h * 1024 + (1023 - pos % 1024))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS se
+  FROM grams
+),
+fp0 AS (SELECT DISTINCT doc_id, se // 1024 AS fh FROM sel),
+fp AS (
+  SELECT doc_id, fh,
+         CASE WHEN doc_id % 5 <> 0 THEN -1 ELSE doc_id % 3 END AS tag
+  FROM fp0
+),
+per_tag AS (SELECT fh, tag, count(*) AS n FROM fp GROUP BY 1, 2),
+cum AS (
+  SELECT p.fh, k.e, sum(p.n) AS cum
+  FROM per_tag p JOIN (VALUES (0),(1),(2)) k(e) ON p.tag <= k.e
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+  FROM fp a
+  JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
+  JOIN cum c ON c.fh = a.fh AND c.e = greatest(a.tag, b.tag)
+  WHERE greatest(a.tag, b.tag) >= 0
+    AND c.cum BETWEEN 2 AND {WINNOW_FP_CAP}
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared_fps FROM pairs
+WHERE shared_fps >= {WINNOW_MIN_SHARED}
+"""
+
+
+@query(
+    "stream_winnow_incremental",
+    oracle=_winnow_stream_oracle(),
+    tags=("X3", "X1", "ST5", "streaming", "winnowing", "index-maintenance"),
+)
+def stream_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest-time decontamination
+    (streaming/winnow_maintenance.py): the existing corpus
+    (doc_id % 5 != 0) persists a base winnowing-fingerprint index;
+    new docs (doc_id % 5 == 0) ARRIVE over three micro-batches
+    (split by doc_id % 3), each overlap-checked against
+    base ∪ previously committed deltas AND itself, then appended as a
+    crash-atomic committed delta (epoch + checkpoint-identity pointer
+    recipe). Every pair is emitted exactly once — at the epoch its
+    LAST member arrives — with the common-fingerprint cut evaluated
+    over the corpus AS OF that epoch (cut-at-emission, the only
+    semantics an ingest gate can have). The oracle expresses exactly
+    that epoch structure: per-fingerprint CUMULATIVE doc counts per
+    epoch, each pair cut-checked at greatest(tag_a, tag_b) — so a
+    stale delta, double-applied epoch, or mis-merged count ledger all
+    hash-mismatch. (At fixture scale no fingerprint crosses the
+    256-doc cap between epochs, so this coincides with the monolithic
+    restriction; the oracle still encodes the general epoch-aware
+    form.)"""
+    from cdc_via_flink_spark.streaming.winnow_maintenance import (
+        read_emitted_pairs,
+        save_streaming_winnow_index,
+        winnow_maintenance_query,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+
+    root = os.path.join(STAGE_ROOT, f"winnow_maint_{sf_name}")
+    # rebuilt FRESH every run (the stream_incremental_neardup rule):
+    # stale commits/checkpoints must never masquerade as this run's
+    shutil.rmtree(root, ignore_errors=True)
+    idx, out, ckpt = (
+        os.path.join(root, "idx"),
+        os.path.join(root, "pairs"),
+        os.path.join(root, "ckpt"),
+    )
+    save_streaming_winnow_index(old, idx)
+    frames = [
+        new.filter(F.pmod(F.col("doc_id"), 3) == k).orderBy("doc_id")
+        for k in range(3)
+    ]
+    dest = os.path.join(root, "staged")
+    _STAGED_DESTS.discard(dest)
+    _stage_ordered_files(spark, frames, dest)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = winnow_maintenance_query(stream, idx, out, ckpt)
+    q.awaitTermination()
+    return read_emitted_pairs(spark, out)
