@@ -203,3 +203,49 @@ def test_winnow_index_meta_validation(spark, tmp_path):
             winnow.incremental_winnow_pairs(d.limit(5), path)
     finally:
         winnow.WINNOW_VERSION = orig
+
+
+def _winnow_reference(text: str, k: int, w: int) -> set[int]:
+    """Independent pure-Python winnowing (md5 token_int % P, the same
+    published recipe) — the cross-check oracle for the higher-order
+    expression implementation."""
+    import hashlib
+    import re
+
+    P = 1_000_000_007
+    toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    if len(toks) < k:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % P for g in grams
+    ]
+    enc = [h * 1024 + (1023 - ((i + 1) % 1024)) for i, h in enumerate(hs)]
+    return {min(enc[i : i + w]) for i in range(len(enc))}
+
+
+def test_winnow_selected_matches_python_reference(spark):
+    """Property check: the map-side higher-order-expression selection
+    equals an independently-written Python winnowing on randomized
+    word documents (short docs below the gram width included)."""
+    import random
+
+    from cdc_via_flink_spark.operators.winnow import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_selected,
+    )
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(60):
+        n = rng.choice([1, 2, 3, 4, 5, 8, 13, 21, 40, 80])
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set[int]] = {}
+    for r in winnow_selected(df).collect():
+        got.setdefault(r.doc_id, set()).add(r.se)
+    for i, t in rows:
+        assert got[i] == _winnow_reference(t, WINNOW_K, WINNOW_W), (i, t)
