@@ -47,6 +47,11 @@ from cdc_via_flink_spark.operators.sampling import (  # noqa: F401
     stratified_sample,
 )
 from cdc_via_flink_spark.operators.similarity import brute_force_topk  # noqa: F401
+from cdc_via_flink_spark.operators.winnow import (  # noqa: F401
+    incremental_winnow_pairs,
+    save_winnow_index,
+    winnow_fingerprints,
+)
 from cdc_via_flink_spark.operators.ivf import ivf_topk  # noqa: F401
 from cdc_via_flink_spark.session import get_spark  # noqa: F401
 from cdc_via_flink_spark.sources.tables import load_table, load_tables  # noqa: F401
@@ -67,6 +72,7 @@ __all__ = [
     "get_spark",
     "hash_bucket",
     "hash_split",
+    "incremental_winnow_pairs",
     "ivf_topk",
     "latest_state",
     "load_table",
@@ -79,8 +85,10 @@ __all__ = [
     "render_change_envelope",
     "render_txn_envelope",
     "sample_frames",
+    "save_winnow_index",
     "simhash64",
     "stratified_sample",
+    "winnow_fingerprints",
     "write_bucketed",
     "write_partitioned",
     "write_sorted",

@@ -6,6 +6,8 @@ public API: the corpus path a pre-training data team runs daily —
       → near-dup removal (MinHash-LSH pair graph → keep cluster min)
       → quality filter (token/stopword heuristics)
       → deterministic train/valid/test split (md5 buckets)
+      → eval decontamination (winnowing fingerprints: drop train docs
+        sharing local fingerprints with the test split)
       → stratified language rebalance (hash sampling)
       → greedy token-budget sequence packing
       → per-split packed-corpus stats
@@ -60,8 +62,25 @@ def build_corpus(spark, sf_dir: str):
         (F.col("n_words") >= 12) & (n_stop / F.col("n_words") < 0.3)
     )
 
-    # 4. deterministic split + 5. language rebalance (downsample en)
+    # 4. deterministic split + decontamination: drop TRAIN docs that
+    #    share >= 2 winnowing fingerprints with any TEST doc (partial
+    #    overlap the whole-doc digests of step 1 cannot see)
     docs = eng.hash_split(docs, "doc_id", {"train": 204, "valid": 26, "test": 26})
+    fp = eng.winnow_fingerprints(docs.select("doc_id", "text"))
+    split_of = docs.select("doc_id", "split")
+    fp = fp.join(split_of, "doc_id")
+    te_fp = fp.filter(F.col("split") == "test").select("fh").distinct()
+    contaminated = (
+        fp.filter(F.col("split") == "train")
+        .join(te_fp, "fh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .select("doc_id")
+    )
+    docs = docs.join(contaminated, "doc_id", "left_anti")
+
+    # 5. language rebalance (downsample en)
     docs = eng.stratified_sample(docs, "doc_id", "lang", {"en": 128}, default_rate=256)
 
     # 6. greedy packing to a 2048-token budget, sharded for parallelism
