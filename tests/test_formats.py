@@ -12,13 +12,14 @@ from cdc_via_flink_spark.sources.formats import (
     read_csv,
     read_json,
     read_orc,
+    read_xml,
     write_format,
 )
 from cdc_via_flink_spark.sources.tables import load_table
 from tests.conftest import SF0001
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc", "xml"])
 def test_roundtrip_nation(spark, tmp_path, fmt):
     src = load_table(spark, SF0001, "nation")
     path = str(tmp_path / f"nation_{fmt}")
@@ -27,6 +28,8 @@ def test_roundtrip_nation(spark, tmp_path, fmt):
         back = read_csv(spark, path, src.schema)
     elif fmt == "json":
         back = read_json(spark, path, src.schema)
+    elif fmt == "xml":
+        back = read_xml(spark, path, src.schema)
     else:
         back = read_orc(spark, path)
     a = sorted(map(tuple, src.collect()))
@@ -44,3 +47,22 @@ def test_json_dead_letter_routing(spark, tmp_path):
     bad = [r for r in rows if r[CORRUPT_COL] is not None]
     assert len(good) == 1 and good[0].n_name == "A"
     assert len(bad) == 1 and bad[0][CORRUPT_COL].startswith("{broken")
+
+
+def test_xml_dead_letter_routing(spark, tmp_path):
+    p = tmp_path / "bad.xml"
+    p.write_text(
+        "<rows>"
+        "<row><n_nationkey>1</n_nationkey><n_name>A</n_name>"
+        "<n_regionkey>0</n_regionkey></row>"
+        "<row><n_nationkey>not_a_number</n_nationkey><n_name>B</n_name>"
+        "<n_regionkey>0</n_regionkey></row>"
+        "</rows>"
+    )
+    schema = load_table(spark, SF0001, "nation").schema
+    df = read_xml(spark, str(p), schema, dead_letter=True)
+    rows = df.collect()
+    good = [r for r in rows if r[CORRUPT_COL] is None]
+    bad = [r for r in rows if r[CORRUPT_COL] is not None]
+    assert len(good) == 1 and good[0].n_name == "A"
+    assert len(bad) == 1 and "not_a_number" in bad[0][CORRUPT_COL]
