@@ -1699,3 +1699,72 @@ def stream_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = winnow_maintenance_query(stream, idx, out, ckpt)
     q.awaitTermination()
     return read_emitted_pairs(spark, out)
+
+
+@query(
+    "stream_state_inspect",
+    oracle="""
+WITH m AS (SELECT max(ts) AS mx FROM events),
+w AS (
+  SELECT date_trunc('hour', ts) AS ws, count(*) AS n_rows
+  FROM events GROUP BY 1
+)
+SELECT strftime(w.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(w.n_rows AS BIGINT) AS n_rows
+FROM w, m
+WHERE w.ws + INTERVAL 1 HOUR > m.mx - INTERVAL 30 MINUTE
+""",
+    tags=("ST5", "streaming", "state-introspection", "ops"),
+)
+def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT STATE INTROSPECTION (streaming/state_inspect.py,
+    Spark 4's State Data Source): run a watermarked tumbling-hourly
+    aggregation over the events replay to completion, then read the
+    aggregation's state back FROM THE CHECKPOINT ALONE
+    (`spark.read.format("statestore")`) — the ops flow that answers
+    "what is this job still buffering" with no code in the job
+    itself. The end-of-replay state of an append-mode watermarked
+    aggregation is EXACTLY the windows the final watermark
+    (max event_time − 30 min; availableNow commits a final
+    watermark-advance batch) has not yet closed — the oracle computes
+    that set with its counts from the same events, so a state-source
+    decode drift, a missed eviction, or an extra buffered window all
+    hash-mismatch."""
+    from cdc_via_flink_spark.streaming.state_inspect import open_window_state
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    # watermarks require TIMESTAMP (not NTZ); the session runs UTC, so
+    # the cast is wall-clock-identity and the formatted window starts
+    # match the oracle's NTZ strings
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+    root = os.path.join(STAGE_ROOT, f"state_inspect_{sf_name}")
+    # fresh root per run: the run must exercise the stream + state
+    # read itself, never a previous invocation's checkpoint
+    shutil.rmtree(root, ignore_errors=True)
+    staged = os.path.join(root, "staged")
+    ckpt = os.path.join(root, "ckpt")
+    ev.write.parquet(staged)
+
+    stream = spark.readStream.schema("event_id long, ts timestamp").parquet(
+        staged
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return open_window_state(spark, ckpt).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )

@@ -1,0 +1,57 @@
+"""Checkpointed-state introspection via Spark 4's State Data Source
+(`spark.read.format("statestore")` / `"state-metadata"`) — the ops
+surface for answering "what is this streaming job holding in state
+RIGHT NOW" from the checkpoint alone: no code changes to the job, no
+debugger, works offline on a snapshot of the checkpoint directory.
+
+At 100 TB this is the tool that turns a mysterious state-store-bytes
+alert into a keyed answer (which windows/transactions are open, how
+big, since when); the declared `stream_state_inspect` query pins the
+read path against an exact SQL oracle (a watermarked tumbling
+aggregation's end-of-replay state is exactly the windows the final
+watermark has not yet closed: window_end > max(event_time) - delay).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_state(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    operator_id: int | None = None,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Raw (key struct, value struct, partition_id) rows of a
+    checkpoint's state store — latest committed batch by default;
+    pass batch_id to time-travel to an earlier committed version, and
+    operator_id when the query has several stateful operators (see
+    read_state_metadata for the catalog)."""
+    r = spark.read.format("statestore")
+    if operator_id is not None:
+        r = r.option("operatorId", operator_id)
+    if batch_id is not None:
+        r = r.option("batchId", batch_id)
+    return r.load(checkpoint_dir)
+
+
+def read_state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """The checkpoint's stateful-operator catalog: (operatorId,
+    operatorName, stateStoreName, numPartitions, minBatchId,
+    maxBatchId) — which operators hold state and which batch range is
+    readable."""
+    return spark.read.format("state-metadata").load(checkpoint_dir)
+
+
+def open_window_state(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Decoded state of a windowed aggregation: (window_start,
+    window_end, rows per window still held). The windows a watermarked
+    append-mode aggregation is still buffering = exactly those the
+    final watermark has not closed."""
+    st = read_state(spark, checkpoint_dir)
+    return st.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.window.end").alias("window_end"),
+        F.col("value.count").alias("n_rows"),
+    )

@@ -311,3 +311,77 @@ def test_funnel_stage_short_circuits():
     ) == (10, 20, -1, 2)
     # no signup at all
     assert _fold_funnel(["click", "purchase"], [5, 6])[0] is None
+
+
+def test_state_data_source_introspection(spark, tmp_path):
+    """streaming/state_inspect.py: the checkpoint's stateful-operator
+    catalog (state-metadata), the raw state rows, and batchId
+    time-travel — state as of an EARLIER committed batch still holds
+    windows the later watermark has since evicted."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.streaming.state_inspect import (
+        open_window_state,
+        read_state,
+        read_state_metadata,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+    rows = [(i, f"2024-01-01 00:{i:02d}:00") for i in range(30)]
+    for k in range(3):
+        part = [(i, ts) for i, ts in rows if i // 10 == k]
+        df = spark.createDataFrame(part, "id long, ts_s string").selectExpr(
+            "id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        )
+        d = os.path.join(src, f"_b{k}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        p = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        final = os.path.join(src, f"{k:03d}.parquet")
+        os.replace(os.path.join(d, p), final)
+        import shutil
+
+        shutil.rmtree(d)
+        t = _time.time() - (3 - k) * 10
+        os.utime(final, (t, t))
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    md = read_state_metadata(spark, ckpt).collect()
+    assert len(md) == 1 and md[0].operatorName == "stateStoreSave"
+    max_batch = md[0].maxBatchId
+
+    # final state: only the last (unclosed) 10-minute window survives
+    final_state = {
+        (r.window_start.minute, r.n_rows)
+        for r in open_window_state(spark, ckpt).collect()
+    }
+    assert final_state == {(20, 10)}
+
+    # time-travel: as of batch 0 the FIRST window was still buffered
+    early = read_state(spark, ckpt, batch_id=0).select(
+        F.col("key.window.start").alias("ws"), F.col("value.count").alias("n")
+    ).collect()
+    assert {(r.ws.minute, r.n) for r in early} == {(0, 10)}
+    assert max_batch >= 2
