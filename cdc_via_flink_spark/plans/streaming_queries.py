@@ -21,7 +21,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from cdc_via_flink_spark.operators.debezium import parse_debezium
-from cdc_via_flink_spark.plans.cdc_queries import CH_SQL, _RECON_ORACLE, _envelopes
+from cdc_via_flink_spark.plans.cdc_queries import CH_SQL, EN_SQL, _RECON_ORACLE, _envelopes
 from cdc_via_flink_spark.plans.parity import dsum
 from cdc_via_flink_spark.plans.registry import query
 from cdc_via_flink_spark.sources.tables import load_table
@@ -1768,3 +1768,68 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )
+
+
+@query(
+    "stream_state_open_txns",
+    oracle=f"""
+WITH ch AS ({CH_SQL}),
+en AS ({EN_SQL}),
+u AS (
+  SELECT txn_id, seq, op, 'C' AS kind FROM ch
+  UNION ALL
+  SELECT txn_id, seq, CAST(NULL AS VARCHAR) AS op, 'E' AS kind FROM en
+),
+a AS (
+  SELECT *, min(CASE WHEN kind = 'E' THEN seq END) OVER (
+      PARTITION BY txn_id ORDER BY seq
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS end_seq
+  FROM u
+)
+SELECT txn_id,
+       count(*) AS n_buffered,
+       string_agg(op, ',' ORDER BY seq) AS ops_concat
+FROM a WHERE kind = 'C' AND end_seq IS NULL
+GROUP BY txn_id
+""",
+    tags=("ST1", "ST5", "streaming", "state-introspection", "ops"),
+)
+def stream_state_open_txns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPEN-TRANSACTION introspection of the FLAGSHIP operator
+    (streaming/state_inspect.py::open_transactions): run the full
+    envelope replay through the applyInPandasWithState assembler to
+    completion against an explicit checkpoint, then decode the
+    reconstructor's surviving state FROM THE CHECKPOINT — txn_id,
+    buffered event count, and the buffered ops in seq order. The
+    emit-on-END contract leaves EXACTLY the change events with no END
+    marker at-or-after them in state (emitted transactions clear
+    theirs; END-without-state is dropped), so the oracle derives the
+    same open set from the raw envelopes — a state-schema drift, a
+    missed clear after emission, or a decode bug all hash-mismatch.
+    This is the ops question a stuck CDC pipeline asks first ("which
+    transactions is the reconstructor holding, and what's in them"),
+    answered offline from the checkpoint directory alone."""
+    from cdc_via_flink_spark.streaming.state_inspect import open_transactions
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(STAGE_ROOT, f"state_open_{sf_name}")
+    shutil.rmtree(root, ignore_errors=True)
+    ckpt = os.path.join(root, "ckpt")
+
+    raw = _staged_envelope_stream(spark, sf_dir)
+    parsed = parse_debezium(raw)
+    base_ms = _replay_horizon(spark, sf_dir)[1]
+    event_time = F.coalesce(
+        F.timestamp_millis(F.col("ts_ms")),
+        F.timestamp_millis(F.lit(base_ms) + F.col("seq")),
+    )
+    assembled = assemble_transactions_stream(parsed, event_time=event_time)
+    q = (
+        assembled.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return open_transactions(spark, ckpt)

@@ -55,3 +55,28 @@ def open_window_state(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
         F.col("key.window.end").alias("window_end"),
         F.col("value.count").alias("n_rows"),
     )
+
+
+def open_transactions(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Decoded state of the CDC assembler (applyInPandasWithState,
+    streaming/assembler.py): one row per OPEN transaction —
+    (txn_id, n_buffered, ops_concat) with the buffered ops rendered in
+    seq order. This is the production incident question ("which
+    transactions has the reconstructor been holding, and what's in
+    them") answered from the checkpoint alone; a transaction is open
+    exactly when change events arrived with no END marker at-or-after
+    them (the emit-on-END contract leaves precisely those buffered)."""
+    st = read_state(spark, checkpoint_dir)
+    zipped = F.array_sort(
+        F.arrays_zip(
+            F.col("value.groupState.seqs").alias("seq"),
+            F.col("value.groupState.ops").alias("op"),
+        )
+    )
+    return st.select(
+        F.col("key.txn_id").alias("txn_id"),
+        F.size("value.groupState.seqs").cast("long").alias("n_buffered"),
+        F.concat_ws(
+            ",", F.transform(zipped, lambda s: s.getField("op"))
+        ).alias("ops_concat"),
+    )
