@@ -1833,3 +1833,86 @@ def stream_state_open_txns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return open_transactions(spark, ckpt)
+
+
+@query(
+    "stream_state_open_txns_tws",
+    oracle=f"""
+WITH ch AS ({CH_SQL}),
+en AS ({EN_SQL}),
+u AS (
+  SELECT txn_id, seq, op, 'C' AS kind FROM ch
+  UNION ALL
+  SELECT txn_id, seq, CAST(NULL AS VARCHAR) AS op, 'E' AS kind FROM en
+),
+a AS (
+  SELECT *, min(CASE WHEN kind = 'E' THEN seq END) OVER (
+      PARTITION BY txn_id ORDER BY seq
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS end_seq
+  FROM u
+)
+SELECT txn_id,
+       count(*) AS n_buffered,
+       string_agg(op, ',' ORDER BY seq) AS ops_concat
+FROM a WHERE kind = 'C' AND end_seq IS NULL
+GROUP BY txn_id
+""",
+    tags=("ST1", "ST5", "streaming", "state-introspection", "tws", "ops"),
+)
+def stream_state_open_txns_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_state_open_txns for the transformWithStateInPandas
+    assembler: the SAME envelope-derived open-set oracle over the TWS
+    ListState read back via stateVarName (the state-metadata source
+    catalogs the variables) — so BOTH stateful APIs are pinned to
+    hold semantically IDENTICAL surviving state, not merely to emit
+    identical outputs. Requires RocksDB (a TWS precondition, scoped
+    to this query like stream_reconstruct_end_tws)."""
+    from cdc_via_flink_spark.streaming.state_inspect import (
+        open_transactions_tws,
+    )
+    from cdc_via_flink_spark.streaming.assembler_tws import (
+        assemble_transactions_stream_tws,
+    )
+    from cdc_via_flink_spark.vendor.proto_compat import (
+        ensure_protobuf,
+        ship_to_workers,
+    )
+
+    if ensure_protobuf() == "unavailable":
+        raise RuntimeError("no protobuf and the vendored shim failed to load")
+    ship_to_workers(spark)
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(STAGE_ROOT, f"state_open_tws_{sf_name}")
+    shutil.rmtree(root, ignore_errors=True)
+    ckpt = os.path.join(root, "ckpt")
+
+    raw = _staged_envelope_stream(spark, sf_dir)
+    parsed = parse_debezium(raw)
+    base_ms = _replay_horizon(spark, sf_dir)[1]
+    event_time = F.coalesce(
+        F.timestamp_millis(F.col("ts_ms")),
+        F.timestamp_millis(F.lit(base_ms) + F.col("seq")),
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        assembled = assemble_transactions_stream_tws(parsed, event_time=event_time)
+        q = (
+            assembled.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return open_transactions_tws(spark, ckpt)
+    finally:
+        if prev:
+            spark.conf.set(provider_key, prev)
+        else:
+            spark.conf.unset(provider_key)

@@ -80,3 +80,36 @@ def open_transactions(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
             ",", F.transform(zipped, lambda s: s.getField("op"))
         ).alias("ops_concat"),
     )
+
+
+def open_transactions_tws(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """open_transactions for the transformWithStateInPandas assembler
+    (streaming/assembler_tws.py): its ListState variable `events`
+    reads back as one row per buffered event
+    (key.txn_id, list_element.{seq, op, ts_ms}) — the state-metadata
+    source catalogs the variable names. Same output contract as
+    open_transactions, so the declared queries can gate BOTH stateful
+    APIs' surviving state against one envelope-derived oracle."""
+    st = (
+        spark.read.format("statestore")
+        .option("stateVarName", "events")
+        .load(checkpoint_dir)
+    )
+    per_event = st.select(
+        F.col("key.txn_id").alias("txn_id"),
+        F.col("list_element.seq").alias("seq"),
+        F.col("list_element.op").alias("op"),
+    )
+    return (
+        per_event.groupBy("txn_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buffered"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "op"))),
+                    lambda s: s.getField("op"),
+                ),
+            ).alias("ops_concat"),
+        )
+    )
