@@ -113,3 +113,42 @@ def open_transactions_tws(spark: SparkSession, checkpoint_dir: str) -> DataFrame
             ).alias("ops_concat"),
         )
     )
+
+
+def read_progress_log(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """The checkpoint's offsets/commits ledger as rows: (batch_id,
+    committed, watermark_ms, batch_watermark_ms) — which batches
+    exist, which committed, and the event-time watermark each batch
+    ran with. Pure driver-side parse of the small HDFS-log JSON files
+    (one per batch); the first triage read on a stuck query: the gap
+    between the last offsets entry and the last commits entry IS the
+    in-flight batch."""
+    import json
+    import os
+
+    def entries(sub: str) -> dict[int, str]:
+        d = os.path.join(checkpoint_dir, sub)
+        out: dict[int, str] = {}
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.isdigit():
+                    out[int(f)] = open(os.path.join(d, f)).read()
+        return out
+
+    offs, commits = entries("offsets"), entries("commits")
+    rows = []
+    for b, txt in sorted(offs.items()):
+        wm = None
+        for line in txt.splitlines():
+            # line 1 is the log version tag; the first JSON object is
+            # the batch metadata carrying batchWatermarkMs
+            if line.startswith("{"):
+                try:
+                    wm = json.loads(line).get("batchWatermarkMs")
+                except ValueError:
+                    pass
+                break
+        rows.append((b, b in commits, wm))
+    return spark.createDataFrame(
+        rows, "batch_id long, committed boolean, batch_watermark_ms long"
+    )

@@ -385,3 +385,61 @@ def test_state_data_source_introspection(spark, tmp_path):
     ).collect()
     assert {(r.ws.minute, r.n) for r in early} == {(0, 10)}
     assert max_batch >= 2
+
+
+def test_progress_log_reader(spark, tmp_path):
+    """read_progress_log: every batch in offsets/ appears with its
+    committed flag and batch watermark; the watermark advances across
+    batches of an event-time stream."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.streaming.state_inspect import read_progress_log
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+    rows = [(i, f"2024-01-01 00:{i:02d}:00") for i in range(30)]
+    for k in range(3):
+        part = [(i, ts) for i, ts in rows if i // 10 == k]
+        df = spark.createDataFrame(part, "id long, ts_s string").selectExpr(
+            "id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        )
+        d = os.path.join(src, f"_b{k}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        p = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        final = os.path.join(src, f"{k:03d}.parquet")
+        os.replace(os.path.join(d, p), final)
+        import shutil
+
+        shutil.rmtree(d)
+        t = _time.time() - (3 - k) * 10
+        os.utime(final, (t, t))
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    log = sorted(
+        (r.batch_id, r.committed, r.batch_watermark_ms)
+        for r in read_progress_log(spark, ckpt).collect()
+    )
+    assert len(log) >= 3
+    assert all(c for _b, c, _w in log)  # finished run: all committed
+    wms = [w for _b, _c, w in log if w is not None]
+    assert wms == sorted(wms) and wms[-1] > 0  # watermark advanced
