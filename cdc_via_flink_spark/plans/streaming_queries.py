@@ -1916,3 +1916,108 @@ def stream_state_open_txns_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(provider_key, prev)
         else:
             spark.conf.unset(provider_key)
+
+
+@query(
+    "stream_state_join_buffer",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, date_trunc('second', ts) AS ts
+  FROM events
+),
+wm AS (
+  SELECT least(
+    (SELECT max(ts) FROM ev WHERE event_type = 'signup'),
+    (SELECT max(ts) FROM ev WHERE event_type = 'purchase')
+  ) - INTERVAL 10 MINUTE AS w
+)
+SELECT 'left' AS side, event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+FROM ev, wm
+WHERE event_type = 'signup' AND ts + INTERVAL 1 HOUR >= w
+UNION ALL
+SELECT 'right' AS side, event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+FROM ev, wm
+WHERE event_type = 'purchase' AND ts >= w
+""",
+    tags=("J1", "ST5", "streaming", "state-introspection", "join", "ops"),
+)
+def stream_state_join_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN state introspection (the fourth stateful
+    operator family under the state-source gate, after windowed agg,
+    applyInPandasWithState, and transformWithState): run the interval
+    join (signup → purchase within 1 h, both sides watermarked 10 min)
+    to completion, then read BOTH sides' buffered rows from the
+    checkpoint (`joinSide` option). The interval condition is what
+    lets Spark bound the buffers, and the surviving rows are exactly
+    the condition's algebra applied to the final watermark — LEFT:
+    signups still matchable by future purchases (s_ts + 1 h >= wm);
+    RIGHT: purchases still matchable by future signups (p_ts >= wm);
+    retained AT the boundary (the >= was pinned empirically with
+    exact-tie fixtures, tests/test_streaming_infra.py). Event times
+    are second-truncated in-stream so the watermark arithmetic stays
+    exact across engines (sub-ms eviction boundaries are not part of
+    the public contract). This is the "why is join state growing"
+    triage read, offline from the checkpoint."""
+    from cdc_via_flink_spark.streaming.state_inspect import read_state
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(STAGE_ROOT, f"state_join_{sf_name}")
+    shutil.rmtree(root, ignore_errors=True)
+    ckpt = os.path.join(root, "ckpt")
+    path = os.path.join(root, "ev")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts")).cast("timestamp").alias("ts"),
+    )
+    ev.coalesce(4).write.parquet(path)
+
+    def side(kind: str, alias: str):
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            )
+            .parquet(path)
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+        )
+
+    s, p = side("signup", "s"), side("purchase", "p")
+    joined = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def buffered(join_side: str, alias: str):
+        return (
+            spark.read.format("statestore")
+            .option("joinSide", join_side)
+            .load(ckpt)
+            .select(
+                F.lit(join_side).alias("side"),
+                F.col(f"value.{alias}_id").alias("event_id"),
+                F.col(f"value.{alias}_user").alias("user_id"),
+                F.date_format(f"value.{alias}_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                    "ts"
+                ),
+            )
+        )
+
+    return buffered("left", "s").unionByName(buffered("right", "p"))

@@ -443,3 +443,79 @@ def test_progress_log_reader(spark, tmp_path):
     assert all(c for _b, c, _w in log)  # finished run: all committed
     wms = [w for _b, _c, w in log if w is not None]
     assert wms == sorted(wms) and wms[-1] > 0  # watermark advanced
+
+
+def test_join_state_eviction_boundary(spark, tmp_path):
+    """Pins the interval join's state-eviction boundary the declared
+    stream_state_join_buffer oracle encodes: rows AT the watermark
+    boundary are RETAINED (>= semantics) — left survives while
+    s_ts + 1h >= wm, right while p_ts >= wm — probed with exact-tie
+    fixtures 1 ms either side of the boundary."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 100, "signup", "2024-01-01 01:00:00"),  # wm driver: wm = 00:50
+        (2, 101, "signup", "2023-12-31 23:50:00"),  # s+1h == wm -> retained
+        (3, 102, "signup", "2023-12-31 23:49:59.999"),  # 1ms below -> evicted
+        (4, 103, "signup", "2023-12-31 23:50:00.001"),  # 1ms above -> retained
+        (5, 200, "purchase", "2024-01-01 01:00:00"),
+        (6, 201, "purchase", "2024-01-01 00:50:00"),  # == wm -> retained
+        (7, 202, "purchase", "2024-01-01 00:49:59.999"),  # evicted
+        (8, 203, "purchase", "2024-01-01 00:50:00.001"),  # retained
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s string"
+    ).selectExpr("event_id", "user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts")
+    path = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    df.coalesce(1).write.parquet(path)
+
+    def side(kind, alias):
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            )
+            .parquet(path)
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+        )
+
+    s, p = side("signup", "s"), side("purchase", "p")
+    j = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        j.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    left = sorted(
+        r.s_id
+        for r in spark.read.format("statestore")
+        .option("joinSide", "left")
+        .load(ckpt)
+        .select("value.s_id")
+        .collect()
+    )
+    right = sorted(
+        r.p_id
+        for r in spark.read.format("statestore")
+        .option("joinSide", "right")
+        .load(ckpt)
+        .select("value.p_id")
+        .collect()
+    )
+    assert left == [1, 2, 4]
+    assert right == [5, 6, 8]
