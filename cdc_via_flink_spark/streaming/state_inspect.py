@@ -122,7 +122,11 @@ def read_progress_log(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     ran with. Pure driver-side parse of the small HDFS-log JSON files
     (one per batch); the first triage read on a stuck query: the gap
     between the last offsets entry and the last commits entry IS the
-    in-flight batch."""
+    in-flight batch. Reads through the local filesystem — for
+    object-store checkpoints, sync the (KB-sized) offsets/ and
+    commits/ dirs down first or swap the walk for the store's client;
+    the statestore/state-metadata readers above go through Spark and
+    need no such step."""
     import json
     import os
 
