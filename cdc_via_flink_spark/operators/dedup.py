@@ -606,18 +606,22 @@ def check_minhash_meta(
     the meta part is absent (an index saved by a pre-metadata build
     must be rebuilt — probing it unvalidated is exactly the silent
     recall collapse this exists to prevent)."""
-    import os
+    from pyspark.errors import AnalysisException
 
     from cdc_via_flink_spark.functions.hashing import MINHASH_FAMILY
 
-    if not os.path.isdir(path):
+    # existence is probed through Spark, not the local os module, so
+    # an index on a non-local filesystem (hdfs://, s3a://) validates
+    # instead of always raising the pre-metadata error (round-8 ADVICE)
+    try:
+        m = spark.read.parquet(path).head()
+    except AnalysisException as e:
         raise ValueError(
             f"dedup index meta not found at {path!r}: this index predates "
             "sizing/hash-family metadata (or the path is not a dedup "
             "index). Rebuild it with save_dedup_index — probing without "
             "validation can silently join on mismatched (band, bsig) keys."
-        )
-    m = spark.read.parquet(path).head()
+        ) from e
     if m.hash_family != MINHASH_FAMILY:
         raise ValueError(
             f"dedup index at {path!r} was built with MinHash hash family "

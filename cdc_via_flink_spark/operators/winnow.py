@@ -132,27 +132,36 @@ def save_winnow_index(
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
-def check_winnow_meta(spark, path: str) -> None:
-    """Raise loudly when the stored index's sizing/version disagrees
-    with this build's — probing across a mismatch silently yields
-    near-zero overlap, never an error."""
-    import os
+def check_winnow_meta(spark, path: str):
+    """Validate the stored index's FINGERPRINT-FUNCTION parameters
+    (k, w, version) against this build's — probing across a mismatch
+    there silently yields near-zero overlap, never an error — and
+    return the meta row. fp_cap/min_shared are POLICY thresholds, not
+    compatibility: callers read them FROM the returned meta so a
+    stored index remains usable (at its own recorded policy) across a
+    constant change in this module (round-8 ADVICE). Existence is
+    probed through Spark, not the local os module, so indexes on
+    non-local filesystems (hdfs://, s3a://) validate instead of
+    always erroring (round-8 ADVICE)."""
+    from pyspark.errors import AnalysisException
 
-    if not os.path.isdir(path + "/meta"):
+    try:
+        m = spark.read.parquet(path + "/meta").head()
+    except AnalysisException as e:
         raise ValueError(
             f"winnow index meta not found at {path + '/meta'!r}: not a "
             "winnow index or saved by a pre-metadata build — rebuild with "
             "save_winnow_index."
-        )
-    m = spark.read.parquet(path + "/meta").head()
-    ours = (WINNOW_K, WINNOW_W, WINNOW_FP_CAP, WINNOW_MIN_SHARED, WINNOW_VERSION)
-    theirs = (m.k, m.w, m.fp_cap, m.min_shared, m.version)
+        ) from e
+    ours = (WINNOW_K, WINNOW_W, WINNOW_VERSION)
+    theirs = (m.k, m.w, m.version)
     if ours != theirs:
         raise ValueError(
-            f"winnow index at {path!r} stores (k, w, fp_cap, min_shared, "
-            f"version) = {theirs} but this build computes {ours}: "
-            "fingerprints would not collide. Rebuild the index."
+            f"winnow index at {path!r} stores (k, w, version) = {theirs} "
+            f"but this build computes {ours}: fingerprints would not "
+            "collide. Rebuild the index."
         )
+    return m
 
 
 def incremental_pairs_against(
@@ -161,6 +170,8 @@ def incremental_pairs_against(
     new_df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fp_cap: int = WINNOW_FP_CAP,
+    min_shared: int = WINNOW_MIN_SHARED,
 ) -> DataFrame:
     """Core of the incremental gate given the stored side as frames:
     fp_old = (doc_id, fh) distinct rows, cnt_old = (fh, n_docs)
@@ -168,9 +179,26 @@ def incremental_pairs_against(
     incremental_winnow_pairs (parquet index) and the streaming
     maintainer (base ∪ committed deltas) call this; semantics and the
     monolithic-equivalence argument live here (see
-    incremental_winnow_pairs)."""
+    incremental_winnow_pairs). fp_cap/min_shared default to the module
+    constants; index-backed callers pass the values pinned in the
+    index's meta so a stored index keeps its own recorded policy."""
     fp_new = winnow_fingerprints(new_df, text_col, id_col)
-    cnt_new = fp_new.groupBy("fh").agg(F.count(F.lit(1)).alias("n_new"))
+    # A re-ingested document (present in BOTH fp_old and the batch)
+    # must count ONCE per fingerprint in the common-fingerprint cut:
+    # anti-join the batch's (doc, fh) rows against the already-indexed
+    # ones before counting, so nd = |distinct docs holding fh in
+    # old ∪ batch| — the monolithic count (round-8 ADVICE: the
+    # double-count could push a fingerprint over fp_cap or falsely
+    # reach the >=2 floor). fp_old is semi-pruned to batch doc ids
+    # first so the anti-join's right side stays batch-sized (disjoint
+    # batches — the common case — prune it to empty).
+    batch_ids = fp_new.select("doc_id").distinct()
+    already = fp_old.join(batch_ids, "doc_id", "left_semi")
+    cnt_new = (
+        fp_new.join(already, ["doc_id", "fh"], "left_anti")
+        .groupBy("fh")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
     keep = (
         cnt_new.join(cnt_old, "fh", "full_outer")
         .select(
@@ -180,7 +208,7 @@ def incremental_pairs_against(
                 + F.coalesce(F.col("n_docs"), F.lit(0))
             ).alias("nd"),
         )
-        .filter((F.col("nd") >= 2) & (F.col("nd") <= WINNOW_FP_CAP))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= fp_cap))
         .select("fh")
     )
     new_kept = fp_new.join(keep, "fh", "left_semi")
@@ -223,7 +251,7 @@ def incremental_pairs_against(
         .distinct()
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+        .filter(F.col("shared_fps") >= min_shared)
     )
 
 
@@ -248,7 +276,15 @@ def incremental_winnow_pairs(
     checked for partial overlap (benchmark text, boilerplate, dup
     spans) against the indexed corpus before admission."""
     spark = new_df.sparkSession
-    check_winnow_meta(spark, path)
+    meta = check_winnow_meta(spark, path)
     fp_old = spark.read.parquet(path + "/fp")
     cnt_old = spark.read.parquet(path + "/fp_counts")
-    return incremental_pairs_against(fp_old, cnt_old, new_df, text_col, id_col)
+    return incremental_pairs_against(
+        fp_old,
+        cnt_old,
+        new_df,
+        text_col,
+        id_col,
+        fp_cap=meta.fp_cap,
+        min_shared=meta.min_shared,
+    )

@@ -1199,7 +1199,7 @@ def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = dedup_maintenance_query(stream, idx, out, ckpt)
     q.awaitTermination()
-    return read_emitted_pairs(spark, out)
+    return read_emitted_pairs(spark, out, index_path=idx)
 
 
 @query(
@@ -1283,8 +1283,10 @@ def stream_incremental_neardup_compacted(
         .parquet(dest2)
     )
     dedup_maintenance_query(stream, idx, out2, ckpt + "_p2").awaitTermination()
+    # no index_path filter here: the pointer was handed over to phase
+    # 2's lineage, so phase 1's committed epochs sit above it by design
     return read_emitted_pairs(spark, out).unionByName(
-        read_emitted_pairs(spark, out2)
+        read_emitted_pairs(spark, out2, index_path=idx)
     )
 
 
@@ -1698,7 +1700,7 @@ def stream_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = winnow_maintenance_query(stream, idx, out, ckpt)
     q.awaitTermination()
-    return read_emitted_pairs(spark, out)
+    return read_emitted_pairs(spark, out, index_path=idx)
 
 
 @query(

@@ -8,10 +8,13 @@ as a stream, and every micro-batch is
      the verified pairs that involve a batch document;
   2. appended to the index as a crash-atomic committed DELTA (banded
      signatures + the batch's docs, so later batches can exact-verify
-     against it), behind the same epoch + checkpoint-identity pointer
-     recipe as the ANN maintainer: tmp-dir staging, one-rename
-     publish, pointer commit last, orphan GC, replayed epochs skipped,
-     foreign checkpoints refused.
+     against it).
+
+Crash-atomicity (exactly-once epochs, compaction recovery, foreign-
+checkpoint refusal) comes from the shared maintained-index kernel
+(streaming/index_kernel.py); this adapter contributes the dedup
+content: what a delta holds, the sizing/hash-family meta validation,
+and the pair emission per epoch.
 
 Because batch k sees base ∪ batches < k in the index and itself via
 the skew-guarded self-join, the UNION of all epochs' pair outputs
@@ -30,44 +33,63 @@ band rows, and a delta-sized write; the base index is never rewritten.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from cdc_via_flink_spark.streaming import index_kernel as ik
+
 DEDUP_PTR = "_DEDUP_COMMITTED"
+COMPACT_MARKER = ik.COMPACT_MARKER
+
+# schema of the emitted verified-pair frames (jaccard_on_pairs output)
+PAIRS_SCHEMA = (
+    "id_a bigint, id_b bigint, inter bigint, size_a bigint, "
+    "size_b bigint, jaccard double"
+)
+
+# maintainer sizing profiles (VERDICT r8 #8): "exact" derives
+# minhash_plan(threshold) — the full boundary-recall bound, the same
+# plan the batch pipeline and save_streaming_dedup_index default to;
+# "streaming" derives minhash_plan(threshold, target_miss=0.2) — a
+# 20 % per-batch boundary-miss budget for latency-sensitive ingest
+# gates (~1.55x the exact profile's docs/s at t=0.5, measured in
+# STATESTORE_r08_dedup.json), with the full bound restored by
+# periodically re-running the batch pipeline at the exact plan over
+# the compacted corpus (pinned by
+# test_streaming_profile_compaction_restores_recall).
+STREAMING_TARGET_MISS = 0.2
 
 
 def _read_ptr(index_path: str) -> tuple[int, str] | None:
-    p = os.path.join(index_path, DEDUP_PTR)
-    if not os.path.exists(p):
-        return None
-    epoch, _, run = open(p).read().strip().partition("\t")
-    return int(epoch), run
+    return ik.read_ptr(index_path, DEDUP_PTR)
 
 
 def _write_ptr(index_path: str, epoch: int, run: str) -> None:
-    tmp = os.path.join(index_path, DEDUP_PTR + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(f"{epoch}\t{run}")
-    os.replace(tmp, os.path.join(index_path, DEDUP_PTR))
+    ik.write_ptr(index_path, DEDUP_PTR, epoch, run)
 
 
 def _committed_deltas(index_path: str) -> list[str]:
-    ptr = _read_ptr(index_path)
-    if ptr is None:
-        return []
-    droot = os.path.join(index_path, "deltas")
-    if not os.path.isdir(droot):
-        return []
-    out = [
-        os.path.join(droot, d)
-        for d in os.listdir(droot)
-        if d.startswith("e") and d[1:].isdigit() and int(d[1:]) <= ptr[0]
-    ]
-    return sorted(out, key=lambda p: int(os.path.basename(p)[1:]))
+    return ik.committed_deltas(index_path, DEDUP_PTR)
+
+
+def resolve_profile_banding(
+    num_hashes: int | None,
+    bands: int | None,
+    rows: int | None,
+    threshold: float,
+    profile: str = "exact",
+) -> tuple[int, int, int]:
+    """Resolve maintainer banding for a named profile. Explicit pins
+    win over the profile; otherwise "exact" = minhash_plan(threshold)
+    and "streaming" = minhash_plan(threshold, target_miss=0.2)."""
+    from cdc_via_flink_spark.operators.dedup import minhash_plan, resolve_banding
+
+    if profile not in ("exact", "streaming"):
+        raise ValueError(f"unknown dedup maintainer profile {profile!r}; "
+                         "expected 'exact' or 'streaming'")
+    if all(v is None for v in (num_hashes, bands, rows)) and profile == "streaming":
+        return minhash_plan(threshold, target_miss=STREAMING_TARGET_MISS)
+    return resolve_banding(num_hashes, bands, rows, threshold)
 
 
 def save_streaming_dedup_index(
@@ -79,6 +101,7 @@ def save_streaming_dedup_index(
     bands: int | None = None,
     rows: int | None = None,
     threshold: float = 0.5,
+    profile: str = "exact",
 ) -> None:
     """Base index for the maintained flow: banded signatures (the
     save_dedup_index layout) PLUS the docs themselves (id, text) so
@@ -86,18 +109,21 @@ def save_streaming_dedup_index(
     members without a side channel. Both live under ONE `base/` dir so
     compaction can publish a folded replacement with a single
     two-rename swap (the ANN compaction recipe). Sizing defaults to
-    minhash_plan(threshold); `base/meta` pins it plus the hash-family
-    version, and dedup_maintenance_query validates its own resolved
-    sizing against that meta at start — a maintainer probing at a
-    different sizing or hash family fails loudly instead of silently
-    colliding on nothing (ADVICE r7)."""
+    the profile's derived plan (see resolve_profile_banding);
+    `base/meta` pins it plus the hash-family version, and
+    dedup_maintenance_query validates its own resolved sizing against
+    that meta at start — a maintainer probing at a different sizing or
+    hash family fails loudly instead of silently colliding on nothing
+    (ADVICE r7). Build the index and the maintainer with the SAME
+    profile (the meta validation enforces it)."""
     from cdc_via_flink_spark.operators.dedup import (
         _banded_signatures,
-        resolve_banding,
         write_minhash_meta,
     )
 
-    num_hashes, bands, rows = resolve_banding(num_hashes, bands, rows, threshold)
+    num_hashes, bands, rows = resolve_profile_banding(
+        num_hashes, bands, rows, threshold, profile
+    )
     banded, _sh = _banded_signatures(df, text_col, id_col, num_hashes, bands, rows)
     banded.repartition("band", "bsig").sortWithinPartitions(
         "band", "bsig"
@@ -116,7 +142,7 @@ def read_dedup_index(
     """(banded, docs) over base ∪ committed deltas. Recovers a crashed
     compaction first (deterministic from side-dir state), so readers
     never observe the mid-swap window."""
-    _recover_compaction(index_path)
+    ik.recover_compaction(index_path, "base")
     banded = spark.read.parquet(index_path + "/base/banded")
     docs = spark.read.parquet(index_path + "/base/docs")
     for d in _committed_deltas(index_path):
@@ -125,76 +151,29 @@ def read_dedup_index(
     return banded, docs
 
 
-COMPACT_MARKER = "_COMPACTING"
-
-
 def _recover_compaction(index_path: str) -> None:
-    """Make the index consistent after a crash at ANY point of
-    compact_dedup_index's sequence (the ann_maintenance recipe over
-    the single `base/` unit): the marker records the max folded epoch;
-    which of base/_base_old/_base_compact_tmp exist determines whether
-    to abort the fold, finish the swap, or finish the cleanup."""
-    marker = os.path.join(index_path, COMPACT_MARKER)
-    base = os.path.join(index_path, "base")
-    old = os.path.join(index_path, "_base_old")
-    tmp = os.path.join(index_path, "_base_compact_tmp")
-    if not os.path.exists(marker):
-        shutil.rmtree(tmp, ignore_errors=True)  # pre-marker orphan
-        return
-    max_epoch = int(open(marker).read().strip())
-    if os.path.isdir(tmp) and os.path.isdir(base) and not os.path.isdir(old):
-        # fold prepared but not applied: abort (deltas intact)
-        shutil.rmtree(tmp)
-        os.remove(marker)
-        return
-    if os.path.isdir(old) and not os.path.isdir(base):
-        os.rename(tmp, base)  # crashed between the two renames: finish
-    droot = os.path.join(index_path, "deltas")
-    if os.path.isdir(droot):
-        for d in os.listdir(droot):
-            if d.startswith("e") and d[1:].isdigit() and int(d[1:]) <= max_epoch:
-                shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    os.remove(marker)
+    ik.recover_compaction(index_path, "base")
 
 
 def compact_dedup_index(spark: SparkSession, index_path: str) -> dict:
     """Fold committed deltas into the base (Delta OPTIMIZE analog for
     the dedup index). The maintenance pointer is left untouched — its
     epoch high-water must survive so a replay of an already-folded
-    epoch still skips. MAINTAINER MUST BE STOPPED (same contract as
-    the ANN compaction). Crash at any step recovers deterministically
-    via _recover_compaction. Returns {"deltas_folded": n}."""
-    _recover_compaction(index_path)
-    deltas = _committed_deltas(index_path)
-    if not deltas:
-        return {"deltas_folded": 0}
-    max_epoch = max(int(os.path.basename(d)[1:]) for d in deltas)
-    banded, docs = read_dedup_index(spark, index_path)
-    base = os.path.join(index_path, "base")
-    old = os.path.join(index_path, "_base_old")
-    tmp = os.path.join(index_path, "_base_compact_tmp")
-    shutil.rmtree(tmp, ignore_errors=True)
-    banded.repartition("band", "bsig").sortWithinPartitions(
-        "band", "bsig"
-    ).write.mode("overwrite").parquet(tmp + "/banded")
-    docs.write.mode("overwrite").parquet(tmp + "/docs")
-    if os.path.isdir(base + "/meta"):
-        # sizing/hash-family meta is invariant under compaction
-        # (signatures are folded, never recomputed) — carry it into
-        # the replacement base so the swap preserves validation
-        shutil.copytree(base + "/meta", tmp + "/meta")
-    marker = os.path.join(index_path, COMPACT_MARKER)
-    with open(marker + ".tmp", "w") as f:
-        f.write(str(max_epoch))
-    os.replace(marker + ".tmp", marker)
-    os.rename(base, old)
-    os.rename(tmp, base)
-    for d in deltas:
-        shutil.rmtree(d, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    os.remove(marker)
-    return {"deltas_folded": len(deltas)}
+    epoch still skips. MAINTAINER MUST BE STOPPED. Sizing/hash-family
+    meta is invariant under compaction (signatures are folded, never
+    recomputed) — the kernel carries it into the replacement base.
+    Returns {"deltas_folded": n}."""
+
+    def write_folded(tmp: str) -> None:
+        banded, docs = read_dedup_index(spark, index_path)
+        banded.repartition("band", "bsig").sortWithinPartitions(
+            "band", "bsig"
+        ).write.mode("overwrite").parquet(tmp + "/banded")
+        docs.write.mode("overwrite").parquet(tmp + "/docs")
+
+    return ik.compact_index(
+        index_path, DEDUP_PTR, "base", write_folded, copy_meta=True
+    )
 
 
 def dedup_maintenance_query(
@@ -206,6 +185,7 @@ def dedup_maintenance_query(
     bands: int | None = None,
     rows: int | None = None,
     threshold: float = 0.5,
+    profile: str = "exact",
 ) -> StreamingQuery:
     """Start the maintained dedup gate over a streaming document frame
     (doc_id long, text string). Verified new-involving pairs land in
@@ -220,49 +200,33 @@ def dedup_maintenance_query(
     it raises here instead.
 
     THROUGHPUT vs RECALL (measured, STATESTORE_r08_dedup.json): the
-    derived batch sizing minhash_plan(0.5) = (54, 18, 3) sustains
-    ~0.49x the docs/s of the old (16, 4, 4) fixture sizing (which
-    missed ~77 % of boundary pairs) at ~2.2x the index bytes/doc. A
-    latency-sensitive deployment can run the maintainer at a DERIVED
-    streaming profile — minhash_plan(threshold, target_miss=0.2)
-    = (39, 13, 3) at t=0.5, ~1.55x the derived throughput — accepting
-    a 20 % per-batch boundary-miss budget, and restore the full bound
-    by periodically re-running the batch pipeline at the default plan
-    over the compacted corpus. Build the index and the maintainer
-    with the SAME plan either way (the meta validation enforces it).
+    default profile="exact" derives minhash_plan(0.5) = (54, 18, 3)
+    and sustains ~0.49x the docs/s of the old (16, 4, 4) fixture
+    sizing (which missed ~77 % of boundary pairs) at ~2.2x the index
+    bytes/doc. profile="streaming" derives
+    minhash_plan(threshold, target_miss=0.2) = (39, 13, 3) at t=0.5,
+    ~1.55x the exact profile's throughput — accepting a 20 % per-batch
+    boundary-miss budget, and restoring the full bound by periodically
+    re-running the batch pipeline at the exact plan over the compacted
+    corpus (pinned by test_streaming_profile_compaction_restores_recall).
+    Build the index and the maintainer with the SAME profile either
+    way (the meta validation enforces it).
     """
     from cdc_via_flink_spark.operators.dedup import (
         _banded_signatures,
         check_minhash_meta,
         incremental_neardup_pairs,
-        resolve_banding,
     )
 
-    num_hashes, bands, rows = resolve_banding(num_hashes, bands, rows, threshold)
+    num_hashes, bands, rows = resolve_profile_banding(
+        num_hashes, bands, rows, threshold, profile
+    )
     check_minhash_meta(
         new_docs.sparkSession, index_path + "/base/meta", num_hashes, bands, rows
     )
-    run_key = os.path.abspath(checkpoint_dir)
-    droot = os.path.join(index_path, "deltas")
 
-    def sink(batch: DataFrame, epoch_id: int) -> None:
+    def process(batch: DataFrame, epoch_id: int, delta_tmp: str) -> None:
         spark = batch.sparkSession
-        committed = _read_ptr(index_path)
-        if committed is not None and committed[1] not in ("", run_key):
-            raise RuntimeError(
-                f"dedup index {index_path!r} is maintained by checkpoint "
-                f"{committed[1]!r}; refusing epochs from {run_key!r} — "
-                "epoch ids are checkpoint-scoped."
-            )
-        if committed is not None and epoch_id <= committed[0]:
-            return  # replayed epoch already committed — skip
-        os.makedirs(droot, exist_ok=True)
-        os.makedirs(pairs_out, exist_ok=True)
-        for root in (droot, pairs_out):
-            for d in os.listdir(root):
-                if d.startswith("_tmp_"):
-                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-
         old_banded, old_docs = read_dedup_index(spark, index_path)
         pairs = incremental_neardup_pairs(
             old_docs,
@@ -275,43 +239,40 @@ def dedup_maintenance_query(
             threshold,
             old_banded=old_banded,
         )
-        ptmp = os.path.join(pairs_out, f"_tmp_{uuid.uuid4().hex}")
-        pairs.write.mode("overwrite").parquet(ptmp)
-        pfinal = os.path.join(pairs_out, f"e{epoch_id}")
-        if os.path.isdir(pfinal):
-            shutil.rmtree(pfinal)  # crash between renames: rewrite
-        os.replace(ptmp, pfinal)
+        ik.publish_epoch_output(pairs, pairs_out, epoch_id)
 
         banded, _sh = _banded_signatures(
             batch, "text", "doc_id", num_hashes, bands, rows
         )
-        dtmp = os.path.join(droot, f"_tmp_{uuid.uuid4().hex}")
-        banded.write.mode("overwrite").parquet(dtmp + "/banded")
+        banded.write.mode("overwrite").parquet(delta_tmp + "/banded")
         batch.select("doc_id", "text").write.mode("overwrite").parquet(
-            dtmp + "/docs"
+            delta_tmp + "/docs"
         )
-        dfinal = os.path.join(droot, f"e{epoch_id}")
-        if os.path.isdir(dfinal):
-            shutil.rmtree(dfinal)
-        os.replace(dtmp, dfinal)
-        _write_ptr(index_path, epoch_id, run_key)
 
-    return (
-        new_docs.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return ik.run_maintenance(
+        new_docs,
+        index_path,
+        DEDUP_PTR,
+        "dedup index",
+        checkpoint_dir,
+        process,
+        gc_roots=(pairs_out,),
     )
 
 
-def read_emitted_pairs(spark: SparkSession, pairs_out: str) -> DataFrame:
-    """Union of all committed epochs' pair outputs."""
-    dirs = sorted(
-        os.path.join(pairs_out, d)
-        for d in os.listdir(pairs_out)
-        if d.startswith("e") and d[1:].isdigit()
+def read_emitted_pairs(
+    spark: SparkSession, pairs_out: str, index_path: str | None = None
+) -> DataFrame:
+    """Union of emitted pair epochs. With ``index_path`` given, only
+    epochs covered by the index's COMMITTED pointer are read (an epoch
+    published by a crash that died before its pointer commit is
+    excluded — it will be rewritten on replay); without it, all
+    published epochs. Empty output → an empty typed frame, not an
+    error (round-8 ADVICE)."""
+    return ik.read_epoch_outputs(
+        spark,
+        pairs_out,
+        PAIRS_SCHEMA,
+        index_path=index_path,
+        ptr_name=DEDUP_PTR if index_path is not None else None,
     )
-    out = spark.read.parquet(dirs[0])
-    for d in dirs[1:]:
-        out = out.unionByName(spark.read.parquet(d))
-    return out

@@ -227,3 +227,128 @@ def test_compaction_preserves_index_meta(spark, tmp_path):
 
     assert (m.num_hashes, m.bands, m.rows) == minhash_plan(0.5)
     assert m.hash_family == MINHASH_FAMILY
+
+
+def test_profile_sizing_resolution():
+    """profile='streaming' derives minhash_plan(t, target_miss=0.2);
+    explicit pins win; unknown profile rejected."""
+    from cdc_via_flink_spark.operators.dedup import minhash_plan
+    from cdc_via_flink_spark.streaming.dedup_maintenance import (
+        resolve_profile_banding,
+    )
+
+    assert resolve_profile_banding(None, None, None, 0.5, "exact") == minhash_plan(0.5)
+    assert resolve_profile_banding(None, None, None, 0.5, "streaming") == minhash_plan(
+        0.5, target_miss=0.2
+    )
+    assert resolve_profile_banding(None, None, None, 0.5, "streaming") == (39, 13, 3)
+    # explicit pins win over the profile
+    assert resolve_profile_banding(16, 4, 4, 0.5, "streaming") == (16, 4, 4)
+    with pytest.raises(ValueError, match="profile"):
+        resolve_profile_banding(None, None, None, 0.5, "fast")
+
+
+def _boundary_corpus(spark, n_pairs=30, n_background=120):
+    """Constructed exact-J=0.5 pairs (the bench_minhash_recall recipe:
+    m=42 shared words + s=20 fresh per side -> 40/80 word-3-shingle
+    Jaccard) split so one member is indexed and the other arrives in
+    the batch; background docs are all-unique words."""
+    docs, truth, uid = [], set(), 0
+
+    def words(n):
+        nonlocal uid
+        out = [f"w{uid + i:07d}" for i in range(n)]
+        uid += n
+        return out
+
+    for i in range(n_pairs):
+        block = words(42)
+        docs.append((2 * i, " ".join(block + words(20)), "old"))
+        docs.append((2 * i + 1, " ".join(block + words(20)), "new"))
+        truth.add((2 * i, 2 * i + 1))
+    base = 2 * n_pairs
+    for k in range(n_background):
+        side = "old" if k % 2 == 0 else "new"
+        docs.append((base + k, " ".join(words(40)), side))
+    df = spark.createDataFrame(docs, "doc_id long, text string, side string")
+    old = df.filter("side = 'old'").select("doc_id", "text")
+    new = df.filter("side = 'new'").select("doc_id", "text")
+    return old, new, truth
+
+
+def test_streaming_profile_compaction_restores_recall(spark, tmp_path):
+    """VERDICT r8 #8: the streaming profile's 20 % per-batch
+    boundary-miss budget is real (it misses constructed exact-J=0.5
+    pairs the exact plan catches), and re-running the batch pipeline
+    at the exact plan over the COMPACTED corpus recovers them — the
+    documented restore path, now pinned. Also pins the meta guard:
+    an index built at one profile refuses a maintainer at the other."""
+    from cdc_via_flink_spark.streaming.dedup_maintenance import (
+        compact_dedup_index,
+        read_dedup_index,
+    )
+
+    old, new, truth = _boundary_corpus(spark)
+    idx = str(tmp_path / "prof_idx")
+    out = str(tmp_path / "prof_pairs")
+    ckpt = str(tmp_path / "prof_ckpt")
+    save_streaming_dedup_index(old, idx, profile="streaming")
+
+    frames = [
+        new.filter(F.pmod(F.col("doc_id"), 2) == k).orderBy("doc_id")
+        for k in range(2)
+    ]
+    dest = os.path.join(STAGE_ROOT, "dedup_maint_profile")
+    _stage_ordered_files(spark, frames, dest)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(dest)
+    )
+    # profile mismatch is refused BEFORE the stream starts
+    with pytest.raises(ValueError, match="banding"):
+        dedup_maintenance_query(stream, idx, out + "_x", ckpt + "_x")
+    dedup_maintenance_query(
+        stream, idx, out, ckpt, profile="streaming"
+    ).awaitTermination()
+
+    emitted = {
+        (r.id_a, r.id_b)
+        for r in read_emitted_pairs(spark, out, index_path=idx).collect()
+    }
+    missed = truth - emitted
+    # the 20 % miss budget bites at the exact boundary (deterministic
+    # hashing: this construction's miss set is fixed)
+    assert missed, "streaming profile missed no boundary pair — fixture too easy"
+
+    # restore: compact, then the batch pipeline at the EXACT plan over
+    # the compacted corpus docs
+    compact_dedup_index(spark, idx)
+    _banded, docs = read_dedup_index(spark, idx)
+    found = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in minhash_lsh_neardup(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    recovered = missed & found
+    assert recovered, "exact-plan rerun recovered none of the streaming misses"
+    assert len(found & truth) > len(emitted & truth)
+
+
+def test_read_emitted_pairs_committed_filter_and_empty(spark, tmp_path):
+    """read_emitted_pairs returns an empty TYPED frame when nothing
+    was emitted, and with index_path excludes an epoch published past
+    the committed pointer (crash-before-commit debris)."""
+    from cdc_via_flink_spark.streaming.dedup_maintenance import PAIRS_SCHEMA
+
+    empty = read_emitted_pairs(spark, str(tmp_path / "nothing_here"))
+    assert empty.count() == 0
+    assert empty.schema == spark.createDataFrame([], PAIRS_SCHEMA).schema
+
+    corpus, old, new = _corpus(spark)
+    idx, out, ckpt, dest = _run(spark, tmp_path, old, new, "ptrfilter")
+    committed = read_emitted_pairs(spark, out, index_path=idx).count()
+    assert committed == read_emitted_pairs(spark, out).count()
+    # fabricate a published-but-uncommitted epoch (pointer never moved)
+    spark.createDataFrame(
+        [(111_111, 222_222, 1, 1, 1, 1.0)], PAIRS_SCHEMA
+    ).write.parquet(os.path.join(out, "e99"))
+    assert read_emitted_pairs(spark, out).count() == committed + 1
+    assert read_emitted_pairs(spark, out, index_path=idx).count() == committed

@@ -179,3 +179,79 @@ def test_maintainer_rejects_mismatched_index(spark, tmp_path):
             )
     finally:
         winnow.WINNOW_VERSION = orig
+
+
+def test_reingested_batch_doc_counts_once(spark):
+    """Round-8 ADVICE: a re-ingested document (present in both the
+    index and the batch) must count ONCE per fingerprint in the
+    common-fingerprint cut. With fp_cap=2 and a corpus of two
+    overlapping docs, re-ingesting one used to push every shared
+    fingerprint to nd=3 (> cap) and silently drop the (A, B) pair."""
+    from cdc_via_flink_spark.operators.winnow import incremental_pairs_against
+
+    a_words = " ".join(f"t{i:03d}" for i in range(30))
+    b_words = a_words + " " + " ".join(f"u{i:03d}" for i in range(6))
+    old = spark.createDataFrame(
+        [(1, a_words), (2, b_words)], "doc_id long, text string"
+    )
+    fp_old = winnow_fingerprints(old)
+    cnt_old = fp_old.groupBy("fh").agg(F.count(F.lit(1)).alias("n_docs"))
+    batch = spark.createDataFrame([(1, a_words)], "doc_id long, text string")
+    got = incremental_pairs_against(fp_old, cnt_old, batch, fp_cap=2).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
+    # and nd counting matches the monolithic corpus {1, 2}: the pair's
+    # shared_fps equals the docs' true kept-fingerprint intersection
+    inter = (
+        fp_old.alias("x")
+        .join(fp_old.alias("y"), "fh")
+        .filter("x.doc_id = 1 and y.doc_id = 2")
+        .count()
+    )
+    assert got[0].shared_fps == inter
+
+
+def test_stored_policy_survives_constant_change(spark, tmp_path):
+    """Round-8 ADVICE: fp_cap/min_shared are read from the index's
+    meta, so a module-constant change neither errors the index nor
+    silently shifts its policy."""
+    from cdc_via_flink_spark.operators import winnow
+    from cdc_via_flink_spark.operators.winnow import (
+        incremental_winnow_pairs,
+        save_winnow_index,
+    )
+
+    d, old, new = _corpus(spark)
+    path = str(tmp_path / "policy_idx")
+    save_winnow_index(old, path)
+    batch = new.limit(20)
+    before = sorted(tuple(r) for r in incremental_winnow_pairs(batch, path).collect())
+    orig_cap, orig_min = winnow.WINNOW_FP_CAP, winnow.WINNOW_MIN_SHARED
+    winnow.WINNOW_FP_CAP, winnow.WINNOW_MIN_SHARED = 1, 99
+    try:
+        after = sorted(
+            tuple(r) for r in incremental_winnow_pairs(batch, path).collect()
+        )
+    finally:
+        winnow.WINNOW_FP_CAP, winnow.WINNOW_MIN_SHARED = orig_cap, orig_min
+    assert after == before and len(before) > 0
+
+
+def test_read_emitted_pairs_committed_filter_and_empty(spark, tmp_path):
+    """Empty output -> empty typed frame; with index_path, an epoch
+    published past the committed pointer is excluded (round-8 ADVICE:
+    no IndexError, no uncommitted reads)."""
+    from cdc_via_flink_spark.streaming.winnow_maintenance import PAIRS_SCHEMA
+
+    empty = read_emitted_pairs(spark, str(tmp_path / "void"))
+    assert empty.count() == 0
+    assert empty.schema == spark.createDataFrame([], PAIRS_SCHEMA).schema
+
+    d, old, new = _corpus(spark)
+    idx, out, ckpt, dest = _run(spark, tmp_path, old, new, "ptrfilter")
+    committed = read_emitted_pairs(spark, out, index_path=idx).count()
+    assert committed == read_emitted_pairs(spark, out).count()
+    spark.createDataFrame([(111_111, 222_222, 5)], PAIRS_SCHEMA).write.parquet(
+        os.path.join(out, "e99")
+    )
+    assert read_emitted_pairs(spark, out).count() == committed + 1
+    assert read_emitted_pairs(spark, out, index_path=idx).count() == committed
