@@ -1838,6 +1838,75 @@ def stream_state_open_txns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_state_heavy_hitters",
+    oracle=f"""
+WITH ch AS ({CH_SQL}),
+en AS ({EN_SQL}),
+u AS (
+  SELECT txn_id, seq, op, 'C' AS kind FROM ch
+  UNION ALL
+  SELECT txn_id, seq, CAST(NULL AS VARCHAR) AS op, 'E' AS kind FROM en
+),
+a AS (
+  SELECT *, min(CASE WHEN kind = 'E' THEN seq END) OVER (
+      PARTITION BY txn_id ORDER BY seq
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS end_seq
+  FROM u
+),
+open_set AS (
+  SELECT txn_id,
+         CAST(count(*) AS BIGINT) AS n_buffered,
+         CAST(sum(strlen(op)) + 16 * count(*) AS BIGINT) AS state_bytes
+  FROM a WHERE kind = 'C' AND end_seq IS NULL
+  GROUP BY txn_id
+)
+SELECT txn_id, n_buffered, state_bytes,
+       CAST(row_number() OVER (ORDER BY state_bytes DESC, txn_id) AS BIGINT) AS rk
+FROM open_set
+QUALIFY rk <= 20
+""",
+    tags=("ST1", "ST5", "streaming", "state-introspection", "skew", "ops"),
+)
+def stream_state_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-SIZE HEAVY HITTERS (round-8 VERDICT #7 — the skew-alert
+    answer tool): after the full envelope replay through the
+    applyInPandasWithState assembler, rank the checkpoint's OPEN
+    transactions by the logical bytes each one buffers
+    (state_inspect.state_heavy_hitters: sum(octet_length(op)) +
+    16 B/event for the seq+ts longs, decoded from the state store
+    alone). The oracle derives the identical open set AND the
+    identical size model from the raw envelopes, so a decode bug, a
+    missed state clear, or a size-model drift all hash-mismatch. At
+    100 TB this is the first query an ops runbook fires when the
+    state-store-bytes alert trips: it names the keys to salt, split,
+    or dead-letter."""
+    from cdc_via_flink_spark.streaming.state_inspect import state_heavy_hitters
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(STAGE_ROOT, f"state_heavy_{sf_name}")
+    shutil.rmtree(root, ignore_errors=True)
+    ckpt = os.path.join(root, "ckpt")
+
+    raw = _staged_envelope_stream(spark, sf_dir)
+    parsed = parse_debezium(raw)
+    base_ms = _replay_horizon(spark, sf_dir)[1]
+    event_time = F.coalesce(
+        F.timestamp_millis(F.col("ts_ms")),
+        F.timestamp_millis(F.lit(base_ms) + F.col("seq")),
+    )
+    assembled = assemble_transactions_stream(parsed, event_time=event_time)
+    q = (
+        assembled.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state_heavy_hitters(spark, ckpt, top_n=20)
+
+
+@query(
     "stream_state_open_txns_tws",
     oracle=f"""
 WITH ch AS ({CH_SQL}),

@@ -443,6 +443,15 @@ def test_progress_log_reader(spark, tmp_path):
     assert all(c for _b, c, _w in log)  # finished run: all committed
     wms = [w for _b, _c, w in log if w is not None]
     assert wms == sorted(wms) and wms[-1] > 0  # watermark advanced
+    # the walk goes through the Hadoop FileSystem API (r8 VERDICT #3):
+    # an explicit file:-scheme URI resolves to the same ledger
+    via_uri = sorted(
+        (r.batch_id, r.committed, r.batch_watermark_ms)
+        for r in read_progress_log(spark, "file://" + ckpt).collect()
+    )
+    assert via_uri == log
+    # and a checkpoint with no offsets dir is an empty frame, not an error
+    assert read_progress_log(spark, str(tmp_path / "no_ckpt")).count() == 0
 
 
 def test_join_state_eviction_boundary(spark, tmp_path):
