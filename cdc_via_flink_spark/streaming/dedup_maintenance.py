@@ -203,7 +203,13 @@ def dedup_maintenance_query(
     default profile="exact" derives minhash_plan(0.5) = (54, 18, 3)
     and sustains ~0.49x the docs/s of the old (16, 4, 4) fixture
     sizing (which missed ~77 % of boundary pairs) at ~2.2x the index
-    bytes/doc. profile="streaming" derives
+    bytes/doc. CAPACITY (differenced, STATESTORE_r09_marginal.json):
+    those one-shot rates are dominated by FIXED per-epoch cost
+    (~4.8 s/epoch: planning + index open + three delta/pairs commits
+    — 96 % of a 500-doc epoch's wall); the MARGINAL rate on the
+    non-colliding bulk is ~2,300 docs/s per local[32] host, which is
+    the number a 100 TB ingest gate sizes against once micro-batches
+    are large enough to amortize the epoch overhead. profile="streaming" derives
     minhash_plan(threshold, target_miss=0.2) = (39, 13, 3) at t=0.5,
     ~1.55x the exact profile's throughput — accepting a 20 % per-batch
     boundary-miss budget, and restoring the full bound by periodically

@@ -34,7 +34,12 @@ against a 3-epoch UNROLLED SQL oracle.
 Scale: per-batch work = tokenizing the BATCH (map-side winnowing),
 one fh equi-join against stored fingerprint rows, a count merge over
 the (tiny) per-fh count parts, and a delta-sized write; the base
-index is never rewritten.
+index is never rewritten. CAPACITY (differenced,
+STATESTORE_r09_marginal.json): the one-shot 55 docs/s of
+STATESTORE_r08_winnow.json was a fixed-cost artifact of tiny epochs
+(~2.3 s/epoch of planning + commits, 87 % of a 500-doc epoch); the
+MARGINAL rate on the non-colliding bulk is ~1,400 docs/s per
+local[32] host — the number an ingest gate sizes against.
 """
 
 from __future__ import annotations
