@@ -2092,3 +2092,122 @@ def stream_state_join_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return buffered("left", "s").unionByName(buffered("right", "p"))
+
+
+@query(
+    "stream_state_join_heavy_hitters",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, date_trunc('second', ts) AS ts
+  FROM events
+),
+wm AS (
+  SELECT least(
+    (SELECT max(ts) FROM ev WHERE event_type = 'signup'),
+    (SELECT max(ts) FROM ev WHERE event_type = 'purchase')
+  ) - INTERVAL 10 MINUTE AS w
+),
+surv AS (
+  SELECT user_id, 'l' AS side FROM ev, wm
+  WHERE event_type = 'signup' AND ts + INTERVAL 1 HOUR >= w
+  UNION ALL
+  SELECT user_id, 'r' AS side FROM ev, wm
+  WHERE event_type = 'purchase' AND ts >= w
+),
+g AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN side = 'l' THEN 1 ELSE 0 END) AS BIGINT) AS n_left,
+         CAST(sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS BIGINT) AS n_right,
+         CAST(24 * count(*) AS BIGINT) AS state_bytes
+  FROM surv GROUP BY user_id
+)
+SELECT user_id, n_left, n_right, state_bytes,
+       CAST(row_number() OVER (ORDER BY state_bytes DESC, user_id) AS BIGINT) AS rk
+FROM g
+QUALIFY rk <= 20
+""",
+    tags=("J1", "ST5", "streaming", "state-introspection", "skew", "ops"),
+)
+def stream_state_join_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-BUFFER heavy hitters (the second half of round-8 VERDICT
+    #7 — 'which keys hold the most state' for the stream-stream-join
+    family): after the interval join replays to completion, rank the
+    checkpoint's buffered rows BY KEY — per user_id, rows surviving on
+    each side and the logical bytes they pin (3 longs-equivalent =
+    24 B per buffered row; physical store bytes depend on encoding and
+    are not oracle-checkable). The oracle applies the same
+    watermark-survival algebra as stream_state_join_buffer and the
+    same size model, grouped by key. At 100 TB this names the user_ids
+    whose join state is ballooning — the input to a salting or
+    dead-letter decision, read offline from the checkpoint."""
+    from pyspark.sql.window import Window
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(STAGE_ROOT, f"state_join_hh_{sf_name}")
+    shutil.rmtree(root, ignore_errors=True)
+    ckpt = os.path.join(root, "ckpt")
+    path = os.path.join(root, "ev")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts")).cast("timestamp").alias("ts"),
+    )
+    ev.coalesce(4).write.parquet(path)
+
+    def side(kind: str, alias: str):
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            )
+            .parquet(path)
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+        )
+
+    s, p = side("signup", "s"), side("purchase", "p")
+    joined = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def buffered(join_side: str, alias: str):
+        return (
+            spark.read.format("statestore")
+            .option("joinSide", join_side)
+            .load(ckpt)
+            .select(
+                F.col(f"value.{alias}_user").alias("user_id"),
+                F.lit(join_side).alias("side"),
+            )
+        )
+
+    surv = buffered("left", "s").unionByName(buffered("right", "p"))
+    g = surv.groupBy("user_id").agg(
+        F.sum(F.when(F.col("side") == "left", 1).otherwise(0))
+        .cast("long")
+        .alias("n_left"),
+        F.sum(F.when(F.col("side") == "right", 1).otherwise(0))
+        .cast("long")
+        .alias("n_right"),
+        (F.lit(24) * F.count(F.lit(1))).cast("long").alias("state_bytes"),
+    )
+    w = Window.orderBy(F.desc("state_bytes"), F.asc("user_id"))
+    return (
+        g.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+    )
