@@ -191,7 +191,10 @@ def incremental_pairs_against(
     # double-count could push a fingerprint over fp_cap or falsely
     # reach the >=2 floor). fp_old is semi-pruned to batch doc ids
     # first so the anti-join's right side stays batch-sized (disjoint
-    # batches — the common case — prune it to empty).
+    # batches — the common case — prune it to empty). Cost: one extra
+    # SCAN of fp_old per probe (the semi-join's build side is the tiny
+    # batch-ids set, so no fp_old shuffle); correctness under
+    # at-least-once redelivery is worth a scan.
     batch_ids = fp_new.select("doc_id").distinct()
     already = fp_old.join(batch_ids, "doc_id", "left_semi")
     cnt_new = (
