@@ -38,7 +38,8 @@ def _read_ptr(table_dir: str) -> tuple[int, str, str] | None:
     p = os.path.join(table_dir, PTR)
     if not os.path.exists(p):
         return None
-    parts = open(p).read().strip().split("\t")
+    with open(p) as f:
+        parts = f.read().strip().split("\t")
     epoch, name = parts[0], parts[1]
     run = parts[2] if len(parts) > 2 else ""  # pre-run-identity pointer
     return int(epoch), name, run
