@@ -982,3 +982,109 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chars",
         )
     )
+
+
+# --- Bloom-filter ingest gate (the pre-screen in front of exact dedup) ---
+
+BLOOM_M = 1 << 16  # bits; pinned because a static SQL oracle can't size
+BLOOM_K = 7  # from data — bloom_plan(n, fpr) is the data-driven path
+
+# digest of the normalized text as a BIGINT (md5 -> first 15 hex)
+_SQL_DIGEST = f"CAST(('0x' || substring(md5({SQL_NORM}), 1, 15)) AS BIGINT)"
+
+
+def _bloom_oracle() -> str:
+    from cdc_via_flink_spark.operators.bloom import sql_positions
+
+    pos_list = sql_positions("digest", BLOOM_M, BLOOM_K)
+    return f"""
+WITH corpus AS (
+  SELECT DISTINCT {_SQL_DIGEST} AS digest FROM documents
+),
+batch AS (
+  SELECT doc_id + 1000000 AS batch_id, text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS batch_id,
+         text || ' fresh-' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+bd AS (SELECT batch_id, {_SQL_DIGEST} AS digest FROM batch),
+cpos AS (SELECT unnest({pos_list}) AS pos FROM corpus),
+bitmap AS (
+  SELECT pos // 32 AS word, bit_or(1::BIGINT << (pos % 32)) AS bits
+  FROM cpos GROUP BY 1
+),
+bpos AS (SELECT batch_id, unnest({pos_list}) AS pos FROM bd),
+probe AS (
+  SELECT p.batch_id,
+         (COALESCE(m.bits, 0) & (1::BIGINT << (p.pos % 32)))
+           = (1::BIGINT << (p.pos % 32)) AS hit
+  FROM bpos p LEFT JOIN bitmap m ON p.pos // 32 = m.word
+),
+verdict AS (
+  SELECT batch_id, bool_and(hit) AS bloom_hit FROM probe GROUP BY batch_id
+),
+exactm AS (
+  SELECT b.batch_id, (c.digest IS NOT NULL) AS exact_member
+  FROM bd b LEFT JOIN corpus c ON b.digest = c.digest
+)
+SELECT v.batch_id, v.bloom_hit, e.exact_member,
+       (v.bloom_hit AND NOT e.exact_member) AS false_positive
+FROM verdict v JOIN exactm e ON v.batch_id = e.batch_id
+"""
+
+
+@query(
+    "dedup_bloom_gate",
+    oracle=_bloom_oracle(),
+    tags=("X1", "dedup", "bloom", "ingest-gate"),
+)
+def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingest gate (operators/bloom.py): build an m-bit
+    filter over the CORPUS's normalized-content digests, then screen an
+    arriving batch — every 5th doc redelivered verbatim (true members:
+    the filter MUST hit, zero false negatives by construction) plus
+    every 7th doc with a fresh suffix (non-members: a hit would be a
+    false positive, surfaced in the false_positive column).
+
+    Scale shape: the bitmap is ≤ m/32 rows REGARDLESS of corpus size
+    (one bit_or groupBy with map-side combine); the probe joins the
+    broadcast bitmap on word index and never touches corpus rows —
+    definite-miss batch docs skip the exact digest join entirely. The
+    oracle recomputes the same filter bit-for-bit (32-bit words, the
+    shared universal-hash family with inlined coefficients)."""
+    from cdc_via_flink_spark.functions.hashing import token_int
+    from cdc_via_flink_spark.functions.text import normalize_text
+    from cdc_via_flink_spark.operators.bloom import bloom_build, bloom_probe
+
+    d = load_table(spark, sf_dir, "documents")
+    # token_int applies md5 itself: digest = int(md5(norm)[:15], 16)
+    digest = token_int(normalize_text(F.col("text")))
+    corpus = d.select(digest.alias("digest")).distinct()
+
+    batch = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 1000000).alias("batch_id"), "text")
+        .unionAll(
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 2000000).alias("batch_id"),
+                F.concat(
+                    F.col("text"), F.lit(" fresh-"), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+    bd = batch.select("batch_id", digest.alias("digest"))
+
+    bitmap = bloom_build(corpus, "digest", BLOOM_M, BLOOM_K)
+    verdict = bloom_probe(bd, "batch_id", "digest", bitmap, BLOOM_M, BLOOM_K)
+    exactm = bd.join(
+        F.broadcast(corpus.withColumn("_m", F.lit(True))), "digest", "left"
+    ).select("batch_id", F.coalesce(F.col("_m"), F.lit(False)).alias("exact_member"))
+    return verdict.join(exactm, "batch_id").select(
+        "batch_id",
+        "bloom_hit",
+        "exact_member",
+        (F.col("bloom_hit") & ~F.col("exact_member")).alias("false_positive"),
+    )
