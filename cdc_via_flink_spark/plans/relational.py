@@ -1724,3 +1724,97 @@ def q_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n").cast("double") / F.col("tot") - benford), 6
         ).alias("abs_dev"),
     )
+
+
+@query(
+    "q_skyline_pareto",
+    oracle="""
+WITH a AS (
+  SELECT o_custkey,
+         CAST(max(o_totalprice) AS DECIMAL(18,2)) AS max_order,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT b.o_custkey AS c_custkey,
+       CAST(b.max_order AS DOUBLE) AS max_order,
+       b.n_orders
+FROM a b
+WHERE NOT EXISTS (
+  SELECT 1 FROM a d
+  WHERE d.max_order >= b.max_order AND d.n_orders >= b.n_orders
+    AND (d.max_order > b.max_order OR d.n_orders > b.n_orders)
+)
+""",
+    tags=("analytics", "skyline", "A5"),
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) over customers maximizing (largest
+    single order, order count) — the big-ticket vs frequent-buyer
+    trade-off: a customer survives iff no other customer is
+    >= on both dimensions and > on one. The oracle states the O(n^2)
+    NOT EXISTS dominance SPEC; the Spark plan is the distributed 2-D
+    algorithm — never a self-join:
+
+    1. per-max_order LEVELS (groupBy -> max count at that level);
+    2. levels are range-bucketed by value and each bucket computes its
+       local descending prefix-max of counts (window PARTITIONED BY
+       bucket — parallel);
+    3. only the per-bucket maxima (one row per bucket) pass through
+       the single global prefix window — tiny by construction;
+    4. run_before = max(local prefix, higher-buckets prefix) = the
+       best count among all STRICTLY higher spends; a row is skyline
+       iff its count equals its level max and beats run_before. The one
+    single-partition window in the plan runs over the BUCKET MAXIMA
+    (one row per range bucket), never over levels or customers.
+
+    Total cost: the customer agg shuffle + a levels groupBy + one
+    bucket-partitioned window — O(n log n) work with no pairwise
+    stage, which is the property that survives 100x (the textbook
+    NOT EXISTS form is quadratic). Dimensions are decimal/long exact
+    (plans/parity.py policy) so the frontier is engine- and
+    partitioning-independent; >2 dimensions would swap step 2-4 for
+    the local-skyline-then-merge recipe (skyline is
+    union-decomposable: skyline(A + B) = skyline(skyline(A) +
+    skyline(B)))."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_totalprice")).cast("decimal(18,2)").alias("max_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    levels = a.groupBy("max_order").agg(F.max("n_orders").alias("lvl_max"))
+    levels = levels.withColumn(
+        "bucket", F.floor(F.col("max_order") / 50000).cast("long")
+    )
+    w_local = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("max_order").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    levels = levels.withColumn("local_before", F.max("lvl_max").over(w_local))
+    bmax = levels.groupBy("bucket").agg(F.max("lvl_max").alias("bmax"))
+    w_glob = (
+        W.orderBy(F.col("bucket").desc()).rowsBetween(W.unboundedPreceding, -1)
+    )
+    bmax = bmax.withColumn("higher_before", F.max("bmax").over(w_glob)).drop("bmax")
+    lv = levels.join(F.broadcast(bmax), "bucket").select(
+        "max_order",
+        "lvl_max",
+        F.greatest(
+            F.coalesce(F.col("local_before"), F.lit(-1).cast("long")),
+            F.coalesce(F.col("higher_before"), F.lit(-1).cast("long")),
+        ).alias("run_before"),
+    )
+    return (
+        a.join(lv, "max_order")
+        .filter(
+            (F.col("n_orders") == F.col("lvl_max"))
+            & (F.col("n_orders") > F.col("run_before"))
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("max_order").cast("double").alias("max_order"),
+            "n_orders",
+        )
+    )

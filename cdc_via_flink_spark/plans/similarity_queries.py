@@ -758,3 +758,104 @@ def sim_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("std"),
     )
+
+
+# --- Matryoshka (prefix-dimension) two-stage ANN ---
+
+MRL_D = 16  # coarse prefix width (of 64)
+MRL_C = 40  # shortlist size per query before full-dim rerank
+
+_SQL_PRE_COS = (
+    "round(list_dot_product(a.p, q.p)"
+    " / (sqrt(list_dot_product(a.p, a.p)) * sqrt(list_dot_product(q.p, q.p))), 6)"
+)
+
+
+@query(
+    "sim_matryoshka_topk",
+    oracle=f"""
+WITH d AS (SELECT vec_id, {SQL_VD} AS v, ({SQL_VD})[1:{MRL_D}] AS p
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v, p FROM d WHERE vec_id < {N_QUERIES}),
+coarse AS (
+  SELECT q.query_id, a.vec_id, a.v, q.v AS qv, {_SQL_PRE_COS} AS pre_cos
+  FROM d a CROSS JOIN q WHERE a.vec_id <> q.query_id
+),
+short AS (
+  SELECT query_id, vec_id, v, qv,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY pre_cos DESC, vec_id) AS crn
+  FROM coarse
+),
+rr AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS cos
+  FROM short WHERE crn <= {MRL_C}
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM rr
+)
+SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {TOP_K}
+""",
+    tags=("X2", "similarity", "matryoshka"),
+)
+def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style two-stage ANN (Kusupati et al. 2022, MRL): a
+    COARSE cosine on only the first 16 of 64 dimensions shortlists
+    40 candidates per query, then the full-dimension exact cosine
+    reranks the shortlist to top-10.
+
+    Why it scales: stage 1 touches 4x less vector data per row (at
+    100 TB the prefix lives in its own narrow parquet column, so the
+    scan itself shrinks — column pruning does the work), stays
+    map-side (broadcast query row, expression fold), and its window
+    top-C compiles to WindowGroupLimit (per-partition running top-C,
+    no global materialization); stage 2's full-width reads touch only
+    C rows per query. Both stages round scores to 6 d.p. with vec_id
+    tie-breaks, so the two-stage result is deterministic and the
+    DuckDB oracle replays the identical algorithm."""
+    from pyspark.sql import Window as W
+
+    from cdc_via_flink_spark.functions.vectors import cosine, to_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(
+        "vec_id",
+        to_double(F.col("embedding")).alias("v"),
+    ).withColumn("p", F.slice(F.col("v"), 1, MRL_D))
+    q = d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("p").alias("qp"),
+    )
+    coarse = d.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        "v",
+        "qv",
+        F.round(cosine(F.col("p"), F.col("qp")), 6).alias("pre_cos"),
+    )
+    wc = W.partitionBy("query_id").orderBy(F.col("pre_cos").desc(), F.col("vec_id"))
+    short = (
+        coarse.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= MRL_C)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        short.withColumn("rn", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cos", "rn")
+    )

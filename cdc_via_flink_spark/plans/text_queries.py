@@ -1620,3 +1620,126 @@ def text_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"/root/repo/.tmp/winnow_index_{sf_name}"
     save_winnow_index(old, path)
     return incremental_winnow_pairs(new, path)
+
+
+# --- Repeated-span detection (Lee et al. 2022 substring dedup) ---
+
+SPAN_N = 8  # tokens per gram; a repeated span is >= SPAN_N tokens
+
+_SQL_SPAN_CORPUS = f"""
+  SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         string_split({SQL_NORM}, ' ')[1:30] AS tk
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@query(
+    "text_repeated_spans",
+    oracle=f"""
+WITH corpus AS ({_SQL_SPAN_CORPUS}),
+grams AS (
+  SELECT doc_id, CAST(u['pos'] AS BIGINT) AS pos,
+         {SQL_TOKEN_INT.format(col="u['g']")} AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(tk)-{SPAN_N - 1}, 0)+1),
+                  i -> {{'pos': i,
+                        'g': array_to_string(tk[i:i+{SPAN_N - 1}], ' ')}})) AS u
+    FROM corpus
+  )
+),
+rep AS (
+  SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN rep r ON g.h = r.h
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {SPAN_N} THEN 1 ELSE 0 END AS newgrp
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged
+)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) + {SPAN_N - 1} AS span_end,
+       max(pos) + {SPAN_N - 1} - min(pos) + 1 AS span_tokens,
+       count(*) AS n_grams
+FROM grp GROUP BY doc_id, g
+""",
+    tags=("X1", "X3", "dedup", "spans"),
+)
+def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN detection — the bounded-n-gram
+    re-expression of Lee et al. 2022's suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better"):
+    every repeated substring of >= 8 tokens is a maximal run of
+    repeated 8-grams, so (1) explode word-8-grams with
+    their token position, (2) keep grams seen in >= 2 distinct docs
+    (one groupBy on the gram hash — map-side partial, no pair
+    explosion), (3) merge each doc's hit positions into maximal spans
+    with a gaps-and-islands window (new island when the gap exceeds
+    the gram width). The corpus unions a 30-token prefix copy of every
+    10th doc so true cross-doc spans exist at any SF.
+
+    Scale shape: O(total tokens) gram rows, one hash-keyed groupBy,
+    one semi-join (the repeated-gram set is tiny in a healthy corpus —
+    broadcastable), one window partitioned BY DOC (no global sort).
+    Nothing is quadratic in docs or corpus size; contrast the
+    suffix-array construction this replaces, which needs a global
+    sort of every suffix."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    corpus = d.select("doc_id", tk.alias("tk")).unionAll(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.slice(tk, 1, 30).alias("tk"),
+        )
+    )
+    n = F.size(F.col("tk"))
+    gram_arr = F.when(
+        n >= SPAN_N,
+        F.transform(
+            F.sequence(F.lit(0), n - SPAN_N),
+            lambda i: F.array_join(F.slice(F.col("tk"), i + 1, SPAN_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = corpus.select(
+        "doc_id", F.posexplode(gram_arr).alias("p0", "g")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        token_int(F.col("g")).alias("h"),
+    )
+    rep = grams.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    ).filter(F.col("nd") >= 2)
+    hits = grams.join(rep.select("h"), "h", "left_semi").select("doc_id", "pos")
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "newgrp",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + SPAN_N),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    grp = flagged.withColumn(
+        "g",
+        F.sum("newgrp").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return grp.groupBy("doc_id", "g").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (SPAN_N - 1)).alias("span_end"),
+        (F.max("pos") + (SPAN_N - 1) - F.min("pos") + 1).alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("g")
