@@ -791,3 +791,48 @@ def test_winnow_selection_is_map_side(spark):
     plan = _plan(spark, "text_winnow_fingerprints")
     assert "Window" not in plan, plan
     assert "hashpartitioning(doc_id" not in plan, plan
+
+
+def test_bloom_gate_broadcast_bitmap_no_pair_join(spark):
+    """dedup_bloom_gate: the bitmap and corpus-digest joins must all be
+    broadcast (the bitmap is <= m/32 rows by construction) and the plan
+    must contain no pairwise stage — the whole point of the gate is
+    that batch rows never meet corpus rows."""
+    plan = _plan(spark, "dedup_bloom_gate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_windowgrouplimit_and_broadcast(spark):
+    """sim_matryoshka_topk: the query side rides a broadcast (corpus
+    never shuffles for scoring) and both the coarse top-C and the
+    rerank top-k compile to WindowGroupLimit (bounded per-partition
+    running top, no global sort materialization)."""
+    plan = _plan(spark, "sim_matryoshka_topk")
+    assert "BroadcastNestedLoopJoin" in plan, "query side should broadcast"
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "coarse shortlist and rerank must reuse the query_id partitioning"
+    )
+
+
+def test_skyline_no_dominance_self_join(spark):
+    """q_skyline_pareto: the distributed 2-D skyline must not contain
+    the oracle's quadratic shape — no cartesian/BNLJ dominance join —
+    and exactly ONE single-partition exchange (the bucket-maxima
+    prefix window, one row per range bucket)."""
+    plan = _plan(spark, "q_skyline_pareto")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_repeated_spans_doc_partitioned_window(spark):
+    """text_repeated_spans: the islands window partitions by doc — no
+    single-partition exchange anywhere — and the repeated-gram set
+    arrives via broadcast semi-join."""
+    plan = _plan(spark, "text_repeated_spans")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
