@@ -2211,3 +2211,105 @@ def stream_state_join_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFra
         g.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 20)
     )
+
+
+def _bloom_gate_oracle() -> str:
+    from cdc_via_flink_spark.operators.bloom import sql_positions
+    from cdc_via_flink_spark.plans.dedup_queries import BLOOM_K, BLOOM_M
+
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    dig = f"CAST(('0x' || substring(md5({norm}), 1, 15)) AS BIGINT)"
+    pos = sql_positions("digest", BLOOM_M, BLOOM_K)
+    return f"""
+WITH based AS (
+  SELECT DISTINCT {dig} AS digest FROM documents WHERE doc_id % 5 <> 0
+),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 5 = 0
+),
+bd AS (SELECT doc_id, doc_id % 3 AS ep, {dig} AS digest FROM batch),
+basepos AS (SELECT DISTINCT unnest({pos}) AS pos FROM based),
+setpos AS (SELECT DISTINCT ep, unnest({pos}) AS pos FROM bd),
+probe AS (SELECT doc_id, ep, unnest({pos}) AS pos FROM bd),
+hits AS (
+  SELECT p.doc_id,
+         (EXISTS (SELECT 1 FROM basepos s WHERE s.pos = p.pos)
+          OR EXISTS (SELECT 1 FROM setpos s
+                     WHERE s.pos = p.pos AND s.ep < p.ep)) AS hit
+  FROM probe p
+)
+SELECT doc_id, bool_and(hit) AS bloom_hit FROM hits GROUP BY doc_id
+"""
+
+
+@query(
+    "stream_bloom_gate",
+    oracle=_bloom_gate_oracle(),
+    tags=("X1", "ST5", "streaming", "bloom", "ingest-gate", "lifecycle"),
+)
+def stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-MAINTAINED Bloom ingest gate
+    (streaming/bloom_maintenance.py — the fourth adapter over the
+    shared maintained-index kernel): the existing corpus
+    (doc_id % 5 != 0) persists a base bitmap; a batch of redeliveries
+    (every 7th corpus doc, verbatim — MUST hit: no false negatives)
+    plus genuinely-new docs (every 5th doc) ARRIVES over three
+    micro-batches, each screened against base ∪ previously committed
+    delta bitmaps then folded in as a crash-atomic delta.
+
+    The oracle simulates the bitmap algebraically: a bit is set iff
+    SOME member hashed to that position, so hit = every probe position
+    covered by (base positions ∪ positions set by EARLIER epochs) —
+    exactly the maintainer's probe-before-insert epoch semantics,
+    including any false positive created by an earlier batch's bits."""
+    import shutil as _sh
+
+    from cdc_via_flink_spark.plans.dedup_queries import BLOOM_K, BLOOM_M
+    from cdc_via_flink_spark.streaming.bloom_maintenance import (
+        bloom_maintenance_query,
+        read_verdicts,
+        save_streaming_bloom_index,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    batch = (
+        d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0))
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionAll(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+
+    root = os.path.join(STAGE_ROOT, f"bloom_maint_{sf_name}")
+    # rebuilt FRESH every run — the run must exercise the maintenance
+    # flow itself, never read back stale commits (the dedup precedent)
+    _sh.rmtree(root, ignore_errors=True)
+    idx, out, ckpt = (
+        os.path.join(root, "idx"),
+        os.path.join(root, "verdicts"),
+        os.path.join(root, "ckpt"),
+    )
+    save_streaming_bloom_index(old, idx, m_bits=BLOOM_M, k=BLOOM_K)
+    frames = [
+        batch.filter(F.pmod(F.col("doc_id"), 3) == k).orderBy("doc_id")
+        for k in range(3)
+    ]
+    dest = os.path.join(root, "staged")
+    _STAGED_DESTS.discard(dest)
+    _stage_ordered_files(spark, frames, dest)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = bloom_maintenance_query(stream, idx, out, ckpt)
+    q.awaitTermination()
+    return read_verdicts(spark, out, index_path=idx)
