@@ -1743,3 +1743,128 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + (SPAN_N - 1) - F.min("pos") + 1).alias("span_tokens"),
         F.count(F.lit(1)).alias("n_grams"),
     ).drop("g")
+
+
+# --- DSIR-style importance-weighted data selection ---
+
+DSIR_B = 4096  # hashed feature buckets
+DSIR_TOP = 50  # selected docs
+
+# unigrams + word-bigrams, hashed into DSIR_B buckets (the bigram list
+# degenerates to the single token for 1-token docs, matching
+# shingles_from_tokens(k=2))
+_SQL_DSIR_FEATS = f"""
+  SELECT doc_id, {SQL_TOKEN_INT.format(col="t")} % {DSIR_B} AS b
+  FROM (SELECT doc_id, unnest(string_split({SQL_NORM}, ' ')) AS t
+        FROM documents)
+  UNION ALL
+  SELECT doc_id, {SQL_TOKEN_INT.format(col="g")} % {DSIR_B} AS b
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk)-1, 1)+1),
+                      i -> array_to_string(tk[i:i+1], ' '))) AS g
+        FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk
+              FROM documents))
+"""
+
+
+@query(
+    "text_dsir_selection",
+    oracle=f"""
+WITH feats AS ({_SQL_DSIR_FEATS}),
+tgt_ids AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+cs AS (SELECT b, count(*) AS c_s FROM feats GROUP BY b),
+ct AS (SELECT b, count(*) AS c_t FROM feats
+       WHERE doc_id IN (SELECT doc_id FROM tgt_ids) GROUP BY b),
+tot AS (
+  SELECT (SELECT count(*) FROM feats) AS s_tot,
+         (SELECT count(*) FROM feats
+          WHERE doc_id IN (SELECT doc_id FROM tgt_ids)) AS t_tot
+),
+ratio AS (
+  SELECT cs.b,
+         ln((COALESCE(ct.c_t, 0) + 1.0) * (tot.s_tot + {DSIR_B})
+            / ((cs.c_s + 1.0) * (tot.t_tot + {DSIR_B}))) AS r
+  FROM cs LEFT JOIN ct ON cs.b = ct.b CROSS JOIN tot
+),
+docfeat AS (SELECT doc_id, b, count(*) AS cd FROM feats GROUP BY doc_id, b),
+score AS (
+  SELECT d.doc_id,
+         CAST(sum(CAST(round(d.cd * r.r, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           AS log_w
+  FROM docfeat d JOIN ratio r ON d.b = r.b GROUP BY d.doc_id
+)
+SELECT s.doc_id, doc.lang, round(s.log_w, 6) AS log_w
+FROM score s JOIN documents doc ON s.doc_id = doc.doc_id
+ORDER BY round(s.log_w, 6) DESC, s.doc_id
+LIMIT {DSIR_TOP}
+""",
+    tags=("X3", "dsir", "data-selection"),
+)
+def text_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): score every pool document by its log importance weight
+    under hashed-n-gram (unigram + bigram, 4096 buckets) bag models of
+    the TARGET domain (lang = 'en') vs the RAW POOL (all docs);
+    select the top-50. log w(x) = sum over the doc's features of
+    ln(p_target(b)/p_pool(b)) with add-one smoothing — exactly the
+    paper's estimator, with the sampling step made deterministic
+    (top-k by weight, doc_id tie-break) so both engines agree.
+
+    Scale shape: feature extraction is O(total tokens) map-side; the
+    two model tables are <= 4096 rows each (broadcastable); the doc
+    scoring is one equi-join on bucket + a decimal-exact groupBy; the
+    final top-k compiles to TakeOrderedAndProject (no global sort
+    materialization). Per-term products are rounded to 9 d.p. before
+    the exact decimal sum (the js_divergence parity recipe)."""
+    from cdc_via_flink_spark.functions.text import shingles_from_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", "lang", tokens(F.col("text")).alias("tk"))
+    uni = tk.select(
+        "doc_id", F.explode(F.col("tk")).alias("f")
+    )
+    bi = tk.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("tk"), 2)).alias("f"),
+    )
+    feats = uni.unionAll(bi).select(
+        "doc_id", (token_int(F.col("f")) % DSIR_B).alias("b")
+    )
+    tgt = feats.join(
+        d.filter(F.col("lang") == "en").select("doc_id"), "doc_id", "left_semi"
+    )
+    cs = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c_s"))
+    ct = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
+    tot = feats.agg(F.count(F.lit(1)).alias("s_tot")).crossJoin(
+        tgt.agg(F.count(F.lit(1)).alias("t_tot"))
+    )
+    ratio = (
+        cs.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.log(
+                (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
+                * (F.col("s_tot") + DSIR_B)
+                / ((F.col("c_s") + 1.0) * (F.col("t_tot") + DSIR_B))
+            ).alias("r"),
+        )
+    )
+    docfeat = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cd"))
+    score = (
+        docfeat.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(F.col("cd") * F.col("r"), 9).cast("decimal(28,9)")
+            )
+            .cast("double")
+            .alias("log_w")
+        )
+    )
+    return (
+        score.join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.round("log_w", 6).alias("log_w"))
+        .orderBy(F.col("log_w").desc(), "doc_id")
+        .limit(DSIR_TOP)
+    )
