@@ -1868,3 +1868,135 @@ def text_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("log_w").desc(), "doc_id")
         .limit(DSIR_TOP)
     )
+
+
+@query(
+    "dedup_onion_clean",
+    oracle=f"""
+WITH corpus AS ({_SQL_SPAN_CORPUS}),
+grams AS (
+  SELECT doc_id, CAST(u['pos'] AS BIGINT) AS pos,
+         {SQL_TOKEN_INT.format(col="u['g']")} AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(tk)-{SPAN_N - 1}, 0)+1),
+                  i -> {{'pos': i,
+                        'g': array_to_string(tk[i:i+{SPAN_N - 1}], ' ')}})) AS u
+    FROM corpus
+  )
+),
+rep AS (
+  SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN rep r ON g.h = r.h
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {SPAN_N} THEN 1 ELSE 0 END AS newgrp
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id,
+         max(pos) + {SPAN_N - 1} - min(pos) + 1 AS span_tokens
+  FROM grp GROUP BY doc_id, g
+),
+perdoc AS (
+  SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS rep_tokens,
+         count(*) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT c.doc_id, CAST(len(c.tk) AS BIGINT) AS n_tokens,
+       COALESCE(p.rep_tokens, 0) AS rep_tokens,
+       CAST(len(c.tk) AS BIGINT) - COALESCE(p.rep_tokens, 0) AS kept_tokens,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       round(CAST(COALESCE(p.rep_tokens, 0) AS DOUBLE) / len(c.tk), 6)
+         AS rep_frac
+FROM corpus c LEFT JOIN perdoc p ON c.doc_id = p.doc_id
+""",
+    tags=("X1", "X3", "dedup", "spans", "onion"),
+)
+def dedup_onion_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONION-style repeated-span REMOVAL accounting — what a corpus
+    keeps after cutting every cross-doc repeated span found by
+    text_repeated_spans: per doc, total tokens, tokens inside repeated
+    spans, kept tokens, span count and repeated fraction. This is the
+    budget view of Lee et al. substring dedup — the number a 100 TB
+    curation run reports per shard before committing the cut. Same
+    scale shape as text_repeated_spans (shared pipeline: one gram
+    groupBy, one semi-join, doc-partitioned windows) plus one
+    doc-grain left join."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    corpus = d.select("doc_id", tk.alias("tk")).unionAll(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.slice(tk, 1, 30).alias("tk"),
+        )
+    )
+    n = F.size(F.col("tk"))
+    gram_arr = F.when(
+        n >= SPAN_N,
+        F.transform(
+            F.sequence(F.lit(0), n - SPAN_N),
+            lambda i: F.array_join(F.slice(F.col("tk"), i + 1, SPAN_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = corpus.select(
+        "doc_id", F.posexplode(gram_arr).alias("p0", "g")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        token_int(F.col("g")).alias("h"),
+    )
+    rep = grams.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    ).filter(F.col("nd") >= 2)
+    hits = grams.join(rep.select("h"), "h", "left_semi").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "newgrp",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + SPAN_N),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    grp = flagged.withColumn(
+        "g",
+        F.sum("newgrp").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    spans = grp.groupBy("doc_id", "g").agg(
+        (F.max("pos") + (SPAN_N - 1) - F.min("pos") + 1).alias("span_tokens")
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").cast("long").alias("rep_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    return (
+        corpus.select("doc_id", n.cast("long").alias("n_tokens"))
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("rep_tokens", F.lit(0).cast("long")).alias("rep_tokens"),
+            (
+                F.col("n_tokens")
+                - F.coalesce("rep_tokens", F.lit(0).cast("long"))
+            ).alias("kept_tokens"),
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.round(
+                F.coalesce("rep_tokens", F.lit(0).cast("long")).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("rep_frac"),
+        )
+    )
