@@ -89,7 +89,7 @@ def _run_once(spark, kind, base, src, tag):
 
         save_streaming_dedup_index(base, idx, threshold=0.5)
         maker = lambda st: dedup_maintenance_query(st, idx, pairs, ckpt)  # noqa: E731
-    else:
+    elif kind == "winnow":
         from cdc_via_flink_spark.streaming.winnow_maintenance import (
             save_streaming_winnow_index,
             winnow_maintenance_query,
@@ -97,6 +97,16 @@ def _run_once(spark, kind, base, src, tag):
 
         save_streaming_winnow_index(base, idx)
         maker = lambda st: winnow_maintenance_query(st, idx, pairs, ckpt)  # noqa: E731
+    if kind == "bloom":
+        from cdc_via_flink_spark.operators.bloom import bloom_plan
+        from cdc_via_flink_spark.streaming.bloom_maintenance import (
+            bloom_maintenance_query,
+            save_streaming_bloom_index,
+        )
+
+        m_bits, k = bloom_plan(100_000, 0.01)  # sized for base + arrivals
+        save_streaming_bloom_index(base, idx, m_bits=m_bits, k=k)
+        maker = lambda st: bloom_maintenance_query(st, idx, pairs, ckpt)  # noqa: E731
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -158,7 +168,8 @@ def main() -> None:
         "batch_docs_b": B_MULT * S,
         "synthetic_docs": max(0, need - 1000),
     }
-    for kind in ("dedup", "winnow"):
+    kinds = tuple(sys.argv[1].split(",")) if len(sys.argv) > 1 else ("dedup", "winnow")
+    for kind in kinds:
         wall_a = min(_run_once(spark, kind, base, src_a, f"a{r}") for r in (0, 1))
         wall_b = min(_run_once(spark, kind, base, src_b, f"b{r}") for r in (0, 1))
         docs_a, docs_b = S * E, B_MULT * S * E
