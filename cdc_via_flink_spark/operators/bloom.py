@@ -4,11 +4,15 @@ ingest-time pre-screen in front of exact dedup).
 Why this exists at 100 TB: exact dedup of an arriving batch against a
 multi-petabyte corpus is a join against the full corpus digest set.
 A Bloom filter built once over the corpus digests collapses that to a
-join against an ``m/32``-row bitmap table (a few thousand rows even at
-billions of members): definite-miss rows (the overwhelming majority in
-a healthy ingest) never touch the corpus at all, and only the
-maybe-dup remainder proceeds to the exact digest join. Zero false
-negatives by construction — a true duplicate can never slip through.
+join against an ``m/32``-row bitmap table — ~0.3 M words per million
+members at 1 % FPR (≈9.6 bits/member), i.e. megabytes where the corpus
+digest set is gigabytes; at billions of members the bitmap is a few
+hundred million words and the probe join shuffles on ``word`` instead
+of broadcasting (see :func:`bloom_probe`), still never touching corpus
+rows. Definite-miss rows (the overwhelming majority in a healthy
+ingest) never reach the corpus at all, and only the maybe-dup
+remainder proceeds to the exact digest join. Zero false negatives by
+construction — a true duplicate can never slip through.
 
 Spark-first shape:
 
@@ -51,6 +55,15 @@ from cdc_via_flink_spark.functions.hashing import P, a_j, b_j
 _J_BASE = 1000
 
 WORD_BITS = 32
+
+# bloom_probe broadcasts the bitmap only while it is provably small:
+# 2^19 words = 16 MiB of raw (word, bits) longs, comfortably inside
+# executor memory and the classic 10 MB–scale broadcast regime once
+# compressed. Beyond this (≳1.7 M members at 1 % FPR) the hint is
+# omitted and AQE picks the join strategy — a forced broadcast of a
+# multi-gigabyte bitmap would OOM the driver at exactly the corpus
+# sizes the module is for (ADVICE r9).
+_BROADCAST_MAX_WORDS = 1 << 19
 
 
 def bloom_plan(n: int, target_fpr: float = 0.01) -> tuple[int, int]:
@@ -139,11 +152,13 @@ def bloom_probe(
     """Membership verdict per probe row: (id_col, bloom_hit boolean).
 
     The probe side explodes to k (word, mask) rows, equi-joins the
-    bitmap on ``word`` (broadcast here — the bitmap is ≤ m_bits/32
-    rows; beyond the broadcast threshold the same join shuffles on
-    word, still never touching corpus rows), and ``bool_and`` folds
-    the k tests. An absent word means those bits are all zero
-    (coalesce 0), so sparse bitmaps need no densification.
+    bitmap on ``word``, and ``bool_and`` folds the k tests. The
+    broadcast hint is applied only while the bitmap is provably small
+    (≤ ``_BROADCAST_MAX_WORDS`` rows, 16 MiB of longs); larger bitmaps
+    get no hint — AQE chooses, typically a shuffle on ``word`` that
+    still never touches corpus rows. An absent word means those bits
+    are all zero (coalesce 0), so sparse bitmaps need no
+    densification.
     """
     pm = probes.select(
         F.col(id_col), F.explode(_positions(F.col(digest_col), m_bits, k)).alias("pos")
@@ -152,7 +167,12 @@ def bloom_probe(
         F.floor(F.col("pos") / WORD_BITS).cast("long").alias("word"),
         F.expr(f"shiftleft(1L, cast(pos % {WORD_BITS} as int))").alias("mask"),
     )
-    joined = pm.join(F.broadcast(bitmap), "word", "left").select(
+    right = (
+        F.broadcast(bitmap)
+        if m_bits // WORD_BITS <= _BROADCAST_MAX_WORDS
+        else bitmap
+    )
+    joined = pm.join(right, "word", "left").select(
         id_col,
         (
             F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(F.col("mask"))

@@ -70,9 +70,15 @@ def read_bloom_meta(spark: SparkSession, path: str) -> tuple[int, int]:
     hash-family drift. Existence is probed through Spark, so the index
     may live on any Spark-readable filesystem (the check_minhash_meta
     precedent)."""
+    from pyspark.errors import AnalysisException
+
+    # Only the path-missing AnalysisException means "pre-metadata
+    # index"; any other read failure (corrupt parquet, permissions,
+    # transient FS) propagates with its original message instead of a
+    # misleading rebuild instruction (ADVICE r9).
     try:
         row = spark.read.parquet(path).head()
-    except Exception as e:  # AnalysisException: path missing
+    except AnalysisException as e:
         raise ValueError(
             f"bloom index at {path!r} predates sizing/hash-family "
             "metadata (or is not a bloom index); rebuild it with "

@@ -97,7 +97,7 @@ def _run_once(spark, kind, base, src, tag):
 
         save_streaming_winnow_index(base, idx)
         maker = lambda st: winnow_maintenance_query(st, idx, pairs, ckpt)  # noqa: E731
-    if kind == "bloom":
+    elif kind == "bloom":
         from cdc_via_flink_spark.operators.bloom import bloom_plan
         from cdc_via_flink_spark.streaming.bloom_maintenance import (
             bloom_maintenance_query,
@@ -107,6 +107,8 @@ def _run_once(spark, kind, base, src, tag):
         m_bits, k = bloom_plan(100_000, 0.01)  # sized for base + arrivals
         save_streaming_bloom_index(base, idx, m_bits=m_bits, k=k)
         maker = lambda st: bloom_maintenance_query(st, idx, pairs, ckpt)  # noqa: E731
+    else:
+        raise ValueError(f"unknown kind {kind!r} (expected dedup|winnow|bloom)")
 
     stream = (
         spark.readStream.schema("doc_id long, text string")

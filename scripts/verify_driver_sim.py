@@ -1,7 +1,8 @@
 """Driver-simulation verify: runs the __spark_entry__ contract exactly
 as the external driver does — vanilla SparkSession, every queries()
 entry vs its oracle_sql() on DuckDB at sf0.01 — and prints one line
-per query plus a TOTAL FAILS count. Used by .claude/skills/verify.
+per query plus a TOTAL FAILS count. Run by scripts/end_of_round.sh
+and usable standalone for fast iteration (see ``only=``).
 
 Comparison is STRICTER than simple value equality, to match the
 driver's dtype-sensitive hash (round-1 lesson: the driver flagged

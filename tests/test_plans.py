@@ -712,6 +712,43 @@ def test_readme_query_count_matches_registry():
     )
 
 
+def test_correctness_artifact_covers_registry():
+    """The LATEST committed CORRECTNESS_FULL artifact must hold a green
+    line for EVERY registered query (round-9 judge finding: the last 4
+    commits declared 7 queries after the full sweep was cut, leaving
+    them with no committed evidence — a round-close gate that can be
+    bypassed by committing after it runs is half a gate). Adding a
+    query now requires refreshing the artifact in the same change:
+    either a full scripts/end_of_round.sh re-run or an incremental
+    scripts/verify_driver_sim.py only= run merged via
+    scripts/merge_correctness.py."""
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    arts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_FULL_r*.txt")))
+    assert arts, "no CORRECTNESS_FULL artifact committed"
+    latest = arts[-1]
+    lines = open(latest).read().splitlines()
+    status = {}
+    for line in lines:
+        m = re.match(r"^(OK|MISMATCH|ROWSONLY) (\S+)", line)
+        if m:
+            status[m.group(2)] = m.group(1)
+    missing = sorted(set(SPECS) - set(status))
+    assert not missing, (
+        f"{os.path.basename(latest)} has no evidence line for {missing} — "
+        "run the sweep for them and merge (see docstring)"
+    )
+    red = sorted(n for n, s in status.items() if s == "MISMATCH")
+    assert not red, f"{os.path.basename(latest)} records MISMATCH for {red}"
+    assert lines and lines[-1] == "TOTAL FAILS: 0", (
+        f"{os.path.basename(latest)} must end with 'TOTAL FAILS: 0', "
+        f"got {lines[-1] if lines else ''!r}"
+    )
+
+
 def test_persisted_ivf_probe_prunes_partitions(spark):
     """Index-lifecycle scale guard: probing the PERSISTED IVF index
     (cluster-partitioned parquet) must plan dynamic partition pruning
