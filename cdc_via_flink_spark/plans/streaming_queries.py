@@ -2313,3 +2313,126 @@ def stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = bloom_maintenance_query(stream, idx, out, ckpt)
     q.awaitTermination()
     return read_verdicts(spark, out, index_path=idx)
+
+
+def _gated_dedup_oracle() -> str:
+    from cdc_via_flink_spark.operators.bloom import sql_positions
+    from cdc_via_flink_spark.plans.dedup_queries import BLOOM_K, BLOOM_M
+
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    dig = f"CAST(('0x' || substring(md5({norm}), 1, 15)) AS BIGINT)"
+    pos = sql_positions("digest", BLOOM_M, BLOOM_K)
+    return f"""
+WITH based AS (
+  SELECT DISTINCT {dig} AS digest FROM documents WHERE doc_id % 5 <> 0
+),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 5 = 0
+),
+bd AS (SELECT doc_id, doc_id % 3 AS ep, {dig} AS digest FROM batch),
+basepos AS (SELECT DISTINCT unnest({pos}) AS pos FROM based),
+setpos AS (SELECT DISTINCT ep, unnest({pos}) AS pos FROM bd),
+probe AS (SELECT doc_id, ep, unnest({pos}) AS pos FROM bd),
+hits AS (
+  SELECT p.doc_id,
+         (EXISTS (SELECT 1 FROM basepos s WHERE s.pos = p.pos)
+          OR EXISTS (SELECT 1 FROM setpos s
+                     WHERE s.pos = p.pos AND s.ep < p.ep)) AS hit
+  FROM probe p
+),
+verd AS (SELECT doc_id, bool_and(hit) AS bloom_hit FROM hits GROUP BY doc_id),
+-- dedup-ALONE: digest membership computed directly, no Bloom anywhere.
+-- The Spark side computes this THROUGH the gate (miss rows never join
+-- the corpus); hash equality is the composition proof.
+dup AS (
+  SELECT b.doc_id,
+         (EXISTS (SELECT 1 FROM based s WHERE s.digest = b.digest)
+          OR EXISTS (SELECT 1 FROM bd s
+                     WHERE s.digest = b.digest AND s.ep < b.ep)) AS exact_dup
+  FROM bd b
+),
+cnt AS (
+  SELECT b.ep,
+         count(*) FILTER (WHERE v.bloom_hit) AS ep_probed,
+         count(*) FILTER (WHERE NOT v.bloom_hit) AS ep_skipped
+  FROM bd b JOIN verd v ON b.doc_id = v.doc_id GROUP BY b.ep
+)
+SELECT b.doc_id, b.ep, v.bloom_hit, d.exact_dup, c.ep_probed, c.ep_skipped
+FROM bd b
+JOIN verd v ON b.doc_id = v.doc_id
+JOIN dup d ON b.doc_id = d.doc_id
+JOIN cnt c ON b.ep = c.ep
+"""
+
+
+@query(
+    "stream_bloom_gated_dedup",
+    oracle=_gated_dedup_oracle(),
+    tags=("X1", "ST5", "streaming", "bloom", "ingest-gate", "composition"),
+)
+def stream_bloom_gated_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom gate COMPOSED in front of exact dedup, end-to-end
+    (streaming/ingest_gate.py; round-9 VERDICT #5): the existing
+    corpus (doc_id % 5 != 0) persists ONE maintained index holding
+    both the Bloom bitmap and the exact-dedup digest set; arrivals
+    (every-7th-doc redeliveries — guaranteed dups — plus every-5th-doc
+    fresh texts) stream in over three micro-batches. Per batch,
+    definite-miss docs short-circuit with no corpus join; only the
+    bloom-hit remainder joins the digest corpus.
+
+    The oracle computes exact_dup DIRECTLY (dedup-alone, no Bloom),
+    so the exact-hash match proves gate+dedup == dedup-alone — the
+    no-false-negative composition theorem on real data. ep_probed /
+    ep_skipped per epoch are the probe-join row counts: skipped docs
+    are the corpus-join work the gate eliminated."""
+    import shutil as _sh
+
+    from cdc_via_flink_spark.plans.dedup_queries import BLOOM_K, BLOOM_M
+    from cdc_via_flink_spark.streaming.ingest_gate import (
+        gated_dedup_query,
+        read_gate_verdicts,
+        save_gated_dedup_index,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    batch = (
+        d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0))
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionAll(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+
+    root = os.path.join(STAGE_ROOT, f"gated_dedup_{sf_name}")
+    # rebuilt FRESH every run — the run must exercise the maintenance
+    # flow itself, never read back stale commits (the dedup precedent)
+    _sh.rmtree(root, ignore_errors=True)
+    idx, out, ckpt = (
+        os.path.join(root, "idx"),
+        os.path.join(root, "verdicts"),
+        os.path.join(root, "ckpt"),
+    )
+    save_gated_dedup_index(old, idx, m_bits=BLOOM_M, k=BLOOM_K)
+    frames = [
+        batch.filter(F.pmod(F.col("doc_id"), 3) == k).orderBy("doc_id")
+        for k in range(3)
+    ]
+    dest = os.path.join(root, "staged")
+    _STAGED_DESTS.discard(dest)
+    _stage_ordered_files(spark, frames, dest)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = gated_dedup_query(stream, idx, out, ckpt)
+    q.awaitTermination()
+    return read_gate_verdicts(spark, out, index_path=idx)
