@@ -180,3 +180,76 @@ def bloom_probe(
         ).alias("hit"),
     )
     return joined.groupBy(id_col).agg(F.bool_and("hit").alias("bloom_hit"))
+
+
+def counting_bloom_counts(
+    members: DataFrame,
+    deletes: DataFrame,
+    digest_col: str,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Counting-Bloom net counters: (pos long, cnt long), ≤ m_bits
+    rows. The deletable form of the bitmap — each member increments
+    its k position counters, each DELETED member decrements them, so
+    membership survives deletion of OTHER members that share bits
+    (a plain bitmap cannot delete: clearing a shared bit would create
+    false negatives). PRECONDITION (standard for counting Bloom
+    filters): every ``deletes`` digest was previously inserted, and at
+    most once each — this module inserts DISTINCT digests, so passing
+    a distinct subset of the member digests satisfies it. Deletion is
+    digest-level: removing a text removes membership for every doc
+    with that exact normalized content.
+
+    Retained members keep ZERO false negatives by construction: a
+    retained digest's own +1 on each of its positions can never be
+    cancelled by deletions of other digests.
+
+    One union + one groupBy(pos) sum with map-side combine — the same
+    single-shuffle shape as bloom_build, rows instead of packed words
+    (counters cannot bit-pack)."""
+    if m_bits <= 0 or m_bits % WORD_BITS != 0:
+        raise ValueError(f"m_bits must be a positive multiple of {WORD_BITS}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def pos_rows(df: DataFrame, delta: int) -> DataFrame:
+        return df.select(
+            F.explode(_positions(F.col(digest_col), m_bits, k)).alias("pos"),
+            F.lit(delta).cast("long").alias("delta"),
+        )
+
+    return (
+        pos_rows(members, 1)
+        .unionAll(pos_rows(deletes, -1))
+        .groupBy("pos")
+        .agg(F.sum("delta").alias("cnt"))
+    )
+
+
+def counting_bloom_probe(
+    probes: DataFrame,
+    id_col: str,
+    digest_col: str,
+    counts: DataFrame,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Membership verdict per probe row against the counting filter:
+    (id_col, cb_hit boolean) — hit iff every one of the k position
+    counters is > 0. Absent position rows mean count 0 (coalesce), so
+    sparse counter tables need no densification. The counts table is
+    broadcast only while provably small (≤ _BROADCAST_MAX_WORDS rows
+    of (pos, cnt)); beyond that AQE picks the strategy."""
+    pm = probes.select(
+        F.col(id_col),
+        F.explode(_positions(F.col(digest_col), m_bits, k)).alias("pos"),
+    )
+    right = (
+        F.broadcast(counts) if m_bits <= _BROADCAST_MAX_WORDS else counts
+    )
+    joined = pm.join(right, "pos", "left").select(
+        id_col,
+        (F.coalesce(F.col("cnt"), F.lit(0).cast("long")) > 0).alias("hit"),
+    )
+    return joined.groupBy(id_col).agg(F.bool_and("hit").alias("cb_hit"))

@@ -1088,3 +1088,121 @@ def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_member",
         (F.col("bloom_hit") & ~F.col("exact_member")).alias("false_positive"),
     )
+
+
+def _counting_bloom_oracle() -> str:
+    from cdc_via_flink_spark.operators.bloom import sql_positions
+
+    pos_list = sql_positions("digest", BLOOM_M, BLOOM_K)
+    return f"""
+WITH corpus AS (
+  SELECT DISTINCT {_SQL_DIGEST} AS digest FROM documents
+),
+del AS (
+  SELECT DISTINCT {_SQL_DIGEST} AS digest FROM documents WHERE doc_id % 3 = 0
+),
+live AS (SELECT digest FROM corpus EXCEPT SELECT digest FROM del),
+batch AS (
+  SELECT doc_id + 1000000 AS batch_id, text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS batch_id, text
+  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS batch_id,
+         text || ' fresh-' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+bd AS (SELECT batch_id, {_SQL_DIGEST} AS digest FROM batch),
+cnt AS (
+  SELECT pos, sum(delta) AS cnt FROM (
+    SELECT unnest({pos_list}) AS pos, 1 AS delta FROM corpus
+    UNION ALL
+    SELECT unnest({pos_list}) AS pos, -1 AS delta FROM del
+  ) GROUP BY pos
+),
+bpos AS (SELECT batch_id, unnest({pos_list}) AS pos FROM bd),
+probe AS (
+  SELECT p.batch_id, COALESCE(c.cnt, 0) > 0 AS hit
+  FROM bpos p LEFT JOIN cnt c ON p.pos = c.pos
+),
+verdict AS (
+  SELECT batch_id, bool_and(hit) AS cb_hit FROM probe GROUP BY batch_id
+),
+exactm AS (
+  SELECT b.batch_id, (l.digest IS NOT NULL) AS exact_member
+  FROM bd b LEFT JOIN live l ON b.digest = l.digest
+)
+SELECT v.batch_id, v.cb_hit, e.exact_member,
+       (v.cb_hit AND NOT e.exact_member) AS false_positive
+FROM verdict v JOIN exactm e ON v.batch_id = e.batch_id
+"""
+
+
+@query(
+    "dedup_counting_bloom_gate",
+    oracle=_counting_bloom_oracle(),
+    tags=("X1", "dedup", "bloom", "ingest-gate", "deletion"),
+)
+def dedup_counting_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-capable membership gate — the counting-Bloom form of
+    dedup_bloom_gate (operators/bloom.py::counting_bloom_counts): the
+    corpus inserts its distinct content digests, every 3rd doc's text
+    is then DELETED (the retract/right-to-be-forgotten path a plain
+    bitmap cannot express: clearing a shared bit would false-negative
+    other members), and a batch probes the NET counters —
+    redeliveries of deleted texts must read miss (except counter
+    false positives, surfaced), redeliveries of retained texts MUST
+    hit (a retained digest's own +1 per position can never be
+    cancelled by other digests' deletions), fresh texts mostly miss.
+
+    Scale shape: counters are one union + one groupBy(pos) sum with
+    map-side combine, ≤ m rows regardless of corpus size; the probe
+    joins the (broadcast while small) counter table and never touches
+    corpus rows. The oracle recomputes the counters exactly (integer
+    sums, the shared universal-hash family)."""
+    from cdc_via_flink_spark.functions.hashing import token_int
+    from cdc_via_flink_spark.functions.text import normalize_text
+    from cdc_via_flink_spark.operators.bloom import (
+        counting_bloom_counts,
+        counting_bloom_probe,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    digest = token_int(normalize_text(F.col("text")))
+    corpus = d.select(digest.alias("digest")).distinct()
+    deletes = (
+        d.filter(F.col("doc_id") % 3 == 0).select(digest.alias("digest")).distinct()
+    )
+    live = corpus.exceptAll(deletes)
+
+    batch = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 1000000).alias("batch_id"), "text")
+        .unionAll(
+            d.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 0)).select(
+                (F.col("doc_id") + 2000000).alias("batch_id"), "text"
+            )
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 3000000).alias("batch_id"),
+                F.concat(
+                    F.col("text"), F.lit(" fresh-"), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+    bd = batch.select("batch_id", digest.alias("digest"))
+
+    counts = counting_bloom_counts(corpus, deletes, "digest", BLOOM_M, BLOOM_K)
+    verdict = counting_bloom_probe(bd, "batch_id", "digest", counts, BLOOM_M, BLOOM_K)
+    exactm = bd.join(
+        F.broadcast(live.withColumn("_m", F.lit(True))), "digest", "left"
+    ).select("batch_id", F.coalesce(F.col("_m"), F.lit(False)).alias("exact_member"))
+    return verdict.join(exactm, "batch_id").select(
+        "batch_id",
+        "cb_hit",
+        "exact_member",
+        (F.col("cb_hit") & ~F.col("exact_member")).alias("false_positive"),
+    )

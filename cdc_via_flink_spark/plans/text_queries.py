@@ -2000,3 +2000,202 @@ def dedup_onion_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rep_frac"),
         )
     )
+
+
+# --- BM25 keyword retrieval ---
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "join", "window")  # literal query (static oracle)
+BM25_TOP = 20
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tk),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+terms AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+tf AS (
+  SELECT x.doc_id, x.term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(t) AS term FROM tk
+  ) x JOIN terms q ON x.term = q.term
+  GROUP BY x.doc_id, x.term
+),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * {BM25_K1 + 1.0}) /
+                  (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * (d.dl / s.avgdl)))),
+               9) AS st
+  FROM tf JOIN df ON tf.term = df.term
+  JOIN dl d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id,
+         round(CAST(sum(CAST(st AS DECIMAL(28,9))) AS DOUBLE), 6) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score FROM agg
+ORDER BY score DESC, doc_id LIMIT {BM25_TOP}
+""",
+    tags=("X3", "bm25", "retrieval"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Robertson–Spärck Jones; the scorer
+    every large-corpus curation stack uses for keyword screens and
+    contamination lookups): top-20 documents for the literal query
+    {spark, join, window}, k1=1.2, b=0.75, Lucene idf
+    ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Scale shape: tf touches only rows whose term is IN the (tiny,
+    broadcast) query-term set — the posting scan is a semi-join, not
+    a full term explosion shuffle; df/avgdl are scalar/3-row
+    broadcast aggregates; the final top-k compiles to
+    TakeOrderedAndProject. Per-term scores round to 9 d.p. before the
+    exact decimal sum (the js_divergence float-parity recipe);
+    avgdl is sum/count (NOT avg()) so both engines produce the
+    identical double."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    dl = tk.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = spark.createDataFrame([(t,) for t in BM25_TERMS], "term string")
+    tf = (
+        tk.select("doc_id", F.explode("t").alias("term"))
+        .join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (
+                    (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(BM25_K1)
+                        * (
+                            F.lit(1.0 - BM25_B)
+                            + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+                        )
+                    )
+                ),
+                9,
+            ).alias("st"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("st").cast("decimal(28,9)")).cast("double"), 6
+        ).alias("score")
+    )
+    return agg.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOP)
+
+
+# --- Gopher quality rules ---
+
+GOPHER_STOPWORDS = (
+    "the", "a", "and", "of", "to", "in", "be", "that", "have", "with",
+)
+
+
+@query(
+    "text_gopher_filters",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         round(CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE)
+               / len(t), 6) AS mean_word_len,
+         round(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                    AS DOUBLE) / len(t), 6) AS frac_alpha,
+         CAST(len(list_intersect(t,
+              ['the','a','and','of','to','in','be','that','have','with']))
+              AS BIGINT) AS stop_hits
+  FROM tk
+)
+SELECT doc_id, n_words, mean_word_len, frac_alpha, stop_hits,
+       (n_words BETWEEN 50 AND 100000) AS pass_words,
+       (mean_word_len BETWEEN 3.0 AND 10.0) AS pass_mwl,
+       (frac_alpha >= 0.8) AS pass_alpha,
+       (stop_hits >= 2) AS pass_stop,
+       ((n_words BETWEEN 50 AND 100000)
+        AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        AND (frac_alpha >= 0.8) AND (stop_hits >= 2)) AS gopher_pass
+FROM m
+""",
+    tags=("X3", "quality", "gopher"),
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1 — the published
+    heuristic set MassiveWeb was filtered with, and the template for
+    every C4/FineWeb-style pipeline since): per doc, word count
+    (50–100k), mean word length (3–10), fraction of words containing
+    an alphabetic character (≥0.8), and presence of ≥2 common English
+    stopwords (the ten-word screen); plus the per-rule flags and the
+    conjunction. Complements text_quality_score (length/punct ratios)
+    with the canonical published rule set.
+
+    Scale shape: every metric is a per-row array expression (no
+    explode, no shuffle at all beyond the scan) — higher-order
+    functions keep the whole filter map-side, exactly what a 100 TB
+    quality pass needs."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    base = d.select("doc_id", t.alias("t"))
+    n = F.size("t").cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    m = base.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(
+            F.expr("aggregate(t, 0L, (acc, w) -> acc + length(w))").cast("double")
+            / F.size("t"),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.expr("filter(t, w -> w rlike '[a-z]')")).cast("double")
+            / F.size("t"),
+            6,
+        ).alias("frac_alpha"),
+        F.size(F.array_intersect("t", stop_arr)).cast("long").alias("stop_hits"),
+    )
+    pw = F.col("n_words").between(50, 100000)
+    pm = F.col("mean_word_len").between(3.0, 10.0)
+    pa = F.col("frac_alpha") >= 0.8
+    ps = F.col("stop_hits") >= 2
+    return m.select(
+        "doc_id", "n_words", "mean_word_len", "frac_alpha", "stop_hits",
+        pw.alias("pass_words"),
+        pm.alias("pass_mwl"),
+        pa.alias("pass_alpha"),
+        ps.alias("pass_stop"),
+        (pw & pm & pa & ps).alias("gopher_pass"),
+    )

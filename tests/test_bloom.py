@@ -93,3 +93,74 @@ def test_bloom_bitmap_bounded(spark):
     m, k = 256, 4
     bm = bloom_build(_members(spark, range(5000)), "digest", m, k)
     assert bm.count() <= m // WORD_BITS
+
+
+# --- counting Bloom (deletion-capable gate) ---
+
+
+def test_counting_bloom_retained_members_always_hit(spark):
+    """The deletion guarantee: after deleting any subset, every
+    RETAINED member still hits — a retained digest's own +1 per
+    position cannot be cancelled by other digests' deletions. Probed
+    across an undersized filter (maximum counter sharing) to stress
+    the property where it is hardest."""
+    from cdc_via_flink_spark.operators.bloom import (
+        counting_bloom_counts,
+        counting_bloom_probe,
+    )
+
+    members = _members(spark, range(1000))
+    deletes = _members(spark, range(0, 1000, 2))  # delete every other
+    m_bits, k = 1 << 10, 4  # deliberately tiny: heavy sharing
+    counts = counting_bloom_counts(members, deletes, "digest", m_bits, k)
+    retained = _members(spark, range(1, 1000, 2)).withColumnRenamed(
+        "digest", "d"
+    ).select(F.col("d").alias("pid"), F.col("d").alias("digest"))
+    got = counting_bloom_probe(retained, "pid", "digest", counts, m_bits, k)
+    assert got.filter(~F.col("cb_hit")).count() == 0
+
+
+def test_counting_bloom_deleted_members_miss_when_sized(spark):
+    """At a healthy sizing, deleted members read miss (up to the FP
+    rate) and counters never go negative (the distinct-insert
+    precondition holds by construction)."""
+    from cdc_via_flink_spark.operators.bloom import (
+        bloom_plan,
+        counting_bloom_counts,
+        counting_bloom_probe,
+    )
+
+    m_bits, k = bloom_plan(2000, 0.01)
+    members = _members(spark, range(2000))
+    deletes = _members(spark, range(0, 2000, 4))
+    counts = counting_bloom_counts(members, deletes, "digest", m_bits, k)
+    assert counts.filter(F.col("cnt") < 0).count() == 0
+
+    deleted = _members(spark, range(0, 2000, 4)).select(
+        F.col("digest").alias("pid"), "digest"
+    )
+    got = counting_bloom_probe(deleted, "pid", "digest", counts, m_bits, k)
+    n = got.count()
+    hits = got.filter(F.col("cb_hit")).count()
+    # hits on deleted members are pure false positives; at 1% target
+    # sizing they must be rare
+    assert hits <= max(10, int(0.05 * n)), (hits, n)
+
+
+def test_counting_bloom_full_delete_empties_filter(spark):
+    """Deleting every member nets all counters to zero — every probe
+    (member or not) reads miss. The algebra is exact, not
+    approximate."""
+    from cdc_via_flink_spark.operators.bloom import (
+        counting_bloom_counts,
+        counting_bloom_probe,
+    )
+
+    members = _members(spark, range(500))
+    counts = counting_bloom_counts(members, members, "digest", 1 << 12, 4)
+    assert counts.filter(F.col("cnt") != 0).count() == 0
+    probes = _members(spark, range(500)).select(
+        F.col("digest").alias("pid"), "digest"
+    )
+    got = counting_bloom_probe(probes, "pid", "digest", counts, 1 << 12, 4)
+    assert got.filter(F.col("cb_hit")).count() == 0

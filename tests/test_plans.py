@@ -854,6 +854,36 @@ def test_matryoshka_windowgrouplimit_and_broadcast(spark):
     )
 
 
+def test_bm25_semi_scan_and_topk(spark):
+    """text_bm25_topk: the posting scan joins the tiny query-term set
+    in broadcast (a full-vocabulary shuffle for a 3-term query would
+    be the classic retrieval anti-pattern at 100 TB) and the final
+    top-k compiles to TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin [term" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_gopher_filters_no_shuffle(spark):
+    """text_gopher_filters: every rule is a per-row array expression —
+    the whole quality pass is map-side with ZERO exchanges. Losing
+    this (e.g. an explode+groupBy rewrite) would shuffle the full
+    corpus for a filter that needs no aggregation."""
+    plan = _plan(spark, "text_gopher_filters")
+    assert "Exchange" not in plan, plan
+
+
+def test_counting_bloom_counts_bounded_no_corpus_join(spark):
+    """dedup_counting_bloom_gate: ONE aggregation keyed by position
+    (m-bounded) feeds the probe join; the corpus digest set reaches
+    the verdict only through the broadcast exact-membership join —
+    no sort-merge join anywhere."""
+    plan = _plan(spark, "dedup_counting_bloom_gate")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning [pos") <= 1, plan
+
+
 def test_matryoshka_persisted_narrow_scan(spark):
     """sim_matryoshka_persisted_topk: the coarse stage must scan ONLY
     (vec_id, prefix) from the persisted MRL layout — a ReadSchema that
