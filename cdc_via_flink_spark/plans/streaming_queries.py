@@ -2436,3 +2436,155 @@ def stream_bloom_gated_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = gated_dedup_query(stream, idx, out, ckpt)
     q.awaitTermination()
     return read_gate_verdicts(spark, out, index_path=idx)
+
+
+def _counting_bloom_stream_oracle() -> str:
+    from cdc_via_flink_spark.operators.bloom import sql_positions
+    from cdc_via_flink_spark.plans.dedup_queries import BLOOM_K, BLOOM_M
+
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    dig = f"CAST(('0x' || substring(md5({norm}), 1, 15)) AS BIGINT)"
+    pos = sql_positions("digest", BLOOM_M, BLOOM_K)
+    return f"""
+WITH corpus AS (
+  SELECT DISTINCT {dig} AS digest FROM documents WHERE doc_id % 5 <> 0
+),
+ev AS (
+  -- ep0: fresh inserts (unique suffixed texts)
+  SELECT doc_id + 2000000 AS doc_id, 0 AS ep, 'c' AS op,
+         {dig.replace("(text", "((text || ' fresh-' || CAST(doc_id AS VARCHAR))")} AS digest
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  -- ep1: deletes, ONE event per distinct deleted text (contract:
+  -- delete refers to one prior insert)
+  SELECT min(doc_id) + 1000000 AS doc_id, 1 AS ep, 'd' AS op,
+         {dig} AS digest
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+  GROUP BY text
+  UNION ALL
+  -- ep2 probes: deleted texts (expect miss), retained corpus texts
+  -- (MUST hit), fresh texts again (MUST hit)
+  SELECT doc_id + 3000000 AS doc_id, 2 AS ep, 'r' AS op, {dig} AS digest
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id, 2 AS ep, 'r' AS op, {dig} AS digest
+  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0 AND doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, 2 AS ep, 'r' AS op,
+         {dig.replace("(text", "((text || ' fresh-' || CAST(doc_id AS VARCHAR))")} AS digest
+  FROM documents WHERE doc_id % 5 = 0
+),
+basecnt AS (
+  SELECT pos, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({pos}) AS pos FROM corpus) GROUP BY pos
+),
+evcnt AS (
+  SELECT ep, pos, sum(delta) AS d FROM (
+    SELECT ep, unnest({pos}) AS pos,
+           CASE WHEN op = 'c' THEN 1 ELSE -1 END AS delta
+    FROM ev WHERE op IN ('c', 'd')
+  ) GROUP BY ep, pos
+),
+probe AS (SELECT doc_id, ep, unnest({pos}) AS pos FROM ev),
+hits AS (
+  SELECT p.doc_id,
+         (COALESCE((SELECT b.cnt FROM basecnt b WHERE b.pos = p.pos), 0)
+          + COALESCE((SELECT sum(s.d) FROM evcnt s
+                      WHERE s.pos = p.pos AND s.ep < p.ep), 0)) > 0 AS hit
+  FROM probe p
+),
+verdict AS (SELECT doc_id, bool_and(hit) AS cb_hit FROM hits GROUP BY doc_id)
+SELECT v.doc_id, e.op, v.cb_hit
+FROM verdict v JOIN ev e ON v.doc_id = e.doc_id
+"""
+
+
+@query(
+    "stream_counting_bloom_gate",
+    oracle=_counting_bloom_stream_oracle(),
+    tags=("X1", "ST5", "streaming", "bloom", "ingest-gate", "deletion"),
+)
+def stream_counting_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-maintained DELETABLE membership gate
+    (streaming/counting_bloom_maintenance.py — fifth kernel adapter):
+    a CDC-shaped op stream (c/d/r, the engine's Debezium vocabulary)
+    maintains per-position net counters. Three epochs: fresh inserts,
+    then digest-distinct DELETES of part of the corpus, then probes —
+    deleted texts read miss (their counters netted to zero across
+    epochs), retained corpus texts and the fresh inserts MUST hit
+    (a member's own +1 per position cannot be cancelled by other
+    digests' matched deletes). The oracle simulates the counters
+    algebraically with probe-before-apply epoch semantics, including
+    any cross-epoch false positives."""
+    import shutil as _sh
+
+    from cdc_via_flink_spark.plans.dedup_queries import BLOOM_K, BLOOM_M
+    from cdc_via_flink_spark.streaming.counting_bloom_maintenance import (
+        counting_bloom_maintenance_query,
+        read_cb_verdicts,
+        save_streaming_counting_bloom_index,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    fresh_text = F.concat(
+        F.col("text"), F.lit(" fresh-"), F.col("doc_id").cast("string")
+    )
+    ep0 = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.lit("c").alias("op"),
+        fresh_text.alias("text"),
+    )
+    ep1 = (
+        corpus.filter(F.col("doc_id") % 3 == 0)
+        .groupBy("text")
+        .agg((F.min("doc_id") + 1000000).alias("doc_id"))
+        .select("doc_id", F.lit("d").alias("op"), "text")
+    )
+    ep2 = (
+        corpus.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.lit("r").alias("op"),
+            "text",
+        )
+        .unionByName(
+            corpus.filter(
+                (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 0)
+            ).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.lit("r").alias("op"),
+                "text",
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"),
+                F.lit("r").alias("op"),
+                fresh_text.alias("text"),
+            )
+        )
+    )
+
+    root = os.path.join(STAGE_ROOT, f"cbloom_maint_{sf_name}")
+    # rebuilt FRESH every run — the run must exercise the maintenance
+    # flow itself, never read back stale commits (the dedup precedent)
+    _sh.rmtree(root, ignore_errors=True)
+    idx, out, ckpt = (
+        os.path.join(root, "idx"),
+        os.path.join(root, "verdicts"),
+        os.path.join(root, "ckpt"),
+    )
+    save_streaming_counting_bloom_index(corpus, idx, m_bits=BLOOM_M, k=BLOOM_K)
+    dest = os.path.join(root, "staged")
+    _STAGED_DESTS.discard(dest)
+    _stage_ordered_files(spark, [ep0, ep1, ep2], dest)
+    stream = (
+        spark.readStream.schema("doc_id long, op string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = counting_bloom_maintenance_query(stream, idx, out, ckpt)
+    q.awaitTermination()
+    return read_cb_verdicts(spark, out, index_path=idx)
