@@ -1431,3 +1431,112 @@ def q_returnflag_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
     )
+
+
+# --- z-normalized subsequence similarity (UCR-style) ---
+
+TSS_L = 8  # subsequence length
+TSS_TOP = 20
+# z-normalized ramp pattern (mean 0, unit variance), inlined as the
+# SAME literal doubles in both engines
+TSS_PATTERN = (
+    -1.5275252316519468, -1.091089451179962, -0.6546536707079772,
+    -0.2182178902359924, 0.2182178902359924, 0.6546536707079772,
+    1.091089451179962, 1.5275252316519468,
+)
+
+
+def _tss_oracle() -> str:
+    leads = ",\n         ".join(
+        f"lead(\"value\", {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        f" AS x{i}"
+        for i in range(TSS_L)
+    )
+    mean = "(" + " + ".join(f"x{i}" for i in range(TSS_L)) + f") / {TSS_L}.0"
+    s2 = (
+        "("
+        + " + ".join(f"(x{i} - m) * (x{i} - m)" for i in range(TSS_L))
+        + f") / {TSS_L}.0"
+    )
+    dist = " + ".join(
+        f"((x{i} - m) / sqrt(s2) - ({TSS_PATTERN[i]!r})) *"
+        f" ((x{i} - m) / sqrt(s2) - ({TSS_PATTERN[i]!r}))"
+        for i in range(TSS_L)
+    )
+    return f"""
+WITH w1 AS (
+  SELECT user_id, event_id AS start_event_id,
+         {leads}
+  FROM events
+),
+w2 AS (SELECT *, {mean} AS m FROM w1 WHERE x{TSS_L - 1} IS NOT NULL),
+w3 AS (SELECT *, {s2} AS s2 FROM w2),
+d AS (
+  SELECT user_id, start_event_id, round({dist}, 6) AS zdist
+  FROM w3 WHERE s2 > 0
+)
+SELECT user_id, start_event_id, zdist FROM d
+ORDER BY zdist, user_id, start_event_id LIMIT {TSS_TOP}
+"""
+
+
+@query(
+    "q_ts_similarity_topk",
+    oracle=_tss_oracle(),
+    tags=("A5", "timeseries", "similarity", "ucr"),
+)
+def q_ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-NORMALIZED SUBSEQUENCE SIMILARITY SEARCH (the UCR-suite
+    primitive; cf. "Time Series Similarity Search for Streaming Data
+    in Distributed Systems", EDBT 2019 — PAPERS.md): over every
+    user's event-value series, score every length-8 subsequence
+    against a fixed z-normalized query pattern (a ramp) by
+    z-normalized Euclidean distance and return the global top-20
+    matches. Z-normalizing each window (subtract ITS mean, divide by
+    ITS std) is what makes the match amplitude- and offset-invariant
+    — the semantics that plain correlation windows (q_ma_crossover)
+    don't give.
+
+    Scale shape: the windows come from 8 lead() columns over the
+    per-user ordering — ONE exchange on user_id, no self-join, no
+    per-user array materialization; constant-variance windows are
+    excluded exactly (s2 > 0); the global top-k compiles to
+    TakeOrderedAndProject. All arithmetic is the same left-associated
+    double chain in both engines, so the oracle matches bit-for-bit
+    at 6 d.p."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        "user_id",
+        F.col("event_id").alias("start_event_id"),
+        *[F.lead("value", i).over(w).alias(f"x{i}") for i in range(TSS_L)],
+    ).filter(F.col(f"x{TSS_L - 1}").isNotNull())
+    def lsum(cols):
+        # explicit left fold: the SAME association order as the
+        # oracle's "a + b + c" chain, so doubles match bit-for-bit
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = acc + c
+        return acc
+
+    mean = lsum([F.col(f"x{i}") for i in range(TSS_L)]) / float(TSS_L)
+    w2 = base.withColumn("m", mean)
+    s2 = lsum(
+        [
+            (F.col(f"x{i}") - F.col("m")) * (F.col(f"x{i}") - F.col("m"))
+            for i in range(TSS_L)
+        ]
+    ) / float(TSS_L)
+    w3 = w2.withColumn("s2", s2).filter(F.col("s2") > 0)
+    z = [
+        (F.col(f"x{i}") - F.col("m")) / F.sqrt(F.col("s2")) - F.lit(TSS_PATTERN[i])
+        for i in range(TSS_L)
+    ]
+    dist = lsum([zi * zi for zi in z])
+    return (
+        w3.select(
+            "user_id", "start_event_id", F.round(dist, 6).alias("zdist")
+        )
+        .orderBy("zdist", "user_id", "start_event_id")
+        .limit(TSS_TOP)
+    )
