@@ -107,8 +107,24 @@ def _run_once(spark, kind, base, src, tag):
         m_bits, k = bloom_plan(100_000, 0.01)  # sized for base + arrivals
         save_streaming_bloom_index(base, idx, m_bits=m_bits, k=k)
         maker = lambda st: bloom_maintenance_query(st, idx, pairs, ckpt)  # noqa: E731
+    elif kind == "cbloom":
+        from cdc_via_flink_spark.operators.bloom import bloom_plan
+        from cdc_via_flink_spark.streaming.counting_bloom_maintenance import (
+            counting_bloom_maintenance_query,
+            save_streaming_counting_bloom_index,
+        )
+
+        m_bits, k = bloom_plan(100_000, 0.01)  # sized for base + arrivals
+        save_streaming_counting_bloom_index(base, idx, m_bits=m_bits, k=k)
+        # all-inserts stream: prices the bulk ingest path (deletes are
+        # the same per-event hash + counter-delta work with sign -1)
+        maker = lambda st: counting_bloom_maintenance_query(  # noqa: E731
+            st.withColumn("op", F.lit("c")), idx, pairs, ckpt
+        )
     else:
-        raise ValueError(f"unknown kind {kind!r} (expected dedup|winnow|bloom)")
+        raise ValueError(
+            f"unknown kind {kind!r} (expected dedup|winnow|bloom|cbloom)"
+        )
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
