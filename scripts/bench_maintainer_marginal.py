@@ -57,8 +57,12 @@ OUT_ROOT = os.path.join(
     "maint_marginal",
 )
 E = 4  # epochs per run (identical in A and B so fixed cost cancels)
-S = 500  # run-A batch size; run B uses 4S (see docstring on sizing)
-B_MULT = 4
+# run-A batch size; run B uses B_MULT*S. Env-overridable because the
+# resolvable sizing is maintainer-specific: the cbloom gate's per-doc
+# work is so small that 500-vs-2000 cannot resolve it (the r8
+# 125-vs-250 lesson one level up) — it needs 2000-vs-16000.
+S = int(os.environ.get("SPARK_GRAFT_MARGINAL_S", "500"))
+B_MULT = int(os.environ.get("SPARK_GRAFT_MARGINAL_BMULT", "4"))
 
 
 def _stage(spark, frames, dest):
