@@ -620,3 +620,135 @@ def q_freq_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq_sketch_rollup_full(spark, sf_dir).select(
         "w", "exact_n", "within_bound"
     )
+
+
+# --- count-min sketch (point estimates, bit-for-bit oracle) ---
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # buckets per row
+_CMS_J_BASE = 2000  # coefficient offset: disjoint from minhash (0..)
+# and bloom (1000..) families
+CMS_TOP = 10
+
+
+def _cms_oracle() -> str:
+    from cdc_via_flink_spark.functions.hashing import P, a_j, b_j
+
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    tint = "CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT)"
+
+    def bucket(j: int) -> str:
+        return (
+            f"(({a_j(_CMS_J_BASE + j)} * (({tint}) % {P}) + "
+            f"{b_j(_CMS_J_BASE + j)}) % {P}) % {CMS_W}"
+        )
+
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS j, {bucket(j)} AS bucket, w FROM tok" for j in range(CMS_D)
+    )
+    est_rows = "\n  UNION ALL\n".join(
+        f"  SELECT w, {j} AS j, {bucket(j)} AS bucket FROM exact"
+        for j in range(CMS_D)
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split({norm}, ' ')) AS w FROM documents
+),
+hashed AS (
+{rows}
+),
+counters AS (
+  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY j, bucket
+),
+exact AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY w),
+probes AS (
+{est_rows}
+),
+est AS (
+  SELECT p.w, min(c.cnt) AS cms_est
+  FROM probes p JOIN counters c ON p.j = c.j AND p.bucket = c.bucket
+  GROUP BY p.w
+),
+top AS (
+  SELECT e.w, e.exact_n, s.cms_est,
+         row_number() OVER (ORDER BY e.exact_n DESC, e.w) AS rk
+  FROM exact e JOIN est s ON e.w = s.w
+)
+SELECT w, exact_n, cms_est, cms_est - exact_n AS overcount
+FROM top WHERE rk <= {CMS_TOP}
+"""
+
+
+@query(
+    "q_cms_point_est",
+    oracle=_cms_oracle(),
+    tags=("A3", "approx", "sketch", "count-min"),
+)
+def q_cms_point_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH point estimates (Cormode & Muthukrishnan 2005
+    — the sketch family's frequency member, next to HLL/KLL/
+    Misra-Gries): a d=4 × w=1024 counter grid over the corpus's
+    words, then the min-over-rows estimate for the top-10 exact
+    words, with the per-term overcount (est − exact ≥ 0 ALWAYS — the
+    one-sided CMS guarantee — and the oracle recomputes the grid
+    bit-for-bit from the shared universal-hash family, the
+    dedup_bloom_gate precedent, so the estimates themselves
+    hash-match, not just a bound boolean).
+
+    Scale shape: the grid build is one explode (d rows per token) +
+    one groupBy bounded by d·w = 4096 keys REGARDLESS of corpus size
+    (map-side combine); estimation joins the broadcast grid d times
+    per distinct term. This is the mergeable shard-rollup shape: at
+    100 TB each shard builds its own 4096-row grid and the merge is
+    elementwise sum (same groupBy)."""
+    from cdc_via_flink_spark.functions.hashing import P, a_j, b_j, token_int
+    from cdc_via_flink_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("w"))
+
+    def bucket(j: int, w: F.Column) -> F.Column:
+        return (
+            (F.lit(a_j(_CMS_J_BASE + j)) * (token_int(w) % F.lit(P))
+             + F.lit(b_j(_CMS_J_BASE + j))) % F.lit(P)
+        ) % F.lit(CMS_W)
+
+    hashed = tok.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), bucket(j, F.col("w")).alias("bucket"))
+                for j in range(CMS_D)
+            ])
+        ).alias("jb")
+    ).select("jb.j", "jb.bucket")
+    counters = hashed.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select(
+        "w",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), bucket(j, F.col("w")).alias("bucket"))
+                for j in range(CMS_D)
+            ])
+        ).alias("jb"),
+    ).select("w", "jb.j", "jb.bucket")
+    est = (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("w")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        exact.join(est, "w")
+        .select(
+            "w", "exact_n", "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+        # TakeOrderedAndProject, not a global row_number over the
+        # vocabulary (a single-partition sort of every distinct term
+        # would not survive a 100 TB vocab)
+        .orderBy(F.col("exact_n").desc(), "w")
+        .limit(CMS_TOP)
+    )
