@@ -1206,3 +1206,95 @@ def dedup_counting_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_member",
         (F.col("cb_hit") & ~F.col("exact_member")).alias("false_positive"),
     )
+
+
+@query(
+    "dedup_source_overlap",
+    oracle=f"""
+WITH corpus AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  -- a 'mirror' dump re-hosting every 7th doc verbatim and a
+  -- 'mirror2' partial re-crawl of every 14th: the controlled
+  -- cross-source duplication the report must surface
+  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 7 = 1
+  UNION ALL
+  SELECT 'mirror2' AS source, text FROM documents WHERE doc_id % 14 = 1
+),
+d AS (
+  SELECT source, {_SQL_DIGEST} AS digest FROM corpus
+),
+per AS (SELECT DISTINCT source, digest FROM d),
+srcn AS (SELECT source, count(DISTINCT digest) AS n_distinct FROM per GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+  FROM per a JOIN per b ON a.digest = b.digest AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.src_a, p.src_b, p.shared,
+       na.n_distinct AS n_a, nb.n_distinct AS n_b,
+       round(CAST(p.shared AS DOUBLE)
+             / least(na.n_distinct, nb.n_distinct), 6) AS containment
+FROM pairs p
+JOIN srcn na ON p.src_a = na.source
+JOIN srcn nb ON p.src_b = nb.source
+""",
+    tags=("X1", "dedup", "cross-source", "report"),
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE DUPLICATION MATRIX — the curation report that
+    decides which dump to drop: for every source pair, the number of
+    shared distinct content digests and the containment ratio
+    (shared / min(|A|,|B|)). Two crawls of the same site show up as a
+    high-containment pair; the smaller one is the cut candidate.
+
+    Scale shape: one distinct over (source, digest), then a
+    digest-keyed self-join whose per-digest fan-out is bounded by the
+    number of SOURCES carrying that digest (sources are a small set;
+    the join never pairs documents) and a groupBy on source pairs —
+    output is |sources|² rows max regardless of corpus size."""
+    from cdc_via_flink_spark.functions.hashing import token_int
+    from cdc_via_flink_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select("source", "text").unionAll(
+        d.filter(F.col("doc_id") % 7 == 1).select(
+            F.lit("mirror").alias("source"), "text"
+        )
+    ).unionAll(
+        d.filter(F.col("doc_id") % 14 == 1).select(
+            F.lit("mirror2").alias("source"), "text"
+        )
+    )
+    per = corpus.select(
+        "source", token_int(normalize_text(F.col("text"))).alias("digest")
+    ).distinct()
+    srcn = per.groupBy("source").agg(
+        F.count_distinct("digest").alias("n_distinct")
+    )
+    a = per.select(F.col("source").alias("src_a"), "digest")
+    b = per.select(F.col("source").alias("src_b"), "digest")
+    pairs = (
+        a.join(b, "digest")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(srcn.select(F.col("source").alias("src_a"),
+                                    F.col("n_distinct").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(srcn.select(F.col("source").alias("src_b"),
+                                    F.col("n_distinct").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a", "src_b", "shared", "n_a", "n_b",
+            F.round(
+                F.col("shared").cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+    )

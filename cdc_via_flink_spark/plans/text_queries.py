@@ -2199,3 +2199,130 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.alias("pass_stop"),
         (pw & pm & pa & ps).alias("gopher_pass"),
     )
+
+
+# --- PII screen / redaction accounting ---
+
+PII_EMAIL = r"[a-z0-9.]+@[a-z0-9.]+\.[a-z]{2,4}"
+PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_SSN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def _pii_oracle() -> str:
+    # injected PII mirrors the Spark side exactly (deterministic from
+    # doc_id); the fixture corpus itself is PII-free word soup, so the
+    # injection is what makes the screen non-degenerate
+    inject = """
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 9 = 0
+                 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.org' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-0199' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' ssn 078-05-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+"""
+    return f"""
+WITH corpus AS ({inject}),
+per AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS emails,
+         CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS phones,
+         CAST(len(regexp_extract_all(text, '{PII_SSN}')) AS BIGINT) AS ssns,
+         CAST(length(text) AS BIGINT)
+           - CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+               '{PII_EMAIL}', '[EMAIL]', 'g'),
+               '{PII_PHONE}', '[PHONE]', 'g'),
+               '{PII_SSN}', '[SSN]', 'g')) AS BIGINT) AS chars_delta
+  FROM corpus
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(emails) AS BIGINT) AS emails,
+       CAST(sum(phones) AS BIGINT) AS phones,
+       CAST(sum(ssns) AS BIGINT) AS ssns,
+       CAST(count(CASE WHEN emails + phones + ssns > 0 THEN 1 END) AS BIGINT)
+         AS pii_docs,
+       CAST(sum(chars_delta) AS BIGINT) AS redacted_chars_delta
+FROM per GROUP BY source
+""" 
+
+
+@query(
+    "text_pii_screen",
+    oracle=_pii_oracle(),
+    tags=("X3", "pii", "redaction", "quality"),
+)
+def text_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII SCREEN + REDACTION ACCOUNTING — the compliance pass every
+    published corpus runs before release: per source, documents and
+    occurrences of email / phone / SSN patterns, and the exact
+    character delta a three-pattern redaction would apply. The
+    fixture corpus is PII-free word soup, so deterministic PII is
+    INJECTED from doc_id (every 9th doc an email, 11th a phone, 13th
+    an SSN — both engines inject identically), making the counts
+    non-degenerate and the regex semantics fully exercised, including
+    the disjointness of the phone (3-3-4) and SSN (3-2-4) patterns.
+
+    Scale shape: pure per-row regexp expressions (JVM-side, no UDF)
+    + one groupBy(source) with map-side combine — the same
+    zero-extra-shuffle shape as text_gopher_filters."""
+    d = load_table(spark, sf_dir, "documents")
+    inj = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" ssn 078-05-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL, "[EMAIL]"),
+            PII_PHONE,
+            "[PHONE]",
+        ),
+        PII_SSN,
+        "[SSN]",
+    )
+    per = d.select("source", inj.alias("t")).select(
+        "source",
+        F.regexp_count("t", F.lit(PII_EMAIL)).cast("long").alias("emails"),
+        F.regexp_count("t", F.lit(PII_PHONE)).cast("long").alias("phones"),
+        F.regexp_count("t", F.lit(PII_SSN)).cast("long").alias("ssns"),
+        (F.length("t").cast("long") - F.length(redacted).cast("long")).alias(
+            "chars_delta"
+        ),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("emails").alias("emails"),
+        F.sum("phones").alias("phones"),
+        F.sum("ssns").alias("ssns"),
+        F.count(
+            F.when(F.col("emails") + F.col("phones") + F.col("ssns") > 0, 1)
+        ).alias("pii_docs"),
+        F.sum("chars_delta").alias("redacted_chars_delta"),
+    )
