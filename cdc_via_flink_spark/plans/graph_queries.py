@@ -132,3 +132,76 @@ def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= TOP_N)
     )
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+wedges AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM pairs e1 JOIN pairs e2 ON e1.pb = e2.pa
+),
+tri AS (
+  SELECT w.a, w.b, w.c FROM wedges w
+  JOIN pairs e3 ON w.a = e3.pa AND w.c = e3.pb
+)
+SELECT (SELECT count(*) FROM pairs) AS n_edges,
+       (SELECT count(*) FROM wedges) AS n_wedges,
+       (SELECT count(*) FROM tri) AS n_triangles,
+       round((SELECT 3.0 * count(*) FROM tri)
+             / greatest((SELECT count(*) FROM wedges), 1), 6)
+         AS global_clustering
+""",
+    tags=("J3", "graph", "triangles"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING + global clustering coefficient over the
+    co-purchase graph (parts co-occurring in an order) — the canonical
+    distributed-graph benchmark beside PageRank/components
+    (graph_queries.py): edges from a per-order self-join (fan-out
+    bounded by order size, ~4 lineitems), wedges from one edge-edge
+    join on the shared middle vertex, triangles by closing each wedge
+    against the ordered edge list (a<b<c orientation counts each
+    triangle exactly once).
+
+    Scale shape: the a<b<c orientation IS the classic shuffle-bound
+    trick — every join is an equi-join on a vertex key, wedge count
+    is sum(deg_out·deg_in) not n², and no vertex adjacency ever
+    materializes on one task beyond its key group. The three scalar
+    counts aggregate tree-reduce style."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    e2 = pairs.select(F.col("pa").alias("pb_"), F.col("pb").alias("pc"))
+    wedges = pairs.join(e2, F.col("pb") == F.col("pb_")).select(
+        F.col("pa").alias("a"), F.col("pb").alias("b"), F.col("pc").alias("c")
+    )
+    e3 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = wedges.join(e3, ["a", "c"])
+    ec = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    wc = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    tc = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        ec.crossJoin(wc)
+        .crossJoin(tc)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.greatest("n_wedges", F.lit(1)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

@@ -1818,3 +1818,79 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@query(
+    "q_k_anonymity_audit",
+    oracle="""
+WITH qi AS (
+  SELECT c_custkey,
+         c_nationkey,
+         c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+  FROM customer
+),
+grp AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS grp_size
+  FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band
+),
+ks AS (SELECT CAST(unnest([2, 5, 10]) AS BIGINT) AS k)
+SELECT k.k,
+       CAST(count(CASE WHEN g.grp_size < k.k THEN 1 END) AS BIGINT)
+         AS groups_below_k,
+       CAST(COALESCE(sum(CASE WHEN g.grp_size < k.k THEN g.grp_size END), 0)
+            AS BIGINT) AS customers_exposed,
+       CAST(min(g.grp_size) AS BIGINT) AS k_anonymity_level,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM ks k CROSS JOIN grp g
+GROUP BY k.k
+""",
+    tags=("A3", "privacy", "k-anonymity"),
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY AUDIT (Sweeney 2002 — the privacy screen a dataset
+    release runs next to the PII scrub): group customers by the
+    quasi-identifier tuple (nation, market segment, $1000 account-
+    balance band) and report, for k in {2, 5, 10}, how many QI groups
+    fall below k and how many individuals those groups expose —
+    plus the dataset's actual k-anonymity level (the min group size).
+    A group of size < k means its members are re-identifiable by
+    joining public attributes.
+
+    Scale shape: one groupBy over the QI tuple (map-side combine),
+    then a 3-row broadcast cross join with the k thresholds folded in
+    a second small aggregate — group count is bounded by the QI
+    domain, not the row count."""
+    c = load_table(spark, sf_dir, "customer")
+    grp = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("grp_size"))
+    )
+    ks = spark.range(0).sparkSession.createDataFrame([(2,), (5,), (10,)], "k long")
+    return (
+        F.broadcast(ks)
+        .crossJoin(grp)
+        .groupBy("k")
+        .agg(
+            F.count(F.when(F.col("grp_size") < F.col("k"), 1)).alias(
+                "groups_below_k"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("grp_size") < F.col("k"), F.col("grp_size"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("customers_exposed"),
+            F.min("grp_size").alias("k_anonymity_level"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+        .select(
+            "k", "groups_below_k", "customers_exposed",
+            "k_anonymity_level", "n_groups",
+        )
+    )
