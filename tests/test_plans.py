@@ -923,3 +923,52 @@ def test_repeated_spans_doc_partitioned_window(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cms_grid_bounded_and_topk(spark):
+    """q_cms_point_est: the counter-grid aggregation is keyed by
+    (j, bucket) — d*w keys regardless of corpus size — and the final
+    top-k is TakeOrderedAndProject, never a vocabulary-wide window."""
+    plan = _plan(spark, "q_cms_point_est")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_source_overlap_never_pairs_documents(spark):
+    """dedup_source_overlap: the digest self-join runs over the
+    DISTINCT (source, digest) projection — per-digest fan-out is the
+    source count, so no plan node ever pairs documents; the per-source
+    cardinalities reach the pair rows via broadcast."""
+    plan = _plan(spark, "dedup_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # the two srcn joins
+
+
+def test_pii_screen_single_shuffle(spark):
+    """text_pii_screen: regexp counting + redaction delta are pure
+    per-row expressions; the ONLY exchange is the source groupBy."""
+    plan = _plan(spark, "text_pii_screen")
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan, plan  # regexps stay JVM-side
+
+
+def test_triangle_count_equi_joins_only(spark):
+    """q_triangle_count: every stage is an equi-join on vertex keys —
+    a cartesian/BNLJ anywhere means the orientation trick broke."""
+    plan = _plan(spark, "q_triangle_count")
+    assert "CartesianProduct" not in plan, plan
+    # exactly the TWO 1-row scalar-count cross joins may be BNLJ;
+    # a third would mean a vertex join degenerated to nested-loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_k_anonymity_two_aggregates_one_broadcast(spark):
+    """q_k_anonymity_audit: QI groupBy + a 3-row broadcast threshold
+    fold — no window, no extra shuffle beyond the two aggregations."""
+    plan = _plan(spark, "q_k_anonymity_audit")
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
