@@ -183,14 +183,40 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
         .distinct()
     )
-    e2 = pairs.select(F.col("pa").alias("pb_"), F.col("pb").alias("pc"))
+    # SHUFFLE-HASH for the two edge-list joins, explicitly: the edge
+    # list GROWS with the corpus, so a broadcast build (Catalyst's
+    # default while it sits under the threshold) re-builds an
+    # ever-bigger hash map in EVERY task — measured 1.27-exponent
+    # super-linearity with 2x run-to-run GC variance on the 3x clone;
+    # the partitioned hash join builds each key range once and took
+    # the 3x ratio from 3.8x to 1.65x (BASELINE.md round 10).
+    e2 = pairs.select(F.col("pa").alias("pb_"), F.col("pb").alias("pc")).hint(
+        "shuffle_hash"
+    )
     wedges = pairs.join(e2, F.col("pb") == F.col("pb_")).select(
         F.col("pa").alias("a"), F.col("pb").alias("b"), F.col("pc").alias("c")
     )
-    e3 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    e3 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c")).hint(
+        "shuffle_hash"
+    )
     tri = wedges.join(e3, ["a", "c"])
+    # the wedge COUNT never materializes the wedge stream: it is the
+    # degree identity Σ_b indeg(b)·outdeg(b) — two |V|-row aggregates
+    # and a vertex equi-join. The wedge stream itself is built exactly
+    # once, for the triangle closure (the first cut built it twice and
+    # the 3x-clone exponent showed it).
+    outd = pairs.groupBy(F.col("pa").alias("v")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    ind = pairs.groupBy(F.col("pb").alias("v")).agg(
+        F.count(F.lit(1)).alias("id_")
+    )
+    wc = ind.join(outd, "v").agg(
+        F.coalesce(F.sum(F.col("id_") * F.col("od")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges")
+    )
     ec = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-    wc = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
     tc = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     return (
         ec.crossJoin(wc)
