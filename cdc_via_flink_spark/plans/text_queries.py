@@ -2326,3 +2326,190 @@ def text_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pii_docs"),
         F.sum("chars_delta").alias("redacted_chars_delta"),
     )
+
+
+# --- hybrid retrieval: reciprocal rank fusion ---
+
+RRF_K = 60  # the canonical RRF constant (Cormack et al. 2009)
+QL_MU = 2000.0  # Dirichlet smoothing (Zhai & Lafferty 2004)
+RRF_TOP = 15
+
+
+@query(
+    "text_rrf_hybrid_topk",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tk),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         CAST(sum(dl) AS DOUBLE) AS c_tot
+  FROM dl
+),
+terms AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+alltok AS (SELECT doc_id, unnest(t) AS term FROM tk),
+ctf AS (
+  SELECT q.term, CAST(count(*) AS DOUBLE) AS ctf
+  FROM alltok x JOIN terms q ON x.term = q.term GROUP BY q.term
+),
+tf AS (
+  SELECT x.doc_id, x.term, count(*) AS tf
+  FROM alltok x JOIN terms q ON x.term = q.term
+  GROUP BY x.doc_id, x.term
+),
+cand AS (SELECT DISTINCT doc_id FROM tf),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+grid AS (
+  SELECT c.doc_id, t.term, COALESCE(f.tf, 0) AS tf
+  FROM cand c CROSS JOIN terms t
+  LEFT JOIN tf f ON c.doc_id = f.doc_id AND t.term = f.term
+),
+scored AS (
+  SELECT g.doc_id,
+         round(CASE WHEN g.tf > 0 THEN
+           ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * ((g.tf * {BM25_K1 + 1.0}) /
+              (g.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * (d.dl / s.avgdl))))
+           ELSE 0.0 END, 9) AS st_bm25,
+         round(ln((g.tf + {QL_MU} * (c.ctf / s.c_tot)) / (d.dl + {QL_MU})), 9)
+           AS st_ql
+  FROM grid g
+  JOIN ctf c ON g.term = c.term
+  LEFT JOIN df ON g.term = df.term
+  JOIN dl d ON g.doc_id = d.doc_id
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id,
+         round(CAST(sum(CAST(st_bm25 AS DECIMAL(28,9))) AS DOUBLE), 6)
+           AS bm25,
+         round(CAST(sum(CAST(st_ql AS DECIMAL(28,9))) AS DOUBLE), 6) AS ql
+  FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank,
+         row_number() OVER (ORDER BY ql DESC, doc_id) AS ql_rank
+  FROM agg
+)
+SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(ql_rank AS BIGINT) AS ql_rank,
+       round(1.0 / ({RRF_K} + bm25_rank) + 1.0 / ({RRF_K} + ql_rank), 9)
+         AS rrf
+FROM ranked
+ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+""",
+    tags=("X3", "retrieval", "rrf", "hybrid"),
+)
+def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL RANK FUSION of the two classic retrieval models
+    (Cormack et al. 2009 — the fusion every hybrid-search / RAG stack
+    runs): BM25 and Dirichlet-smoothed query likelihood (Zhai &
+    Lafferty 2004, μ=2000) each rank the candidate documents for the
+    literal query {spark, join, window}; RRF = Σ 1/(60 + rank) fuses
+    them; top-15 returned with both component ranks.
+
+    Scale shape: all statistics flow from the SAME query-term
+    semi-join as text_bm25_topk (the posting scan never explodes the
+    full vocabulary); the candidate×3-term grid comes from a 3-row
+    broadcast cross join; the two ranking windows run over the
+    CANDIDATE set — bounded by the query terms' posting lists, the
+    standard retrieval working set — and the final top-k is
+    TakeOrderedAndProject. Per-term scores fold decimal-exact."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    dl = tk.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.sum("dl").cast("double").alias("c_tot"),
+    )
+    terms = spark.createDataFrame([(t,) for t in BM25_TERMS], "term string")
+    alltok = tk.select("doc_id", F.explode("t").alias("term"))
+    hits = alltok.join(F.broadcast(terms), "term")
+    ctf = hits.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("ctf"))
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cand = tf.select("doc_id").distinct()
+    df = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    grid = (
+        cand.crossJoin(F.broadcast(terms))
+        .join(tf, ["doc_id", "term"], "left")
+        .select("doc_id", "term", F.coalesce("tf", F.lit(0)).alias("tf"))
+    )
+    scored = (
+        grid.join(F.broadcast(ctf), "term")
+        .join(F.broadcast(df), "term", "left")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.when(
+                    F.col("tf") > 0,
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    )
+                    * (
+                        (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                        / (
+                            F.col("tf")
+                            + F.lit(BM25_K1)
+                            * (
+                                F.lit(1.0 - BM25_B)
+                                + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+                            )
+                        )
+                    ),
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("st_bm25"),
+            F.round(
+                F.log(
+                    (F.col("tf") + F.lit(QL_MU) * (F.col("ctf") / F.col("c_tot")))
+                    / (F.col("dl") + F.lit(QL_MU))
+                ),
+                9,
+            ).alias("st_ql"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("st_bm25").cast("decimal(28,9)")).cast("double"), 6
+        ).alias("bm25"),
+        F.round(
+            F.sum(F.col("st_ql").cast("decimal(28,9)")).cast("double"), 6
+        ).alias("ql"),
+    )
+    ranked = agg.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("long")
+        .alias("bm25_rank"),
+        F.row_number()
+        .over(W.orderBy(F.col("ql").desc(), "doc_id"))
+        .cast("long")
+        .alias("ql_rank"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "bm25_rank",
+            "ql_rank",
+            F.round(
+                1.0 / (F.lit(RRF_K) + F.col("bm25_rank"))
+                + 1.0 / (F.lit(RRF_K) + F.col("ql_rank")),
+                9,
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(RRF_TOP)
+    )
