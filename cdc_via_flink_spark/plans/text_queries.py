@@ -2513,3 +2513,144 @@ def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(RRF_TOP)
     )
+
+
+# --- RAKE keyword extraction ---
+
+RAKE_TOP = 20
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, u['i'] AS pos, u['w'] AS w,
+         CASE WHEN list_contains(
+           ['the','a','and','of','to','in','be','that','have','with'],
+           u['w']) THEN 1 ELSE 0 END AS is_stop
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split({SQL_NORM}, ' '),
+                  (x, i) -> {{'i': i, 'w': x}})) AS u
+    FROM documents
+  )
+),
+grp AS (
+  SELECT doc_id, pos, w, is_stop,
+         sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+  FROM tok
+),
+phrase_words AS (
+  SELECT doc_id, g, w,
+         count(*) OVER (PARTITION BY doc_id, g) AS plen
+  FROM grp WHERE is_stop = 0
+),
+wstat AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS freq,
+         CAST(sum(plen) AS DOUBLE) AS degree
+  FROM phrase_words GROUP BY w
+),
+pscore AS (
+  SELECT pw.doc_id, pw.g,
+         round(CAST(sum(CAST(round(s.degree / s.freq, 9)
+               AS DECIMAL(28,9))) AS DOUBLE), 6) AS score
+  FROM phrase_words pw JOIN wstat s ON pw.w = s.w
+  GROUP BY pw.doc_id, pw.g
+),
+ptext AS (
+  SELECT doc_id, g, string_agg(w, ' ' ORDER BY pos) AS phrase
+  FROM grp WHERE is_stop = 0 GROUP BY doc_id, g
+),
+agg AS (
+  SELECT t.phrase, min(p.score) AS score, count(*) AS occurrences
+  FROM ptext t JOIN pscore p ON t.doc_id = p.doc_id AND t.g = p.g
+  GROUP BY t.phrase
+)
+SELECT phrase, score, CAST(occurrences AS BIGINT) AS occurrences
+FROM agg ORDER BY score DESC, phrase LIMIT {RAKE_TOP}
+""",
+    tags=("X3", "rake", "keywords"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010 — Rapid Automatic
+    Keyword Extraction): candidate phrases are maximal stopword-free
+    token runs (gaps-and-islands on the stopword flag), each word
+    scores degree/frequency over the whole corpus's candidate set
+    (degree = Σ phrase length over the word's occurrences), a phrase
+    scores the sum of its words' scores, and the corpus's top-20
+    distinct phrases are returned with occurrence counts. A phrase's
+    score is a pure function of its text (word scores are
+    corpus-level), so min() over occurrences is exact dedup, not an
+    approximation.
+
+    Scale shape: the islands come from ONE running sum per doc (one
+    exchange on doc_id, same-window phrase length via count() over
+    the group); word stats are a vocabulary-bounded groupBy; the
+    phrase score join is word-keyed. Top-k is TakeOrderedAndProject.
+    The degree/freq divisions round to 9 d.p. before the exact
+    decimal fold (the shared float-parity recipe)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    tok = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    ).withColumn(
+        "is_stop",
+        F.when(F.array_contains(stop_arr, F.col("w")), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    grp = tok.withColumn(
+        "g",
+        F.sum("is_stop").over(wdoc.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    nonstop = grp.filter(F.col("is_stop") == 0)
+    pw = nonstop.withColumn(
+        "plen", F.count(F.lit(1)).over(W.partitionBy("doc_id", "g"))
+    )
+    wstat = pw.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("freq"),
+        F.sum("plen").cast("double").alias("degree"),
+    )
+    pscore = (
+        pw.join(wstat, "w")
+        .groupBy("doc_id", "g")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("degree") / F.col("freq"), 9).cast(
+                        "decimal(28,9)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("score")
+        )
+    )
+    ptext = (
+        nonstop.groupBy("doc_id", "g")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.getField("w"),
+                ),
+                " ",
+            ).alias("phrase")
+        )
+    )
+    agg = (
+        ptext.join(pscore, ["doc_id", "g"])
+        .groupBy("phrase")
+        .agg(
+            F.min("score").alias("score"),
+            F.count(F.lit(1)).alias("occurrences"),
+        )
+    )
+    return (
+        agg.select("phrase", "score", "occurrences")
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(RAKE_TOP)
+    )
