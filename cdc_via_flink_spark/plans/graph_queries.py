@@ -231,3 +231,104 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+HITS_ITER = 2
+HITS_TOP = 25
+
+
+def _hits_oracle() -> str:
+    # mirrors the Spark loop exactly: round-12 -> DECIMAL(38,12) sums,
+    # max-normalization between half-steps (ranking-invariant, and —
+    # unlike the L2 norm — expressible with exact arithmetic + one
+    # float division replayed identically by both engines)
+    steps = []
+    prev_h = "h0"
+    steps.append(
+        "h0 AS (SELECT c, 1.0 AS h FROM (SELECT DISTINCT c FROM edges))"
+    )
+    for i in range(HITS_ITER):
+        steps.append(f"""
+ar{i} AS (
+  SELECT e.p, CAST(sum(CAST(round({prev_h}.h, 12) AS DECIMAL(38,12)))
+              AS DOUBLE) AS a
+  FROM edges e JOIN {prev_h} ON e.c = {prev_h}.c GROUP BY e.p
+),
+am{i} AS (SELECT max(a) AS m FROM ar{i}),
+a{i} AS (SELECT p, round(a / (SELECT m FROM am{i}), 12) AS a FROM ar{i}),
+hr{i} AS (
+  SELECT e.c, CAST(sum(CAST(round(a{i}.a, 12) AS DECIMAL(38,12)))
+              AS DOUBLE) AS h
+  FROM edges e JOIN a{i} ON e.p = a{i}.p GROUP BY e.c
+),
+hm{i} AS (SELECT max(h) AS m FROM hr{i}),
+h{i + 1} AS (SELECT c, round(h / (SELECT m FROM hm{i}), 12) AS h FROM hr{i})""")
+        prev_h = f"h{i + 1}"
+    last_a = f"a{HITS_ITER - 1}"
+    body = ",\n".join(steps)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+{body}
+SELECT p AS part, round(a, 9) AS authority
+FROM {last_a}
+ORDER BY round(a, 9) DESC, p LIMIT {HITS_TOP}
+"""
+
+
+@query(
+    "q_hits_authorities",
+    oracle=_hits_oracle(),
+    tags=("graph", "hits", "iterative-unrolled"),
+)
+def q_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999), 2 unrolled
+    iterations over the customer→part purchase bipartite graph:
+    authority(p) = Σ hub(c) over buyers, hub(c) = Σ authority(p) over
+    purchases, max-normalized between half-steps (ranking-invariant
+    and — unlike the L2 norm — replayable with one float division
+    both engines execute identically). Top-25 authority parts.
+
+    Scale shape (the q_pagerank3 recipe): every half-step is an edge
+    equi-join + a keyed aggregate with decimal-exact summation
+    (order-independent, the property that makes a 1000-executor sum
+    equal a local one); normalization scalars ride 1-row broadcast
+    cross joins — no collects, no driver loops."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    edges = o.join(li, "ok").select("c", "p").distinct()
+    h = edges.select("c").distinct().withColumn("h", F.lit(1.0))
+    DEC12 = "decimal(38,12)"
+    a = None
+    for _ in range(HITS_ITER):
+        ar = (
+            edges.join(h, "c")
+            .select("p", F.round("h", 12).cast(DEC12).alias("hc"))
+            .groupBy("p")
+            .agg(F.sum("hc").cast("double").alias("a"))
+        )
+        am = ar.agg(F.max("a").alias("m"))
+        a = ar.crossJoin(F.broadcast(am)).select(
+            "p", F.round(F.col("a") / F.col("m"), 12).alias("a")
+        )
+        hr = (
+            edges.join(a, "p")
+            .select("c", F.round("a", 12).cast(DEC12).alias("ap"))
+            .groupBy("c")
+            .agg(F.sum("ap").cast("double").alias("h"))
+        )
+        hm = hr.agg(F.max("h").alias("m"))
+        h = hr.crossJoin(F.broadcast(hm)).select(
+            "c", F.round(F.col("h") / F.col("m"), 12).alias("h")
+        )
+    return (
+        a.select(F.col("p").alias("part"), F.round("a", 9).alias("authority"))
+        .orderBy(F.col("authority").desc(), "part")
+        .limit(HITS_TOP)
+    )
