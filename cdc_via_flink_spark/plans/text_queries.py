@@ -2654,3 +2654,106 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "phrase")
         .limit(RAKE_TOP)
     )
+
+
+@query(
+    "text_auc_quality_vs_lang",
+    oracle=f"""
+WITH per AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         round(CAST(len(list_filter(string_split({SQL_NORM}, ' '),
+               w -> list_contains(
+                 ['the','a','and','of','to','in','be','that','have','with'],
+                 w))) AS DOUBLE)
+               / len(string_split({SQL_NORM}, ' ')), 9) AS score
+  FROM documents
+),
+byscore AS (
+  SELECT score, count(*) AS cnt, sum(pos) AS pos_cnt FROM per GROUP BY score
+),
+ranked AS (
+  SELECT score, cnt, pos_cnt,
+         COALESCE(sum(cnt) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_prev
+  FROM byscore
+),
+tot AS (
+  SELECT CAST(sum(pos) AS DOUBLE) AS n_pos,
+         CAST(count(*) - sum(pos) AS DOUBLE) AS n_neg
+  FROM per
+)
+SELECT CAST(t.n_pos AS BIGINT) AS n_pos,
+       CAST(t.n_neg AS BIGINT) AS n_neg,
+       round((sum(r.pos_cnt * (r.cum_prev + (r.cnt + 1.0) / 2.0))
+              - t.n_pos * (t.n_pos + 1.0) / 2.0)
+             / (t.n_pos * t.n_neg), 9) AS auc
+FROM ranked r CROSS JOIN tot t
+GROUP BY t.n_pos, t.n_neg
+""",
+    tags=("X3", "evaluation", "auc"),
+)
+def text_auc_quality_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney rank-sum — the evaluation
+    every quality-classifier gate needs before it filters a corpus:
+    does the stopword-ratio score actually separate English documents
+    (pos = lang='en') from the rest? Ties are handled exactly with
+    average ranks computed per DISTINCT score (avg rank = preceding
+    count + (group size + 1)/2), so the result equals the
+    integral-over-thresholds definition, not a sampling estimate.
+
+    Scale shape: one per-row score expression, a distinct-score
+    groupBy, ONE ordered window over the distinct scores (bounded by
+    score cardinality, not rows — at 9 d.p. rounding that is at most
+    1e9+1 groups and in practice tiny), and a scalar fold. No
+    per-row global rank is ever materialized — the rank-sum uses
+    group arithmetic."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    t = tokens(F.col("text"))
+    per = d.select(
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("pos"),
+        F.round(
+            F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w))).cast(
+                "double"
+            )
+            / F.size(t),
+            9,
+        ).alias("score"),
+    )
+    byscore = per.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("pos_cnt")
+    )
+    wsc = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    ranked = byscore.withColumn(
+        "cum_prev", F.coalesce(F.sum("cnt").over(wsc), F.lit(0))
+    )
+    tot = per.agg(
+        F.sum("pos").cast("double").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("double").alias("n_neg"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n_pos", "n_neg")
+        .agg(
+            F.round(
+                (
+                    F.sum(
+                        F.col("pos_cnt")
+                        * (F.col("cum_prev") + (F.col("cnt") + 1.0) / 2.0)
+                    )
+                    - F.col("n_pos") * (F.col("n_pos") + 1.0) / 2.0
+                )
+                / (F.col("n_pos") * F.col("n_neg")),
+                9,
+            ).alias("auc")
+        )
+        .select(
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            "auc",
+        )
+    )
