@@ -2757,3 +2757,112 @@ def text_auc_quality_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "auc",
         )
     )
+
+
+KN_D = 0.75  # the standard absolute-discount constant
+
+
+@query(
+    "text_kn_bigram_ppl_buckets",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, lang, string_split({SQL_NORM}, ' ') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, lang, u['w1'] AS w1, u['w2'] AS w2
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(t)),
+                  i -> {{'w1': t[i], 'w2': t[i+1]}})) AS u
+    FROM tk WHERE len(t) >= 2
+  )
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c FROM big GROUP BY w1, w2),
+lft AS (
+  SELECT w1, CAST(sum(c) AS DOUBLE) AS c1, CAST(count(*) AS DOUBLE) AS nl
+  FROM bc GROUP BY w1
+),
+rgt AS (SELECT w2, CAST(count(*) AS DOUBLE) AS nr FROM bc GROUP BY w2),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bc),
+nll AS (
+  SELECT g.doc_id, g.lang,
+         CAST(sum(CAST(round(-ln(
+             (greatest(bc.c - {KN_D}, 0.0) / l.c1)
+             + (({KN_D} * l.nl / l.c1) * (r.nr / tot.b))
+           ), 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS doc_nll
+  FROM big g
+  JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+  JOIN lft l ON g.w1 = l.w1
+  JOIN rgt r ON g.w2 = r.w2
+  CROSS JOIN tot
+  GROUP BY g.doc_id, g.lang
+)
+SELECT lang,
+       CAST(floor(doc_nll * 2) AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       min(round(doc_nll, 6)) AS min_nll,
+       max(round(doc_nll, 6)) AS max_nll
+FROM nll GROUP BY lang, bucket
+""",
+    tags=("X3", "quality", "perplexity", "kneser-ney"),
+)
+def text_kn_bigram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed BIGRAM perplexity buckets (Kneser & Ney
+    1995 / Chen & Goodman 1998 — the smoothing every classical LM
+    quality gate actually uses, completing the family next to the
+    add-1 unigram filter and raw bigram surprisal):
+    P_KN(w2|w1) = max(c(w1w2)−d, 0)/c(w1) + (d·N1+(w1·)/c(w1)) ·
+    (N1+(·w2)/B) with d = 0.75 — the continuation probability rewards
+    words seen after MANY contexts, not merely frequent ones. Per-doc
+    mean NLL over its bigrams, 0.5-nat buckets per lang (docs shorter
+    than one bigram excluded identically in both engines).
+
+    Scale shape: the LM is three count aggregates over the bigram
+    table (bigram, left-context, right-continuation) + one totals
+    row — all broadcastable; scoring is map-side joins over the
+    corpus bigram stream; per-token NLLs fold decimal-exact. Same
+    single-doc-aggregation shape as text_unigram_ppl_buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 2)
+    big = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t)-2),"
+                " i -> struct(t[i] as w1, t[i+1] as w2))"
+            )
+        ).alias("u"),
+    ).select("doc_id", "lang", "u.w1", "u.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    lft = bc.groupBy("w1").agg(
+        F.sum("c").cast("double").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("nl"),
+    )
+    rgt = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("nr"))
+    tot = bc.agg(F.count(F.lit(1)).cast("double").alias("b"))
+    p = (
+        F.greatest(F.col("c") - F.lit(KN_D), F.lit(0.0)) / F.col("c1")
+    ) + ((F.lit(KN_D) * F.col("nl") / F.col("c1")) * (F.col("nr") / F.col("b")))
+    nll = (
+        big.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(lft), "w1")
+        .join(F.broadcast(rgt), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.sum(F.round(-F.log(p), 6).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("doc_nll")
+        )
+    )
+    return nll.groupBy(
+        "lang", F.floor(F.col("doc_nll") * 2).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.round("doc_nll", 6)).alias("min_nll"),
+        F.max(F.round("doc_nll", 6)).alias("max_nll"),
+    )
