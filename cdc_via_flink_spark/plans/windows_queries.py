@@ -1540,3 +1540,117 @@ def q_ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zdist", "user_id", "start_event_id")
         .limit(TSS_TOP)
     )
+
+
+# --- windowFunnel (ordered event chain within a sliding window) ---
+
+WF_WINDOW_MS = 3_600_000  # 1 hour
+WF_CHAIN = ("view", "click", "purchase")
+
+
+@query(
+    "q_window_funnel",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+w1 AS (
+  SELECT user_id, event_type, ts_ms, event_id,
+         max(CASE WHEN event_type = 'view' THEN ts_ms END)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_c1
+  FROM t
+),
+w2 AS (
+  SELECT user_id, event_type, ts_ms, last_c1,
+         max(CASE WHEN event_type = 'click' THEN last_c1 END)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS UNBOUNDED PRECEDING) AS best_anchor2
+  FROM w1
+),
+lv AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1,
+         max(CASE WHEN event_type = 'click' AND last_c1 IS NOT NULL
+                   AND last_c1 >= ts_ms - {WF_WINDOW_MS}
+             THEN 1 ELSE 0 END) AS l2,
+         max(CASE WHEN event_type = 'purchase' AND best_anchor2 IS NOT NULL
+                   AND best_anchor2 >= ts_ms - {WF_WINDOW_MS}
+             THEN 1 ELSE 0 END) AS l3
+  FROM w2 GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(l1) AS BIGINT) AS reached_1,
+       CAST(sum(l2) AS BIGINT) AS reached_2,
+       CAST(sum(l3) AS BIGINT) AS reached_3,
+       round(CAST(sum(l3) AS DOUBLE) / greatest(sum(l1), 1), 6)
+         AS full_conversion
+FROM lv
+""",
+    tags=("A5", "funnel", "window-funnel"),
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel — max ordered-chain depth within a sliding window
+    (the ClickHouse/Amplitude funnel primitive, distinct from the
+    first-event lag funnel q_signup_purchase_funnel): per user, does
+    a view → click → purchase chain exist with ALL events inside one
+    hour of the chain's opening view? Computed greedily and EXACTLY
+    with two running windows: last_c1 = the latest view at-or-before
+    each event, best_anchor2 = the best (latest) such anchor carried
+    by any click so far — choosing the latest anchor is optimal, so
+    level-3 holds iff a purchase sees best_anchor2 within the window.
+    No event-pair join, no per-user array: the classic O(n²)
+    funnel-join collapses to two window passes.
+
+    Scale shape: ONE exchange on user_id, both running windows and
+    the final per-user flags reuse its partitioning; the chain filter
+    pushes the three event types into the scan."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*WF_CHAIN)
+    )
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c1, c2, c3 = WF_CHAIN
+    w1 = ev.withColumn(
+        "last_c1",
+        F.max(
+            F.when(F.col("event_type") == c1, F.col("ts_ms"))
+        ).over(w),
+    )
+    w2 = w1.withColumn(
+        "best_anchor2",
+        F.max(
+            F.when(F.col("event_type") == c2, F.col("last_c1"))
+        ).over(w),
+    )
+    lv = w2.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == c1, 1).otherwise(0)).alias("l1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == c2)
+                & F.col("last_c1").isNotNull()
+                & (F.col("last_c1") >= F.col("ts_ms") - WF_WINDOW_MS),
+                1,
+            ).otherwise(0)
+        ).alias("l2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == c3)
+                & F.col("best_anchor2").isNotNull()
+                & (F.col("best_anchor2") >= F.col("ts_ms") - WF_WINDOW_MS),
+                1,
+            ).otherwise(0)
+        ).alias("l3"),
+    )
+    return lv.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("l1").cast("long").alias("reached_1"),
+        F.sum("l2").cast("long").alias("reached_2"),
+        F.sum("l3").cast("long").alias("reached_3"),
+        F.round(
+            F.sum("l3").cast("double") / F.greatest(F.sum("l1"), F.lit(1)), 6
+        ).alias("full_conversion"),
+    )
