@@ -1544,7 +1544,8 @@ def q_ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- windowFunnel (ordered event chain within a sliding window) ---
 
-WF_WINDOW_MS = 3_600_000  # 1 hour
+WF_WINDOW_MS = 21_600_000  # 6 hours — tight enough that the fixture's
+# sparse streams separate all three funnel levels (41 / 11 of 150)
 WF_CHAIN = ("view", "click", "purchase")
 
 
@@ -1595,8 +1596,8 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """windowFunnel — max ordered-chain depth within a sliding window
     (the ClickHouse/Amplitude funnel primitive, distinct from the
     first-event lag funnel q_signup_purchase_funnel): per user, does
-    a view → click → purchase chain exist with ALL events inside one
-    hour of the chain's opening view? Computed greedily and EXACTLY
+    a view → click → purchase chain exist with ALL events inside six
+    hours of the chain's opening view? Computed greedily and EXACTLY
     with two running windows: last_c1 = the latest view at-or-before
     each event, best_anchor2 = the best (latest) such anchor carried
     by any click so far — choosing the latest anchor is optimal, so
