@@ -1298,3 +1298,71 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@query(
+    "dedup_editdist_pairs",
+    oracle="""
+SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+    tags=("X1", "entity-resolution", "symspell"),
+)
+def dedup_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE RECORD LINKAGE with SymSpell deletion-
+    neighborhood blocking (Garbe 2012; the FastSS family): find every
+    customer-name pair within Levenshtein distance 1 WITHOUT an
+    all-pairs scan. Two strings are within edit distance 1 only if
+    their single-deletion neighborhoods intersect (substitution =
+    both delete the differing position; insert/delete = one side
+    deletes the extra char; the identity variant catches distance 0),
+    so candidates come from an EQUI-join on the variant string —
+    O(n·L) keys instead of O(n²) comparisons — and the exact
+    levenshtein() check then kills false candidates (e.g. adjacent
+    transpositions, which share two variants but sit at distance 2).
+
+    The oracle states the naive all-pairs quadratic form — tractable
+    at sf0.01's 1,500 customers, which is the point: the blocked plan
+    produces the identical pair set while scaling as keys, not pairs.
+    At 100 TB the variant join inherits the same skew guard as the
+    LSH band join (a hot variant bucket salts); variant count per
+    record is length-bounded, so this is for SHORT keys — names,
+    URLs, codes — not document bodies (those go through MinHash)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
+    )
+    variants = c.select(
+        "k",
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, length(name)), i -> "
+                    "CASE WHEN i = 0 THEN name "
+                    "ELSE concat(substring(name, 1, i-1), "
+                    "substring(name, i+1, length(name))) END)"
+                )
+            )
+        ).alias("v"),
+    )
+    a = variants.select(
+        F.col("v"), F.col("k").alias("a_key"), F.col("name").alias("a_name")
+    )
+    b = variants.select(
+        F.col("v"), F.col("k").alias("b_key"), F.col("name").alias("b_name")
+    )
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .select("a_key", "b_key", "a_name", "b_name")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("a_name", "b_name").cast("long")
+        )
+        .filter(F.col("dist") <= 1)
+        .select("a_key", "b_key", "dist")
+    )

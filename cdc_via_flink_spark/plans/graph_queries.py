@@ -332,3 +332,96 @@ def q_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority").desc(), "part")
         .limit(HITS_TOP)
     )
+
+
+AA_DEG_CAP = 40
+AA_TOP = 50
+
+
+@query(
+    "q_adamic_adar",
+    oracle=f"""
+WITH buyers AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+pdeg AS (
+  SELECT p, count(*) AS deg FROM buyers GROUP BY p
+  HAVING count(*) BETWEEN 2 AND {AA_DEG_CAP}
+),
+pairs AS (
+  SELECT a.c AS c1, b.c AS c2,
+         CAST(round(1.0 / ln(d.deg), 9) AS DECIMAL(38,9)) AS w
+  FROM buyers a JOIN buyers b ON a.p = b.p AND a.c < b.c
+  JOIN pdeg d ON d.p = a.p
+),
+scored AS (
+  SELECT c1, c2,
+         round(CAST(sum(w) AS DOUBLE), 6) AS aa_score,
+         CAST(count(*) AS BIGINT) AS shared_parts
+  FROM pairs GROUP BY c1, c2
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY aa_score DESC, c1, c2) AS rn
+  FROM scored
+)
+SELECT c1, c2, aa_score, shared_parts, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {AA_TOP}
+""",
+    tags=("graph", "link-prediction", "adamic-adar"),
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAMIC–ADAR LINK PREDICTION (Adamic & Adar 2003) over the
+    customer–part bipartite purchase graph: for every customer pair
+    sharing at least one part, score = sum over shared parts of
+    1/ln(part degree) — rare shared parts count more than popular
+    ones. Output = top-50 candidate pairs (the "customers who should
+    know each other" list every recommender bootstrap runs).
+
+    Scale shape: the pair generation is ATTRIBUTE-BLOCKED, never
+    all-pairs — customers pair only within a part's buyer list, and
+    parts with degree > {AA_DEG_CAP} are dropped BEFORE the self-join
+    (a hub part contributes ~0 to the score yet quadratic pairs; the
+    cap is the standard AA guard and makes the pair space
+    sum-of-squares-bounded). Per-part weights are rounded to 9 dp and
+    summed as DECIMAL(38,9) — exact, shuffle-order independent —
+    so the iterative-free float chain hash-matches DuckDB. The final
+    top-k compiles to TakeOrderedAndProject (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c")
+    )
+    buyers = li.join(o, "ok").select("c", "p").distinct()
+    pdeg = (
+        buyers.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= AA_DEG_CAP))
+    )
+    blocked = buyers.join(pdeg, "p")  # cap applied BEFORE pairing
+    a = blocked.select("p", F.col("c").alias("c1"), "deg")
+    b = blocked.select("p", F.col("c").alias("c2"))
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("c1") < F.col("c2"))
+        .select(
+            "c1",
+            "c2",
+            F.round(F.lit(1.0) / F.log(F.col("deg")), 9)
+            .cast("decimal(38,9)")
+            .alias("w"),
+        )
+    )
+    scored = pairs.groupBy("c1", "c2").agg(
+        F.round(F.sum("w").cast("double"), 6).alias("aa_score"),
+        F.count(F.lit(1)).alias("shared_parts"),
+    )
+    w = W.orderBy(F.col("aa_score").desc(), "c1", "c2")
+    return (
+        scored.select(
+            "c1", "c2", "aa_score", "shared_parts",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= AA_TOP)
+    )

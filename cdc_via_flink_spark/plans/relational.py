@@ -1894,3 +1894,86 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_anonymity_level", "n_groups",
         )
     )
+
+
+@query(
+    "q_l_diversity",
+    oracle="""
+WITH qi AS (
+  SELECT c_custkey,
+         c_nationkey,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         c_mktsegment
+  FROM customer
+),
+grp AS (
+  SELECT c_nationkey, bal_band,
+         count(*) AS grp_size,
+         count(DISTINCT c_mktsegment) AS l_div
+  FROM qi GROUP BY c_nationkey, bal_band
+),
+ls AS (SELECT CAST(unnest([2, 3, 5]) AS BIGINT) AS l)
+SELECT l.l,
+       CAST(count(CASE WHEN g.l_div < l.l THEN 1 END) AS BIGINT)
+         AS groups_below_l,
+       CAST(COALESCE(sum(CASE WHEN g.l_div < l.l THEN g.grp_size END), 0)
+            AS BIGINT) AS customers_exposed,
+       CAST(min(g.l_div) AS BIGINT) AS l_diversity_level,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM ls l CROSS JOIN grp g
+GROUP BY l.l
+""",
+    tags=("A3", "privacy", "l-diversity"),
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY AUDIT (Machanavajjhala et al. 2007 — the screen
+    k-anonymity alone cannot provide): a QI group can satisfy k yet
+    leak the sensitive attribute outright if every member shares the
+    same value. Group customers by the quasi-identifier tuple
+    (nation, $1000 balance band) and, treating the market segment as
+    the sensitive attribute, report for l in {2, 3, 5} how many
+    groups carry fewer than l distinct sensitive values and how many
+    individuals those homogeneous groups expose — plus the dataset's
+    actual l-diversity level (the min distinct-count).
+
+    Scale shape: one groupBy over the QI tuple computing
+    count + count(DISTINCT sensitive) together (Spark plans the
+    distinct via a partial expand, still a single shuffle keyed on
+    the QI), then the 3-row broadcast threshold cross join — the same
+    bounded second aggregate as q_k_anonymity_audit."""
+    c = load_table(spark, sf_dir, "customer")
+    grp = (
+        c.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("grp_size"),
+            F.countDistinct("c_mktsegment").alias("l_div"),
+        )
+    )
+    ls = spark.createDataFrame([(2,), (3,), (5,)], "l long")
+    return (
+        F.broadcast(ls)
+        .crossJoin(grp)
+        .groupBy("l")
+        .agg(
+            F.count(F.when(F.col("l_div") < F.col("l"), 1)).alias(
+                "groups_below_l"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("l_div") < F.col("l"), F.col("grp_size"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("customers_exposed"),
+            F.min("l_div").alias("l_diversity_level"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+        .select(
+            "l", "groups_below_l", "customers_exposed",
+            "l_diversity_level", "n_groups",
+        )
+    )

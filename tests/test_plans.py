@@ -972,3 +972,34 @@ def test_k_anonymity_two_aggregates_one_broadcast(spark):
     plan = _plan(spark, "q_k_anonymity_audit")
     assert "Window" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_l_diversity_two_aggregates_no_window(spark):
+    """q_l_diversity: QI groupBy (the distinct-count plans as the
+    two-level aggregate on (QI, sensitive) → (QI)) + the 3-row
+    broadcast threshold fold — no window, three keyed exchanges
+    total, all map-side-combined."""
+    plan = _plan(spark, "q_l_diversity")
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_adamic_adar_blocked_pairing_and_topk(spark):
+    """q_adamic_adar: pairing happens only within a part's (degree-
+    capped) buyer list via equi-joins — no cartesian — and the top-50
+    is row_number over a single-partition window of ALREADY-aggregated
+    pair scores (bounded), with the deg cap filtering BEFORE the
+    self-join (visible as a Filter on deg under the join)."""
+    plan = _plan(spark, "q_adamic_adar")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_editdist_pairs_equi_join_on_variants(spark):
+    """dedup_editdist_pairs: the candidate generator is an equi-join
+    on the deletion-variant string — the oracle's quadratic
+    levenshtein cross join must never appear in the Spark plan."""
+    plan = _plan(spark, "dedup_editdist_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "levenshtein" in plan, plan  # exact check still present
