@@ -613,3 +613,89 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("l_suppkey") - F.min("l_suppkey")).alias("sk_span"),
         )
     )
+
+
+@query(
+    "q_interval_overlap_binned",
+    oracle="""
+WITH iv AS (
+  SELECT l_suppkey AS sk,
+         l_orderkey * 10 + l_linenumber AS id,
+         l_shipdate AS s,
+         l_shipdate + INTERVAL (1 + l_linenumber * 3) DAY AS e
+  FROM lineitem
+)
+SELECT a.sk AS suppkey, CAST(count(*) AS BIGINT) AS overlap_pairs
+FROM iv a JOIN iv b
+  ON a.sk = b.sk AND a.id < b.id AND a.s <= b.e AND b.s <= a.e
+GROUP BY a.sk
+""",
+    tags=("J4", "interval-join", "binning"),
+)
+def q_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP SELF-JOIN via TEMPORAL BINNING — the classic
+    "how many concurrent shipments per supplier" range self-join
+    (shipment window = shipdate + 1..22 days, derived
+    deterministically from the line number). The oracle states the
+    quadratic theta-join; the Spark plan NEVER runs one: each
+    interval explodes into the month bins it covers (≤ 2 here — bin
+    width chosen ≥ max interval length), candidates come from an
+    EQUI-join on (supplier, bin), and each overlapping pair is
+    counted EXACTLY ONCE by crediting it to the month of
+    greatest(start_a, start_b) — a bin both intervals provably cover,
+    so no DISTINCT pass is needed.
+
+    Scale shape: pair work is quadratic only in per-(supplier, month)
+    bucket density, not in table size; the theta predicate survives
+    only as a cheap post-filter on equi-matched rows. This is the
+    same blocking idiom as the LSH band join, applied to the time
+    axis; a hot (supplier, month) bucket inherits the salting guard.
+    At 100× the bin width / key grain is the tuning knob (day bins,
+    supplier+part keys) — the plan shape is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("sk"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_shipdate").alias("s"),
+        F.expr(
+            "l_shipdate + make_interval(0, 0, 0, 1 + l_linenumber * 3)"
+        ).alias("e"),
+    )
+    binned = li.select(
+        "sk",
+        "id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", F.col("s")),
+                F.date_trunc("month", F.col("e")),
+                F.expr("interval 1 month"),
+            )
+        ).alias("bin"),
+    )
+    a = binned.select(
+        "sk", "bin",
+        F.col("id").alias("id_a"), F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = binned.select(
+        "sk", "bin",
+        F.col("id").alias("id_b"), F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    pairs = (
+        a.join(b, ["sk", "bin"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+            & (
+                F.col("bin")
+                == F.date_trunc("month", F.greatest(F.col("s_a"), F.col("s_b")))
+            )
+        )
+    )
+    return (
+        pairs.groupBy(F.col("sk").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("overlap_pairs"))
+    )

@@ -2866,3 +2866,135 @@ def text_kn_bigram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.round("doc_nll", 6)).alias("min_nll"),
         F.max(F.round("doc_nll", 6)).alias("max_nll"),
     )
+
+
+# --- TextRank keyword extraction ---
+
+TR_ITER = 3
+TR_DAMP = 0.85
+TR_TOP = 20
+_TR_DEC = "decimal(38,12)"
+
+
+def _textrank_oracle() -> str:
+    its = []
+    prev = "r0"
+    for i in range(1, TR_ITER + 1):
+        its.append(f"""
+it{i} AS (
+  SELECT n.word,
+         CAST({1.0 - TR_DAMP} AS DOUBLE)
+         + CAST({TR_DAMP} AS DOUBLE) * CAST(COALESCE(s.sc, 0) AS DOUBLE) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, sum(CAST(round((p.r / o.outw) * e.w, 12)
+                           AS DECIMAL(38,12))) AS sc
+    FROM {prev} p
+    JOIN edges e ON e.src = p.word
+    JOIN outw o ON o.src = p.word
+    GROUP BY e.dst
+  ) s ON s.dst = n.word
+)""")
+        prev = f"it{i}"
+    return f"""
+WITH tk AS (
+  SELECT string_split({SQL_NORM}, ' ') AS t FROM documents
+),
+adj AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> [t[i], t[i+1]])) AS pr
+  FROM tk
+),
+sym AS (
+  SELECT pr[1] AS src, pr[2] AS dst FROM adj WHERE pr[1] <> pr[2]
+  UNION ALL
+  SELECT pr[2] AS src, pr[1] AS dst FROM adj WHERE pr[1] <> pr[2]
+),
+edges AS (SELECT src, dst, count(*) AS w FROM sym GROUP BY src, dst),
+outw AS (SELECT src, CAST(sum(w) AS DOUBLE) AS outw FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS word FROM edges),
+r0 AS (SELECT word, CAST(1.0 AS DOUBLE) AS r FROM nodes),{",".join(its)},
+ranked AS (
+  SELECT word, round(r, 9) AS rank,
+         row_number() OVER (ORDER BY r DESC, word) AS rn
+  FROM {prev}
+)
+SELECT word, rank, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= {TR_TOP}
+"""
+
+
+@query(
+    "text_textrank_keywords",
+    oracle=_textrank_oracle(),
+    tags=("X3", "keywords", "textrank", "iterative-unrolled"),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTRANK KEYWORD EXTRACTION (Mihalcea & Tarau 2004): PageRank
+    (damping 0.85, {TR_ITER} unrolled iterations) over the corpus-wide
+    word ADJACENCY graph — words co-occurring next to each other link
+    both ways, edge weight = co-occurrence count, rank votes are
+    weight-proportional (r_u/outdeg_u · w_uv). Complements RAKE
+    (degree/frequency heuristic) with the graph-centrality scorer the
+    original paper showed beats tf-idf for keyphrase work.
+
+    Scale shape: the graph build is one groupBy over adjacent-pair
+    tokens (vocabulary²-bounded output, input-sized shuffle); each
+    unrolled iteration joins the rank table (|V| rows) to edges (|E|)
+    — the same bounded-iteration declarative recipe as q_pagerank3,
+    with per-edge contributions rounded to 12 dp and summed as
+    DECIMAL(38,12) so three chained float iterations still hash-match
+    DuckDB bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(tokens(F.col("text")).alias("t"))
+    n = F.size(F.col("t"))
+    adj = tk.select(
+        F.explode(
+            F.when(n < 2, F.array().cast("array<array<string>>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.array(
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).filter(F.col("pr")[0] != F.col("pr")[1])
+    fwd = adj.select(F.col("pr")[0].alias("src"), F.col("pr")[1].alias("dst"))
+    rev = adj.select(F.col("pr")[1].alias("src"), F.col("pr")[0].alias("dst"))
+    edges = (
+        fwd.unionAll(rev).groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("double").alias("outw"))
+    ew = edges.join(outw.select(F.col("src").alias("esrc"), "outw"),
+                    edges.src == F.col("esrc")).select("src", "dst", "w", "outw")
+    nodes = edges.select(F.col("src").alias("word")).distinct()
+    r = nodes.select("word", F.lit(1.0).alias("r"))
+    for _ in range(TR_ITER):
+        contrib = (
+            r.join(ew, r.word == ew.src)
+            .select(
+                F.col("dst"),
+                F.round((F.col("r") / F.col("outw")) * F.col("w"), 12)
+                .cast(_TR_DEC)
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+        )
+        r = nodes.join(contrib, nodes.word == contrib.dst, "left").select(
+            "word",
+            (
+                F.lit(1.0 - TR_DAMP)
+                + F.lit(TR_DAMP)
+                * F.coalesce(F.col("sc"), F.lit(0).cast(_TR_DEC)).cast("double")
+            ).alias("r"),
+        )
+    w = W.orderBy(F.col("r").desc(), "word")
+    return (
+        r.select(
+            "word",
+            F.round("r", 9).alias("rank"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= TR_TOP)
+    )

@@ -1655,3 +1655,171 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l3").cast("double") / F.greatest(F.sum("l1"), F.lit(1)), 6
         ).alias("full_conversion"),
     )
+
+
+# --- trend + smoothing statistics over the monthly revenue series ---
+
+_SQL_MREV = """
+  SELECT c.c_nationkey AS nk,
+         strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+"""
+
+
+def _mrev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation monthly revenue (exact DECIMAL sum) — the shared
+    series behind the Mann–Kendall and EWMA queries."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_nationkey").alias("nk")
+    )
+    return (
+        o.join(c, "o_custkey")
+        .groupBy(
+            "nk",
+            F.date_format(
+                F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM"
+            ).alias("month"),
+        )
+        .agg(F.sum(dec(F.col("o_totalprice"))).alias("rev"))
+    )
+
+
+@query(
+    "q_mann_kendall_trend",
+    oracle=f"""
+WITH mrev AS ({_SQL_MREV}),
+n AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_months FROM mrev GROUP BY nk),
+pairs AS (
+  SELECT a.nk,
+         CASE WHEN b.rev > a.rev THEN 1
+              WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+  FROM mrev a JOIN mrev b ON a.nk = b.nk AND a.month < b.month
+),
+s AS (SELECT nk, CAST(sum(sgn) AS BIGINT) AS s_stat FROM pairs GROUP BY nk)
+SELECT n.nk AS nationkey, n.n_months, s.s_stat,
+       round(CAST(s.s_stat AS DOUBLE)
+             / (n.n_months * (n.n_months - 1) / 2.0), 6) AS kendall_tau
+FROM n JOIN s ON n.nk = s.nk
+""",
+    tags=("A5", "trend-test", "mann-kendall"),
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN–KENDALL TREND TEST (Mann 1945 / Kendall 1975 — the
+    nonparametric monotone-trend screen a data-quality pipeline runs
+    over every metric series): per nation, over the monthly revenue
+    series, S = #(concordant month pairs) − #(discordant), and
+    Kendall's tau = S / C(n,2). Sign-based, so it needs NO float
+    parity policy beyond the one final divide — revenues compare as
+    exact DECIMALs.
+
+    Scale shape: the pair join is blocked per nation AND quadratic
+    only in the MONTH count (the time dimension, ~constant as data
+    grows 100×), never in row count — the base aggregate is the only
+    input-sized shuffle. Month-pair fan-out: C(84,2) ≈ 3.5k rows per
+    nation."""
+    mrev = _mrev(spark, sf_dir)
+    n = mrev.groupBy("nk").agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    a = mrev.select("nk", F.col("month").alias("m1"), F.col("rev").alias("r1"))
+    b = mrev.select("nk", F.col("month").alias("m2"), F.col("rev").alias("r2"))
+    pairs = (
+        a.join(b, "nk")
+        .filter(F.col("m1") < F.col("m2"))
+        .select(
+            "nk",
+            F.when(F.col("r2") > F.col("r1"), 1)
+            .when(F.col("r2") < F.col("r1"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+    )
+    s = pairs.groupBy("nk").agg(F.sum("sgn").cast("long").alias("s_stat"))
+    return (
+        n.join(s, "nk")
+        .select(
+            F.col("nk").alias("nationkey"),
+            "n_months",
+            "s_stat",
+            F.round(
+                F.col("s_stat").cast("double")
+                / (F.col("n_months") * (F.col("n_months") - 1) / 2.0),
+                6,
+            ).alias("kendall_tau"),
+        )
+    )
+
+
+@query(
+    "q_ewma_revenue",
+    oracle=f"""
+WITH mrev AS ({_SQL_MREV}),
+idx AS (
+  SELECT nk, CAST(rev AS DOUBLE) AS rev,
+         row_number() OVER (PARTITION BY nk ORDER BY month) AS rn,
+         count(*) OVER (PARTITION BY nk) AS n,
+         max(month) OVER (PARTITION BY nk) AS last_month
+  FROM mrev
+),
+w AS (
+  SELECT nk, last_month, n, rev,
+         power(0.5, CAST(n - rn AS DOUBLE)) AS w
+  FROM idx
+),
+agg AS (
+  SELECT nk, any_value(last_month) AS last_month,
+         CAST(any_value(n) AS BIGINT) AS n_months,
+         sum(CAST(round(rev * w, 4) AS DECIMAL(38,4))) AS num,
+         sum(CAST(round(w, 12) AS DECIMAL(38,12))) AS den
+  FROM w GROUP BY nk
+)
+SELECT nk AS nationkey, last_month, n_months,
+       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 2) AS ewma_revenue
+FROM agg
+""",
+    tags=("A5", "smoothing", "ewma"),
+)
+def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIALLY WEIGHTED MOVING AVERAGE of monthly revenue per
+    nation (pandas ewm adjust=True semantics: weighted mean with
+    w_t = (1−α)^(T−t)), α = 0.5 — i.e. a one-month half-life. The
+    smoothed "current run-rate" metric a finance rollup keeps next to
+    the raw series.
+
+    Float-parity design: α = 0.5 makes every weight an exact power of
+    two, so power(0.5, k) is BIT-EXACT in any IEEE-754 pow (no
+    cross-engine libm risk — the reason this query uses a half-life
+    rather than the textbook 0.3); contributions round then sum as
+    DECIMAL (order-independent), and the single num/den divide is the
+    one shared float op. Scale shape: one input-sized groupBy, then
+    windows over nation×month cells (bounded by the time dimension);
+    nothing quadratic, no driver collect."""
+    mrev = _mrev(spark, sf_dir)
+    pw = W.partitionBy("nk")
+    idx = mrev.select(
+        "nk",
+        F.col("rev").cast("double").alias("rev"),
+        F.row_number().over(pw.orderBy("month")).alias("rn"),
+        F.count(F.lit(1)).over(pw).alias("n"),
+        F.max("month").over(pw).alias("last_month"),
+    )
+    wgt = idx.withColumn(
+        "w", F.pow(F.lit(0.5), (F.col("n") - F.col("rn")).cast("double"))
+    )
+    agg = wgt.groupBy("nk").agg(
+        F.any_value("last_month").alias("last_month"),
+        F.any_value("n").cast("long").alias("n_months"),
+        F.sum(F.round(F.col("rev") * F.col("w"), 4).cast("decimal(38,4)")).alias(
+            "num"
+        ),
+        F.sum(F.round(F.col("w"), 12).cast("decimal(38,12)")).alias("den"),
+    )
+    return agg.select(
+        F.col("nk").alias("nationkey"),
+        "last_month",
+        "n_months",
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 2
+        ).alias("ewma_revenue"),
+    )

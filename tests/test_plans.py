@@ -1003,3 +1003,41 @@ def test_editdist_pairs_equi_join_on_variants(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "levenshtein" in plan, plan  # exact check still present
+
+
+def test_mann_kendall_month_blocked_pairs(spark):
+    """q_mann_kendall_trend: the sign-pair join is an equi-join on
+    nation (pairs bounded by month-count², never row-count²) — no
+    cartesian/BNLJ — and revenues compare as exact decimals."""
+    plan = _plan(spark, "q_mann_kendall_trend")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ewma_exact_powers_no_quadratic(spark):
+    """q_ewma_revenue: one input-sized groupBy + nation-partitioned
+    windows over the bounded month cells; weights are POW(0.5, k)
+    (bit-exact), no self-join anywhere."""
+    plan = _plan(spark, "q_ewma_revenue")
+    assert "CartesianProduct" not in plan, plan
+    assert "POWER(0.5" in plan or "pow(0.5" in plan.lower(), plan
+
+
+def test_interval_overlap_equi_join_on_bins(spark):
+    """q_interval_overlap_binned: the oracle's theta self-join must
+    appear in the Spark plan ONLY as a post-filter on an equi-join
+    keyed by (supplier, month bin) — no cartesian, no BNLJ, and a
+    SortMergeJoin/ShuffledHashJoin with join keys including the bin."""
+    plan = _plan(spark, "q_interval_overlap_binned")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "bin" in plan, plan
+
+
+def test_textrank_bounded_iterations_no_collect(spark):
+    """text_textrank_keywords: three unrolled iterations — rank/edge
+    equi-joins only, decimal contribution sums, single final top-k
+    window over the |V|-row rank table."""
+    plan = _plan(spark, "text_textrank_keywords")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
