@@ -752,3 +752,47 @@ def q_cms_point_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_n").desc(), "w")
         .limit(CMS_TOP)
     )
+
+
+@query(
+    "q_bitmap_distinct_rollup",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""",
+    tags=("A3", "bitmap", "exact-distinct"),
+)
+def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT DISTINCT-COUNT VIA BITMAP ROLLUP — the ClickHouse/Doris
+    groupBitmap pattern re-expressed in pure Catalyst: daily active
+    users computed as bit_or-folded 32-bit bitmap words keyed by
+    (day, user_id div 32), then sum(bit_count(word)) per day. The
+    oracle states the plain count(DISTINCT).
+
+    Why this shape at 100 TB: count(DISTINCT) shuffles every distinct
+    (day, user) pair; the bitmap fold's partial state is ONE long per
+    32 users per day per partition, merges are associative+idempotent
+    bit_or (map-side combine eats almost everything), and the result
+    is still EXACT — the same trick the maintained Bloom gate uses,
+    pointed at cardinality instead of membership. 32-bit blocks keep
+    every shift in-range for engines that refuse 1<<63 overflow.
+    Re-aggregating bitmap words also gives rollups across dims for
+    free (OR the words) — the reason OLAP stores persist the bitmap,
+    not the count."""
+    e = load_table(spark, sf_dir, "events")
+    words = (
+        e.select(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            (F.col("user_id") / 32).cast("long").alias("blk"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("day", "blk")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    return (
+        words.groupBy("day")
+        .agg(F.sum(F.bit_count("word")).cast("long").alias("n_users"))
+    )

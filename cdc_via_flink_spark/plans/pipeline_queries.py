@@ -1198,3 +1198,98 @@ def q_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             acct("lineitem", li, "l_orderkey", dead_orders, "o_orderkey")
         )
     )
+
+
+NEYMAN_TOTAL = 100
+
+
+@query(
+    "q_neyman_allocation",
+    oracle=f"""
+WITH st AS (
+  SELECT c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n_h,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(round(c_acctbal * c_acctbal, 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS s2
+  FROM customer GROUP BY c_mktsegment
+),
+sd AS (
+  SELECT segment, n_h,
+         sqrt((s2 - s1 * s1 / n_h) / (n_h - 1)) AS s_h
+  FROM st
+),
+w AS (
+  SELECT segment, n_h, s_h,
+         CAST(round(n_h * s_h, 6) AS DECIMAL(38,6)) AS w_h
+  FROM sd
+),
+tot AS (SELECT CAST(sum(w_h) AS DOUBLE) AS wt FROM w)
+SELECT w.segment, w.n_h, round(w.s_h, 6) AS s_h,
+       CAST(round({NEYMAN_TOTAL} * CAST(w.w_h AS DOUBLE) / t.wt, 0) AS BIGINT)
+         AS alloc_n
+FROM w CROSS JOIN tot t
+""",
+    tags=("sampling", "neyman", "survey-design"),
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN OPTIMAL ALLOCATION (Neyman 1934): split a fixed sample
+    budget of {NEYMAN_TOTAL} across the market-segment strata
+    proportionally to N_h·S_h — big AND volatile strata get more
+    samples, minimizing the stratified estimator's variance for the
+    budget. The design step that makes q_stratified_sample's rates
+    principled instead of proportional-by-default.
+
+    Parity: per-stratum sums and sum-of-squares fold as exact
+    DECIMALs (squares rounded to 4 dp first — both engines compute
+    the identical double product), the variance identity
+    (Σy² − (Σy)²/n)/(n−1) then runs in shared double arithmetic, and
+    the 5 stratum weights re-fold as DECIMAL(38,6) so the grand total
+    is order-independent. Scale shape: ONE pass over the table (one
+    groupBy on the stratum key, map-side combined); the grand total is
+    a single-partition window over the 5 STRATUM rows (bounded by the
+    stratum domain, not the data) so customer is never scanned
+    twice."""
+    c = load_table(spark, sf_dir, "customer")
+    st = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            F.round(F.col("c_acctbal") * F.col("c_acctbal"), 4).cast(
+                "decimal(38,4)"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    sd = st.select(
+        "segment",
+        "n_h",
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_h"))
+            / (F.col("n_h") - 1)
+        ).alias("s_h"),
+    )
+    w = sd.select(
+        "segment",
+        "n_h",
+        "s_h",
+        F.round(F.col("n_h") * F.col("s_h"), 6).cast("decimal(38,6)").alias("w_h"),
+    )
+    wt = F.sum("w_h").over(W.partitionBy()).cast("double")
+    return (
+        w.withColumn("wt", wt)
+        .select(
+            "segment",
+            "n_h",
+            F.round("s_h", 6).alias("s_h"),
+            F.round(
+                F.lit(NEYMAN_TOTAL) * F.col("w_h").cast("double") / F.col("wt"),
+                0,
+            )
+            .cast("long")
+            .alias("alloc_n"),
+        )
+    )

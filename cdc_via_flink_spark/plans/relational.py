@@ -1977,3 +1977,42 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_diversity_level", "n_groups",
         )
     )
+
+
+@query(
+    "q_join_size_by_counts",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS join_rows,
+       CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS matched_keys
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
+    tags=("A3", "cardinality-estimation", "join-size"),
+)
+def q_join_size_by_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE COMPUTATION WITHOUT THE JOIN — the cost-based
+    optimizer's cardinality identity |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k)
+    evaluated exactly: per-key counts on each side, a join of the two
+    AGGREGATES (one row per key, never the fact rows), and a decimal
+    sum of the products. The oracle executes the real join and
+    counts; the plan here touches |keys| rows post-aggregation
+    instead of |A|·selectivity output rows.
+
+    Why it matters at 100 TB: this is how an engine sizes a shuffle
+    before paying for it (skew detection runs the same per-key count
+    sketch) — and the identity doubles as a cheap join-result
+    validation: if the materialized pipeline's row count disagrees
+    with this number, a key exploded or a filter leaked."""
+    l_cnt = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("nl"))
+    )
+    o_cnt = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("no"))
+    )
+    return l_cnt.join(o_cnt, "k").agg(
+        F.sum(F.col("nl") * F.col("no")).cast("long").alias("join_rows"),
+        F.count(F.lit(1)).cast("long").alias("matched_keys"),
+    )

@@ -1823,3 +1823,69 @@ def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("num").cast("double") / F.col("den").cast("double"), 2
         ).alias("ewma_revenue"),
     )
+
+
+@query(
+    "q_theil_sen_slope",
+    oracle=f"""
+WITH mrev AS ({_SQL_MREV}),
+pts AS (
+  SELECT nk,
+         CAST(substring(month, 1, 4) AS BIGINT) * 12
+           + CAST(substring(month, 6, 2) AS BIGINT) AS x,
+         CAST(rev AS DOUBLE) AS y
+  FROM mrev
+),
+slopes AS (
+  SELECT a.nk,
+         round((b.y - a.y) / (b.x - a.x), 9) AS slope
+  FROM pts a JOIN pts b ON a.nk = b.nk AND a.x < b.x
+)
+SELECT nk AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_slopes,
+       round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+FROM slopes GROUP BY nk
+""",
+    tags=("A5", "robust-regression", "theil-sen"),
+)
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL–SEN ROBUST TREND SLOPE (Theil 1950 / Sen 1968): per
+    nation, the median of all pairwise month-to-month revenue slopes
+    — the robust-regression companion to q_mann_kendall_trend (same
+    monthly series, same month-blocked pair space): up to ~29% of the
+    months can be corrupted before the estimate moves.
+
+    Parity: slopes are rounded to 9 dp before the median; both
+    engines interpolate the even-count median identically
+    (lower + (upper−lower)·0.5 over the same rounded doubles — Spark
+    percentile() vs DuckDB quantile_cont). Scale shape: identical to
+    Mann–Kendall — pair fan-out is C(n_months, 2) per nation, the
+    time dimension, invariant as row count grows 100×; the exact
+    median runs over those bounded slope sets, never over raw rows."""
+    mrev = _mrev(spark, sf_dir)
+    pts = mrev.select(
+        "nk",
+        (
+            F.substring("month", 1, 4).cast("long") * 12
+            + F.substring("month", 6, 2).cast("long")
+        ).alias("x"),
+        F.col("rev").cast("double").alias("y"),
+    )
+    a = pts.select("nk", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = pts.select("nk", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    slopes = (
+        a.join(b, "nk")
+        .filter(F.col("x1") < F.col("x2"))
+        .select(
+            "nk",
+            F.round(
+                (F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1")), 9
+            ).alias("slope"),
+        )
+    )
+    return slopes.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_slopes"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("theil_sen_slope"),
+    ).select(
+        F.col("nk").alias("nationkey"), "n_slopes", "theil_sen_slope"
+    )

@@ -1041,3 +1041,44 @@ def test_textrank_bounded_iterations_no_collect(spark):
     plan = _plan(spark, "text_textrank_keywords")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bitmap_rollup_no_expand_two_aggregates(spark):
+    """q_bitmap_distinct_rollup: the exact distinct must NOT plan as
+    count(DISTINCT) (no Expand, no (day,user) distinct shuffle) —
+    just the two keyed bit_or/sum aggregates, both map-side
+    combined."""
+    plan = _plan(spark, "q_bitmap_distinct_rollup")
+    assert "Expand" not in plan, plan
+    assert "bit_or" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_theil_sen_month_blocked_pairs(spark):
+    """q_theil_sen_slope: pairwise slopes come from the nation-keyed
+    equi-join over monthly cells — no cartesian — and the median runs
+    per nation over the bounded slope sets."""
+    plan = _plan(spark, "q_theil_sen_slope")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_join_size_by_counts_joins_aggregates_not_facts(spark):
+    """q_join_size_by_counts: both join inputs must be aggregates
+    (HashAggregate below the join), never the raw fact scans — the
+    whole point is sizing the join without paying for it."""
+    plan = _plan(spark, "q_join_size_by_counts")
+    j = plan.find("Join")
+    assert j != -1, plan
+    # every scan is separated from the join by an aggregate
+    below = plan[j:]
+    assert below.count("HashAggregate") >= 4, plan  # partial+final per side
+
+
+def test_neyman_single_scan_broadcast_total(spark):
+    """q_neyman_allocation: one input-sized groupBy; the grand total
+    is a single-partition window over the 5 STRATUM rows — customer
+    is scanned exactly once."""
+    plan = _plan(spark, "q_neyman_allocation")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
