@@ -454,3 +454,179 @@ def mm_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
     return decode_image_dims(synth_image_payload(d))
+
+
+# --- perceptual-hash near-duplicates over the binary payload ---
+
+PHASH_SEGS = 64
+PHASH_BANDS = 8  # 8 bands x 8 bits
+PHASH_HAM_T = 7  # < PHASH_BANDS, so banding recall is EXACT (pigeonhole)
+PHASH_REPL_OFF = 10000  # replica doc_id offset ("re-encoded copy" twins)
+PHASH_REPL_MOD = 25  # every 25th doc gets a re-encoded replica
+
+
+@query(
+    "mm_phash_neardup",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {PHASH_SEGS}
+),
+docs AS (
+  SELECT doc_id, text, length(text) AS len FROM base
+  UNION ALL
+  SELECT doc_id + {PHASH_REPL_OFF},
+         concat(substring(text, 1, 9), 'xxx',
+                substring(text, 13, length(text))) AS text,
+         length(text) AS len
+  FROM base WHERE doc_id % {PHASH_REPL_MOD} = 0
+),
+bytes AS (
+  SELECT doc_id, len, i AS pos,
+         ascii(substring(text, CAST(i + 1 AS INTEGER), 1)) AS b
+  FROM docs, unnest(range(0, len)) AS t(i)
+),
+segs AS (
+  SELECT doc_id, CAST(floor(pos * {PHASH_SEGS} / len) AS BIGINT) AS seg,
+         CAST(sum(b) AS DOUBLE) / count(*) AS seg_mean
+  FROM bytes GROUP BY doc_id, CAST(floor(pos * {PHASH_SEGS} / len) AS BIGINT)
+),
+dmean AS (
+  SELECT doc_id, CAST(sum(b) AS DOUBLE) / count(*) AS doc_mean
+  FROM bytes GROUP BY doc_id
+),
+ph AS (
+  SELECT s.doc_id,
+         string_agg(CASE WHEN s.seg_mean > d.doc_mean
+                         THEN '1' ELSE '0' END, '' ORDER BY s.seg) AS phash
+  FROM segs s JOIN dmean d ON s.doc_id = d.doc_id
+  GROUP BY s.doc_id
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(list_sum(list_transform(range(1, {PHASH_SEGS} + 1),
+            i -> CASE WHEN substring(a.phash, CAST(i AS INTEGER), 1)
+                       <> substring(b.phash, CAST(i AS INTEGER), 1)
+                 THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE list_sum(list_transform(range(1, {PHASH_SEGS} + 1),
+        i -> CASE WHEN substring(a.phash, CAST(i AS INTEGER), 1)
+                   <> substring(b.phash, CAST(i AS INTEGER), 1)
+             THEN 1 ELSE 0 END)) <= {PHASH_HAM_T}
+""",
+    tags=("X4", "phash", "near-dup"),
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH NEAR-DUPLICATES over the binary payload — the
+    aHash recipe (average hash: resample to {PHASH_SEGS} cells,
+    threshold each cell's mean against the global mean) applied to
+    payload bytes, then banded LSH over the {PHASH_SEGS}-bit signature
+    exactly like SimHash: {PHASH_BANDS} bands of 8 bits, candidates
+    only within a band bucket, exact Hamming verify at
+    ≤ {PHASH_HAM_T}. Because the threshold is strictly below the band
+    count, the pigeonhole principle makes banding recall EXACT — every
+    qualifying pair shares at least one full band — so the blocked
+    plan provably equals the oracle's all-pairs form (the same
+    guarantee the SimHash query relies on, here for media bytes).
+
+    Scale shape: signature build is one explode + two keyed aggs
+    (input-sized, map-side combined); pair work is confined to band
+    buckets; the 64-position Hamming fold is a JVM higher-order
+    aggregate on candidates only. On a real corpus the payload would
+    be decoded pixels; the byte-grid stand-in keeps the ENTIRE
+    plumbing (fixed-width signature, banding, exact verify) real.
+    Because the fixture corpus has no byte-level near-dups (measured
+    min Hamming 10), every 25th document is unioned with a
+    deterministic "re-encoded copy" (3 bytes overlaid, same length)
+    — the lossy-recompression twin perceptual hashing exists to
+    catch — in BOTH engines, so the match path is exercised, not
+    vacuously green on an empty result."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= PHASH_SEGS)
+        .select("doc_id", "text")
+    )
+    replicas = base.filter(F.col("doc_id") % PHASH_REPL_MOD == 0).select(
+        (F.col("doc_id") + PHASH_REPL_OFF).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 9),
+            F.lit("xxx"),
+            F.expr("substring(text, 13, length(text))"),
+        ).alias("text"),
+    )
+    d = base.unionAll(replicas).select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    by = d.select(
+        "doc_id",
+        "len",
+        F.posexplode(F.split(F.col("text"), "")).alias("pos", "c"),
+    ).select(
+        "doc_id",
+        "len",
+        "pos",
+        F.ascii(F.col("c")).alias("b"),
+    )
+    segs = (
+        by.groupBy(
+            "doc_id",
+            F.floor(F.col("pos") * PHASH_SEGS / F.col("len")).alias("seg"),
+        )
+        .agg((F.sum("b").cast("double") / F.count(F.lit(1))).alias("seg_mean"))
+    )
+    dmean = by.groupBy("doc_id").agg(
+        (F.sum("b").cast("double") / F.count(F.lit(1))).alias("doc_mean")
+    )
+    ph = (
+        segs.join(dmean, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "seg",
+                                F.when(
+                                    F.col("seg_mean") > F.col("doc_mean"), "1"
+                                )
+                                .otherwise("0")
+                                .alias("bit"),
+                            )
+                        )
+                    ),
+                    lambda x: x.bit,
+                ),
+                "",
+            ).alias("phash")
+        )
+    )
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "phash",
+        "band",
+        F.expr(f"substring(phash, band * 8 + 1, 8)").alias("bits"),
+    )
+    a = bands.select(
+        "band", "bits", F.col("doc_id").alias("a_id"), F.col("phash").alias("pa")
+    )
+    b = bands.select(
+        "band", "bits", F.col("doc_id").alias("b_id"), F.col("phash").alias("pb")
+    )
+    cand = (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "pa", "pb")
+        .distinct()
+    )
+    ham = F.expr(
+        f"aggregate(sequence(1, {PHASH_SEGS}), 0, (acc, i) -> acc + "
+        "IF(substring(pa, i, 1) <> substring(pb, i, 1), 1, 0))"
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= PHASH_HAM_T)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -2998,3 +2998,82 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= TR_TOP)
     )
+
+
+@query(
+    "text_score_calibration",
+    oracle=f"""
+WITH per AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         round(CAST(len(list_filter(string_split({SQL_NORM}, ' '),
+               w -> list_contains(
+                 ['the','a','and','of','to','in','be','that','have','with'],
+                 w))) AS DOUBLE)
+               / len(string_split({SQL_NORM}, ' ')), 9) AS score
+  FROM documents
+),
+deciled AS (
+  SELECT pos, score, ntile(10) OVER (ORDER BY score, doc_id) AS decile
+  FROM per
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(score AS DECIMAL(28,9))) AS DOUBLE)
+             / count(*), 6) AS mean_score,
+       round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS positive_rate
+FROM deciled GROUP BY decile
+""",
+    tags=("X3", "evaluation", "calibration"),
+)
+def text_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELIABILITY DIAGRAM (calibration table) for the stopword-ratio
+    quality score against the lang='en' label — the companion readout
+    to text_auc_quality_vs_lang: AUC says the score RANKS well;
+    calibration says whether a 0.3-scoring bucket actually contains
+    ~30% positives, which is what a corpus-filter threshold acts on.
+    Docs are split into score deciles (ntile over the deterministic
+    (score, doc_id) order — both engines assign identical buckets);
+    each row reports bucket size, mean score (9-dp-rounded scores
+    summed as DECIMAL, one shared divide) and observed positive rate.
+
+    Scale shape: the per-doc score is map-side; the decile ntile is
+    the one rank-based step — at 100 TB it becomes a two-pass
+    quantile-cut (approx thresholds + map-side bucketing) with the
+    same downstream aggregate, or rides a pre-sorted score column;
+    the final groupBy is 10 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        tokens(F.col("text")).alias("t"),
+    )
+    sw = F.array(*[F.lit(w) for w in (
+        "the", "a", "and", "of", "to", "in", "be", "that", "have", "with",
+    )])
+    per = tk.select(
+        "doc_id",
+        "pos",
+        F.round(
+            F.size(F.filter(F.col("t"), lambda w: F.array_contains(sw, w)))
+            .cast("double")
+            / F.size(F.col("t")),
+            9,
+        ).alias("score"),
+    )
+    deciled = per.select(
+        "pos",
+        "score",
+        F.ntile(10).over(W.orderBy("score", "doc_id")).alias("decile"),
+    )
+    return deciled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_score"),
+        F.round(F.sum("pos").cast("double") / F.count(F.lit(1)), 6).alias(
+            "positive_rate"
+        ),
+    )

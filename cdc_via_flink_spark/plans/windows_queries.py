@@ -1889,3 +1889,91 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("nk").alias("nationkey"), "n_slopes", "theil_sen_slope"
     )
+
+
+@query(
+    "q_event_lateness_histogram",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         max(epoch_ms(ts)) OVER (PARTITION BY user_id
+             ORDER BY epoch_ms(ts) // 3600000,
+                      md5(CAST(event_id AS VARCHAR))
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_wm
+  FROM events
+),
+lat AS (
+  SELECT (high_wm - ts_ms) / 60000 AS lm FROM seq
+),
+b AS (
+  SELECT CASE WHEN lm <= 0 THEN 0 WHEN lm <= 5 THEN 1 WHEN lm <= 30 THEN 2
+              WHEN lm <= 120 THEN 3 ELSE 4 END AS bucket_id,
+         CASE WHEN lm <= 0 THEN 'on-time' WHEN lm <= 5 THEN '1-5m'
+              WHEN lm <= 30 THEN '6-30m' WHEN lm <= 120 THEN '31-120m'
+              ELSE '>120m' END AS bucket
+  FROM lat
+)
+SELECT CAST(bucket_id AS BIGINT) AS bucket_id, bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+FROM b GROUP BY bucket_id, bucket
+""",
+    tags=("W1", "lateness", "data-quality"),
+)
+def q_event_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME LATENESS HISTOGRAM — the batch audit that sizes a
+    streaming watermark: replay each user's events in ARRIVAL order,
+    track the running high watermark, and bucket how far
+    behind it each event's timestamp arrives (on-time / ≤5m / ≤30m /
+    ≤120m / beyond). The resulting distribution is exactly the
+    evidence that picks `withWatermark`'s delay: the bucket that
+    captures ~99% of events IS the delay budget, and the `>120m`
+    tail is the dead-letter rate the pipeline must route (see
+    cdc_dead_letter). The fixture's event_id order is perfectly
+    time-sorted (zero disorder measured), so arrival order is
+    simulated deterministically: events land batched by hour but
+    SHUFFLED within the batch (md5 of the id — the classic
+    out-of-order-within-a-file shape), identically in both engines.
+
+    Scale shape: one user-partitioned running-max window (keyed
+    shuffle on user_id), then a 5-bucket groupBy — the share window
+    runs over 5 aggregated rows. Nothing global touches raw events."""
+    e = load_table(spark, sf_dir, "events")
+    uw = (
+        W.partitionBy("user_id")
+        .orderBy(
+            (F.col("ts_ms") / 3600000).cast("long"),
+            F.md5(F.col("event_id").cast("string")),
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lat = e.select(
+        ((F.max("ts_ms").over(uw) - F.col("ts_ms")) / 60000).alias("lm")
+    )
+    b = lat.select(
+        F.when(F.col("lm") <= 0, 0)
+        .when(F.col("lm") <= 5, 1)
+        .when(F.col("lm") <= 30, 2)
+        .when(F.col("lm") <= 120, 3)
+        .otherwise(4)
+        .alias("bucket_id"),
+        F.when(F.col("lm") <= 0, "on-time")
+        .when(F.col("lm") <= 5, "1-5m")
+        .when(F.col("lm") <= 30, "6-30m")
+        .when(F.col("lm") <= 120, "31-120m")
+        .otherwise(">120m")
+        .alias("bucket"),
+    )
+    g = b.groupBy("bucket_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return g.select(
+        F.col("bucket_id").cast("long"),
+        "bucket",
+        "n_events",
+        F.round(
+            F.col("n_events")
+            / F.sum("n_events").over(W.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+    )

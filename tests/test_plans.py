@@ -1082,3 +1082,32 @@ def test_neyman_single_scan_broadcast_total(spark):
     plan = _plan(spark, "q_neyman_allocation")
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_phash_banded_candidates_no_all_pairs(spark):
+    """mm_phash_neardup: candidates come from the (band, bits)
+    equi-join over 64-bit signatures — the oracle's quadratic
+    phash cross join must never appear — and the Hamming verify is a
+    JVM higher-order fold (no Python)."""
+    plan = _plan(spark, "mm_phash_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_lateness_histogram_user_keyed_window(spark):
+    """q_event_lateness_histogram: the running high-watermark window
+    is user-partitioned (keyed shuffle, never a raw-event global
+    sort); the only single-partition step is the 5-row share
+    window."""
+    plan = _plan(spark, "q_event_lateness_histogram")
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_calibration_single_scan_ten_rows(spark):
+    """text_score_calibration: one documents scan, the ntile rank
+    step, a 10-row aggregate — no joins at all."""
+    plan = _plan(spark, "text_score_calibration")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
