@@ -796,3 +796,61 @@ def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.groupBy("day")
         .agg(F.sum(F.bit_count("word")).cast("long").alias("n_users"))
     )
+
+
+@query(
+    "q_bitmap_retention",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+)
+SELECT a.day AS day,
+       CAST(count(*) AS BIGINT) AS retained
+FROM du a JOIN du b
+  ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+GROUP BY a.day
+""",
+    tags=("A3", "bitmap", "retention"),
+)
+def q_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-OVER-DAY RETENTION VIA BITMAP INTERSECTION — the second
+    half of the groupBitmap pattern (q_bitmap_distinct_rollup builds
+    the words; this query shows why OLAP stores PERSIST them): users
+    active on both day d and d+1 counted as
+    sum(bit_count(word_d & word_{d+1})) over the (day, block) word
+    table. The oracle states the plain distinct self-join.
+
+    Scale shape: the join runs over bitmap WORDS — |days|·|users|/32
+    rows — instead of distinct (day, user) pairs, and the AND+popcount
+    is pure integer arithmetic. The same word table answers ANY
+    set-algebra question (churn = d AND NOT d+1, resurrection,
+    N-day windows) with no re-scan of events — the reuse argument
+    that makes the bitmap the materialization of choice at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    words = (
+        e.select(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            (F.col("user_id") / 32).cast("long").alias("blk"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("day", "blk")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    nxt = words.select(
+        F.date_sub(F.col("day"), 1).alias("day"),
+        "blk",
+        F.col("word").alias("word_next"),
+    )
+    return (
+        words.join(nxt, ["day", "blk"])
+        .groupBy("day")
+        .agg(
+            F.sum(F.bit_count(F.col("word").bitwiseAND(F.col("word_next"))))
+            .cast("long")
+            .alias("retained")
+        )
+        .filter(F.col("retained") > 0)
+    )

@@ -6,7 +6,7 @@ reducer) — so the oracles state the naive equivalent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_via_flink_spark.operators.ivf import ivf_topk
 from cdc_via_flink_spark.plans.parity import dec
@@ -698,4 +698,65 @@ def q_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.groupBy(F.col("sk").alias("suppkey"))
         .agg(F.count(F.lit(1)).alias("overlap_pairs"))
+    )
+
+
+SALTED_TOPK = 5
+SALTED_TOPK_BUCKETS = 16
+
+
+@query(
+    "q_salted_topk",
+    oracle=f"""
+SELECT o_orderstatus AS status, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_orderstatus
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders
+) t WHERE rn <= {SALTED_TOPK}
+""",
+    tags=("A5", "skew", "salted-window"),
+)
+def q_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED TWO-PHASE TOP-K — the skew-proof form of "top-5 rows
+    per group" when the group key is HOT (here o_orderstatus: 3
+    values, so a naive window sends a third of the table through one
+    reducer). Phase 1 ranks within (status, salt) — salt =
+    orderkey % {SALTED_TOPK_BUCKETS}, deterministic — and keeps each
+    salt's local top-{SALTED_TOPK}; phase 2 re-ranks the surviving
+    groups × salts × {SALTED_TOPK} rows. The local top-k of every
+    salt is a superset of that salt's contribution to the global
+    top-k, so the two-phase result is EXACTLY the naive window's
+    (the oracle states the naive form).
+
+    Scale shape: the heavy shuffle is keyed by (status, salt) —
+    {SALTED_TOPK_BUCKETS}× the parallelism of the skewed key — and
+    phase 2 touches a bounded candidate set (groups·salts·k rows).
+    Same idiom as q_salted_agg, applied to rank windows; at 100 TB
+    the salt count scales with executor count, not data. (Spark's
+    partial WindowGroupLimit already caps what each MAPPER emits for
+    a rank filter; the salt additionally spreads the REDUCE side —
+    the k·n_mappers survivor stream per hot group lands on
+    {SALTED_TOPK_BUCKETS} reducers instead of one.)"""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % SALTED_TOPK_BUCKETS).alias("salt"),
+    )
+    w1 = W.partitionBy("status", "salt").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    local = (
+        o.withColumn("lrn", F.row_number().over(w1))
+        .filter(F.col("lrn") <= SALTED_TOPK)
+        .drop("lrn", "salt")
+    )
+    w2 = W.partitionBy("status").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        local.withColumn("rn", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rn") <= SALTED_TOPK)
+        .select("status", "o_orderkey", "o_totalprice", "rn")
     )

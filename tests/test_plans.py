@@ -1111,3 +1111,25 @@ def test_calibration_single_scan_ten_rows(spark):
     plan = _plan(spark, "text_score_calibration")
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_bitmap_retention_joins_words_not_users(spark):
+    """q_bitmap_retention: the day-over-day join must run over the
+    (day, block) word table — bit_or aggregates BELOW the join — and
+    the AND+popcount stays integer arithmetic (no distinct pair
+    shuffle, no Expand)."""
+    plan = _plan(spark, "q_bitmap_retention")
+    assert "Expand" not in plan, plan
+    assert "bit_or" in plan, plan
+    assert "bit_count" in plan, plan
+
+
+def test_salted_topk_two_phase_windows(spark):
+    """q_salted_topk: exactly TWO window operators — the (status,
+    salt)-keyed local rank and the bounded-candidate final rank; the
+    heavy exchange must be keyed by (status, salt), not status
+    alone."""
+    plan = _plan(spark, "q_salted_topk")
+    assert plan.count("Window [") == 2, plan  # WindowGroupLimits excluded
+    assert "WindowGroupLimit" in plan, plan  # map-side partial top-k too
+    assert "salt" in plan, plan
