@@ -2588,3 +2588,95 @@ def stream_counting_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = counting_bloom_maintenance_query(stream, idx, out, ckpt)
     q.awaitTermination()
     return read_cb_verdicts(spark, out, index_path=idx)
+
+
+def _bitmap_dau_oracle() -> str:
+    return """
+WITH strm AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+         (event_id // 2) % 3 AS ep
+  FROM events WHERE event_id % 2 = 1
+),
+base AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events WHERE event_id % 2 = 0
+),
+firsts AS (
+  SELECT s.day, s.user_id, min(s.ep) AS ep
+  FROM strm s
+  WHERE NOT EXISTS (SELECT 1 FROM base b
+                    WHERE b.day = s.day AND b.user_id = s.user_id)
+  GROUP BY s.day, s.user_id
+),
+grid AS (SELECT DISTINCT ep, day FROM strm)
+SELECT g.ep AS ep, g.day AS day,
+       CAST(count(f.user_id) AS BIGINT) AS new_actives
+FROM grid g LEFT JOIN firsts f ON f.ep = g.ep AND f.day = g.day
+GROUP BY g.ep, g.day
+"""
+
+
+@query(
+    "stream_bitmap_dau",
+    oracle=_bitmap_dau_oracle(),
+    tags=("A3", "ST5", "streaming", "bitmap", "lifecycle"),
+)
+def stream_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-MAINTAINED ACTIVITY BITMAP
+    (streaming/bitmap_maintenance.py — the SIXTH adapter over the
+    maintained-index kernel): half the event history (even event_id)
+    persists as the base (day, block) word table; the other half
+    arrives over three micro-batches. Each epoch reports, per day it
+    touches, how many users are active that day for the FIRST time
+    (batch word AND NOT state word, popcounted) and folds its words
+    in as a crash-atomic delta — the incremental exact-DAU feed.
+
+    The oracle states the epoch semantics directly: a user-day is new
+    in the FIRST epoch delivering it, never if the base holds it, and
+    an epoch-day with no new users still reports 0 (bitmap membership
+    is exact — no false positives to simulate, unlike stream_bloom_gate)."""
+    import shutil as _sh
+
+    from cdc_via_flink_spark.streaming.bitmap_maintenance import (
+        bitmap_maintenance_query,
+        read_dau,
+        save_streaming_bitmap_index,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    )
+    base = ev.filter(F.col("event_id") % 2 == 0).select("user_id", "day")
+    strm = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "day",
+        ((F.col("event_id") / 2).cast("long") % 3).alias("ep"),
+    )
+
+    root = os.path.join(STAGE_ROOT, f"bitmap_maint_{sf_name}")
+    _sh.rmtree(root, ignore_errors=True)
+    idx, out, ckpt = (
+        os.path.join(root, "idx"),
+        os.path.join(root, "dau"),
+        os.path.join(root, "ckpt"),
+    )
+    save_streaming_bitmap_index(base, idx)
+    frames = [
+        strm.filter(F.col("ep") == k)
+        .select("user_id", "day")
+        .orderBy("user_id", "day")
+        for k in range(3)
+    ]
+    dest = os.path.join(root, "staged")
+    _STAGED_DESTS.discard(dest)
+    _stage_ordered_files(spark, frames, dest)
+    stream = (
+        spark.readStream.schema("user_id long, day date")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = bitmap_maintenance_query(stream, idx, out, ckpt)
+    q.awaitTermination()
+    return read_dau(spark, out, index_path=idx)
