@@ -2016,3 +2016,96 @@ def q_join_size_by_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("nl") * F.col("no")).cast("long").alias("join_rows"),
         F.count(F.lit(1)).cast("long").alias("matched_keys"),
     )
+
+
+@query(
+    "q_xyz_variability",
+    oracle="""
+WITH md AS (
+  SELECT l_partkey AS pk,
+         strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+mom AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qty) AS DOUBLE) AS s1,
+         CAST(sum(CAST(round(CAST(qty AS DOUBLE) * CAST(qty AS DOUBLE), 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS s2
+  FROM md GROUP BY pk HAVING count(*) >= 3
+),
+cv AS (
+  SELECT pk,
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n) AS cv
+  FROM mom
+),
+cls AS (
+  SELECT p.p_brand,
+         CASE WHEN c.cv < 0.5 THEN 'X'
+              WHEN c.cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz
+  FROM cv c JOIN part p ON p.p_partkey = c.pk
+)
+SELECT p_brand, xyz, CAST(count(*) AS BIGINT) AS n_parts
+FROM cls GROUP BY p_brand, xyz
+""",
+    tags=("A3", "inventory", "xyz-analysis"),
+)
+def q_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ DEMAND-VARIABILITY CLASSIFICATION — the companion axis to
+    q_pareto_abc (ABC ranks by value; XYZ ranks by predictability):
+    per part, the coefficient of variation of observed monthly demand
+    (≥3 active months), classed X (steady, cv<0.5) / Y (variable) /
+    Z (erratic, cv≥1), rolled up to parts-per-class per brand — the
+    planning matrix an inventory or capacity forecast keys on.
+
+    Parity: monthly quantities fold as exact DECIMALs; squares round
+    to 4 dp into a DECIMAL(38,4) fold, and the variance/CV identity
+    runs as one shared double chain (the q_neyman_allocation recipe).
+    Scale shape: two input-sized keyed aggregates (part×month, then
+    part), a broadcastable part-dim join, and a brand×3 output
+    groupBy — no windows, nothing quadratic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    md = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM").alias(
+            "month"
+        ),
+    ).agg(F.sum(dec(F.col("l_quantity"))).alias("qty"))
+    mom = (
+        md.groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qty").cast("double").alias("s1"),
+            F.sum(
+                F.round(
+                    F.col("qty").cast("double") * F.col("qty").cast("double"), 4
+                ).cast("decimal(38,4)")
+            )
+            .cast("double")
+            .alias("s2"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    cv = mom.select(
+        "pk",
+        (
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+            / (F.col("s1") / F.col("n"))
+        ).alias("cv"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), "p_brand"
+    )
+    cls = cv.join(p, "pk").select(
+        "p_brand",
+        F.when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return cls.groupBy("p_brand", "xyz").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )

@@ -3077,3 +3077,92 @@ def text_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "positive_rate"
         ),
     )
+
+
+BURST_TOP = 25
+
+
+@query(
+    "text_burstiness",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM tk),
+cnts AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT doc_id, unnest(t) AS term FROM tk
+  ) x GROUP BY doc_id, term
+),
+stats AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c) AS BIGINT) AS cf,
+         CAST(sum(c * c) AS BIGINT) AS cf2
+  FROM cnts GROUP BY term
+),
+scored AS (
+  SELECT s.term, s.df, s.cf,
+         round((CAST(s.cf2 AS DOUBLE)
+                - CAST(s.cf AS DOUBLE) * s.cf / n.n_docs)
+               / (n.n_docs - 1)
+               / (CAST(s.cf AS DOUBLE) / n.n_docs), 9) AS vmr
+  FROM stats s CROSS JOIN n
+),
+ranked AS (
+  SELECT term, df, cf, vmr,
+         row_number() OVER (ORDER BY vmr DESC, term) AS rn
+  FROM scored
+)
+SELECT term, df, cf, vmr, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {BURST_TOP}
+""",
+    tags=("X3", "burstiness", "corpus-stats"),
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD BURSTINESS (Church & Gale 1995): variance-to-mean ratio of
+    per-document term counts over the WHOLE corpus (zeros included —
+    the moments use n_docs, not df). VMR ≈ 1 is Poisson background
+    vocabulary; VMR ≫ 1 marks topical/bursty terms that concentrate
+    in few documents — the signal term-weighting and boilerplate
+    screens read. Top-{BURST_TOP} bursty terms with document and
+    collection frequency.
+
+    Parity: df/cf/cf² fold as exact integers; the variance identity
+    (Σc² − (Σc)²/n)/(n−1) and the mean divide run as one shared double
+    chain, rounded to 9 dp. Scale shape: one (doc, term) groupBy
+    (input-sized, map-side combined), one vocabulary-bounded stats
+    groupBy, a scalar broadcast, TakeOrderedAndProject top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = tk.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    cnts = (
+        tk.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = cnts.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("cf2"),
+    )
+    scored = stats.crossJoin(F.broadcast(n)).select(
+        "term",
+        "df",
+        "cf",
+        F.round(
+            (
+                F.col("cf2").cast("double")
+                - F.col("cf").cast("double") * F.col("cf") / F.col("n_docs")
+            )
+            / (F.col("n_docs") - 1)
+            / (F.col("cf").cast("double") / F.col("n_docs")),
+            9,
+        ).alias("vmr"),
+    )
+    w = W.orderBy(F.col("vmr").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= BURST_TOP)
+        .select("term", "df", "cf", "vmr", "rn")
+    )

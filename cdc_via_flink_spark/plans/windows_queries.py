@@ -1977,3 +1977,90 @@ def q_event_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle=f"""
+WITH mrev AS ({_SQL_MREV}),
+stats AS (
+  SELECT nk, CAST(count(*) AS BIGINT) AS n,
+         sum(rev) AS tot
+  FROM mrev GROUP BY nk
+),
+cum AS (
+  SELECT m.nk, m.month,
+         sum(m.rev) OVER (PARTITION BY m.nk ORDER BY m.month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crev,
+         row_number() OVER (PARTITION BY m.nk ORDER BY m.month) AS i,
+         s.n, s.tot
+  FROM mrev m JOIN stats s ON m.nk = s.nk
+),
+cusum AS (
+  SELECT nk, month,
+         CAST(crev AS DOUBLE) - (CAST(i AS DOUBLE) / n) * CAST(tot AS DOUBLE)
+           AS cs
+  FROM cum
+),
+ranked AS (
+  SELECT nk, month, round(cs, 6) AS cusum_stat,
+         row_number() OVER (PARTITION BY nk
+             ORDER BY abs(cs) DESC, month) AS rn
+  FROM cusum
+)
+SELECT nk AS nationkey, month AS changepoint_month, cusum_stat
+FROM ranked WHERE rn = 1
+""",
+    tags=("A5", "changepoint", "cusum"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGE-POINT DETECTION (Page 1954, the centered form used
+    in bootstrap changepoint analysis): per nation, the month where
+    the cumulative deviation from the series mean — CS_i = Σ_{t≤i} x_t
+    − (i/n)·Σx — peaks in absolute value: the single most likely level
+    shift in the monthly revenue series. The drift screen a metrics
+    pipeline runs before alerting on a trend (and the complement to
+    the monotone tests: Mann–Kendall asks IF the series moved, CUSUM
+    asks WHEN).
+
+    Parity: both cumulative and total sums fold as exact DECIMALs; the
+    centering arithmetic is a shared double chain on identical inputs
+    evaluated in one expression. Scale shape: one keyed groupBy + one
+    nation-partitioned running window over month cells + the bounded
+    argmax window — identical to the EWMA plan, nothing global."""
+    mrev = _mrev(spark, sf_dir)
+    stats = mrev.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("rev").alias("tot")
+    )
+    pw = W.partitionBy("nk").orderBy("month")
+    cum = (
+        mrev.join(stats, "nk")
+        .select(
+            "nk",
+            "month",
+            F.sum("rev")
+            .over(pw.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("crev"),
+            F.row_number().over(pw).alias("i"),
+            "n",
+            "tot",
+        )
+    )
+    cs = cum.select(
+        "nk",
+        "month",
+        (
+            F.col("crev").cast("double")
+            - (F.col("i").cast("double") / F.col("n")) * F.col("tot").cast("double")
+        ).alias("cs"),
+    )
+    rw = W.partitionBy("nk").orderBy(F.abs(F.col("cs")).desc(), "month")
+    return (
+        cs.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.col("month").alias("changepoint_month"),
+            F.round("cs", 6).alias("cusum_stat"),
+        )
+    )

@@ -1133,3 +1133,27 @@ def test_salted_topk_two_phase_windows(spark):
     assert plan.count("Window [") == 2, plan  # WindowGroupLimits excluded
     assert "WindowGroupLimit" in plan, plan  # map-side partial top-k too
     assert "salt" in plan, plan
+
+
+def test_cusum_keyed_windows_only(spark):
+    """q_cusum_changepoint: nation-keyed running-sum + argmax windows
+    over month cells — no single-partition exchange, no self-join."""
+    plan = _plan(spark, "q_cusum_changepoint")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_burstiness_vocab_bounded_topk(spark):
+    """text_burstiness: (doc, term) groupBy → vocabulary-bounded stats
+    groupBy → scalar broadcast → top-k; no window over raw rows."""
+    plan = _plan(spark, "text_burstiness")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_xyz_no_windows_two_keyed_aggs(spark):
+    """q_xyz_variability: part×month then part keyed aggregates, a
+    broadcast part join, brand×3 output — no windows anywhere."""
+    plan = _plan(spark, "q_xyz_variability")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
