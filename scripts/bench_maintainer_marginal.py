@@ -125,9 +125,31 @@ def _run_once(spark, kind, base, src, tag):
         maker = lambda st: counting_bloom_maintenance_query(  # noqa: E731
             st.withColumn("op", F.lit("c")), idx, pairs, ckpt
         )
+    elif kind == "bitmap":
+        from cdc_via_flink_spark.streaming.bitmap_maintenance import (
+            bitmap_maintenance_query,
+            save_streaming_bitmap_index,
+        )
+
+        # events shape derived deterministically from the doc stream:
+        # 100k-user domain, 28-day span — prices the real per-event
+        # path (word aggregate + state join); text is unused.
+        def _as_events(st):
+            return st.select(
+                F.pmod(F.col("doc_id"), 100_000).alias("user_id"),
+                F.date_add(
+                    F.lit("2024-01-01").cast("date"),
+                    F.pmod(F.col("doc_id"), 28).cast("int"),
+                ).alias("day"),
+            )
+
+        save_streaming_bitmap_index(_as_events(base), idx)
+        maker = lambda st: bitmap_maintenance_query(  # noqa: E731
+            _as_events(st), idx, pairs, ckpt
+        )
     else:
         raise ValueError(
-            f"unknown kind {kind!r} (expected dedup|winnow|bloom|cbloom)"
+            f"unknown kind {kind!r} (expected dedup|winnow|bloom|cbloom|bitmap)"
         )
 
     stream = (
@@ -158,10 +180,15 @@ def main() -> None:
     ]
     need = B_MULT * S * E
     uid = 0
+    light = bool(os.environ.get("SPARK_GRAFT_MARGINAL_LIGHT"))
     while len(arrivals) < need:
         # synthetic background doc: 45 globally unique words, zero
-        # shingle/fingerprint collisions with anything else
-        words = " ".join(f"s{uid:08d}_{j:02d}" for j in range(45))
+        # shingle/fingerprint collisions with anything else. LIGHT=1
+        # swaps in a 1-char text for maintainers that never read text
+        # (bitmap) so million-event pools stay driver-cheap.
+        words = "x" if light else " ".join(
+            f"s{uid:08d}_{j:02d}" for j in range(45)
+        )
         arrivals.append((10_000_000 + uid, words))
         uid += 1
     shutil.rmtree(OUT_ROOT, ignore_errors=True)
