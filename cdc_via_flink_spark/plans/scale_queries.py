@@ -760,3 +760,157 @@ def q_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SALTED_TOPK)
         .select("status", "o_orderkey", "o_totalprice", "rn")
     )
+
+
+def _skipping_depth_oracle() -> str:
+    scale_pk = _scale_sql("l_partkey", "mm.pk_mn", "mm.pk_mx")
+    scale_sk = _scale_sql("l_suppkey", "mm.sk_mn", "mm.sk_mx")
+    zexpr = _z16_sql(scale_pk, scale_sk, bits=_ZB)
+    return f"""
+WITH mm AS (
+  SELECT min(l_partkey) AS pk_mn, max(l_partkey) AS pk_mx,
+         min(l_suppkey) AS sk_mn, max(l_suppkey) AS sk_mx
+  FROM lineitem
+),
+keyed AS (
+  SELECT l_partkey, l_suppkey,
+         ({zexpr}) >> 10 AS b_z,
+         {scale_pk} AS b_pk,
+         {scale_sk} AS b_sk
+  FROM lineitem CROSS JOIN mm
+),
+prof AS (
+  SELECT 'zorder' AS layout, b_z AS bucket,
+         min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+         min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+  FROM keyed GROUP BY b_z
+  UNION ALL
+  SELECT 'pk_sorted', b_pk, min(l_partkey), max(l_partkey),
+         min(l_suppkey), max(l_suppkey)
+  FROM keyed GROUP BY b_pk
+  UNION ALL
+  SELECT 'sk_sorted', b_sk, min(l_partkey), max(l_partkey),
+         min(l_suppkey), max(l_suppkey)
+  FROM keyed GROUP BY b_sk
+),
+dpk AS (
+  SELECT a.layout, a.bucket, CAST(count(*) AS BIGINT) AS d
+  FROM prof a JOIN prof b
+    ON a.layout = b.layout
+   AND a.pk_min <= b.pk_max AND b.pk_min <= a.pk_max
+  GROUP BY a.layout, a.bucket
+),
+dsk AS (
+  SELECT a.layout, a.bucket, CAST(count(*) AS BIGINT) AS d
+  FROM prof a JOIN prof b
+    ON a.layout = b.layout
+   AND a.sk_min <= b.sk_max AND b.sk_min <= a.sk_max
+  GROUP BY a.layout, a.bucket
+)
+SELECT p.layout,
+       CAST(count(DISTINCT p.bucket) AS BIGINT) AS n_buckets,
+       round(CAST(sum(k.d) AS DOUBLE) / count(*), 4) AS depth_pk,
+       round(CAST(sum(s.d) AS DOUBLE) / count(*), 4) AS depth_sk
+FROM prof p
+JOIN dpk k ON k.layout = p.layout AND k.bucket = p.bucket
+JOIN dsk s ON s.layout = p.layout AND s.bucket = p.bucket
+GROUP BY p.layout
+"""
+
+
+@query(
+    "q_layout_skipping_depth",
+    oracle=_skipping_depth_oracle(),
+    tags=("ext", "layout", "data-skipping", "clustering-depth"),
+)
+def q_layout_skipping_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERING DEPTH of candidate file layouts — the number Delta
+    OPTIMIZE reports and the quantitative answer to "why Z-order":
+    profile the file-sized buckets three layouts would produce
+    (Z-curve, partkey-sorted, suppkey-sorted), then measure, per
+    layout, the average number of files whose [min, max] range a
+    point predicate on EACH column must still read (bucket-range
+    overlap count). A linear sort gives depth ≈ 1 on its own column
+    and ≈ n_files on the other; the Z-curve lands low on BOTH — the
+    measured justification for q_zorder_layout's rewrite.
+
+    Scale shape: the per-row bucket keys are pure integer expressions
+    over one scan (the zorder recipe); the profiles are three bounded
+    groupBys (≤2^{_ZB} buckets each); the overlap self-joins run over
+    BUCKET tables (≤256 rows — file counts, not data), so the audit
+    costs one fact scan regardless of table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_partkey").alias("pk_mn"),
+        F.max("l_partkey").alias("pk_mx"),
+        F.min("l_suppkey").alias("sk_mn"),
+        F.max("l_suppkey").alias("sk_mx"),
+    )
+
+    def scale(x, mn, mx):
+        return F.floor((x - mn) * (1 << _ZB) / (mx - mn + F.lit(1))).cast("long")
+
+    keyed = li.crossJoin(F.broadcast(mm)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.shiftright(
+            _z16(
+                scale(F.col("l_partkey"), F.col("pk_mn"), F.col("pk_mx")),
+                scale(F.col("l_suppkey"), F.col("sk_mn"), F.col("sk_mx")),
+                bits=_ZB,
+            ),
+            10,
+        ).alias("b_z"),
+        scale(F.col("l_partkey"), F.col("pk_mn"), F.col("pk_mx")).alias("b_pk"),
+        scale(F.col("l_suppkey"), F.col("sk_mn"), F.col("sk_mx")).alias("b_sk"),
+    )
+
+    def prof(bcol: str, layout: str) -> DataFrame:
+        return (
+            keyed.groupBy(F.col(bcol).alias("bucket"))
+            .agg(
+                F.min("l_partkey").alias("pk_min"),
+                F.max("l_partkey").alias("pk_max"),
+                F.min("l_suppkey").alias("sk_min"),
+                F.max("l_suppkey").alias("sk_max"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
+        )
+
+    p = (
+        prof("b_z", "zorder")
+        .unionByName(prof("b_pk", "pk_sorted"))
+        .unionByName(prof("b_sk", "sk_sorted"))
+    )
+
+    def depth(lo: str, hi: str, name: str) -> DataFrame:
+        a = p.select(
+            "layout", "bucket", F.col(lo).alias("a_lo"), F.col(hi).alias("a_hi")
+        )
+        b = p.select(
+            "layout", F.col(lo).alias("b_lo"), F.col(hi).alias("b_hi")
+        )
+        return (
+            a.join(F.broadcast(b), "layout")
+            .filter((F.col("a_lo") <= F.col("b_hi")) & (F.col("b_lo") <= F.col("a_hi")))
+            .groupBy("layout", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    dpk = depth("pk_min", "pk_max", "d_pk")
+    dsk = depth("sk_min", "sk_max", "d_sk")
+    return (
+        p.select("layout", "bucket")
+        .join(dpk, ["layout", "bucket"])
+        .join(dsk, ["layout", "bucket"])
+        .groupBy("layout")
+        .agg(
+            F.countDistinct("bucket").alias("n_buckets"),
+            F.round(F.sum("d_pk").cast("double") / F.count(F.lit(1)), 4).alias(
+                "depth_pk"
+            ),
+            F.round(F.sum("d_sk").cast("double") / F.count(F.lit(1)), 4).alias(
+                "depth_sk"
+            ),
+        )
+    )

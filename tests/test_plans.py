@@ -1157,3 +1157,12 @@ def test_xyz_no_windows_two_keyed_aggs(spark):
     plan = _plan(spark, "q_xyz_variability")
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_skipping_depth_one_fact_scan_bucket_joins(spark):
+    """q_layout_skipping_depth: the three layout profiles reuse ONE
+    lineitem scan lineage; the overlap self-joins run over broadcast
+    bucket tables (≤256 rows), never fact rows."""
+    plan = _plan(spark, "q_layout_skipping_depth")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
