@@ -1366,3 +1366,122 @@ def dedup_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .select("a_key", "b_key", "dist")
     )
+
+
+_RECALL_EVAL_ORACLE = f"""
+WITH {_MINHASH_CTE},
+banded AS ({_sql_bands()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+allinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT i.id_a, i.id_b
+  FROM allinter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+  WHERE i.inter / (za.sz + zb.sz - i.inter) >= {JACCARD_T}
+),
+u AS (
+  SELECT COALESCE(e.id_a, c.id_a) AS id_a,
+         (e.id_a IS NOT NULL) AS is_exact,
+         (c.id_a IS NOT NULL) AS is_cand
+  FROM exact e FULL OUTER JOIN cand c
+    ON e.id_a = c.id_a AND e.id_b = c.id_b
+)
+SELECT CAST(count(CASE WHEN is_exact THEN 1 END) AS BIGINT) AS n_exact,
+       CAST(count(CASE WHEN is_cand THEN 1 END) AS BIGINT) AS n_candidates,
+       CAST(count(CASE WHEN is_exact AND is_cand THEN 1 END) AS BIGINT) AS tp,
+       CAST(count(CASE WHEN is_exact AND NOT is_cand THEN 1 END) AS BIGINT)
+         AS fn,
+       round(CAST(count(CASE WHEN is_exact AND is_cand THEN 1 END) AS DOUBLE)
+             / count(CASE WHEN is_exact THEN 1 END), 6) AS recall
+FROM u
+"""
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    oracle=_RECALL_EVAL_ORACLE,
+    tags=("X1", "dedup", "lsh", "evaluation"),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH CANDIDATE RECALL, measured in-engine: the banding's
+    candidate set compared against the ground-truth pair set (exact
+    shingle Jaccard ≥ {JACCARD_T} over ALL pairs sharing a shingle) —
+    n_exact / n_candidates / tp / fn / recall in one row. This turns
+    the minhash_plan recall claim (91% at the boundary,
+    MINHASH_RECALL_r07.json) from a bench artifact into an
+    ORACLE-CHECKED query any corpus can run before trusting a dedup
+    sweep: if recall here dips, re-derive the banding BEFORE the
+    100 TB pass, not after.
+
+    Scale shape: the ground-truth side is the exact shingle self-join
+    — affordable at eval scale because shared-shingle fan-out bounds
+    the pair space (this is an AUDIT run on a sample, not the dedup
+    path itself; the production path stays LSH); the candidate side
+    reuses the skew-guarded band join. The comparison is one full
+    outer join of two pair sets + a single fold."""
+    from cdc_via_flink_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "text", "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    allinter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    exact = (
+        allinter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("za")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("zb")),
+            "id_b",
+        )
+        .filter(
+            F.col("inter") / (F.col("za") + F.col("zb") - F.col("inter"))
+            >= JACCARD_T
+        )
+        .select("id_a", "id_b", F.lit(True).alias("is_exact"))
+    )
+    sig = minhash_signatures(sh, NUM_HASHES)
+    cand = lsh_candidate_pairs(sig, BANDS, ROWS).select(
+        "id_a", "id_b", F.lit(True).alias("is_cand")
+    )
+    u = exact.join(cand, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce(F.col("is_exact"), F.lit(False)).alias("is_exact"),
+        F.coalesce(F.col("is_cand"), F.lit(False)).alias("is_cand"),
+    )
+    return u.agg(
+        F.count(F.when(F.col("is_exact"), 1)).cast("long").alias("n_exact"),
+        F.count(F.when(F.col("is_cand"), 1)).cast("long").alias("n_candidates"),
+        F.count(F.when(F.col("is_exact") & F.col("is_cand"), 1))
+        .cast("long")
+        .alias("tp"),
+        F.count(F.when(F.col("is_exact") & ~F.col("is_cand"), 1))
+        .cast("long")
+        .alias("fn"),
+        F.round(
+            F.count(F.when(F.col("is_exact") & F.col("is_cand"), 1)).cast(
+                "double"
+            )
+            / F.count(F.when(F.col("is_exact"), 1)),
+            6,
+        ).alias("recall"),
+    )

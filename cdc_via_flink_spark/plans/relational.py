@@ -2109,3 +2109,106 @@ def q_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.groupBy("p_brand", "xyz").agg(
         F.count(F.lit(1)).alias("n_parts")
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_matrix_oracle() -> str:
+    cells = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            cells.append(f"""
+  SELECT '{a}' AS col_a, '{b}' AS col_b,
+         round((s.n * s.p_{a}_{b} - s.s_{a} * s.s_{b})
+               / (sqrt(s.n * s.q_{a} - s.s_{a} * s.s_{a})
+                  * sqrt(s.n * s.q_{b} - s.s_{b} * s.s_{b})), 9) AS pearson_r
+  FROM s""")
+    sums = ["CAST(count(*) AS DOUBLE) AS n"]
+    for a in _CORR_COLS:
+        sums.append(
+            f"CAST(sum(CAST({a} AS DECIMAL(18,2))) AS DOUBLE) AS s_{a}"
+        )
+        sums.append(
+            f"CAST(sum(CAST(round({a} * {a}, 4) AS DECIMAL(38,4))) AS DOUBLE)"
+            f" AS q_{a}"
+        )
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            sums.append(
+                f"CAST(sum(CAST(round({a} * {b}, 4) AS DECIMAL(38,4))) "
+                f"AS DOUBLE) AS p_{a}_{b}"
+            )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)"
+        + " SELECT * FROM (" + " UNION ALL ".join(cells) + ") t"
+    )
+
+
+@query(
+    "q_corr_matrix",
+    oracle=_corr_matrix_oracle(),
+    tags=("A3", "statistics", "correlation-matrix"),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS PEARSON CORRELATION MATRIX over four lineitem
+    measures — the feature-drift screen a training pipeline runs per
+    snapshot: all C(4,2)=6 pairwise correlations computed from a
+    SINGLE scan that folds every moment (n, Σx, Σx², Σxy) in one
+    aggregate, then expands the 1-row moment vector into the matrix
+    cells. The alternative — six corr() calls — costs six scans.
+
+    Parity: every moment folds as an exact DECIMAL (products rounded
+    to 4 dp first — identical doubles in both engines), and the
+    Pearson identity runs as one shared double chain rounded to 9 dp.
+    Scale shape: ONE input-sized aggregate with map-side combine; the
+    matrix expansion is 6 rows from a broadcast scalar — the
+    q_column_profile single-scan discipline applied to second
+    moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for a in _CORR_COLS:
+        aggs.append(F.sum(F.col(a).cast("decimal(18,2)")).cast("double").alias(f"s_{a}"))
+        aggs.append(
+            F.sum(F.round(F.col(a) * F.col(a), 4).cast("decimal(38,4)"))
+            .cast("double")
+            .alias(f"q_{a}")
+        )
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            aggs.append(
+                F.sum(F.round(F.col(a) * F.col(b), 4).cast("decimal(38,4)"))
+                .cast("double")
+                .alias(f"p_{a}_{b}")
+            )
+    s = li.agg(*aggs)
+    cells = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            cells.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(
+                        (
+                            F.col("n") * F.col(f"p_{a}_{b}")
+                            - F.col(f"s_{a}") * F.col(f"s_{b}")
+                        )
+                        / (
+                            F.sqrt(
+                                F.col("n") * F.col(f"q_{a}")
+                                - F.col(f"s_{a}") * F.col(f"s_{a}")
+                            )
+                            * F.sqrt(
+                                F.col("n") * F.col(f"q_{b}")
+                                - F.col(f"s_{b}") * F.col(f"s_{b}")
+                            )
+                        ),
+                        9,
+                    ).alias("pearson_r"),
+                )
+            )
+    # explode the 1-row moment vector into matrix cells — ONE lineage,
+    # one physical scan (a union of per-cell selects would re-derive
+    # the aggregate six times)
+    return s.select(F.explode(F.array(*cells)).alias("c")).select("c.*")

@@ -3166,3 +3166,109 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BURST_TOP)
         .select("term", "df", "cf", "vmr", "rn")
     )
+
+
+PMI_TOP = 25
+PMI_MIN_PAIR = 5
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+WITH tk AS (
+  SELECT string_split({SQL_NORM}, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> [t[i], t[i+1]])) AS pr
+  FROM tk
+),
+pairs AS (
+  SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS n_ab
+  FROM bg GROUP BY pr[1], pr[2]
+),
+tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM pairs),
+uni1 AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a FROM pairs GROUP BY w1),
+uni2 AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n_b FROM pairs GROUP BY w2),
+scored AS (
+  SELECT p.w1, p.w2, p.n_ab,
+         round(ln((CAST(p.n_ab AS DOUBLE) * t.n)
+                  / (CAST(u1.n_a AS DOUBLE) * u2.n_b)), 9) AS pmi
+  FROM pairs p
+  JOIN uni1 u1 ON u1.w1 = p.w1
+  JOIN uni2 u2 ON u2.w2 = p.w2
+  CROSS JOIN tot t
+  WHERE p.n_ab >= {PMI_MIN_PAIR}
+),
+ranked AS (
+  SELECT w1, w2, n_ab, pmi,
+         row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn
+  FROM scored
+)
+SELECT w1, w2, n_ab, pmi, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {PMI_TOP}
+""",
+    tags=("X3", "collocations", "pmi"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI COLLOCATION EXTRACTION (Church & Hanks 1990): adjacent word
+    pairs ranked by pointwise mutual information against the bigram
+    margins — log(p(ab) / p(a)p(b)) — with a minimum pair count of
+    {PMI_MIN_PAIR} (raw PMI is notoriously noisy on hapax pairs). The
+    collocation detector a tokenizer-vocabulary or phrase-mining pass
+    runs; complements the count-ranked text_top_bigrams with the
+    association-strength ranking.
+
+    Parity: counts are exact integers; PMI is ONE shared ln over an
+    integer ratio, rounded to 9 dp before the top-k. Scale shape: one
+    bigram groupBy (input-sized, map-side combined), two
+    vocabulary-bounded margin aggregates re-joined broadcast, scalar
+    total, TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(tokens(F.col("text")).alias("t"))
+    n = F.size(F.col("t"))
+    bg = tk.select(
+        F.explode(
+            F.when(n < 2, F.array().cast("array<array<string>>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.array(
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
+    pairs = (
+        bg.select(F.col("pr")[0].alias("w1"), F.col("pr")[1].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    tot = pairs.agg(F.sum("n_ab").cast("long").alias("n"))
+    uni1 = pairs.groupBy("w1").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    uni2 = pairs.groupBy("w2").agg(F.sum("n_ab").cast("long").alias("n_b"))
+    scored = (
+        pairs.filter(F.col("n_ab") >= PMI_MIN_PAIR)
+        .join(F.broadcast(uni1), "w1")
+        .join(F.broadcast(uni2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("n"))
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    w = W.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= PMI_TOP)
+        .select("w1", "w2", "n_ab", "pmi", "rn")
+    )

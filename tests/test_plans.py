@@ -1166,3 +1166,28 @@ def test_skipping_depth_one_fact_scan_bucket_joins(spark):
     plan = _plan(spark, "q_layout_skipping_depth")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pmi_margins_broadcast_topk(spark):
+    """text_pmi_collocations: one bigram groupBy; the margin tables
+    re-join broadcast; the final top-k never windows raw pairs."""
+    plan = _plan(spark, "text_pmi_collocations")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_corr_matrix_single_scan(spark):
+    """q_corr_matrix: ONE lineitem scan folds every moment; the matrix
+    cells explode from the 1-row aggregate (a per-cell union would
+    re-derive it six times)."""
+    plan = _plan(spark, "q_corr_matrix")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_lsh_recall_eval_no_cartesian(spark):
+    """dedup_lsh_recall_eval: both pair sets come from keyed
+    equi-joins (shingle / band bucket); the comparison is one full
+    outer join of pair sets."""
+    plan = _plan(spark, "dedup_lsh_recall_eval")
+    assert "CartesianProduct" not in plan, plan
