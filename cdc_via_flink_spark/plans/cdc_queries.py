@@ -722,3 +722,70 @@ def cdc_ordering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_keys_affected"
         ),
     )
+
+
+@query(
+    "cdc_assembly_latency",
+    oracle=f"""
+WITH recon AS ({_RECON_ORACLE}),
+sp AS (
+  SELECT n_events, last_ts_ms - first_ts_ms AS span_ms FROM recon
+),
+b AS (
+  SELECT n_events, span_ms,
+         CASE WHEN span_ms < 60000 THEN 0
+              WHEN span_ms < 300000 THEN 1
+              WHEN span_ms < 1800000 THEN 2 ELSE 3 END AS bucket_id,
+         CASE WHEN span_ms < 60000 THEN '<1m'
+              WHEN span_ms < 300000 THEN '1-5m'
+              WHEN span_ms < 1800000 THEN '5-30m' ELSE '>=30m' END AS bucket
+  FROM sp
+)
+SELECT CAST(bucket_id AS BIGINT) AS bucket_id, bucket,
+       CAST(count(*) AS BIGINT) AS n_txns,
+       round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events,
+       CAST(max(span_ms) AS BIGINT) AS max_span_ms
+FROM b GROUP BY bucket_id, bucket
+""",
+    tags=("cdc", "ops", "latency"),
+)
+def cdc_assembly_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSACTION ASSEMBLY-LATENCY PROFILE — the ops readout next to
+    the flagship reconstructor: per assembled transaction, the span
+    from its first to its last change event, bucketed (<1m / 1-5m /
+    5-30m / ≥30m) with transaction counts, average event counts and
+    the worst span. This is the number that sizes the reconstructor's
+    STATE WINDOW: open transactions buffer until their end-marker, so
+    the span distribution IS the state-retention budget (and the ≥30m
+    tail is what stream_state_heavy_hitters triages live).
+
+    Scale shape: builds directly on the assembled output (same single
+    keyed shuffle as cdc_reconstruct_end), then a 4-bucket fold —
+    the profile costs one small aggregate on top of the flagship."""
+    assembled = cdc_reconstruct_end(spark, sf_dir)
+    sp = assembled.select(
+        "n_events", (F.col("last_ts_ms") - F.col("first_ts_ms")).alias("span_ms")
+    )
+    b = sp.select(
+        "n_events",
+        "span_ms",
+        F.when(F.col("span_ms") < 60000, 0)
+        .when(F.col("span_ms") < 300000, 1)
+        .when(F.col("span_ms") < 1800000, 2)
+        .otherwise(3)
+        .alias("bucket_id"),
+        F.when(F.col("span_ms") < 60000, "<1m")
+        .when(F.col("span_ms") < 300000, "1-5m")
+        .when(F.col("span_ms") < 1800000, "5-30m")
+        .otherwise(">=30m")
+        .alias("bucket"),
+    )
+    return b.groupBy(
+        F.col("bucket_id").cast("long").alias("bucket_id"), "bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_txns"),
+        F.round(F.sum("n_events").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_events"
+        ),
+        F.max("span_ms").cast("long").alias("max_span_ms"),
+    )

@@ -939,3 +939,90 @@ def sim_matryoshka_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "cos", "rn")
     )
+
+
+KNN_Q = 20
+KNN_K = 10
+
+
+@query(
+    "sim_knn_classify",
+    oracle=f"""
+WITH d AS (SELECT vec_id, label, {SQL_VD} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS true_label, v
+      FROM d WHERE vec_id < {KNN_Q}),
+scored AS (
+  SELECT q.query_id, q.true_label, a.vec_id, a.label, {SQL_COS} AS cos
+  FROM d a CROSS JOIN q WHERE a.vec_id <> q.query_id
+),
+nn AS (
+  SELECT query_id, true_label, label FROM (
+    SELECT query_id, true_label, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id) AS rn
+    FROM scored
+  ) t WHERE rn <= {KNN_K}
+),
+votes AS (
+  SELECT query_id, true_label, label,
+         CAST(count(*) AS BIGINT) AS n_votes
+  FROM nn GROUP BY query_id, true_label, label
+),
+win AS (
+  SELECT query_id, true_label, label AS pred_label, n_votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label) AS vr
+  FROM votes
+)
+SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+       CAST(pred_label AS BIGINT) AS pred_label, n_votes,
+       (pred_label = true_label) AS correct
+FROM win WHERE vr = 1
+""",
+    tags=("X2", "knn", "classification"),
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN CLASSIFICATION over the embedding corpus: for each of the
+    first {KNN_Q} vectors, majority label of the {KNN_K} nearest
+    cosine neighbors (self excluded; vote ties break to the smaller
+    label) against the true label — the eval harness every
+    embedding-quality gate runs (a corpus whose neighbors don't share
+    labels isn't ready for semantic dedup or retrieval).
+
+    Scale shape: reuses brute_force_topk's broadcast-query scoring
+    loop (norms factored out of the pair stage, one dot fold per
+    pair); votes and the argmax run over query_id×labels — bounded by
+    {KNN_Q}·{KNN_K} rows. At corpus scale the neighbor stage swaps to
+    the IVF/LSH probes (sim_ivf_topk) with the identical vote logic
+    downstream; cosines round to 6 dp BEFORE ranking (the similarity
+    family's cross-engine ordering contract)."""
+    d = load_table(spark, sf_dir, "embeddings")
+    labels = d.select("vec_id", F.col("label").cast("long").alias("label"))
+    queries = d.filter(F.col("vec_id") < KNN_Q).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nn = brute_force_topk(d, queries, k=KNN_K)
+    votes = (
+        nn.join(labels, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    from pyspark.sql import Window as W
+
+    vw = W.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "label")
+    pred = (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+    truth = labels.filter(F.col("vec_id") < KNN_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "n_votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )

@@ -1191,3 +1191,21 @@ def test_lsh_recall_eval_no_cartesian(spark):
     outer join of pair sets."""
     plan = _plan(spark, "dedup_lsh_recall_eval")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_classify_bounded_vote_stage(spark):
+    """sim_knn_classify: the scoring loop is the brute-force broadcast
+    pattern; votes/argmax windows run over query×label cells only
+    (bounded by KNN_Q·KNN_K)."""
+    plan = _plan(spark, "sim_knn_classify")
+    assert "BroadcastNestedLoopJoin" in plan, plan  # broadcast query side
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_assembly_latency_rides_flagship_shuffle(spark):
+    """cdc_assembly_latency: exactly the flagship's ONE keyed exchange
+    plus the bucket fold — profiling must not add shuffles on raw
+    events."""
+    plan = _plan(spark, "cdc_assembly_latency")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
