@@ -425,3 +425,90 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= AA_TOP)
     )
+
+
+KHOP_SEED_MOD = 400
+KHOP_HOPS = 3
+
+
+def _khop_oracle() -> str:
+    hops = []
+    prev = "f0"
+    for h in range(1, KHOP_HOPS + 1):
+        hops.append(f"""
+f{h} AS (
+  SELECT DISTINCT e.dst AS node FROM {prev} f JOIN edges e ON e.src = f.node
+)""")
+        prev = f"f{h}"
+    unions = " UNION ALL ".join(
+        f"SELECT node, {h} AS hop FROM f{h}" for h in range(KHOP_HOPS + 1)
+    )
+    return f"""
+WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.pk AS src, b.pk AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+),
+f0 AS (SELECT DISTINCT src AS node FROM edges
+       WHERE src % {KHOP_SEED_MOD} = 0),{",".join(hops)},
+mh AS (
+  SELECT node, min(hop) AS hop FROM ({unions}) u GROUP BY node
+)
+SELECT CAST(hop AS BIGINT) AS hop,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM mh GROUP BY hop
+"""
+
+
+@query(
+    "q_khop_reachability",
+    oracle=_khop_oracle(),
+    tags=("graph", "bfs", "k-hop"),
+)
+def q_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-HOP BFS REACHABILITY over the part co-occurrence graph: from
+    a deterministic seed set (every {KHOP_SEED_MOD}th part appearing
+    as an edge source), the number of parts first reached at hop 0,
+    1, 2, 3 — the neighborhood-growth profile (how fast the graph
+    closes) that recommendation blast-radius and contamination-spread
+    analyses read. Completes the graph-primitive family next to
+    PageRank (centrality), HITS, triangles (cohesion), connected
+    components (partition) and Adamic–Adar (link prediction).
+
+    Scale shape: each hop is ONE frontier-to-edges equi-join +
+    distinct — frontier-sized, never all-pairs; min-hop resolves with
+    one union + keyed min (no visited-set anti-join chain needed for
+    a fixed unroll). The same bounded-iteration declarative recipe as
+    q_pagerank3; at a 100× graph the frontier joins shuffle on dst
+    and the hop count stays the plan's only unroll factor."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    e1 = li.select("ok", F.col("pk").alias("src"))
+    e2 = li.select("ok", F.col("pk").alias("dst"))
+    edges = (
+        e1.join(e2, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    frontier = (
+        edges.filter(F.col("src") % KHOP_SEED_MOD == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    layers = [frontier.select("node", F.lit(0).alias("hop"))]
+    for h in range(1, KHOP_HOPS + 1):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        layers.append(frontier.select("node", F.lit(h).alias("hop")))
+    u = layers[0]
+    for fr in layers[1:]:
+        u = u.unionByName(fr)
+    mh = u.groupBy("node").agg(F.min("hop").alias("hop"))
+    return mh.groupBy(F.col("hop").cast("long").alias("hop")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )

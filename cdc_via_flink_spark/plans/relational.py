@@ -2212,3 +2212,133 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one physical scan (a union of per-cell selects would re-derive
     # the aggregate six times)
     return s.select(F.explode(F.array(*cells)).alias("c")).select("c.*")
+
+
+@query(
+    "q_t_closeness",
+    oracle="""
+WITH qi AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         c_mktsegment
+  FROM customer
+),
+gdist AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS DOUBLE)
+           / (SELECT count(*) FROM qi) AS p_glob
+  FROM qi GROUP BY c_mktsegment
+),
+grp AS (
+  SELECT c_nationkey, bal_band, c_mktsegment, count(*) AS n
+  FROM qi GROUP BY c_nationkey, bal_band, c_mktsegment
+),
+gsz AS (
+  SELECT c_nationkey, bal_band, CAST(sum(n) AS BIGINT) AS grp_size
+  FROM grp GROUP BY c_nationkey, bal_band
+),
+tv AS (
+  SELECT s.c_nationkey, s.bal_band, s.grp_size,
+         round(0.5 * CAST(sum(CAST(round(
+             abs(CAST(COALESCE(g.n, 0) AS DOUBLE) / s.grp_size - gl.p_glob),
+             9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS tv_dist
+  FROM gsz s
+  CROSS JOIN gdist gl
+  LEFT JOIN grp g ON g.c_nationkey = s.c_nationkey
+                 AND g.bal_band = s.bal_band
+                 AND g.c_mktsegment = gl.c_mktsegment
+  GROUP BY s.c_nationkey, s.bal_band, s.grp_size
+),
+ts AS (SELECT CAST(unnest([0.2, 0.3, 0.5]) AS DOUBLE) AS t)
+SELECT t.t,
+       CAST(count(CASE WHEN v.tv_dist > t.t THEN 1 END) AS BIGINT)
+         AS groups_above_t,
+       CAST(COALESCE(sum(CASE WHEN v.tv_dist > t.t THEN v.grp_size END), 0)
+            AS BIGINT) AS customers_exposed,
+       round(max(v.tv_dist), 6) AS t_closeness_level,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM ts t CROSS JOIN tv v
+GROUP BY t.t
+""",
+    tags=("A3", "privacy", "t-closeness"),
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS AUDIT (Li, Li & Venkatasubramanian 2007 —
+    completing the k/l/t privacy triptych next to q_k_anonymity_audit
+    and q_l_diversity): l-diversity still leaks when a group's
+    sensitive-value DISTRIBUTION skews far from the population (a
+    group with 99% one segment passes l=2 yet tells an attacker
+    plenty). Per QI group (nation, $1000 balance band), the total-
+    variation distance between its market-segment distribution and
+    the global one; report, for t in {0.2, 0.3, 0.5}, groups above t
+    and the individuals they expose, plus the dataset's actual
+    t-closeness level (the max distance).
+
+    Parity: per-segment absolute deviations round to 9 dp and fold as
+    DECIMAL (order-independent across the 5-segment sum); group and
+    global fractions are single shared double divides. Scale shape:
+    one QI×sensitive groupBy, a 5-row broadcast global distribution,
+    a group-keyed fold, then the 3-row threshold cross join — the
+    same bounded two-aggregate audit shape as its k/l siblings."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    n_tot = qi.count()
+    glob = qi.groupBy("c_mktsegment").agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(n_tot))).alias("p_glob")
+    )
+    grp = qi.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    gsz = grp.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("n").cast("long").alias("grp_size")
+    )
+    tv = (
+        gsz.crossJoin(F.broadcast(glob))
+        .join(grp, ["c_nationkey", "bal_band", "c_mktsegment"], "left")
+        .select(
+            "c_nationkey",
+            "bal_band",
+            "grp_size",
+            F.round(
+                F.abs(
+                    F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                    / F.col("grp_size")
+                    - F.col("p_glob")
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("dev"),
+        )
+        .groupBy("c_nationkey", "bal_band", "grp_size")
+        .agg(
+            F.round(F.lit(0.5) * F.sum("dev").cast("double"), 6).alias("tv_dist")
+        )
+    )
+    ts = spark.createDataFrame([(0.2,), (0.3,), (0.5,)], "t double")
+    return (
+        F.broadcast(ts)
+        .crossJoin(tv)
+        .groupBy("t")
+        .agg(
+            F.count(F.when(F.col("tv_dist") > F.col("t"), 1)).alias(
+                "groups_above_t"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("tv_dist") > F.col("t"), F.col("grp_size"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("customers_exposed"),
+            F.round(F.max("tv_dist"), 6).alias("t_closeness_level"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+        .select(
+            "t", "groups_above_t", "customers_exposed",
+            "t_closeness_level", "n_groups",
+        )
+    )

@@ -1209,3 +1209,20 @@ def test_assembly_latency_rides_flagship_shuffle(spark):
     plan = _plan(spark, "cdc_assembly_latency")
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_t_closeness_bounded_audit_shape(spark):
+    """q_t_closeness: QI×sensitive groupBy + broadcast global
+    distribution + group-keyed fold + 3-row threshold join — no
+    window, no cartesian beyond the two broadcast expansions."""
+    plan = _plan(spark, "q_t_closeness")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_khop_frontier_equi_joins(spark):
+    """q_khop_reachability: every hop is a frontier-to-edges equi-join
+    + distinct; no cartesian, no BNLJ anywhere in the unroll."""
+    plan = _plan(spark, "q_khop_reachability")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
