@@ -2064,3 +2064,69 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cs", 6).alias("cusum_stat"),
         )
     )
+
+
+@query(
+    "q_seasonal_indices",
+    oracle=f"""
+WITH mrev AS ({_SQL_MREV}),
+tot AS (
+  SELECT month, sum(rev) AS rev FROM mrev GROUP BY month
+),
+ma AS (
+  SELECT month, CAST(rev AS DOUBLE) AS rev,
+         count(*) OVER w AS n_win,
+         CAST(sum(rev) OVER w AS DOUBLE) AS s_win
+  FROM tot
+  WINDOW w AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+),
+ratio AS (
+  SELECT CAST(substring(month, 6, 2) AS BIGINT) AS cal_month,
+         round(rev / (s_win / n_win), 9) AS r
+  FROM ma WHERE n_win = 13
+)
+SELECT cal_month,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       round(CAST(sum(CAST(r AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6)
+         AS seasonal_index
+FROM ratio GROUP BY cal_month
+""",
+    tags=("A5", "seasonality", "decomposition"),
+)
+def q_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL INDICES via RATIO-TO-MOVING-AVERAGE (the classical
+    multiplicative-decomposition first step, and the month-of-year
+    companion to q_weekday_seasonality): total monthly revenue divided
+    by its centered 13-month moving average (full windows only), the
+    ratios averaged per calendar month — index > 1 marks a
+    seasonally-strong month after trend removal, which a raw
+    by-month average conflates with growth.
+
+    Parity: the window sum folds exact DECIMAL revenue; the MA divide,
+    ratio and 9-dp round are one shared double chain; per-calendar-
+    month ratios re-fold as DECIMAL. Scale shape: one keyed groupBy to
+    the month grid (bounded by the time dimension), a single ordered
+    window over ~84 rows, a 12-row output aggregate — at 100× the
+    month grid is unchanged, so everything after the first aggregate
+    is constant work."""
+    mrev = _mrev(spark, sf_dir)
+    tot = mrev.groupBy("month").agg(F.sum("rev").alias("rev"))
+    w = W.orderBy("month").rowsBetween(-6, 6)
+    ma = tot.select(
+        "month",
+        F.col("rev").cast("double").alias("rev"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum("rev").over(w).cast("double").alias("s_win"),
+    )
+    ratio = ma.filter(F.col("n_win") == 13).select(
+        F.substring("month", 6, 2).cast("long").alias("cal_month"),
+        F.round(F.col("rev") / (F.col("s_win") / F.col("n_win")), 9).alias("r"),
+    )
+    return ratio.groupBy("cal_month").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(
+            F.sum(F.col("r").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("seasonal_index"),
+    )

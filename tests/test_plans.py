@@ -1226,3 +1226,12 @@ def test_khop_frontier_equi_joins(spark):
     plan = _plan(spark, "q_khop_reachability")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_seasonal_indices_month_grid_windows(spark):
+    """q_seasonal_indices: one keyed groupBy to the month grid, then a
+    single ordered window over ~84 rows and a 12-row aggregate —
+    no joins, no raw-row windows."""
+    plan = _plan(spark, "q_seasonal_indices")
+    assert "Join" not in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
