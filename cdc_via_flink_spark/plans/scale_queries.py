@@ -914,3 +914,64 @@ def q_layout_skipping_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_max_concurrency",
+    oracle="""
+WITH iv AS (
+  SELECT l_suppkey AS sk,
+         l_shipdate AS s,
+         l_shipdate + INTERVAL (1 + l_linenumber * 3) DAY AS e
+  FROM lineitem
+),
+pts AS (SELECT DISTINCT sk, s FROM iv),
+cand AS (
+  SELECT a.sk, a.s AS t, CAST(count(*) AS BIGINT) AS conc
+  FROM pts a JOIN iv b ON a.sk = b.sk AND b.s <= a.s AND a.s <= b.e
+  GROUP BY a.sk, a.s
+)
+SELECT sk AS suppkey, max(conc) AS max_concurrent
+FROM cand GROUP BY sk
+""",
+    tags=("J4", "interval-analytics", "sweep-line"),
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX CONCURRENT SHIPMENTS per supplier — the capacity-planning
+    number over the same shipment intervals as
+    q_interval_overlap_binned, via the SWEEP LINE: each interval emits
+    +1 at its start and −1 just after its (inclusive) end; a running
+    sum over the supplier's time-ordered events IS the concurrency
+    step function, and its max is the answer. The oracle states the
+    quadratic spec (for every candidate instant, count covering
+    intervals — max concurrency is always attained at some start).
+
+    Tie rule (both engines): same-instant starts all apply before any
+    end (+1 events sort ahead of −1 at equal timestamps via delta
+    DESC), matching the inclusive-containment count. Scale shape:
+    2 rows per interval, ONE keyed window per supplier ordered by
+    (time, delta) — O(n log n) per key instead of the oracle's O(n²),
+    the classic reason a scheduler never counts pairwise."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_shipdate").alias("s"),
+        F.expr(
+            "l_shipdate + make_interval(0, 0, 0, 1 + l_linenumber * 3)"
+        ).alias("e"),
+    )
+    starts = li.select("sk", F.col("s").alias("ts"), F.lit(1).alias("delta"))
+    ends = li.select(
+        "sk",
+        F.expr("e + make_interval(0, 0, 0, 0, 0, 0, 0.000001)").alias("ts"),
+        F.lit(-1).alias("delta"),
+    )
+    ev = starts.unionByName(ends)
+    w = (
+        W.partitionBy("sk")
+        .orderBy("ts", F.col("delta").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    conc = ev.select("sk", F.sum("delta").over(w).alias("conc"))
+    return conc.groupBy(F.col("sk").alias("suppkey")).agg(
+        F.max("conc").cast("long").alias("max_concurrent")
+    )

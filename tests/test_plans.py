@@ -1235,3 +1235,13 @@ def test_seasonal_indices_month_grid_windows(spark):
     plan = _plan(spark, "q_seasonal_indices")
     assert "Join" not in plan or "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_max_concurrency_sweep_line_single_window(spark):
+    """q_max_concurrency: the sweep line is 2 rows per interval + ONE
+    supplier-keyed running-sum window — the oracle's quadratic
+    covering-count join must never appear."""
+    plan = _plan(spark, "q_max_concurrency")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Window [") == 1, plan
