@@ -2130,3 +2130,108 @@ def q_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     )
+
+
+@query(
+    "q_runs_test",
+    oracle=f"""
+WITH mrev AS ({_SQL_MREV}),
+med AS (
+  SELECT nk, quantile_cont(CAST(rev AS DOUBLE), 0.5) AS med
+  FROM mrev GROUP BY nk
+),
+cls AS (
+  SELECT m.nk, m.month,
+         CASE WHEN CAST(m.rev AS DOUBLE) > d.med THEN 1 ELSE -1 END AS sgn
+  FROM mrev m JOIN med d ON m.nk = d.nk
+  WHERE CAST(m.rev AS DOUBLE) <> d.med
+),
+seq AS (
+  SELECT nk, sgn,
+         lag(sgn) OVER (PARTITION BY nk ORDER BY month) AS prev
+  FROM cls
+),
+st AS (
+  SELECT nk,
+         CAST(1 + count(CASE WHEN prev IS NOT NULL AND sgn <> prev
+                             THEN 1 END) AS BIGINT) AS n_runs,
+         CAST(count(CASE WHEN sgn = 1 THEN 1 END) AS BIGINT) AS n_above,
+         CAST(count(CASE WHEN sgn = -1 THEN 1 END) AS BIGINT) AS n_below
+  FROM seq GROUP BY nk
+)
+SELECT nk AS nationkey, n_runs, n_above, n_below,
+       round((n_runs - (2.0 * n_above * n_below / (n_above + n_below) + 1))
+             / sqrt(2.0 * n_above * n_below
+                    * (2.0 * n_above * n_below - n_above - n_below)
+                    / ((n_above + n_below) * (n_above + n_below)
+                       * (n_above + n_below - 1.0))), 6) AS z_stat
+FROM st
+""",
+    tags=("A5", "randomness-test", "runs-test"),
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD–WOLFOWITZ RUNS TEST (1940) on each nation's monthly
+    revenue series: classify months above/below the series median
+    (exact-median ties excluded), count sign runs, and compute the
+    normal-approximation z statistic — |z| ≫ 0 means the sequence
+    clusters or oscillates rather than varying randomly. Completes
+    the series-diagnostics trio: Mann–Kendall (monotone trend), CUSUM
+    (level shift), runs test (non-randomness of the residual
+    pattern).
+
+    Parity: the median interpolates identically in both engines
+    (the Theil–Sen recipe); run counting is pure integers via one
+    lag() per nation; the z formula is a single shared double chain
+    rounded to 6 dp. Scale shape: one keyed groupBy to month cells,
+    two nation-keyed window passes, a 25-row output — nothing grows
+    with row count."""
+    mrev = _mrev(spark, sf_dir)
+    med = mrev.groupBy("nk").agg(
+        F.expr("percentile(CAST(rev AS DOUBLE), 0.5)").alias("med")
+    )
+    cls = (
+        mrev.join(med, "nk")
+        .filter(F.col("rev").cast("double") != F.col("med"))
+        .select(
+            "nk",
+            "month",
+            F.when(F.col("rev").cast("double") > F.col("med"), 1)
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+    )
+    wl = W.partitionBy("nk").orderBy("month")
+    seq = cls.select("nk", "sgn", F.lag("sgn").over(wl).alias("prev"))
+    st = seq.groupBy("nk").agg(
+        (
+            F.lit(1)
+            + F.count(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("sgn") != F.col("prev")),
+                    1,
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_runs"),
+        F.count(F.when(F.col("sgn") == 1, 1)).cast("long").alias("n_above"),
+        F.count(F.when(F.col("sgn") == -1, 1)).cast("long").alias("n_below"),
+    )
+    na, nb, nr = F.col("n_above"), F.col("n_below"), F.col("n_runs")
+    return st.select(
+        F.col("nk").alias("nationkey"),
+        "n_runs",
+        "n_above",
+        "n_below",
+        F.round(
+            (nr - (F.lit(2.0) * na * nb / (na + nb) + 1))
+            / F.sqrt(
+                F.lit(2.0)
+                * na
+                * nb
+                * (F.lit(2.0) * na * nb - na - nb)
+                / ((na + nb) * (na + nb) * (na + nb - F.lit(1.0)))
+            ),
+            6,
+        ).alias("z_stat"),
+    )

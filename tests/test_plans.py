@@ -1245,3 +1245,11 @@ def test_max_concurrency_sweep_line_single_window(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Window [") == 1, plan
+
+
+def test_runs_test_keyed_windows_bounded(spark):
+    """q_runs_test: one keyed groupBy to month cells + nation-keyed
+    lag window — no single-partition exchange, no cartesian."""
+    plan = _plan(spark, "q_runs_test")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
