@@ -2286,9 +2286,14 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
         "c_mktsegment",
     )
-    n_tot = qi.count()
-    glob = qi.groupBy("c_mktsegment").agg(
-        (F.count(F.lit(1)).cast("double") / F.lit(float(n_tot))).alias("p_glob")
+    # global distribution WITHOUT a driver-side count: segment counts
+    # cross-joined with the broadcast 1-row total (the declared-query
+    # no-collect policy, enforced by test_no_driver_collects_...)
+    seg_cnt = qi.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("seg_n"))
+    tot = qi.agg(F.count(F.lit(1)).cast("double").alias("n_tot"))
+    glob = seg_cnt.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        (F.col("seg_n").cast("double") / F.col("n_tot")).alias("p_glob"),
     )
     grp = qi.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n")
