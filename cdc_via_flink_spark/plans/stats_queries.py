@@ -1,0 +1,611 @@
+"""Distribution-statistics queries: the drift / robustness / inference
+toolkit a data-quality pipeline runs over every metric it ships.
+
+Reference parity note: the reference (a 2-pipeline Flink CDC demo,
+`DebeziumTransactionReconstructor.java`) has no statistics surface at
+all — these queries extend the engine the way SURVEY.md §2.8 frames
+the LLM-pipeline extensions: first-class, oracle-checked, and designed
+for the 1000-executor case (every cumulative statistic here is the
+two-level distributed form, never a single global sort).
+
+Float-parity policy is plans/registry.py's: integer/decimal
+arithmetic end-to-end, one double fold at the very end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from cdc_via_flink_spark.plans.parity import dec
+from cdc_via_flink_spark.plans.registry import query
+from cdc_via_flink_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov
+# ---------------------------------------------------------------------------
+
+# Bucket width for the two-level distributed CDF: order totals span
+# [~900, 500k], so 8192-wide value buckets give ~61 buckets at every
+# SF (the price DOMAIN, not the row count, sets the bucket count).
+_KS_BUCKET = 8192
+
+
+@query(
+    "q_ks_two_sample",
+    oracle="""
+WITH s AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ia
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+c AS (
+  SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+         CAST(sum(1 - ia) AS BIGINT) AS cb
+  FROM s GROUP BY v
+),
+t AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM c
+),
+cum AS (
+  SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+  FROM c
+)
+SELECT t.na AS n_a, t.nb AS n_b,
+       CAST(max(abs(cum_a * t.nb - cum_b * t.na)) AS BIGINT) AS d_num,
+       round(CAST(max(abs(cum_a * t.nb - cum_b * t.na)) AS DOUBLE)
+             / (CAST(t.na AS DOUBLE) * t.nb), 6) AS d_stat
+FROM cum CROSS JOIN t
+GROUP BY t.na, t.nb
+""",
+    tags=("stats", "ks-test", "drift"),
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV–SMIRNOV D between the order-total
+    distributions of two customer segments — the standard
+    nonparametric "did the distribution shift?" test (drift gates in
+    training-data pipelines run exactly this between snapshots).
+
+    Exactness: D = max|F_A - F_B| is computed on the INTEGER lattice —
+    max|cumA·nB − cumB·nA| over distinct values — so the max compares
+    exact BIGINTs; the one double divide happens after. No float CDF.
+
+    Scale shape (the part the oracle's single `OVER (ORDER BY v)`
+    cannot do at 100 TB): the cumulative count is the classic
+    TWO-LEVEL DISTRIBUTED PREFIX SUM —
+      1. groupBy distinct value (one input-sized shuffle, counts per
+         value per sample);
+      2. values are range-bucketed by the price DOMAIN (~61 buckets at
+         any SF); each bucket computes its local running sum in a
+         bucket-partitioned window (parallel);
+      3. only the ~61 bucket totals pass through a global window for
+         the cross-bucket offsets, broadcast back.
+    The single-partition window therefore touches O(#buckets) rows
+    regardless of input size — the same recipe as q_skyline_pareto."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    s = o.join(c, o.o_custkey == c.c_custkey).select(
+        dec(F.col("o_totalprice")).alias("v"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("ia"),
+    )
+    cnt = s.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("ca"),
+        F.sum(1 - F.col("ia")).cast("long").alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    # two-level prefix sum: bucket-local running counts ...
+    b = cnt.withColumn("bkt", F.floor(F.col("v") / _KS_BUCKET).cast("long"))
+    loc = b.select(
+        "bkt",
+        "v",
+        F.sum("ca").over(W.partitionBy("bkt").orderBy("v")).alias("la"),
+        F.sum("cb").over(W.partitionBy("bkt").orderBy("v")).alias("lb"),
+    )
+    # ... plus cross-bucket offsets computed over one row per bucket.
+    btot = b.groupBy("bkt").agg(
+        F.sum("ca").alias("ba"), F.sum("cb").alias("bb")
+    )
+    off = btot.select(
+        "bkt",
+        (F.coalesce(
+            F.sum("ba").over(W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        )).alias("oa"),
+        (F.coalesce(
+            F.sum("bb").over(W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        )).alias("ob"),
+    )
+    cum = loc.join(F.broadcast(off), "bkt").select(
+        (F.col("oa") + F.col("la")).cast("long").alias("cum_a"),
+        (F.col("ob") + F.col("lb")).cast("long").alias("cum_b"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.max(
+            F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+        )
+        .cast("long")
+        .alias("d_num"),
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        F.round(
+            F.col("d_num").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b")),
+            6,
+        ).alias("d_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (PSI)
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "1995-07-01"
+_PSI_WIDTH = 50000  # fixed-width price buckets 0..9 (domain-driven)
+
+
+@query(
+    "q_psi_drift",
+    oracle=f"""
+WITH s AS (
+  SELECT least(CAST(floor(o_totalprice / {_PSI_WIDTH}) AS BIGINT), 9) AS bucket,
+         CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS r
+  FROM orders
+),
+c AS (
+  SELECT bucket, CAST(sum(r) AS BIGINT) AS n_ref,
+         CAST(sum(1 - r) AS BIGINT) AS n_cur
+  FROM s GROUP BY bucket
+),
+t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+             CAST(sum(n_cur) AS BIGINT) AS tc FROM c),
+term AS (
+  SELECT bucket, n_ref, n_cur,
+         CAST(n_ref AS DOUBLE) / tr AS p_ref,
+         CAST(n_cur AS DOUBLE) / tc AS p_cur,
+         (CAST(n_cur AS DOUBLE) / tc - CAST(n_ref AS DOUBLE) / tr)
+           * ln((CAST(n_cur AS DOUBLE) / tc) / (CAST(n_ref AS DOUBLE) / tr))
+           AS psi_term
+  FROM c CROSS JOIN t
+),
+tot AS (
+  SELECT CAST(sum(CAST(round(psi_term, 10) AS DECIMAL(28,10))) AS DOUBLE)
+           AS psi_total
+  FROM term
+)
+SELECT bucket, n_ref, n_cur,
+       round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+       round(psi_term, 6) AS psi_term,
+       round(psi_total, 6) AS psi_total
+FROM term CROSS JOIN tot
+ORDER BY bucket
+""",
+    tags=("stats", "psi", "drift"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX between the 1992–mid-1995 order-total
+    distribution (reference window) and mid-1995–1998 (current) — the
+    standard model-monitoring drift score (PSI < 0.1 stable, > 0.25
+    investigate), bucketed by the price DOMAIN (ten fixed-width bins)
+    so the bin edges are scale-independent constants, not data-driven
+    quantiles that would themselves drift.
+
+    One input-sized aggregation (bucket × window counts); everything
+    after runs on ten rows. Parity: counts are exact integers; each
+    PSI term is (p_cur−p_ref)·ln(p_cur/p_ref) in double (ln over
+    identical doubles — the q_benford_screen precedent), and the TOTAL
+    folds DECIMAL(28,10)-rounded terms so the cross-engine sum is
+    association-order independent."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.select(
+        F.least(F.floor(F.col("o_totalprice") / _PSI_WIDTH).cast("long"), F.lit(9))
+        .alias("bucket"),
+        F.when(F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("r"),
+    )
+    c = s.groupBy("bucket").agg(
+        F.sum("r").cast("long").alias("n_ref"),
+        F.sum(1 - F.col("r")).cast("long").alias("n_cur"),
+    )
+    t = c.agg(
+        F.sum("n_ref").cast("long").alias("tr"),
+        F.sum("n_cur").cast("long").alias("tc"),
+    )
+    p_ref = F.col("n_ref").cast("double") / F.col("tr")
+    p_cur = F.col("n_cur").cast("double") / F.col("tc")
+    term = c.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+    )
+    tot = term.agg(
+        F.sum(F.round(F.col("psi_term"), 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("psi_total")
+    )
+    return (
+        term.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round("p_ref", 6).alias("p_ref"),
+            F.round("p_cur", 6).alias("p_cur"),
+            F.round("psi_term", 6).alias("psi_term"),
+            F.round("psi_total", 6).alias("psi_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median / MAD robust outlier screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+WITH s AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS spend
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+),
+r AS (
+  SELECT seg, spend,
+         row_number() OVER (PARTITION BY seg ORDER BY spend, o_custkey) AS rn,
+         count(*) OVER (PARTITION BY seg) AS n
+  FROM s
+),
+med AS (
+  SELECT seg, max(n) AS n,
+         max(CASE WHEN rn = (n + 1) // 2 THEN spend END) AS median_spend
+  FROM r GROUP BY seg
+),
+dev AS (
+  SELECT s.seg, s.spend, med.n, med.median_spend,
+         abs(s.spend - med.median_spend) AS d
+  FROM s JOIN med ON s.seg = med.seg
+),
+dr AS (
+  SELECT seg, n, median_spend, d,
+         row_number() OVER (PARTITION BY seg ORDER BY d, spend) AS rn
+  FROM dev
+),
+mad AS (
+  SELECT seg, max(n) AS n, max(median_spend) AS median_spend,
+         max(CASE WHEN rn = (n + 1) // 2 THEN d END) AS mad
+  FROM dr GROUP BY seg
+)
+SELECT dev.seg AS c_mktsegment,
+       CAST(max(mad.n) AS BIGINT) AS n_customers,
+       CAST(max(mad.median_spend) AS DOUBLE) AS median_spend,
+       CAST(max(mad.mad) AS DOUBLE) AS mad,
+       CAST(sum(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad ON dev.seg = mad.seg
+GROUP BY dev.seg
+ORDER BY c_mktsegment
+""",
+    tags=("stats", "robust", "outliers"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN / MAD ROBUST OUTLIER SCREEN per market segment — the
+    robust alternative to q_rolling_zscore_anomaly's mean/stddev: the
+    median and the median absolute deviation are breakdown-50%
+    statistics, so one whale customer cannot move the threshold.
+
+    Determinism: both medians are DISCRETE lower medians selected by
+    row_number (rn == (n+1)/2) — an exact DECIMAL value from the data,
+    never an interpolated float — and the outlier predicate
+    |x − med| > 3·MAD compares DECIMALs exactly. Per-segment windows
+    shuffle once on the segment key; at 100 TB the in-group sort swaps
+    for the quantile-binned selection documented in q_gini_spend."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(dec(F.col("o_totalprice"))).cast("decimal(28,2)").alias("spend")
+        )
+    )
+    r = s.select(
+        "seg",
+        "spend",
+        F.row_number()
+        .over(W.partitionBy("seg").orderBy("spend", "o_custkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("seg")).alias("n"),
+    )
+    med = r.groupBy("seg").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"), F.col("spend"))
+        ).alias("median_spend"),
+    )
+    dev = s.join(F.broadcast(med), "seg").select(
+        "seg",
+        "spend",
+        "n",
+        "median_spend",
+        F.abs(F.col("spend") - F.col("median_spend")).alias("d"),
+    )
+    dr = dev.select(
+        "seg",
+        "n",
+        "median_spend",
+        "d",
+        F.row_number().over(W.partitionBy("seg").orderBy("d", "spend")).alias("rn"),
+    )
+    mad = dr.groupBy("seg").agg(
+        F.max("n").alias("n"),
+        F.max("median_spend").alias("median_spend"),
+        F.max(
+            F.when(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"), F.col("d"))
+        ).alias("mad"),
+    )
+    return (
+        dev.select("seg", "d")
+        .join(F.broadcast(mad), "seg")
+        .groupBy("seg")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.max("median_spend").cast("double").alias("median_spend"),
+            F.max("mad").cast("double").alias("mad"),
+            F.sum(F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .withColumnRenamed("seg", "c_mktsegment")
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_B = 64  # bootstrap replicates
+_M = 1048576  # 2^20 hash lattice
+_MULT = 489905  # 2654435761 mod 2^20 (odd -> bijection mod 2^20)
+_BSTEP = 97003
+# Poisson(1) inverse-CDF thresholds on u = h / 2^20 (u exact: h < 2^20
+# over a power-of-two denominator). Capped at 4 (P(X>4) ~ 0.4%).
+_P0, _P1, _P2, _P3 = 0.3678794412, 0.7357588824, 0.9196986029, 0.9810118431
+
+
+def _w_sql() -> str:
+    return (
+        f"CASE WHEN u < {_P0} THEN 0 WHEN u < {_P1} THEN 1 "
+        f"WHEN u < {_P2} THEN 2 WHEN u < {_P3} THEN 3 ELSE 4 END"
+    )
+
+
+@query(
+    "q_poisson_bootstrap_ci",
+    oracle=f"""
+WITH reps AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS rev, b
+  FROM orders CROSS JOIN (SELECT unnest(range({_B})) AS b)
+),
+u AS (
+  SELECT b, rev,
+         CAST(((o_orderkey % {_M}) * {_MULT} + b * {_BSTEP}) % {_M} AS DOUBLE)
+           / {_M} AS u
+  FROM reps
+),
+w AS (SELECT b, rev, {_w_sql()} AS w FROM u),
+means AS (
+  SELECT b,
+         CAST(sum(CAST(w AS DECIMAL(18,2)) * rev) AS DOUBLE)
+           / CAST(sum(w) AS DOUBLE) AS mean_b
+  FROM w GROUP BY b
+),
+ranked AS (
+  SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rn FROM means
+),
+full_mean AS (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           AS mean_full
+  FROM orders
+)
+SELECT CAST({_B} AS BIGINT) AS b_reps,
+       round(max(mean_full), 2) AS mean_full,
+       round(max(CASE WHEN rn = 2 THEN mean_b END), 2) AS ci_lo,
+       round(max(CASE WHEN rn = {_B - 1} THEN mean_b END), 2) AS ci_hi
+FROM ranked CROSS JOIN full_mean
+""",
+    tags=("stats", "bootstrap", "inference"),
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP 95% CI on mean order revenue — the
+    DISTRIBUTED bootstrap (Chamandy et al., Google 2012): classic
+    resampling needs n draws from a dataset no single machine holds;
+    Poisson(1) per-row weights approximate multinomial resampling with
+    NO coordination — each row computes its own weight for all B
+    replicates map-side, and the per-replicate means come out of ONE
+    partial-aggregating groupBy(b) (shuffle rows: B × #partitions,
+    not B × n).
+
+    Determinism: the "draw" is a hash lattice — u = ((key mod 2^20) ·
+    489905 + b·97003 mod 2^20) / 2^20, a bijective odd-multiplier
+    mixer both engines evaluate in exact BIGINT arithmetic; u is an
+    exact double (power-of-two denominator), so the inverse-CDF CASE
+    thresholds cut identically. CI endpoints are order statistics of
+    the 64 replicate means (rank 2 / rank 63 ≈ 2.5%/97.5%), selected
+    by row_number — no interpolation. At 100 TB swap the mixer for
+    xxhash64(key, b) (same shape; the lattice here is for
+    cross-engine oracle parity)."""
+    o = _t(spark, sf_dir, "orders")
+    reps = o.select(
+        "o_orderkey",
+        dec(F.col("o_totalprice")).alias("rev"),
+        F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
+    )
+    u = (
+        ((F.col("o_orderkey") % _M) * _MULT + F.col("b") * _BSTEP) % _M
+    ).cast("double") / _M
+    w = reps.select(
+        "b",
+        "rev",
+        F.when(u < _P0, 0)
+        .when(u < _P1, 1)
+        .when(u < _P2, 2)
+        .when(u < _P3, 3)
+        .otherwise(4)
+        .alias("w"),
+    )
+    means = w.groupBy("b").agg(
+        (
+            F.sum(F.col("w").cast("decimal(18,2)") * F.col("rev")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_b")
+    )
+    ranked = means.select(
+        "mean_b", F.row_number().over(W.orderBy("mean_b", "b")).alias("rn")
+    )
+    full_mean = o.agg(
+        (F.sum(dec(F.col("o_totalprice"))).cast("double") / F.count(F.lit(1))).alias(
+            "mean_full"
+        )
+    )
+    return ranked.crossJoin(F.broadcast(full_mean)).agg(
+        F.lit(_B).cast("long").alias("b_reps"),
+        F.round(F.max("mean_full"), 2).alias("mean_full"),
+        F.round(F.max(F.when(F.col("rn") == 2, F.col("mean_b"))), 2).alias("ci_lo"),
+        F.round(F.max(F.when(F.col("rn") == _B - 1, F.col("mean_b"))), 2).alias(
+            "ci_hi"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the monthly revenue series
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 6
+
+_SQL_GMREV = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+FROM orders GROUP BY 1
+"""
+
+
+@query(
+    "q_acf_revenue",
+    oracle=f"""
+WITH m AS ({_SQL_GMREV}),
+idx AS (SELECT rev, row_number() OVER (ORDER BY month) AS i FROM m),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rev) AS DOUBLE) AS sx,
+         CAST(sum(CAST(rev AS DECIMAL(19,2)) * rev) AS DOUBLE) AS sxx
+  FROM idx
+),
+lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+pairs AS (
+  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.rev) AS DOUBLE) AS sa,
+         CAST(sum(b.rev) AS DOUBLE) AS sb,
+         CAST(sum(CAST(a.rev AS DECIMAL(19,2)) * b.rev) AS DOUBLE) AS sab
+  FROM lags l
+  JOIN idx a ON TRUE
+  JOIN idx b ON b.i = a.i + l.lag
+  GROUP BY l.lag
+)
+SELECT p.lag, p.n_pairs,
+       round((p.sab - (base.sx / base.n) * p.sa - (base.sx / base.n) * p.sb
+              + p.n_pairs * (base.sx / base.n) * (base.sx / base.n))
+             / (base.sxx - base.n * (base.sx / base.n) * (base.sx / base.n)),
+             6) AS acf
+FROM pairs p CROSS JOIN base
+ORDER BY p.lag
+""",
+    tags=("stats", "timeseries", "acf"),
+)
+def q_acf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE AUTOCORRELATION FUNCTION of global monthly revenue at
+    lags 1..6 — the seasonality detector that decides q_seasonal_
+    indices' period and q_forecast_revenue_change's model order:
+    r_k = Σ(x_t − x̄)(x_{t+k} − x̄) / Σ(x_t − x̄)².
+
+    Parity: the centered products are EXPANDED into raw moment sums
+    (Σx_t·x_{t+k}, Σx_t, Σx²) computed in exact DECIMAL — one operand
+    widened to (19,2) so the (37,4) product runs int128 in BOTH
+    engines (DuckDB overflows an int64 (18,2)×(18,2)) — so no float
+    accumulates; the
+    closed form evaluates in double once per lag. The input-sized work
+    is the month aggregation; the lag self-join runs on the ~84-row
+    month series (time-dimension-sized, ~constant as data grows), the
+    same blocking argument as q_mann_kendall_trend."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        F.sum(dec(F.col("o_totalprice"))).cast("decimal(18,2)").alias("rev")
+    )
+    idx = m.select("rev", F.row_number().over(W.orderBy("month")).alias("i"))
+    base = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("double").alias("sx"),
+        F.sum(F.col("rev").cast("decimal(19,2)") * F.col("rev"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = idx.select(F.col("i").alias("ia"), F.col("rev").alias("ra"))
+    b = idx.select(F.col("i").alias("ib"), F.col("rev").alias("rb"))
+    pairs = (
+        lags.crossJoin(a)
+        .join(b, F.col("ib") == F.col("ia") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("ra").cast("double").alias("sa"),
+            F.sum("rb").cast("double").alias("sb"),
+            F.sum(F.col("ra").cast("decimal(19,2)") * F.col("rb"))
+            .cast("double")
+            .alias("sab"),
+        )
+    )
+    xbar = F.col("sx") / F.col("n")
+    return (
+        pairs.crossJoin(F.broadcast(base))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(
+                (
+                    F.col("sab")
+                    - xbar * F.col("sa")
+                    - xbar * F.col("sb")
+                    + F.col("n_pairs") * xbar * xbar
+                )
+                / (F.col("sxx") - F.col("n") * xbar * xbar),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -1,0 +1,117 @@
+"""Plan-shape + constructed-example pins for plans/stats_queries.py.
+
+Value correctness is the driver oracle's job (CORRECTNESS_FULL); these
+tests pin the SCALE-CRITICAL plan properties that an oracle match
+cannot see — where the single-partition exchanges are allowed to be,
+that the bootstrap fan-out partial-aggregates map-side, and that the
+hash-lattice weights reproduce Poisson(1) frequencies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_via_flink_spark.plans.registry import load_all
+
+SPECS = load_all()
+SF001 = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name, mode="simple"):
+    df = SPECS[name].fn(spark, SF001)
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_ks_two_level_prefix_sum(spark):
+    """q_ks_two_sample: the cumulative CDF must be the two-level form —
+    exactly two windows, and the one that sees per-VALUE rows is
+    partitioned by bkt (parallel); the unpartitioned window runs only
+    over the ~61 bucket totals. The final-scalar and 1-row-total
+    aggregates are the only other SinglePartition exchanges (they
+    consume partial-agg rows, one per task)."""
+    plan = _plan(spark, "q_ks_two_sample")
+    assert plan.count("Window [") == 2, plan
+    # the local running-count window is keyed by bkt
+    assert "windowspecdefinition(bkt" in plan, plan
+    # the unpartitioned window consumes the per-bucket aggregate, and
+    # the cross joins are 1-row broadcasts, never a pair blow-up
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_psi_single_input_aggregate(spark):
+    """q_psi_drift: one input-sized aggregation (bucket×window counts);
+    the ten-row tail uses broadcast joins, never a shuffle join or a
+    window over raw orders."""
+    plan = _plan(spark, "q_psi_drift")
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_mad_windows_are_segment_keyed(spark):
+    """q_mad_outliers: both median-selection windows partition by seg —
+    no single-partition exchange (no global sort of customers)."""
+    plan = _plan(spark, "q_mad_outliers")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bootstrap_partial_agg(spark):
+    """q_poisson_bootstrap_ci: the B-replicate means must come from a
+    partial-aggregating hash agg (map-side combine bounds the shuffle
+    at B rows per task, not B×n); single-partition exchanges: the
+    64-row replicate rank + the 1-row full-mean scalar, nothing
+    input-sized; no Python evaluation anywhere."""
+    plan = _plan(spark, "q_poisson_bootstrap_ci")
+    assert plan.count("Exchange SinglePartition") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # partial_ aggregate functions before the exchange = map-side combine
+    assert "partial_sum" in plan, plan
+
+
+def test_bootstrap_weights_match_poisson(spark):
+    """The hash-lattice weights must reproduce Poisson(1) frequencies:
+    over the sf0.01 orders × 64 replicates lattice, the weight
+    distribution stays within 1% absolute of (e^-1, e^-1, e^-1/2,
+    e^-1/6) — the property that makes the bootstrap statistically
+    valid, independent of the oracle (which would match even a broken
+    constant weight)."""
+    import math
+
+    from cdc_via_flink_spark.plans import stats_queries as S
+
+    o = spark.read.parquet(f"{SF001}/orders.parquet").select("o_orderkey")
+    reps = o.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(S._B - 1))).alias("b"),
+    )
+    u = (
+        ((F.col("o_orderkey") % S._M) * S._MULT + F.col("b") * S._BSTEP) % S._M
+    ).cast("double") / S._M
+    w = reps.select(
+        F.when(u < S._P0, 0)
+        .when(u < S._P1, 1)
+        .when(u < S._P2, 2)
+        .when(u < S._P3, 3)
+        .otherwise(4)
+        .alias("w")
+    )
+    dist = {r["w"]: r["n"] for r in w.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    total = sum(dist.values())
+    e1 = math.exp(-1.0)
+    expected = {0: e1, 1: e1, 2: e1 / 2, 3: e1 / 6}
+    for k, p in expected.items():
+        assert abs(dist[k] / total - p) < 0.01, (k, dist[k] / total, p)
+
+
+def test_acf_month_grid_only_after_first_agg(spark):
+    """q_acf_revenue: the lag self-join runs on the month grid — the
+    join keys are month indexes, so every join in the plan is
+    broadcast (the grid is ~84 rows); no sort-merge join of raw
+    orders against raw orders."""
+    plan = _plan(spark, "q_acf_revenue")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" not in plan
