@@ -77,5 +77,6 @@ def load_all() -> dict[str, QuerySpec]:
     import cdc_via_flink_spark.plans.pipeline_queries  # noqa: F401
     import cdc_via_flink_spark.plans.graph_queries  # noqa: F401
     import cdc_via_flink_spark.plans.stats_queries  # noqa: F401
+    import cdc_via_flink_spark.plans.sequence_queries  # noqa: F401
 
     return QUERIES
