@@ -2680,3 +2680,117 @@ def stream_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = bitmap_maintenance_query(stream, idx, out, ckpt)
     q.awaitTermination()
     return read_dau(spark, out, index_path=idx)
+
+
+def _hll_distinct_oracle() -> str:
+    from cdc_via_flink_spark.streaming.hll_maintenance import (
+        estimate_sql,
+        h1_sql,
+        h2_sql,
+        rho_sql,
+    )
+
+    h1 = h1_sql("user_id")
+    h2 = h2_sql("user_id")
+    return f"""
+WITH ids AS (
+  SELECT user_id,
+         CASE WHEN event_id % 2 = 0 THEN -1
+              ELSE (event_id // 2) % 3 END AS ep
+  FROM events
+),
+regs AS (
+  SELECT ep, ({h1}) % 256 AS reg, {rho_sql(h2)} AS rho FROM ids
+),
+eps AS (SELECT unnest([0, 1, 2]) AS e),
+cume AS (
+  SELECT eps.e, regs.reg, max(regs.rho) AS mrho
+  FROM eps JOIN regs ON regs.ep <= eps.e
+  GROUP BY eps.e, regs.reg
+),
+prev AS (
+  SELECT eps.e, regs.reg, max(regs.rho) AS prho
+  FROM eps JOIN regs ON regs.ep <= eps.e - 1
+  GROUP BY eps.e, regs.reg
+),
+agg AS (
+  SELECT c.e,
+         CAST(sum(CAST(2 AS BIGINT) ** (48 - c.mrho)) AS BIGINT) AS numf,
+         CAST(count(*) AS BIGINT) AS n_filled,
+         CAST(sum(CASE WHEN c.mrho > COALESCE(p.prho, 0) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_regs_changed
+  FROM cume c LEFT JOIN prev p ON p.e = c.e AND p.reg = c.reg
+  GROUP BY c.e
+)
+SELECT CAST(e AS BIGINT) AS ep,
+       {estimate_sql(
+           "numf + (256 - n_filled) * " + str(1 << 48),
+           "256 - n_filled",
+       )} AS est_users,
+       n_regs_changed,
+       (256 - n_filled) AS n_zero_regs
+FROM agg
+"""
+
+
+@query(
+    "stream_hll_distinct",
+    oracle=_hll_distinct_oracle(),
+    tags=("A3", "ST5", "streaming", "hll", "lifecycle"),
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-MAINTAINED HLL REGISTERS
+    (streaming/hll_maintenance.py — the SEVENTH adapter over the
+    maintained-index kernel): half the event history (even event_id)
+    builds the 256-register base sketch; the other half arrives over
+    three micro-batches. Each epoch folds its registers in (max by
+    reg — associative+idempotent, the bitmap/Bloom algebra) and
+    reports the post-fold cumulative distinct-user ESTIMATE, how many
+    registers it raised, and how many remain zero — the fixed-size
+    approximate twin of stream_bitmap_dau for the cardinalities where
+    exact words stop fitting.
+
+    The oracle simulates the registers algebraically (the
+    stream_bloom_gate recipe): the engine's deterministic lattice
+    hashes are plain BIGINT arithmetic, the estimator numerator
+    Σ 2^(48−M_j) is an exact integer in both engines, and the
+    alpha/linear-counting arithmetic is literal-identical — so the
+    ESTIMATE matches hash-exactly, not within-a-bound."""
+    import shutil as _sh
+
+    from cdc_via_flink_spark.streaming.hll_maintenance import (
+        hll_maintenance_query,
+        read_estimates,
+        save_streaming_hll_index,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    base = ev.filter(F.col("event_id") % 2 == 0).select("user_id")
+    strm = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", ((F.col("event_id") / 2).cast("long") % 3).alias("ep")
+    )
+
+    root = os.path.join(STAGE_ROOT, f"hll_maint_{sf_name}")
+    _sh.rmtree(root, ignore_errors=True)
+    idx, out, ckpt = (
+        os.path.join(root, "idx"),
+        os.path.join(root, "est"),
+        os.path.join(root, "ckpt"),
+    )
+    save_streaming_hll_index(base, idx)
+    frames = [
+        strm.filter(F.col("ep") == k).select("user_id").orderBy("user_id")
+        for k in range(3)
+    ]
+    dest = os.path.join(root, "staged")
+    _STAGED_DESTS.discard(dest)
+    _stage_ordered_files(spark, frames, dest)
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = hll_maintenance_query(stream, idx, out, ckpt)
+    q.awaitTermination()
+    return read_estimates(spark, out, index_path=idx)
