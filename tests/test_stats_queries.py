@@ -115,3 +115,24 @@ def test_acf_month_grid_only_after_first_agg(spark):
     plan = _plan(spark, "q_acf_revenue")
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_search_filter_before_shuffle(spark):
+    """sim_range_search: the radius predicate must run in the scoring
+    stage (a Filter on the rounded cosine above the broadcast join),
+    never after an exchange — output sizes all downstream work — and
+    the scoring join is the broadcast nest of corpus x 5 queries."""
+    plan = _plan(spark, "sim_range_search")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # radius predicate present as a filter on the computed cosine
+    assert ">= 0.2" in plan, plan
+
+
+def test_range_search_lsh_equijoin_probes(spark):
+    """sim_range_search_lsh: candidates come from a bucket EQUI-join
+    against the 45-row probe table (9 probes x 5 queries) — a hash
+    join, never a cartesian of corpus x probes."""
+    plan = _plan(spark, "sim_range_search_lsh")
+    assert "BroadcastHashJoin [bucket" in plan, plan
+    assert "CartesianProduct" not in plan, plan
