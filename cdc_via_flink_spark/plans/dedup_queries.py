@@ -1485,3 +1485,151 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+# ------------------------------------------------------------------
+# Content-defined chunking (FastCDC/Rabin family)
+# ------------------------------------------------------------------
+
+_CDC_W = 8  # rolling-window width (chars)
+_CDC_MOD = 64  # boundary if window-hash % 64 == 0 -> ~64-char chunks
+_CDC_COEFS = [pow(37, j, _CDC_MOD) for j in range(_CDC_W)]  # 37^j mod 64
+
+
+def _cdc_hash_lambda(text: str, pos: str) -> str:
+    """Window hash of the _CDC_W chars ending at 1-based `pos` of
+    `text` — identical SQL in both engines (ascii() returns the
+    Unicode CODEPOINT in both, verified incl. CJK/Cyrillic)."""
+    terms = " + ".join(
+        f"ascii(substr({text}, CAST({pos} - {j} AS INT), 1)) * {c}"
+        for j, c in enumerate(_CDC_COEFS)
+    )
+    return f"(({terms}) % {_CDC_MOD})"
+
+
+def _cdc_bounds_sql(text: str) -> str:
+    """Boundary position list: window-hash hits plus the final char
+    (so every doc ends on a boundary), ascending."""
+    hits = (
+        f"list_filter(range({_CDC_W}, length({text})), "
+        f"p -> {_cdc_hash_lambda(text, 'p')} = 0)"
+    )
+    return (
+        f"list_sort(list_distinct(list_append("
+        f"list_transform({hits}, p -> CAST(p AS BIGINT)), "
+        f"CAST(length({text}) AS BIGINT))))"
+    )
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, source, text, {_cdc_bounds_sql('text')} AS bounds
+  FROM documents WHERE length(text) >= {_CDC_W}
+),
+chunks AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(bounds) + 1),
+           i -> substr(text,
+                       CAST(CASE WHEN i = 1 THEN 1
+                                 ELSE bounds[CAST(i AS INT) - 1] + 1 END AS INT),
+                       CAST(bounds[CAST(i AS INT)]
+                            - CASE WHEN i = 1 THEN 0
+                                   ELSE bounds[CAST(i AS INT) - 1] END AS INT))))
+           AS chunk
+  FROM b
+),
+h AS (SELECT source, md5(chunk) AS ch, length(chunk) AS clen FROM chunks),
+g AS (
+  SELECT source, ch, CAST(count(*) AS BIGINT) AS n,
+         CAST(max(clen) AS BIGINT) AS clen
+  FROM h GROUP BY source, ch
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(n * clen) AS BIGINT) AS total_chars,
+       CAST(sum(clen) AS BIGINT) AS unique_chars,
+       round(CAST(sum(clen) AS DOUBLE) / sum(n * clen), 6) AS stored_frac
+FROM g GROUP BY source
+ORDER BY source
+""",
+    tags=("X1", "dedup", "cdc-chunking", "storage"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup accounting (the Rabin/FastCDC
+    family every dedup STORE — restic/borg/data lakes with
+    chunk-level dedup — runs under the document layer): chunk
+    boundaries where the rolling 8-char window hash ≡ 0 (mod 64)
+    (≈64-char expected chunks), so an insertion early in a document
+    shifts only the chunk it lands in — unlike fixed-width blocks
+    where one insert re-chunks the whole tail. Output per source:
+    chunk counts, distinct chunks (by md5), and the stored fraction a
+    chunk store would keep.
+
+    Plan shape: boundary positions come from a per-row array pipeline
+    (filter over the position range evaluating the 8-term polynomial
+    — JVM-side lambdas, no Python, no position EXPLODE: rows only
+    ever multiply at the CHUNK grain, n/64 per doc); the only
+    shuffles are the two chunk-hash aggregates. The window hash uses
+    exact integer codepoint arithmetic (ascii/substr parity verified
+    cross-engine incl. non-ASCII), so boundaries are bit-identical in
+    both engines. Min/max chunk-size clamps (the FastCDC
+    normalization) are sequential dependencies and intentionally
+    omitted — the expected-size knob here is the modulus."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _CDC_W
+    )
+    bounds = F.expr(
+        f"""array_sort(array_distinct(concat(
+          transform(
+            filter(sequence({_CDC_W}, length(text)),
+                   p -> {_cdc_hash_lambda('text', 'p')} = 0),
+            p -> CAST(p AS BIGINT)),
+          array(CAST(length(text) AS BIGINT)))))"""
+    )
+    b = d.select("doc_id", "source", "text", bounds.alias("bounds"))
+    chunk = F.expr(
+        """transform(sequence(1, size(bounds)),
+             i -> substr(text,
+                         CAST(CASE WHEN i = 1 THEN 1
+                              ELSE bounds[i - 2] + 1 END AS INT),
+                         CAST(bounds[i - 1]
+                              - CASE WHEN i = 1 THEN 0
+                                     ELSE bounds[i - 2] END AS INT)))"""
+    )
+    chunks = b.select(
+        "source", F.explode(chunk).alias("chunk")
+    )
+    h = chunks.select(
+        "source",
+        F.md5(F.col("chunk")).alias("ch"),
+        F.length("chunk").alias("clen"),
+    )
+    # one pass: (source, chunk-hash) grain first, per-source stats
+    # derived from it — the chunking explode runs exactly once
+    g = h.groupBy("source", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("clen").cast("long").alias("clen"),
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("n") * F.col("clen")).cast("long").alias("total_chars"),
+            F.sum("clen").cast("long").alias("unique_chars"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct",
+            "total_chars",
+            "unique_chars",
+            F.round(
+                F.col("unique_chars").cast("double") / F.col("total_chars"), 6
+            ).alias("stored_frac"),
+        )
+        .orderBy("source")
+    )

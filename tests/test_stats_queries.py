@@ -136,3 +136,45 @@ def test_range_search_lsh_equijoin_probes(spark):
     plan = _plan(spark, "sim_range_search_lsh")
     assert "BroadcastHashJoin [bucket" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cdc_chunks_lossless_and_jvm_side(spark):
+    """dedup_cdc_chunks: (a) chunking is LOSSLESS — per doc, the
+    chunks concatenate back to the original text (boundary algebra
+    correct at both ends); (b) the plan stays JVM-side (no Python
+    eval) and rows multiply only at the chunk grain (exactly one
+    Generate, the chunk explode — never a per-position explode)."""
+    from cdc_via_flink_spark.plans import dedup_queries as D
+
+    d = (
+        spark.read.parquet(f"{SF001}/documents.parquet")
+        .filter(F.length("text") >= D._CDC_W)
+        .limit(50)
+    )
+    bounds = F.expr(
+        f"""array_sort(array_distinct(concat(
+          transform(
+            filter(sequence({D._CDC_W}, length(text)),
+                   p -> {D._cdc_hash_lambda('text', 'p')} = 0),
+            p -> CAST(p AS BIGINT)),
+          array(CAST(length(text) AS BIGINT)))))"""
+    )
+    chunk = F.expr(
+        """transform(sequence(1, size(bounds)),
+             i -> substr(text,
+                         CAST(CASE WHEN i = 1 THEN 1
+                              ELSE bounds[i - 2] + 1 END AS INT),
+                         CAST(bounds[i - 1]
+                              - CASE WHEN i = 1 THEN 0
+                                     ELSE bounds[i - 2] END AS INT)))"""
+    )
+    rows = d.select(
+        "text", bounds.alias("bounds")
+    ).select("text", F.concat_ws("", chunk).alias("rejoined")).collect()
+    assert rows
+    for r in rows:
+        assert r["rejoined"] == r["text"]
+
+    plan = _plan(spark, "dedup_cdc_chunks")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Generate explode") == 1, plan
