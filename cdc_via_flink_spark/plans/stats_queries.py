@@ -609,3 +609,251 @@ def q_acf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information feature ranking
+# ---------------------------------------------------------------------------
+
+_MI_FEATURES = {
+    "linestatus": "l_linestatus",
+    "ship_month": "CAST(month(l_shipdate) AS STRING)",
+    "qty_bucket": "CAST(CAST(floor(l_quantity / 10) AS BIGINT) AS STRING)",
+    "disc_bucket": "CAST(CAST(floor(l_discount * 100) AS BIGINT) AS STRING)",
+}
+
+
+def _mi_oracle() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr} AS x, l_returnflag AS y FROM lineitem"
+        for name, expr in _MI_FEATURES.items()
+    )
+    return f"""
+WITH fx AS ({unions}),
+jnt AS (SELECT feature, x, y, CAST(count(*) AS BIGINT) AS nxy
+        FROM fx GROUP BY feature, x, y),
+mx AS (SELECT feature, x, CAST(sum(nxy) AS BIGINT) AS nx
+       FROM jnt GROUP BY feature, x),
+my AS (SELECT feature, y, CAST(sum(nxy) AS BIGINT) AS ny
+       FROM jnt GROUP BY feature, y),
+nt AS (SELECT feature, CAST(sum(nxy) AS BIGINT) AS n FROM jnt GROUP BY feature),
+terms AS (
+  SELECT jnt.feature,
+         (CAST(jnt.nxy AS DOUBLE) / nt.n)
+           * ln((CAST(jnt.nxy AS DOUBLE) * nt.n)
+                / (CAST(mx.nx AS DOUBLE) * my.ny)) AS t
+  FROM jnt
+  JOIN mx ON mx.feature = jnt.feature AND mx.x = jnt.x
+  JOIN my ON my.feature = jnt.feature AND my.y = jnt.y
+  JOIN nt ON nt.feature = jnt.feature
+)
+SELECT feature,
+       CAST(sum(CAST(round(t, 12) AS DECIMAL(28,12))) AS DOUBLE)
+         AS mi_raw,
+       round(CAST(sum(CAST(round(t, 12) AS DECIMAL(28,12))) AS DOUBLE), 6)
+         AS mi_nats
+FROM terms GROUP BY feature
+ORDER BY mi_nats DESC, feature
+"""
+
+
+@query(
+    "q_mutual_information",
+    oracle=_mi_oracle(),
+    tags=("stats", "feature-selection", "mi"),
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL-INFORMATION FEATURE RANKING — I(X;Y) in nats between
+    each candidate feature and the l_returnflag label: the
+    feature-selection screen a training pipeline runs before paying
+    for a model. Four features from ONE melted scan (feature-tagged
+    union, same physical read via column pruning per branch); the MI
+    terms use exact integer contingency counts, per-term double
+    arithmetic (the PSI ln precedent) and a DECIMAL(28,12) fold so the
+    cross-engine sum is association-order independent. Everything
+    after the contingency groupBy runs on |X|·|Y|-sized rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    parts = []
+    for name, expr in _MI_FEATURES.items():
+        parts.append(
+            li.select(
+                F.lit(name).alias("feature"),
+                F.expr(expr).alias("x"),
+                F.col("l_returnflag").alias("y"),
+            )
+        )
+    fx = parts[0]
+    for p in parts[1:]:
+        fx = fx.unionByName(p)
+    jnt = fx.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("nxy")
+    )
+    mx = jnt.groupBy("feature", "x").agg(F.sum("nxy").cast("long").alias("nx"))
+    my = jnt.groupBy("feature", "y").agg(F.sum("nxy").cast("long").alias("ny"))
+    nt = jnt.groupBy("feature").agg(F.sum("nxy").cast("long").alias("n"))
+    t = (
+        jnt.join(F.broadcast(mx), ["feature", "x"])
+        .join(F.broadcast(my), ["feature", "y"])
+        .join(F.broadcast(nt), "feature")
+        .select(
+            "feature",
+            (
+                (F.col("nxy").cast("double") / F.col("n"))
+                * F.log(
+                    (F.col("nxy").cast("double") * F.col("n"))
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                )
+            ).alias("t"),
+        )
+    )
+    mi = F.sum(F.round(F.col("t"), 12).cast("decimal(28,12)")).cast("double")
+    return (
+        t.groupBy("feature")
+        .agg(mi.alias("mi_raw"))
+        .select(
+            "feature",
+            "mi_raw",
+            F.round("mi_raw", 6).alias("mi_nats"),
+        )
+        .orderBy(F.col("mi_nats").desc(), "feature")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_target_encoding_loo",
+    oracle="""
+WITH t AS (
+  SELECT c.c_nationkey AS nk, o.o_orderkey,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT nk, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS DECIMAL(28,2)) AS sy
+  FROM t GROUP BY nk
+),
+enc AS (
+  SELECT t.nk, g.n,
+         CAST(g.sy AS DOUBLE) / g.n AS mean_y,
+         (CAST(g.sy AS DOUBLE) - CAST(t.y AS DOUBLE)) / (g.n - 1) AS loo
+  FROM t JOIN g ON t.nk = g.nk WHERE g.n > 1
+)
+SELECT nk AS c_nationkey, CAST(max(n) AS BIGINT) AS n_orders,
+       round(max(mean_y), 6) AS mean_target,
+       round(min(loo), 6) AS loo_min,
+       round(max(loo), 6) AS loo_max
+FROM enc GROUP BY nk
+ORDER BY nk
+""",
+    tags=("stats", "feature-engineering", "target-encoding"),
+)
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT TARGET ENCODING of customer nation against order
+    total — the standard high-cardinality categorical encoder with
+    the self-leakage removed: enc(row) = (Σ_group y − y_row)/(n−1),
+    computable for EVERY row from one broadcast of per-group (n, Σy)
+    — no per-row window, no self-join. Output validates the encoder
+    per nation (n, mean, LOO min/max); sums are exact DECIMAL so the
+    subtraction loses nothing, each output is one double divide."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    t = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nk"),
+        dec(F.col("o_totalprice")).alias("y"),
+    )
+    g = t.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("decimal(28,2)").alias("sy"),
+    )
+    enc = t.join(F.broadcast(g), "nk").filter(F.col("n") > 1).select(
+        "nk",
+        "n",
+        (F.col("sy").cast("double") / F.col("n")).alias("mean_y"),
+        (
+            (F.col("sy").cast("double") - F.col("y").cast("double"))
+            / (F.col("n") - 1)
+        ).alias("loo"),
+    )
+    return (
+        enc.groupBy("nk")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            F.round(F.max("mean_y"), 6).alias("mean_target"),
+            F.round(F.min("loo"), 6).alias("loo_min"),
+            F.round(F.max("loo"), 6).alias("loo_max"),
+        )
+        .withColumnRenamed("nk", "c_nationkey")
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic class rebalancing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_balanced_downsample",
+    oracle="""
+WITH m AS (SELECT CAST(min(cnt) AS BIGINT) AS target
+           FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)),
+r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY (doc_id * 2654435761) % 1048576, doc_id)
+           AS rn
+  FROM documents
+)
+SELECT r.lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(r.doc_id) AS BIGINT) AS kept_ids_sum,
+       CAST(sum(r.n_chars) AS BIGINT) AS kept_chars
+FROM r CROSS JOIN m WHERE r.rn <= m.target
+GROUP BY r.lang
+ORDER BY r.lang
+""",
+    tags=("stats", "sampling", "rebalancing"),
+)
+def q_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BALANCED CLASS DOWNSAMPLING — every language downsampled to the
+    minority-class size, rows chosen by DETERMINISTIC hash order
+    (shuffle-by-hash-rank: the reproducible version of random
+    sampling; same mixer family as q_poisson_bootstrap_ci). One
+    class-keyed rank window; the kept-id checksum pins the exact kept
+    SET, not just its size, so a selection drift hash-mismatches.
+    At 100 TB the rank window swaps for a per-class hash-threshold
+    filter (keep iff h < target/cnt · 2^20, then exact trim) —
+    one pass, no sort; the window form is the oracle-exact twin."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    m = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).agg(
+        F.min("cnt").cast("long").alias("target")
+    )
+    r = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(
+            W.partitionBy("lang").orderBy(
+                (F.col("doc_id") * 2654435761) % 1048576, "doc_id"
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        r.crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("target"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("kept_ids_sum"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
