@@ -857,3 +857,336 @@ def q_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion A/B z-test
+# ---------------------------------------------------------------------------
+
+# deterministic 50/50 assignment: same lattice family as the bootstrap
+_AB_MULT = 292709  # odd => bijection mod 2^20
+
+
+@query(
+    "q_ab_test_proportions",
+    oracle=f"""
+WITH a AS (
+  SELECT user_id,
+         ((user_id % {_M}) * {_AB_MULT} + 5) % {_M} AS h,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CASE WHEN h % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(converted) AS BIGINT) AS conv
+  FROM a GROUP BY 1
+),
+w AS (
+  SELECT max(CASE WHEN variant = 'A' THEN n END) AS na,
+         max(CASE WHEN variant = 'A' THEN conv END) AS ca,
+         max(CASE WHEN variant = 'B' THEN n END) AS nb,
+         max(CASE WHEN variant = 'B' THEN conv END) AS cb
+  FROM g
+)
+SELECT na, ca, nb, cb,
+       round(CAST(ca AS DOUBLE) / na, 6) AS p_a,
+       round(CAST(cb AS DOUBLE) / nb, 6) AS p_b,
+       round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 6) AS z
+FROM w
+""",
+    tags=("stats", "ab-test", "inference"),
+)
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION A/B TEST on per-user purchase conversion under a
+    deterministic 50/50 hash split (the assignment function an
+    experimentation platform actually ships — reproducible, no RNG
+    state): pooled-variance z statistic. Conversion = ≥14 purchases
+    (the fixture's every-user-buys rate makes a has-any-purchase
+    metric degenerate: pooled p = 1 ⇒ zero variance); one user-grain
+    aggregate, a 2-row variant rollup, exact integers until the one
+    shared double chain."""
+    e = _t(spark, sf_dir, "events")
+    a = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        (((F.col("user_id") % _M) * _AB_MULT + 5) % _M).alias("h"),
+        "converted",
+    )
+    g = a.select(
+        F.when(F.col("h") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "converted",
+    ).groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("cb"),
+    )
+    na, ca, nb, cb = (F.col(x) for x in ("na", "ca", "nb", "cb"))
+    pp = (ca + cb).cast("double") / (na + nb)
+    return w.select(
+        na,
+        ca,
+        nb,
+        cb,
+        F.round(ca.cast("double") / na, 6).alias("p_a"),
+        F.round(cb.cast("double") / nb, 6).alias("p_b"),
+        F.round(
+            (ca.cast("double") / na - cb.cast("double") / nb)
+            / F.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)),
+            6,
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Randomization (approximate permutation) test
+# ---------------------------------------------------------------------------
+
+_PERM_B = 32
+_PERM_MULT = 918703  # odd
+
+
+@query(
+    "q_permutation_test",
+    oracle=f"""
+WITH s AS (
+  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ia
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+obs AS (
+  SELECT CAST(sum(CASE WHEN ia = 1 THEN v END) AS DOUBLE)
+           / sum(CASE WHEN ia = 1 THEN 1 ELSE 0 END)
+         - CAST(sum(CASE WHEN ia = 0 THEN v END) AS DOUBLE)
+           / sum(CASE WHEN ia = 0 THEN 1 ELSE 0 END) AS d_obs
+  FROM s
+),
+reps AS (
+  SELECT b, v,
+         CASE WHEN ((o_custkey % {_M}) * {_PERM_MULT} + b * 131) % {_M} % 2 = 0
+              THEN 1 ELSE 0 END AS pl
+  FROM s CROSS JOIN (SELECT unnest(range({_PERM_B})) AS b)
+),
+perm AS (
+  SELECT b,
+         CAST(sum(CASE WHEN pl = 1 THEN v END) AS DOUBLE)
+           / sum(CASE WHEN pl = 1 THEN 1 ELSE 0 END)
+         - CAST(sum(CASE WHEN pl = 0 THEN v END) AS DOUBLE)
+           / sum(CASE WHEN pl = 0 THEN 1 ELSE 0 END) AS d_b
+  FROM reps GROUP BY b
+)
+SELECT round(obs.d_obs, 6) AS d_obs,
+       CAST({_PERM_B} AS BIGINT) AS n_perms,
+       CAST(sum(CASE WHEN abs(perm.d_b) >= abs(obs.d_obs) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ge,
+       round(CAST(sum(CASE WHEN abs(perm.d_b) >= abs(obs.d_obs)
+                           THEN 1 ELSE 0 END) AS DOUBLE) / {_PERM_B}, 6)
+         AS p_value
+FROM perm CROSS JOIN obs
+GROUP BY obs.d_obs
+""",
+    tags=("stats", "permutation-test", "inference"),
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOMIZATION TEST for the segment mean-spend difference — the
+    distribution-free p-value companion to q_ks_two_sample: 32
+    deterministic label reassignments (hash-lattice coin flips per
+    customer — the APPROXIMATE permutation test, binomial rather than
+    exact-count labels, which is the standard distributed form), each
+    replicate's mean difference from exact DECIMAL sums via one
+    partial-aggregating groupBy(b), p = #(|d_b| ≥ |d_obs|)/B. The
+    two-sided comparison happens on rounded doubles from exact sums —
+    identical in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    s = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_custkey",
+        dec(F.col("o_totalprice")).alias("v"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("ia"),
+    )
+    d_of = lambda flag: (  # noqa: E731
+        F.sum(F.when(F.col(flag) == 1, F.col("v"))).cast("double")
+        / F.sum(F.when(F.col(flag) == 1, 1).otherwise(0))
+        - F.sum(F.when(F.col(flag) == 0, F.col("v"))).cast("double")
+        / F.sum(F.when(F.col(flag) == 0, 1).otherwise(0))
+    )
+    obs = s.agg(d_of("ia").alias("d_obs"))
+    reps = s.select(
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b"),
+        "o_custkey",
+    ).select(
+        "b",
+        "v",
+        F.when(
+            (((F.col("o_custkey") % _M) * _PERM_MULT + F.col("b") * 131) % _M)
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("pl"),
+    )
+    perm = reps.groupBy("b").agg(d_of("pl").alias("d_b"))
+    return (
+        perm.crossJoin(F.broadcast(obs))
+        .agg(
+            F.round(F.max("d_obs"), 6).alias("d_obs"),
+            F.lit(_PERM_B).cast("long").alias("n_perms"),
+            F.sum(
+                F.when(F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_ge"),
+        )
+        .select(
+            "d_obs",
+            "n_perms",
+            "n_ge",
+            F.round(F.col("n_ge").cast("double") / _PERM_B, 6).alias("p_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_conformal_interval",
+    oracle="""
+WITH t AS (
+  SELECT c.c_nationkey AS nk, o.o_orderkey,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS y,
+         CASE WHEN ((o.o_orderkey % 1048576) * 633305 + 3) % 1048576 % 2 = 0
+              THEN 'cal' ELSE 'test' END AS split
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+mdl AS (
+  SELECT nk, CAST(sum(y) AS DOUBLE) / count(*) AS yhat
+  FROM t WHERE split = 'cal' GROUP BY nk
+),
+res AS (
+  SELECT abs(CAST(t.y AS DOUBLE) - mdl.yhat) AS r, t.o_orderkey
+  FROM t JOIN mdl ON t.nk = mdl.nk WHERE t.split = 'cal'
+),
+rr AS (
+  SELECT r, row_number() OVER (ORDER BY r, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM res
+),
+q AS (
+  SELECT max(CASE WHEN rn = CAST(ceil(0.9 * (n + 1)) AS BIGINT) THEN r END)
+           AS qhat,
+         max(n) AS n_cal
+  FROM rr
+),
+cov AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN abs(CAST(t.y AS DOUBLE) - mdl.yhat) <= q.qhat
+                       THEN 1 ELSE 0 END) AS BIGINT) AS covered
+  FROM t JOIN mdl ON t.nk = mdl.nk CROSS JOIN q
+  WHERE t.split = 'test'
+)
+SELECT CAST(q.n_cal AS BIGINT) AS n_cal, round(q.qhat, 6) AS qhat,
+       cov.n_test, cov.covered,
+       round(CAST(cov.covered AS DOUBLE) / cov.n_test, 6) AS coverage
+FROM q CROSS JOIN cov
+""",
+    tags=("stats", "conformal", "inference"),
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION INTERVAL (Vovk; Lei et al. 2018) —
+    the distribution-free uncertainty wrapper every production model
+    ships with: a deterministic hash split into calibration/test, a
+    per-nation group-mean model fit ON CALIBRATION, the ⌈0.9(n+1)⌉-th
+    smallest absolute residual as the conformal radius q̂ (selected by
+    row_number — an order statistic, not an interpolated quantile),
+    and the measured test coverage (≥ ~90% by the conformal
+    guarantee). Shapes: two broadcast model joins, one rank window on
+    calibration residuals (q_gini_spend's quantile-binning swap
+    applies at 100 TB)."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    t = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nk"),
+        "o_orderkey",
+        dec(F.col("o_totalprice")).alias("y"),
+        F.when(
+            (((F.col("o_orderkey") % 1048576) * 633305 + 3) % 1048576) % 2 == 0,
+            "cal",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    cal = t.filter(F.col("split") == "cal")
+    mdl = cal.groupBy("nk").agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("yhat")
+    )
+    res = cal.join(F.broadcast(mdl), "nk").select(
+        F.abs(F.col("y").cast("double") - F.col("yhat")).alias("r"),
+        "o_orderkey",
+    )
+    rr = res.select(
+        "r",
+        F.row_number().over(W.orderBy("r", "o_orderkey")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy(F.lit(1))).alias("n"),
+    )
+    q = rr.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.9 * (F.col("n") + 1)).cast("long"),
+                F.col("r"),
+            )
+        ).alias("qhat"),
+        F.max("n").cast("long").alias("n_cal"),
+    )
+    cov = (
+        t.filter(F.col("split") == "test")
+        .join(F.broadcast(mdl), "nk")
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("y").cast("double") - F.col("yhat"))
+                    <= F.col("qhat"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    return q.crossJoin(F.broadcast(cov)).select(
+        "n_cal",
+        F.round("qhat", 6).alias("qhat"),
+        "n_test",
+        "covered",
+        F.round(F.col("covered").cast("double") / F.col("n_test"), 6).alias(
+            "coverage"
+        ),
+    )

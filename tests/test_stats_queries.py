@@ -178,3 +178,23 @@ def test_cdc_chunks_lossless_and_jvm_side(spark):
     plan = _plan(spark, "dedup_cdc_chunks")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("Generate explode") == 1, plan
+
+
+def test_permutation_partial_agg(spark):
+    """q_permutation_test: replicate statistics come from one
+    partial-aggregating groupBy(b) over the exploded lattice (shuffle
+    bounded at B rows per task), no Python eval, no SMJ."""
+    plan = _plan(spark, "q_permutation_test")
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_conformal_coverage_guarantee(spark):
+    """The conformal property itself: measured test coverage must be
+    >= 0.88 (0.9 nominal minus finite-sample slack) — the semantic
+    invariant the hash oracle can't distinguish from a copied
+    constant."""
+    df = SPECS["q_conformal_interval"].fn(spark, SF001)
+    row = df.head()
+    assert row["coverage"] >= 0.88, row
