@@ -975,3 +975,127 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conc.groupBy(F.col("sk").alias("suppkey")).agg(
         F.max("conc").cast("long").alias("max_concurrent")
     )
+
+
+# --- Bloom runtime-filter join (the 100 TB semi-join mechanism) ---
+
+_RF_M = 1 << 16  # bits; fixed so the static SQL oracle can state it
+_RF_K = 7  # (bloom_plan(n, fpr) is the data-driven sizing path)
+
+
+def _rf_oracle() -> str:
+    from cdc_via_flink_spark.operators.bloom import sql_positions
+
+    pos = sql_positions("c_custkey", _RF_M, _RF_K)
+    return f"""
+WITH dim AS (
+  SELECT c_custkey, c_nationkey FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+),
+cpos AS (SELECT unnest({pos}) AS pos FROM dim),
+bitmap AS (
+  SELECT pos // 32 AS word, bit_or(1::BIGINT << (pos % 32)) AS bits
+  FROM cpos GROUP BY 1
+),
+fact AS (SELECT o_orderkey, o_custkey,
+                CAST(o_totalprice AS DECIMAL(18,2)) AS rev FROM orders),
+fpos AS (SELECT o_orderkey,
+                unnest({pos.replace("c_custkey", "o_custkey")}) AS pos
+         FROM fact),
+probe AS (
+  SELECT p.o_orderkey,
+         (COALESCE(m.bits, 0) & (1::BIGINT << (p.pos % 32)))
+           = (1::BIGINT << (p.pos % 32)) AS hit
+  FROM fpos p LEFT JOIN bitmap m ON p.pos // 32 = m.word
+),
+verdict AS (SELECT o_orderkey, bool_and(hit) AS pass FROM probe GROUP BY 1),
+passed AS (
+  SELECT f.* FROM fact f JOIN verdict v ON f.o_orderkey = v.o_orderkey
+  WHERE v.pass
+),
+counters AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probed,
+         CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+  FROM verdict
+),
+agg AS (
+  SELECT d.c_nationkey AS nationkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(p.rev) AS DOUBLE) AS revenue
+  FROM passed p JOIN dim d ON p.o_custkey = d.c_custkey
+  GROUP BY d.c_nationkey
+)
+SELECT agg.nationkey, agg.n_orders, round(agg.revenue, 2) AS revenue,
+       counters.n_probed, counters.n_passed
+FROM agg CROSS JOIN counters
+ORDER BY agg.nationkey
+"""
+
+
+@query(
+    "q_bloom_runtime_filter",
+    oracle=_rf_oracle(),
+    tags=("J3", "scale", "bloom", "runtime-filter"),
+)
+def q_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM RUNTIME-FILTER JOIN — the mechanism that makes a
+    selective dim⋈fact join cheap at 100 TB: build a Bloom bitmap
+    over the dim keys (BUILDING customers), probe every fact row
+    against the broadcast words and DISCARD definite misses BEFORE
+    the join shuffle — only bloom-passers (members + the ~FPR false
+    positives) are hashed across the network; the exact join then
+    removes the false positives, so the RESULT is provably identical
+    to the plain join (that naive equivalence IS the oracle, which
+    also replays the bitmap algebra for the probe counters). The
+    bitmap is m/32 words regardless of dim size; counters n_probed/
+    n_passed expose the eliminated shuffle volume (~80% here). Spark's
+    own AQE can inject bloom runtime filters for some shapes; this is
+    the engine-level form with a pinned, engine-independent layout —
+    the same words the streaming gate maintains incrementally
+    (stream_bloom_gated_dedup)."""
+    from cdc_via_flink_spark.operators.bloom import bloom_build, bloom_probe
+
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_nationkey"
+    )
+    bitmap = bloom_build(dim, "c_custkey", _RF_M, _RF_K)
+    fact = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", dec(F.col("o_totalprice")).alias("rev")
+    )
+    verdict = bloom_probe(
+        fact.select("o_orderkey", "o_custkey"),
+        "o_orderkey",
+        "o_custkey",
+        bitmap,
+        _RF_M,
+        _RF_K,
+    )
+    counters = verdict.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_passed"),
+    )
+    passed = fact.join(
+        verdict.filter(F.col("bloom_hit")).select("o_orderkey"), "o_orderkey"
+    )
+    agg = (
+        passed.join(dim, passed.o_custkey == dim.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(counters))
+        .select(
+            "nationkey",
+            "n_orders",
+            F.round("revenue", 2).alias("revenue"),
+            "n_probed",
+            "n_passed",
+        )
+        .orderBy("nationkey")
+    )

@@ -2235,3 +2235,110 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+@query(
+    "q_spc_control_chart",
+    oracle=f"""
+WITH mrev AS ({_SQL_MREV}),
+m AS (
+  SELECT nk, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rev) AS DOUBLE) AS sx,
+         CAST(sum(CAST(rev AS DECIMAL(19,2)) * rev) AS DOUBLE) AS sxx
+  FROM mrev GROUP BY nk
+),
+stats AS (
+  SELECT nk, n, sx / n AS mu,
+         sqrt((sxx - n * (sx / n) * (sx / n)) / (n - 1)) AS sigma
+  FROM m WHERE n > 1
+),
+z AS (
+  SELECT r.nk, r.month,
+         (CAST(r.rev AS DOUBLE) - s.mu) / s.sigma AS z, s.n
+  FROM mrev r JOIN stats s ON r.nk = s.nk
+),
+flags AS (
+  SELECT nk, month, z, n,
+         CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN
+           (CASE WHEN z > 2 THEN 1 ELSE 0 END
+            + CASE WHEN lag(z, 1) OVER w > 2 THEN 1 ELSE 0 END
+            + CASE WHEN lag(z, 2) OVER w > 2 THEN 1 ELSE 0 END) >= 2
+           OR
+           (CASE WHEN z < -2 THEN 1 ELSE 0 END
+            + CASE WHEN lag(z, 1) OVER w < -2 THEN 1 ELSE 0 END
+            + CASE WHEN lag(z, 2) OVER w < -2 THEN 1 ELSE 0 END) >= 2
+         THEN 1 ELSE 0 END AS r2
+  FROM z
+  WINDOW w AS (PARTITION BY nk ORDER BY month)
+)
+SELECT nk AS nationkey, CAST(max(n) AS BIGINT) AS n_months,
+       CAST(sum(r1) AS BIGINT) AS n_rule1,
+       CAST(sum(r2) AS BIGINT) AS n_rule2,
+       round(max(abs(z)), 6) AS worst_z
+FROM flags GROUP BY nk
+ORDER BY nationkey
+""",
+    tags=("A5", "spc", "control-chart"),
+)
+def q_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHEWHART CONTROL CHART with Western Electric rules over each
+    nation's monthly revenue: rule 1 (a point beyond 3σ) and rule 2
+    (2 of 3 consecutive beyond 2σ on the SAME side) — the process-
+    monitoring primitive next to CUSUM (which finds WHERE the level
+    shifted; SPC flags months as they violate). μ/σ come from exact
+    DECIMAL moments (the (19,2)-widened int128 product, q_acf_revenue
+    precedent) so every z is an identical double in both engines; the
+    rule windows are nation-keyed lags over month cells — no
+    single-partition work, quadratic in nothing."""
+    mrev = _mrev(spark, sf_dir)
+    m = mrev.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("double").alias("sx"),
+        F.sum(F.col("rev").cast("decimal(19,2)") * F.col("rev"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mu = F.col("sx") / F.col("n")
+    stats = m.filter(F.col("n") > 1).select(
+        "nk",
+        "n",
+        mu.alias("mu"),
+        F.sqrt((F.col("sxx") - F.col("n") * mu * mu) / (F.col("n") - 1)).alias(
+            "sigma"
+        ),
+    )
+    z = mrev.join(F.broadcast(stats), "nk").select(
+        "nk",
+        "month",
+        "n",
+        ((F.col("rev").cast("double") - F.col("mu")) / F.col("sigma")).alias("z"),
+    )
+    w = W.partitionBy("nk").orderBy("month")
+    up = lambda c: F.when(c > 2, 1).otherwise(0)  # noqa: E731
+    dn = lambda c: F.when(c < -2, 1).otherwise(0)  # noqa: E731
+    zc = F.col("z")
+    flags = z.select(
+        "nk",
+        "n",
+        "z",
+        F.when(F.abs(zc) > 3, 1).otherwise(0).alias("r1"),
+        F.when(
+            (up(zc) + up(F.lag("z", 1).over(w)) + up(F.lag("z", 2).over(w)) >= 2)
+            | (dn(zc) + dn(F.lag("z", 1).over(w)) + dn(F.lag("z", 2).over(w)) >= 2),
+            1,
+        )
+        .otherwise(0)
+        .alias("r2"),
+    )
+    return (
+        flags.groupBy("nk")
+        .agg(
+            F.max("n").cast("long").alias("n_months"),
+            F.sum("r1").cast("long").alias("n_rule1"),
+            F.sum("r2").cast("long").alias("n_rule2"),
+            F.round(F.max(F.abs(F.col("z"))), 6).alias("worst_z"),
+        )
+        .withColumnRenamed("nk", "nationkey")
+        .orderBy("nationkey")
+    )

@@ -198,3 +198,17 @@ def test_conformal_coverage_guarantee(spark):
     df = SPECS["q_conformal_interval"].fn(spark, SF001)
     row = df.head()
     assert row["coverage"] >= 0.88, row
+
+
+def test_bloom_rf_prunes_before_join(spark):
+    """q_bloom_runtime_filter: the probe (word equi-join + bool_and
+    fold) must sit BELOW the fact-dim join — i.e. the dim relation is
+    joined only against bloom-passers. Pin: the plan has the bitmap
+    bit_or aggregate, and the customer scan appears with the segment
+    filter pushed (dim side read once for build + once for the exact
+    join; both dim-sized)."""
+    plan = _plan(spark, "q_bloom_runtime_filter", "formatted")
+    assert "bit_or" in plan, plan
+    # bool_and compiles to min(hit) over booleans (Catalyst rewrite)
+    assert "min(hit" in plan, plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan or "EqualTo(c_mktsegment,BUILDING)" in plan, plan
