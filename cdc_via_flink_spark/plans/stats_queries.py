@@ -1190,3 +1190,83 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-moment profile (skewness / kurtosis)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_skew_kurtosis",
+    oracle="""
+WITH t AS (
+  SELECT c.c_mktsegment AS seg, CAST(o.o_totalprice AS DECIMAL(8,2)) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+m AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) AS s1,
+         CAST(sum(CAST(x AS DECIMAL(19,2)) * x) AS DOUBLE) AS s2,
+         CAST(sum(CAST(x AS DECIMAL(19,2)) * x * x) AS DOUBLE) AS s3,
+         CAST(sum(CAST(CAST(x AS DECIMAL(19,2)) * x * x AS DECIMAL(24,6)) * x)
+              AS DOUBLE) AS s4
+  FROM t GROUP BY seg
+)
+SELECT seg AS c_mktsegment, n,
+       round(s1 / n, 6) AS mean,
+       round(sqrt((s2 - n * (s1/n) * (s1/n)) / (n - 1)), 6) AS std,
+       round(((s3 - 3 * (s1/n) * s2 + 2 * n * (s1/n) * (s1/n) * (s1/n)) / n)
+             / pow((s2 - n * (s1/n) * (s1/n)) / n, 1.5), 6) AS skewness,
+       round(((s4 - 4 * (s1/n) * s3 + 6 * (s1/n) * (s1/n) * s2
+               - 3 * n * (s1/n) * (s1/n) * (s1/n) * (s1/n)) / n)
+             / pow((s2 - n * (s1/n) * (s1/n)) / n, 2) - 3.0, 6)
+         AS excess_kurtosis
+FROM m
+ORDER BY c_mktsegment
+""",
+    tags=("stats", "moments", "profile"),
+)
+def q_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGHER-MOMENT COLUMN PROFILE — skewness and excess kurtosis per
+    segment from RAW moment sums (Σx..Σx⁴), the one-pass mergeable
+    form (Spark's own skewness()/kurtosis() stream doubles in
+    partition order — nondeterministic last bits; these DECIMAL sums
+    are exact and associative, the q_price_quantity_corr argument one
+    moment higher). Precision ladder: x(9,2) ⇒ x²(19,4)→(29,6)→x⁴ at
+    (38,8)·(9,0) — every product stays inside 38 digits in BOTH
+    engines (the 4th power of a ≤1e7 price summed over ~1e6 rows uses
+    ~1e30 of the 1e30 headroom at scale 8; at larger corpora drop the
+    final scale, documented here, rather than let either engine
+    saturate). Central moments assemble in double once per group."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    x = F.col("x")
+    t = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").cast("decimal(8,2)").alias("x"),
+    )
+    xw = x.cast("decimal(19,2)")
+    x2 = xw * x
+    x3 = xw * x * x
+    x4 = x3.cast("decimal(24,6)") * x
+    m = t.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(x3).cast("double").alias("s3"),
+        F.sum(x4).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(k) for k in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    var_n = (s2 - n * mu * mu) / n
+    m3 = (s3 - 3 * mu * s2 + 2 * n * mu * mu * mu) / n
+    m4 = (s4 - 4 * mu * s3 + 6 * mu * mu * s2 - 3 * n * mu * mu * mu * mu) / n
+    return m.select(
+        F.col("seg").alias("c_mktsegment"),
+        "n",
+        F.round(mu, 6).alias("mean"),
+        F.round(F.sqrt((s2 - n * mu * mu) / (n - 1)), 6).alias("std"),
+        F.round(m3 / F.pow(var_n, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(var_n, 2) - 3.0, 6).alias("excess_kurtosis"),
+    ).orderBy("c_mktsegment")
