@@ -1270,3 +1270,220 @@ def q_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(var_n, 1.5), 6).alias("skewness"),
         F.round(m4 / F.pow(var_n, 2) - 3.0, 6).alias("excess_kurtosis"),
     ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (quantity-weighted price)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+WITH t AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)) AS unit_price,
+         CAST(l_quantity AS DECIMAL(18,2)) AS w
+  FROM lineitem
+),
+g AS (
+  SELECT flag, unit_price, CAST(sum(w) AS DECIMAL(28,2)) AS w
+  FROM t GROUP BY flag, unit_price
+),
+r AS (
+  SELECT flag, unit_price, w,
+         sum(w) OVER (PARTITION BY flag ORDER BY unit_price) AS cw,
+         sum(w) OVER (PARTITION BY flag) AS tw
+  FROM g
+),
+m AS (
+  SELECT flag, min(unit_price) AS wmedian
+  FROM r WHERE cw * 2 >= tw GROUP BY flag
+),
+s AS (SELECT flag, CAST(max(tw) AS DOUBLE) AS total_weight FROM r GROUP BY flag)
+SELECT m.flag AS l_returnflag, CAST(m.wmedian AS DOUBLE) AS wmedian,
+       round(s.total_weight, 2) AS total_weight
+FROM m JOIN s ON m.flag = s.flag
+ORDER BY l_returnflag
+""",
+    tags=("stats", "weighted-median", "A5"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED MEDIAN unit price per return flag (weight = quantity)
+    — the volume-weighted "typical price" a plain median misstates
+    when cheap items ship in bulk: the smallest value whose cumulative
+    weight reaches half the total. Weights and the cumulative
+    comparison (2·cw ≥ tw) are exact DECIMALs — no division at all —
+    over a value-grain groupBy then flag-keyed windows; the
+    unit-price division itself is quantized to DECIMAL(18,6) so both
+    engines group identical keys. At 100 TB the per-flag cumulative
+    swaps for the q_ks_two_sample bucket-offset form."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice") / F.col("l_quantity"))
+        .cast("decimal(18,6)")
+        .alias("unit_price"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("w"),
+    )
+    g = t.groupBy("flag", "unit_price").agg(
+        F.sum("w").cast("decimal(28,2)").alias("w")
+    )
+    r = g.select(
+        "flag",
+        "unit_price",
+        F.sum("w").over(W.partitionBy("flag").orderBy("unit_price")).alias("cw"),
+        F.sum("w").over(W.partitionBy("flag")).alias("tw"),
+    )
+    m = (
+        r.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("unit_price").alias("wmedian"))
+    )
+    s = r.groupBy("flag").agg(F.max("tw").cast("double").alias("total_weight"))
+    return (
+        m.join(s, "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("wmedian").cast("double").alias("wmedian"),
+            F.round("total_weight", 2).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative uniques curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cumulative_uniques",
+    oracle="""
+WITH f AS (
+  SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+d AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM f GROUP BY first_day),
+g AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events)
+SELECT g.day, COALESCE(d.new_users, 0) AS new_users,
+       CAST(sum(COALESCE(d.new_users, 0)) OVER (ORDER BY g.day) AS BIGINT)
+         AS cumulative_users
+FROM g LEFT JOIN d ON g.day = d.day
+ORDER BY g.day
+""",
+    tags=("stats", "growth", "A5"),
+)
+def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE UNIQUE USERS per day — the growth curve every
+    dashboard opens with, computed the distributed way: running
+    count-distinct is NOT decomposable, but first-seen attribution is
+    — one user-grain min(day) aggregate, then a cumsum over the
+    bounded DAY GRID (the only unpartitioned window, |days| rows).
+    The streaming twin is stream_bitmap_dau (same first-epoch-wins
+    algebra, maintained incrementally)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    f = e.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    d = f.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    g = e.select(day.alias("day")).distinct()
+    return (
+        g.join(d, "day", "left")
+        .select("day", F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"))
+        .select(
+            "day",
+            "new_users",
+            F.sum("new_users").over(W.orderBy("day")).cast("long").alias(
+                "cumulative_users"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_degree_assortativity",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.pk AS src, b.pk AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+ed AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM edges e JOIN deg ds ON e.src = ds.src JOIN deg dd ON e.dst = dd.src
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM ed
+)
+SELECT n AS n_directed_edges,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS assortativity
+FROM m
+""",
+    tags=("graph", "assortativity", "stats"),
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002) of the part co-purchase
+    graph — Pearson correlation of endpoint degrees across edges:
+    positive = hubs link hubs (a connectivity-risk signal for the
+    recommendation graph the q_pagerank3/q_hits family ranks).
+    Moment sums are exact BIGINTs (degrees are integers — no decimal
+    needed), the closed form one double chain; the edge list is the
+    order-blocked self-join (basket-size-bounded, the q_pagerank3
+    argument), degree lookups are two broadcast joins."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select("ok", F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ds = deg.select(F.col("src").alias("s_"), F.col("d").alias("x"))
+    dd = deg.select(F.col("src").alias("d_"), F.col("d").alias("y"))
+    ed = (
+        edges.join(F.broadcast(ds), edges.src == ds.s_)
+        .join(F.broadcast(dd), edges.dst == dd.d_)
+        .select("x", "y")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * F.col("sx")) * F.sqrt(n * syy - sy.cast("double") * sy)),
+            6,
+        ).alias("assortativity"),
+    )
