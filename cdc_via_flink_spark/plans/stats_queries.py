@@ -1487,3 +1487,204 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight of evidence / information value
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_weight_of_evidence",
+    oracle="""
+WITH t AS (
+  SELECT c.c_mktsegment AS bin,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT bin, CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum(1 - y) AS BIGINT) AS neg
+  FROM t GROUP BY bin
+),
+tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tp,
+               CAST(sum(neg) AS BIGINT) AS tn FROM g),
+w AS (
+  SELECT g.bin, g.pos, g.neg,
+         ln((CAST(g.pos AS DOUBLE) / tot.tp)
+            / (CAST(g.neg AS DOUBLE) / tot.tn)) AS woe,
+         (CAST(g.pos AS DOUBLE) / tot.tp - CAST(g.neg AS DOUBLE) / tot.tn)
+           * ln((CAST(g.pos AS DOUBLE) / tot.tp)
+                / (CAST(g.neg AS DOUBLE) / tot.tn)) AS ivt
+  FROM g CROSS JOIN tot
+),
+iv AS (
+  SELECT CAST(sum(CAST(round(ivt, 12) AS DECIMAL(28,12))) AS DOUBLE) AS iv
+  FROM w
+)
+SELECT w.bin AS c_mktsegment, w.pos, w.neg,
+       round(w.woe, 6) AS woe, round(w.ivt, 6) AS iv_term,
+       round(iv.iv, 6) AS iv_total
+FROM w CROSS JOIN iv
+ORDER BY c_mktsegment
+""",
+    tags=("stats", "woe", "feature-engineering"),
+)
+def q_weight_of_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT OF EVIDENCE + INFORMATION VALUE of market segment
+    against an urgent-order label — the credit-scoring encoder/
+    strength pair next to q_mutual_information (WOE is the encoder a
+    scorecard deploys; IV thresholds decide whether the feature ships:
+    <0.02 useless, >0.5 suspicious). Exact integer bin counts, WOE/IV
+    terms in double (the PSI ln precedent), the IV total folded as
+    DECIMAL(28,12)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    t = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("bin"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = t.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    )
+    tot = g.agg(
+        F.sum("pos").cast("long").alias("tp"),
+        F.sum("neg").cast("long").alias("tn"),
+    )
+    pr = F.col("pos").cast("double") / F.col("tp")
+    nr = F.col("neg").cast("double") / F.col("tn")
+    w = g.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "pos",
+        "neg",
+        F.log(pr / nr).alias("woe"),
+        ((pr - nr) * F.log(pr / nr)).alias("ivt"),
+    )
+    iv = w.agg(
+        F.sum(F.round(F.col("ivt"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("iv")
+    )
+    return (
+        w.crossJoin(F.broadcast(iv))
+        .select(
+            F.col("bin").alias("c_mktsegment"),
+            "pos",
+            "neg",
+            F.round("woe", 6).alias("woe"),
+            F.round("ivt", 6).alias("iv_term"),
+            F.round("iv", 6).alias("iv_total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matched-model price index (Laspeyres / Paasche / Fisher)
+# ---------------------------------------------------------------------------
+
+_PI_BASE = "1995-01"
+_PI_MONTHS = ("1995-02", "1995-03", "1995-04")
+
+
+@query(
+    "q_price_index",
+    oracle=f"""
+WITH pm AS (
+  SELECT l_partkey AS pk,
+         strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS spend,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS qty
+  FROM lineitem
+  WHERE strftime(date_trunc('month', l_shipdate), '%Y-%m')
+          IN ('{_PI_BASE}', {", ".join(f"'{m}'" for m in _PI_MONTHS)})
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT pk, CAST(spend AS DOUBLE) / CAST(qty AS DOUBLE) AS p0, qty AS q0
+  FROM pm WHERE month = '{_PI_BASE}'
+),
+cur AS (
+  SELECT pk, month, CAST(spend AS DOUBLE) / CAST(qty AS DOUBLE) AS pt,
+         qty AS qt
+  FROM pm WHERE month <> '{_PI_BASE}'
+),
+j AS (
+  SELECT cur.month, base.pk, base.p0, cur.pt,
+         CAST(base.q0 AS DOUBLE) AS q0, CAST(cur.qt AS DOUBLE) AS qt
+  FROM cur JOIN base ON cur.pk = base.pk
+),
+agg AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(sum(CAST(round(pt * q0, 6) AS DECIMAL(28,6))) AS DOUBLE) AS ptq0,
+         CAST(sum(CAST(round(p0 * q0, 6) AS DECIMAL(28,6))) AS DOUBLE) AS p0q0,
+         CAST(sum(CAST(round(pt * qt, 6) AS DECIMAL(28,6))) AS DOUBLE) AS ptqt,
+         CAST(sum(CAST(round(p0 * qt, 6) AS DECIMAL(28,6))) AS DOUBLE) AS p0qt
+  FROM j GROUP BY month
+)
+SELECT month, n_matched,
+       round(ptq0 / p0q0, 6) AS laspeyres,
+       round(ptqt / p0qt, 6) AS paasche,
+       round(sqrt((ptq0 / p0q0) * (ptqt / p0qt)), 6) AS fisher
+FROM agg ORDER BY month
+""",
+    tags=("stats", "price-index", "economics"),
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCHED-MODEL PRICE INDEX — Laspeyres (base-basket), Paasche
+    (current-basket) and Fisher (their geometric mean, the "ideal"
+    index) for three months against a base month, over parts traded
+    in BOTH periods (the matched-model rule every national CPI uses
+    for comparability). Unit prices are exact-decimal spend/qty with
+    one double divide; the Σp·q cross terms are rounded to 6 dp and
+    folded as DECIMAL(28,6) so the index is association-order
+    independent. One (part, month) aggregate; the month joins are
+    part-keyed."""
+    li = _t(spark, sf_dir, "lineitem")
+    month = F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM")
+    keep = [_PI_BASE, *_PI_MONTHS]
+    pm = (
+        li.filter(month.isin(keep))
+        .groupBy(F.col("l_partkey").alias("pk"), month.alias("month"))
+        .agg(
+            F.sum(dec(F.col("l_extendedprice")))
+            .cast("decimal(28,2)")
+            .alias("spend"),
+            F.sum(dec(F.col("l_quantity"))).cast("decimal(28,2)").alias("qty"),
+        )
+    )
+    price = F.col("spend").cast("double") / F.col("qty").cast("double")
+    base = pm.filter(F.col("month") == _PI_BASE).select(
+        "pk", price.alias("p0"), F.col("qty").cast("double").alias("q0")
+    )
+    cur = pm.filter(F.col("month") != _PI_BASE).select(
+        "pk", "month", price.alias("pt"), F.col("qty").cast("double").alias("qt")
+    )
+    j = cur.join(base, "pk")
+
+    def fold(expr):
+        return F.sum(F.round(expr, 6).cast("decimal(28,6)")).cast("double")
+
+    agg = j.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        fold(F.col("pt") * F.col("q0")).alias("ptq0"),
+        fold(F.col("p0") * F.col("q0")).alias("p0q0"),
+        fold(F.col("pt") * F.col("qt")).alias("ptqt"),
+        fold(F.col("p0") * F.col("qt")).alias("p0qt"),
+    )
+    lasp = F.col("ptq0") / F.col("p0q0")
+    paas = F.col("ptqt") / F.col("p0qt")
+    return agg.select(
+        "month",
+        "n_matched",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    ).orderBy("month")

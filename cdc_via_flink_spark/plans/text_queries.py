@@ -3272,3 +3272,90 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PMI_TOP)
         .select("w1", "w2", "n_ab", "pmi", "rn")
     )
+
+
+@query(
+    "text_keyness_g2",
+    oracle=f"""
+WITH tk AS (
+  SELECT CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS grp,
+         unnest(string_split({SQL_NORM}, ' ')) AS term
+  FROM documents
+),
+c AS (
+  SELECT term,
+         CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM tk WHERE term <> '' GROUP BY term
+),
+t AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb FROM c),
+g AS (
+  SELECT c.term, c.a, c.b,
+         2.0 * ((CASE WHEN c.a > 0 THEN c.a * ln(CAST(c.a AS DOUBLE)
+                 / ((CAST(c.a + c.b AS DOUBLE) * t.ta) / (t.ta + t.tb)))
+                 ELSE 0.0 END)
+              + (CASE WHEN c.b > 0 THEN c.b * ln(CAST(c.b AS DOUBLE)
+                 / ((CAST(c.a + c.b AS DOUBLE) * t.tb) / (t.ta + t.tb)))
+                 ELSE 0.0 END)) AS g2
+  FROM c CROSS JOIN t
+),
+r AS (
+  SELECT term, a, b, round(g2, 6) AS g2,
+         row_number() OVER (ORDER BY round(g2, 6) DESC, term) AS rn
+  FROM g
+)
+SELECT term, a AS count_a, b AS count_b, g2, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 20
+""",
+    tags=("X3", "keyness", "corpus-linguistics"),
+)
+def text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYNESS via the LOG-LIKELIHOOD RATIO G² (Dunning 1993) — which
+    terms are OVER-represented in one half of the corpus vs the other
+    (sources split even/odd): the corpus-linguistics drift detector
+    that, unlike raw frequency ratios, is calibrated for rare terms.
+    One tokenize+groupBy (vocabulary-bounded), marginals broadcast,
+    G² per term in double over exact integer counts (the zero-count
+    branches handled identically in both engines), top-20 by the
+    ROUNDED score with a term tie-break so ordering can't flip on a
+    last ulp."""
+    from cdc_via_flink_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        F.when(
+            F.substring(F.col("source"), 4, 10).cast("long") % 2 == 0, "A"
+        )
+        .otherwise("B")
+        .alias("grp"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    ).filter(F.col("term") != "")
+    c = tk.groupBy("term").agg(
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).cast("long").alias("b"),
+    )
+    t = c.agg(
+        F.sum("a").cast("long").alias("ta"), F.sum("b").cast("long").alias("tb")
+    )
+    a, b, ta, tb = (F.col(x) for x in ("a", "b", "ta", "tb"))
+    ea = (a + b).cast("double") * ta / (ta + tb)
+    eb = (a + b).cast("double") * tb / (ta + tb)
+    g2 = 2.0 * (
+        F.when(a > 0, a * F.log(a.cast("double") / ea)).otherwise(0.0)
+        + F.when(b > 0, b * F.log(b.cast("double") / eb)).otherwise(0.0)
+    )
+    g = c.crossJoin(F.broadcast(t)).select(
+        "term", "a", "b", F.round(g2, 6).alias("g2")
+    )
+    win = W.orderBy(F.col("g2").desc(), "term")
+    return (
+        g.select(
+            "term",
+            F.col("a").alias("count_a"),
+            F.col("b").alias("count_b"),
+            "g2",
+            F.row_number().over(win).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+    )
