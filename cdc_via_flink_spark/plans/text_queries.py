@@ -3359,3 +3359,82 @@ def text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 20)
     )
+
+
+@query(
+    "text_source_vocab_jaccard",
+    oracle=f"""
+WITH tk AS (
+  SELECT DISTINCT source, unnest(string_split({SQL_NORM}, ' ')) AS term
+  FROM documents
+),
+tkf AS (SELECT source, term FROM tk WHERE term <> ''),
+v AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM tkf GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS i
+  FROM tkf a JOIN tkf b ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+j AS (
+  SELECT i.sa, i.sb, i.i, va.vocab AS va, vb.vocab AS vb,
+         round(CAST(i.i AS DOUBLE) / (va.vocab + vb.vocab - i.i), 6) AS jaccard
+  FROM inter i
+  JOIN v va ON va.source = i.sa JOIN v vb ON vb.source = i.sb
+),
+r AS (
+  SELECT sa, sb, i AS n_shared, va, vb, jaccard,
+         row_number() OVER (ORDER BY jaccard DESC, sa, sb) AS rn
+  FROM j
+)
+SELECT sa, sb, n_shared, va, vb, jaccard, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 20
+""",
+    tags=("X3", "vocab-overlap", "dedup-adjacent"),
+)
+def text_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE VOCABULARY OVERLAP — pairwise Jaccard of the distinct
+    term sets of every source pair, top-20: the corpus-composition
+    audit that flags scraped mirrors / shared boilerplate BEFORE
+    paying for document-level near-dup (two sources with 0.9 vocab
+    Jaccard are the same crawl). The pair space is TERM-blocked: a
+    term joins only the ≤|sources| sources containing it, so the join
+    is df-bounded per term (the dedup blocking argument at the
+    source grain), never |sources|² × vocab."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tkf = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    v = tkf.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    a = tkf.select(F.col("source").alias("sa"), "term")
+    b = tkf.select(F.col("source").alias("sb"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    va = v.select(F.col("source").alias("sa"), F.col("vocab").alias("va"))
+    vb = v.select(F.col("source").alias("sb"), F.col("vocab").alias("vb"))
+    j = (
+        inter.join(F.broadcast(va), "sa")
+        .join(F.broadcast(vb), "sb")
+        .select(
+            "sa",
+            "sb",
+            F.col("i").alias("n_shared"),
+            "va",
+            "vb",
+            F.round(
+                F.col("i").cast("double") / (F.col("va") + F.col("vb") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = W.orderBy(F.col("jaccard").desc(), "sa", "sb")
+    return j.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= 20
+    )

@@ -2342,3 +2342,220 @@ def q_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("nk", "nationkey")
         .orderBy("nationkey")
     )
+
+
+@query(
+    "q_cusum_binary_seg",
+    oracle=f"""
+WITH mrev AS ({_SQL_MREV}),
+stats AS (
+  SELECT nk, CAST(count(*) AS BIGINT) AS n, sum(rev) AS tot
+  FROM mrev GROUP BY nk
+),
+cum AS (
+  SELECT m.nk, m.month,
+         sum(m.rev) OVER (PARTITION BY m.nk ORDER BY m.month) AS crev,
+         row_number() OVER (PARTITION BY m.nk ORDER BY m.month) AS i,
+         s.n, s.tot
+  FROM mrev m JOIN stats s ON m.nk = s.nk
+),
+cs1 AS (
+  SELECT nk, month,
+         CAST(crev AS DOUBLE) - (CAST(i AS DOUBLE) / n) * CAST(tot AS DOUBLE)
+           AS cs
+  FROM cum
+),
+cp1 AS (
+  SELECT nk, month AS cp_month, round(cs, 6) AS cusum_stat
+  FROM (SELECT nk, month, cs,
+               row_number() OVER (PARTITION BY nk
+                   ORDER BY abs(cs) DESC, month) AS rn
+        FROM cs1)
+  WHERE rn = 1
+),
+sides AS (
+  SELECT m.nk, m.month, m.rev,
+         CASE WHEN m.month <= c.cp_month THEN 'L' ELSE 'R' END AS side
+  FROM mrev m JOIN cp1 c ON m.nk = c.nk
+),
+sstats AS (
+  SELECT nk, side, CAST(count(*) AS BIGINT) AS n, sum(rev) AS tot
+  FROM sides GROUP BY nk, side
+),
+scum AS (
+  SELECT s.nk, s.side, s.month,
+         sum(s.rev) OVER (PARTITION BY s.nk, s.side ORDER BY s.month) AS crev,
+         row_number() OVER (PARTITION BY s.nk, s.side ORDER BY s.month) AS i,
+         t.n, t.tot
+  FROM sides s JOIN sstats t ON s.nk = t.nk AND s.side = t.side
+),
+scs AS (
+  SELECT nk, side, month, n,
+         CAST(crev AS DOUBLE) - (CAST(i AS DOUBLE) / n) * CAST(tot AS DOUBLE)
+           AS cs
+  FROM scum
+),
+scp AS (
+  SELECT nk, side, month
+  FROM (SELECT nk, side, month, n,
+               row_number() OVER (PARTITION BY nk, side
+                   ORDER BY abs(cs) DESC, month) AS rn
+        FROM scs)
+  WHERE rn = 1 AND n >= 2
+)
+SELECT c.nk AS nationkey, c.cp_month AS cp1_month, c.cusum_stat,
+       max(CASE WHEN s.side = 'L' THEN s.month END) AS cp_left_month,
+       max(CASE WHEN s.side = 'R' THEN s.month END) AS cp_right_month
+FROM cp1 c LEFT JOIN scp s ON s.nk = c.nk
+GROUP BY c.nk, c.cp_month, c.cusum_stat
+ORDER BY nationkey
+""",
+    tags=("A5", "changepoint", "binary-segmentation"),
+)
+def q_cusum_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY SEGMENTATION — the second level of changepoint
+    detection: after q_cusum_changepoint finds the dominant shift,
+    recurse on each side for the next shift per side (the classic
+    multi-changepoint recipe; two levels unrolled keep it one
+    declarative plan with an exact oracle, the q_pagerank3 rule for
+    iterative algorithms). Sides shorter than 2 months yield NULL.
+    Every window is (nation[, side])-keyed over month cells — the
+    recursion multiplies KEYS, never row volume."""
+    mrev = _mrev(spark, sf_dir)
+
+    def argmax_cs(df, keys):
+        w = W.partitionBy(*keys).orderBy("month")
+        stats = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("n"), F.sum("rev").alias("tot")
+        )
+        cum = df.join(stats, list(keys)).select(
+            *keys,
+            "month",
+            F.sum("rev").over(w).alias("crev"),
+            F.row_number().over(w).alias("i"),
+            "n",
+            "tot",
+        )
+        cs = cum.select(
+            *keys,
+            "month",
+            "n",
+            (
+                F.col("crev").cast("double")
+                - (F.col("i").cast("double") / F.col("n"))
+                * F.col("tot").cast("double")
+            ).alias("cs"),
+        )
+        rw = W.partitionBy(*keys).orderBy(F.abs(F.col("cs")).desc(), "month")
+        return cs.withColumn("rn", F.row_number().over(rw)).filter(
+            F.col("rn") == 1
+        )
+
+    cp1 = argmax_cs(mrev, ("nk",)).select(
+        "nk",
+        F.col("month").alias("cp_month"),
+        F.round("cs", 6).alias("cusum_stat"),
+    )
+    sides = mrev.join(F.broadcast(cp1.select("nk", "cp_month")), "nk").select(
+        "nk",
+        "month",
+        "rev",
+        F.when(F.col("month") <= F.col("cp_month"), "L").otherwise("R").alias(
+            "side"
+        ),
+    )
+    scp = (
+        argmax_cs(sides, ("nk", "side"))
+        .filter(F.col("n") >= 2)
+        .select("nk", "side", "month")
+    )
+    return (
+        cp1.join(scp, "nk", "left")
+        .groupBy("nk", "cp_month", "cusum_stat")
+        .agg(
+            F.max(F.when(F.col("side") == "L", F.col("month"))).alias(
+                "cp_left_month"
+            ),
+            F.max(F.when(F.col("side") == "R", F.col("month"))).alias(
+                "cp_right_month"
+            ),
+        )
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.col("cp_month").alias("cp1_month"),
+            "cusum_stat",
+            "cp_left_month",
+            "cp_right_month",
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "q_extreme_value_levels",
+    oracle=f"""
+WITH mrev AS ({_SQL_MREV}),
+mx AS (
+  SELECT month, max(rev) AS m FROM mrev GROUP BY month
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(m) AS DOUBLE) AS sx,
+         CAST(sum(CAST(m AS DECIMAL(19,2)) * m) AS DOUBLE) AS sxx
+  FROM mx
+),
+fit AS (
+  SELECT n,
+         sqrt((sxx - n * (sx / n) * (sx / n)) / (n - 1))
+           * sqrt(6.0) / pi() AS beta,
+         (sx / n) - 0.5772156649015329
+           * (sqrt((sxx - n * (sx / n) * (sx / n)) / (n - 1))
+              * sqrt(6.0) / pi()) AS mu
+  FROM mom
+)
+SELECT n AS n_months, round(mu, 2) AS gumbel_mu, round(beta, 2) AS gumbel_beta,
+       round(mu - beta * ln(-ln(1.0 - 1.0/12.0)), 2) AS level_1y,
+       round(mu - beta * ln(-ln(1.0 - 1.0/60.0)), 2) AS level_5y,
+       round(mu - beta * ln(-ln(1.0 - 1.0/120.0)), 2) AS level_10y
+FROM fit
+""",
+    tags=("A5", "extreme-value", "gumbel"),
+)
+def q_extreme_value_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTREME-VALUE RETURN LEVELS (Gumbel, method of moments) over
+    monthly maximum nation-revenues: the "what peak should we
+    provision for once a year / 5 years / 10 years" question capacity
+    planning asks of every load metric. β = s·√6/π, μ = x̄ − γβ
+    (Euler–Mascheroni as an explicit literal so both engines use the
+    same constant), return level x_T = μ − β·ln(−ln(1−1/T)). Block
+    maxima via one month-grid aggregate; moments exact DECIMAL
+    ((19,2)-widened product); the fit itself is a shared double
+    chain. DuckDB's pi() and Spark's lit(math.pi) are the same IEEE
+    double."""
+    import math
+
+    mrev = _mrev(spark, sf_dir)
+    mx = mrev.groupBy("month").agg(F.max("rev").alias("m"))
+    mom = mx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("m").cast("double").alias("sx"),
+        F.sum(F.col("m").cast("decimal(19,2)") * F.col("m"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    mean = sx / n
+    std = F.sqrt((sxx - n * mean * mean) / (n - 1))
+    beta = std * F.lit(math.sqrt(6.0)) / F.lit(math.pi)
+    mu = mean - F.lit(0.5772156649015329) * beta
+    def lvl(t):
+        return F.round(mu - beta * F.log(-F.log(F.lit(1.0 - 1.0 / t))), 2)
+    fit = mom.select(
+        n.alias("n_months"),
+        F.round(mu, 2).alias("gumbel_mu"),
+        F.round(beta, 2).alias("gumbel_beta"),
+        lvl(12.0).alias("level_1y"),
+        lvl(60.0).alias("level_5y"),
+        lvl(120.0).alias("level_10y"),
+    )
+    return fit
