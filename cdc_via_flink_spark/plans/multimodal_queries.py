@@ -647,3 +647,78 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_HAM_T)
         .select("a_id", "b_id", "hamming")
     )
+
+
+@query(
+    "mm_payload_entropy",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 9 = 0
+),
+bytes AS (
+  SELECT doc_id, n,
+         unnest(list_transform(range(1, n + 1),
+                i -> substr(h, CAST(2 * i - 1 AS INT), 2))) AS byte
+  FROM p
+),
+c AS (
+  SELECT doc_id, byte, CAST(count(*) AS BIGINT) AS cnt,
+         max(n) AS n
+  FROM bytes GROUP BY doc_id, byte
+),
+t AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_bytes,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CAST(round(
+             -(CAST(cnt AS DOUBLE) / n)
+               * ln(CAST(cnt AS DOUBLE) / n) / ln(2.0), 12)
+           AS DECIMAL(28,12))) AS DOUBLE) AS ent
+  FROM (SELECT doc_id, byte, cnt, max(n) OVER (PARTITION BY doc_id) AS n
+        FROM c)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bytes, n_distinct, round(ent, 6) AS entropy_bits
+FROM t ORDER BY doc_id
+""",
+    tags=("X4", "entropy", "compressibility"),
+)
+def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-ENTROPY AUDIT of binary payloads — the cheap
+    is-this-compressed/encrypted detector a media-ingest pipeline
+    runs before wasting decode time (plain text ≈ 4–5 bits/byte;
+    compressed/encrypted ≳ 7.9): Shannon entropy over the byte-value
+    histogram, per sampled payload. Bytes come from the hex rendering
+    (hex/substr — identical in both engines, no codepoint concerns);
+    per-byte-value counts are exact; entropy terms fold as rounded
+    DECIMAL(28,12) (the PSI recipe) so the ≤256-term sum is
+    association-order independent. Rows multiply at the BYTE grain
+    only for the 1-in-9 sampled docs; at 100 TB sample or batch via
+    mapInPandas over Arrow buffers (the mm decode path)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+    p = attach_payload(d).select(
+        "doc_id",
+        F.hex(F.col("payload")).alias("h"),
+        F.col("media_meta.n_bytes").alias("n"),
+    )
+    b = p.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr("transform(sequence(1, CAST(n AS INT)),"
+                   " i -> substr(h, 2 * i - 1, 2))")
+        ).alias("byte"),
+    )
+    c = b.groupBy("doc_id", "byte").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"), F.max("n").alias("n")
+    )
+    pr = F.col("cnt").cast("double") / F.col("n")
+    term = F.round(-pr * F.log(pr) / F.lit(float(__import__("math").log(2.0))), 12)
+    t = c.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(term.cast("decimal(28,12)")).cast("double").alias("ent"),
+    )
+    return t.select(
+        "doc_id", "n_bytes", "n_distinct", F.round("ent", 6).alias("entropy_bits")
+    ).orderBy("doc_id")

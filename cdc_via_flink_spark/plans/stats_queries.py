@@ -1688,3 +1688,169 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dau_mau_stickiness",
+    oracle="""
+WITH d AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+         CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+dau AS (
+  SELECT month, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM d GROUP BY month, day
+),
+mau AS (
+  SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM d GROUP BY month
+),
+a AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(dau) AS BIGINT) AS dau_sum
+  FROM dau GROUP BY month
+)
+SELECT a.month, a.n_days, mau.mau,
+       round(CAST(a.dau_sum AS DOUBLE) / a.n_days, 6) AS avg_dau,
+       round(CAST(a.dau_sum AS DOUBLE) / a.n_days / mau.mau, 6) AS stickiness
+FROM a JOIN mau ON a.month = mau.month
+ORDER BY a.month
+""",
+    tags=("stats", "product-metrics", "stickiness"),
+)
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU STICKINESS per month — the engagement ratio product
+    teams track (how much of the monthly audience shows up on an
+    average day). Two keyed distinct aggregates (day and month
+    grain), exact integers, two divides; the approximate 100 TB twin
+    keeps a maintained HLL per grain (stream_hll_distinct) instead of
+    exact count-distincts."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM").alias(
+            "month"
+        ),
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "user_id",
+    )
+    dau = d.groupBy("month", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    mau = d.groupBy("month").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    a = dau.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("dau_sum"),
+    )
+    avg_dau = F.col("dau_sum").cast("double") / F.col("n_days")
+    return (
+        a.join(F.broadcast(mau), "month")
+        .select(
+            "month",
+            "n_days",
+            "mau",
+            F.round(avg_dau, 6).alias("avg_dau"),
+            F.round(avg_dau / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_welch_ttest",
+    oracle="""
+WITH s AS (
+  SELECT c.c_mktsegment AS seg, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+m AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS DOUBLE) AS sx,
+         CAST(sum(CAST(v AS DECIMAL(19,2)) * v) AS DOUBLE) AS sxx
+  FROM s GROUP BY seg
+),
+w AS (
+  SELECT max(CASE WHEN seg = 'BUILDING' THEN n END) AS n1,
+         max(CASE WHEN seg = 'BUILDING' THEN sx END) AS sx1,
+         max(CASE WHEN seg = 'BUILDING' THEN sxx END) AS sxx1,
+         max(CASE WHEN seg = 'MACHINERY' THEN n END) AS n2,
+         max(CASE WHEN seg = 'MACHINERY' THEN sx END) AS sx2,
+         max(CASE WHEN seg = 'MACHINERY' THEN sxx END) AS sxx2
+  FROM m
+),
+f AS (
+  SELECT n1, n2,
+         sx1 / n1 AS m1, sx2 / n2 AS m2,
+         (sxx1 - n1 * (sx1/n1) * (sx1/n1)) / (n1 - 1) / n1 AS a,
+         (sxx2 - n2 * (sx2/n2) * (sx2/n2)) / (n2 - 1) / n2 AS b
+  FROM w
+)
+SELECT n1, n2,
+       round(m1, 6) AS mean_1, round(m2, 6) AS mean_2,
+       round((m1 - m2) / sqrt(a + b), 6) AS t_stat,
+       round((a + b) * (a + b)
+             / (a * a / (n1 - 1) + b * b / (n2 - 1)), 6) AS welch_df
+FROM f
+""",
+    tags=("stats", "t-test", "inference"),
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE t-TEST on segment mean order totals —
+    the parametric member of the two-sample trio (KS = distribution,
+    permutation = distribution-free p, Welch = means under unequal
+    variances, the default t-test since Ruxton 2006). Exact DECIMAL
+    moments ((19,2)-widened products), the t statistic and the
+    Welch–Satterthwaite df one shared double chain."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    s = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), dec(F.col("o_totalprice")).alias("v")
+    )
+    m = s.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("double").alias("sx"),
+        F.sum(F.col("v").cast("decimal(19,2)") * F.col("v"))
+        .cast("double")
+        .alias("sxx"),
+    )
+
+    def pick(seg, col):
+        return F.max(F.when(F.col("seg") == seg, F.col(col)))
+
+    w = m.agg(
+        pick("BUILDING", "n").alias("n1"),
+        pick("BUILDING", "sx").alias("sx1"),
+        pick("BUILDING", "sxx").alias("sxx1"),
+        pick("MACHINERY", "n").alias("n2"),
+        pick("MACHINERY", "sx").alias("sx2"),
+        pick("MACHINERY", "sxx").alias("sxx2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1, m2 = F.col("sx1") / n1, F.col("sx2") / n2
+    a = (F.col("sxx1") - n1 * m1 * m1) / (n1 - 1) / n1
+    b = (F.col("sxx2") - n2 * m2 * m2) / (n2 - 1) / n2
+    return w.select(
+        "n1",
+        "n2",
+        F.round(m1, 6).alias("mean_1"),
+        F.round(m2, 6).alias("mean_2"),
+        F.round((m1 - m2) / F.sqrt(a + b), 6).alias("t_stat"),
+        F.round(
+            (a + b) * (a + b) / (a * a / (n1 - 1) + b * b / (n2 - 1)), 6
+        ).alias("welch_df"),
+    )
