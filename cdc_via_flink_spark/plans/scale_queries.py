@@ -1099,3 +1099,151 @@ def q_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# --- Incremental view maintenance (batch form) ---
+
+
+@query(
+    "q_ivm_aggregate",
+    oracle="""
+WITH j AS (
+  SELECT c.c_nationkey AS nk, CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT nk AS nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(v) AS DOUBLE) AS revenue,
+       round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS avg_order
+FROM j GROUP BY nk ORDER BY nationkey
+""",
+    tags=("A3", "ivm", "incremental"),
+)
+def q_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE of a revenue cube — the batch form
+    of what every streaming aggregate does: the pre-1996 BASE
+    partials (n, Σv per nation) are computed once and PERSISTED; the
+    1996+ delta produces its own partials; the served view MERGES
+    partials (sum of sums, sum of counts) and derives avg = Σ/n —
+    never avg-of-avgs, never a base-row rescan. The oracle is the
+    full recompute: hash-equality IS the IVM correctness proof
+    (merge(base, delta) == recompute(all)). The non-decomposable
+    aggregates (median, distinct) are exactly the ones this engine
+    keeps sketches/bitmaps for (KLL, HLL, activity bitmap) — same
+    contract, mergeable state."""
+    import os as _os
+    import shutil as _sh
+
+    from cdc_via_flink_spark.plans.streaming_queries import STAGE_ROOT
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_nationkey").alias("nk")
+    )
+    j = o.join(c, "o_custkey").select(
+        "nk",
+        F.col("o_orderdate").alias("d"),
+        dec(F.col("o_totalprice")).alias("v"),
+    )
+    split = F.lit("1996-01-01").cast("timestamp")
+
+    def partials(df):
+        return df.groupBy("nk").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("decimal(28,2)").alias("s"),
+        )
+
+    sf_name = _os.path.basename(sf_dir.rstrip("/"))
+    base_path = _os.path.join(STAGE_ROOT, f"ivm_base_{sf_name}")
+    _sh.rmtree(base_path, ignore_errors=True)
+    # base partials persisted once (in production: the maintained table)
+    partials(j.filter(F.col("d") < split)).write.mode("overwrite").parquet(
+        base_path
+    )
+    base = spark.read.parquet(base_path)
+    delta = partials(j.filter(F.col("d") >= split))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("nk")
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        F.col("nk").alias("nationkey"),
+        F.col("n").alias("n_orders"),
+        F.col("s").cast("double").alias("revenue"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("avg_order"),
+    ).orderBy("nationkey")
+
+
+# --- Bucketed co-located join (zero-exchange) ---
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS item_total
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_totalprice > 400000
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+""",
+    tags=("J3", "scale", "bucketing", "zero-exchange"),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED CO-LOCATED JOIN — the layout that deletes the join
+    shuffle at 100 TB: both sides written bucketBy(orderkey), so the
+    join requires NO Exchange on either input (each bucket pair joins
+    locally; pinned by test_bucketed_join_no_exchange). The write
+    cost amortizes across every subsequent orderkey join — the same
+    argument as the Z-order layout (q_zorder_layout) for scans, here
+    for joins. Result provably equals the plain join (the oracle).
+    Selective predicate + aggregate on top show pushdown composes
+    with bucketing."""
+    import os as _os
+    import shutil as _sh
+
+    from cdc_via_flink_spark.plans.streaming_queries import STAGE_ROOT
+
+    sf_name = _os.path.basename(sf_dir.rstrip("/"))
+    wh = _os.path.join(STAGE_ROOT, f"bucketed_{sf_name}")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    names = {
+        "o": f"bkt_orders_{sf_name.replace('.', '_')}",
+        "l": f"bkt_lineitem_{sf_name.replace('.', '_')}",
+    }
+    for t in names.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _sh.rmtree(wh, ignore_errors=True)
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", _os.path.join(wh, "orders"))
+        .saveAsTable(names["o"])
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", _os.path.join(wh, "lineitem"))
+        .saveAsTable(names["l"])
+    )
+    ob = spark.table(names["o"]).filter(F.col("o_totalprice") > 400000)
+    lb = spark.table(names["l"])
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias(
+                "item_total"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )

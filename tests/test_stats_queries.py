@@ -212,3 +212,44 @@ def test_bloom_rf_prunes_before_join(spark):
     # bool_and compiles to min(hit) over booleans (Catalyst rewrite)
     assert "min(hit" in plan, plan
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan or "EqualTo(c_mktsegment,BUILDING)" in plan, plan
+
+
+def test_bucketed_join_no_exchange(spark):
+    """q_bucketed_join: the bucketed layout must delete the join
+    shuffle. At sf0.01 the filtered side broadcasts (also
+    zero-shuffle) — so first pin the query plan scans as bucketed
+    with no hashpartitioning exchange on the keys; then force the
+    big-data path (broadcast off) and pin the SortMergeJoin joining
+    the two bucketed scans with NO exchange between join and scan."""
+    plan = _plan(spark, "q_bucketed_join")
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+
+    from pyspark.sql import functions as F2
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob = spark.table("bkt_orders_sf0_01").filter(
+            F2.col("o_totalprice") > 400000
+        )
+        lb = spark.table("bkt_lineitem_sf0_01")
+        j = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        jvm = spark._jvm
+        plan2 = j._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan2, plan2
+    assert "Exchange" not in plan2, plan2  # the layout IS the shuffle
+
+
+def test_ivm_merge_is_partial_shaped(spark):
+    """q_ivm_aggregate: the served view merges PARTIALS — the merged
+    aggregate consumes (n, s) columns, not order rows (base side is a
+    parquet scan of the persisted partials)."""
+    plan = _plan(spark, "q_ivm_aggregate")
+    assert "ivm_base_" in plan, plan  # the persisted-partials scan
+    assert "CartesianProduct" not in plan, plan
