@@ -1854,3 +1854,158 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (a + b) * (a + b) / (a * a / (n1 - 1) + b * b / (n2 - 1)), 6
         ).alias("welch_df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lorenz_deciles",
+    oracle="""
+WITH s AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS spend
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT spend,
+         ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+  FROM s
+),
+d AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(spend) AS DECIMAL(28,2)) AS spend
+  FROM r GROUP BY decile
+),
+t AS (SELECT CAST(sum(spend) AS DOUBLE) AS tot FROM d)
+SELECT CAST(d.decile AS BIGINT) AS decile, d.n_customers,
+       round(CAST(d.spend AS DOUBLE), 2) AS decile_spend,
+       round(CAST(sum(d.spend) OVER (ORDER BY d.decile) AS DOUBLE) / t.tot, 6)
+         AS cum_share
+FROM d CROSS JOIN t
+ORDER BY decile
+""",
+    tags=("stats", "lorenz", "concentration"),
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE at customer-spend deciles — the curve behind
+    q_gini_spend's scalar (cum_share at decile 9 vs 10 is the "top
+    10% hold X%" headline). Deciles via ntile with a deterministic
+    (spend, custkey) order; decile sums exact DECIMAL; the cumulative
+    runs over TEN rows. The customer rank window swaps for
+    quantile-cut binning at 100 TB exactly as documented in
+    q_gini_spend."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(dec(F.col("o_totalprice"))).cast("decimal(28,2)").alias("spend")
+    )
+    r = s.select(
+        "spend",
+        F.ntile(10).over(W.orderBy("spend", "o_custkey")).alias("decile"),
+    )
+    d = r.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend").cast("decimal(28,2)").alias("spend"),
+    )
+    t = d.agg(F.sum("spend").cast("double").alias("tot"))
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            F.round(F.col("spend").cast("double"), 2).alias("decile_spend"),
+            F.round(
+                F.sum("spend").over(W.orderBy("decile")).cast("double")
+                / F.col("tot"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F statistic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_anova_f",
+    oracle="""
+WITH s AS (
+  SELECT c.c_mktsegment AS seg, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS DOUBLE) AS sx,
+         CAST(sum(CAST(v AS DECIMAL(19,2)) * v) AS DOUBLE) AS sxx
+  FROM s GROUP BY seg
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nt,
+         CAST(sum(CAST(round(sx, 2) AS DECIMAL(28,2))) AS DOUBLE) AS sxt,
+         CAST(sum(CAST(round(sxx, 2) AS DECIMAL(38,2))) AS DOUBLE) AS sxxt,
+         CAST(sum(CAST(round(sx * sx / n, 4) AS DECIMAL(38,4))) AS DOUBLE)
+           AS ssb_raw
+  FROM g
+)
+SELECT k AS n_groups, nt AS n_total,
+       round((ssb_raw - sxt * sxt / nt) / (k - 1), 4) AS ms_between,
+       round((sxxt - ssb_raw) / (nt - k), 4) AS ms_within,
+       round(((ssb_raw - sxt * sxt / nt) / (k - 1))
+             / ((sxxt - ssb_raw) / (nt - k)), 6) AS f_stat
+FROM t
+""",
+    tags=("stats", "anova", "inference"),
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA F across the five market segments' order totals —
+    does ANY segment differ (the k-group generalization of
+    q_welch_ttest): F = MS_between / MS_within from per-group exact
+    DECIMAL moments. Every cross-group fold (Σsx, Σsxx, Σ sx²/n over
+    the k=5 group rows) re-rounds to DECIMAL before summing, so no
+    float sum anywhere depends on aggregation order."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), dec(F.col("o_totalprice")).alias("v")
+    )
+    g = s.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("double").alias("sx"),
+        F.sum(F.col("v").cast("decimal(19,2)") * F.col("v"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum(F.round(F.col("sx"), 2).cast("decimal(28,2)"))
+        .cast("double")
+        .alias("sxt"),
+        F.sum(F.round(F.col("sxx"), 2).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sxxt"),
+        F.sum(
+            F.round(F.col("sx") * F.col("sx") / F.col("n"), 4).cast(
+                "decimal(38,4)"
+            )
+        )
+        .cast("double")
+        .alias("ssb_raw"),
+    )
+    k, nt = F.col("k"), F.col("nt")
+    ssb = F.col("ssb_raw") - F.col("sxt") * F.col("sxt") / nt
+    ssw = F.col("sxxt") - F.col("ssb_raw")
+    return t.select(
+        k.alias("n_groups"),
+        nt.alias("n_total"),
+        F.round(ssb / (k - 1), 4).alias("ms_between"),
+        F.round(ssw / (nt - k), 4).alias("ms_within"),
+        F.round((ssb / (k - 1)) / (ssw / (nt - k)), 6).alias("f_stat"),
+    )
