@@ -419,3 +419,100 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("s", 6).alias("survival"),
     ).orderBy("wk")
+
+
+@query(
+    "q_attribution_linear",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, event_id AS pid, epoch(ts) AS pes
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_type AS channel, epoch(ts) AS tes
+  FROM events WHERE event_type <> 'purchase'
+),
+tw AS (
+  SELECT p.pid, t.channel
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND t.tes < p.pes AND p.pes - t.tes <= {_ATTR_WINDOW_S}
+),
+n AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_touch FROM tw GROUP BY pid),
+pc AS (
+  SELECT tw.pid, tw.channel, CAST(count(*) AS BIGINT) AS c, n.n_touch
+  FROM tw JOIN n ON tw.pid = n.pid GROUP BY tw.pid, tw.channel, n.n_touch
+),
+credit AS (
+  SELECT channel,
+         sum(CAST(round(CAST(c AS DOUBLE) / n_touch, 12)
+                  AS DECIMAL(28,12))) AS credit
+  FROM pc GROUP BY channel
+  UNION ALL
+  SELECT 'direct' AS channel,
+         CAST(count(*) AS DECIMAL(28,12)) AS credit
+  FROM p WHERE NOT EXISTS (SELECT 1 FROM tw WHERE tw.pid = p.pid)
+),
+tot AS (SELECT CAST(sum(credit) AS DOUBLE) AS total FROM credit)
+SELECT c.channel, round(CAST(c.credit AS DOUBLE), 6) AS credit,
+       round(CAST(c.credit AS DOUBLE) / t.total, 6) AS share
+FROM credit c CROSS JOIN tot t
+ORDER BY c.channel
+""",
+    tags=("sequence", "attribution", "multi-touch"),
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR MULTI-TOUCH ATTRIBUTION — every touch in the 7-day
+    window before a purchase shares the conversion credit equally
+    (1/n each), the fairness counterpoint to
+    q_attribution_last_touch's winner-takes-all. Touch-purchase pairs
+    come from a USER-keyed range join (pair space bounded by
+    per-user event counts — the dedup blocking argument on the user
+    key); fractional credits are rounded to 12 dp and folded as
+    DECIMAL(28,12) so channel totals are association-order
+    independent; untouched purchases credit 'direct' wholly."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.unix_timestamp("ts").alias("pes"),
+    )
+    t = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.unix_timestamp("ts").alias("tes"),
+    )
+    tw = p.join(t, "user_id").filter(
+        (F.col("tes") < F.col("pes"))
+        & (F.col("pes") - F.col("tes") <= _ATTR_WINDOW_S)
+    ).select("pid", "channel")
+    n = tw.groupBy("pid").agg(F.count(F.lit(1)).cast("long").alias("n_touch"))
+    pc = (
+        tw.groupBy("pid", "channel")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .join(F.broadcast(n), "pid")
+    )
+    touched = pc.groupBy("channel").agg(
+        F.sum(
+            F.round(F.col("c").cast("double") / F.col("n_touch"), 12).cast(
+                "decimal(28,12)"
+            )
+        ).alias("credit")
+    )
+    direct = (
+        p.join(tw.select("pid").distinct(), "pid", "left_anti")
+        .agg(F.count(F.lit(1)).cast("decimal(28,12)").alias("credit"))
+        .select(F.lit("direct").alias("channel"), "credit")
+    )
+    credit = touched.unionByName(direct)
+    tot = credit.agg(F.sum("credit").cast("double").alias("total"))
+    return (
+        credit.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.round(F.col("credit").cast("double"), 6).alias("credit"),
+            F.round(F.col("credit").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("channel")
+    )
