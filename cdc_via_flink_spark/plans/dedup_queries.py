@@ -1578,8 +1578,15 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines. Min/max chunk-size clamps (the FastCDC
     normalization) are sequential dependencies and intentionally
     omitted — the expected-size knob here is the modulus."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= _CDC_W
+    from cdc_via_flink_spark.sources.tables import ensure_min_partitions
+
+    # the boundary lambda is interpreted (higher-order fns don't
+    # codegen) — per-doc CPU work that a single-row-group scan would
+    # serialize onto one task; spread docs first (no-op at scale)
+    d = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").filter(
+            F.length("text") >= _CDC_W
+        )
     )
     bounds = F.expr(
         f"""array_sort(array_distinct(concat(
