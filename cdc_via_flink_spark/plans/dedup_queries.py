@@ -1640,3 +1640,67 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "dedup_bucket_skew_audit",
+    oracle=f"""
+WITH {_MINHASH_CTE},
+banded AS ({_sql_bands()}),
+buckets AS (
+  SELECT band, bsig, CAST(count(*) AS BIGINT) AS sz
+  FROM banded GROUP BY band, bsig
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(max(sz) AS BIGINT) AS max_bucket,
+       CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS pair_mass
+FROM buckets GROUP BY band ORDER BY band
+""",
+    tags=("X1", "dedup", "lsh", "skew-audit"),
+)
+def dedup_bucket_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BUCKET-SKEW AUDIT — the per-band bucket-size census that
+    DECIDES the band-join layout before running it (the declarative
+    face of operators/banding.py's probe: max_bucket says whether the
+    salted/pinned path engages; pair_mass = Σ C(sz,2) is the exact
+    candidate-join cost the banding will pay). Shingle → signature →
+    band pipeline reused from dedup_minhash_lsh; one (band, bsig)
+    groupBy then band-grain rollup — the audit costs one aggregation,
+    the quadratic work it predicts is never materialized here."""
+    from cdc_via_flink_spark.operators.dedup import minhash_signatures
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "text", "doc_id")
+    sig = minhash_signatures(sh, NUM_HASHES)
+    frames = []
+    for b in range(BANDS):
+        cols = [f"mh{b * ROWS + r}" for r in range(ROWS)]
+        frames.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-", *[F.col(c).cast("string") for c in cols]
+                ).alias("bsig"),
+            )
+        )
+    banded = frames[0]
+    for bf in frames[1:]:
+        banded = banded.unionByName(bf)
+    buckets = banded.groupBy("band", "bsig").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.max("sz").cast("long").alias("max_bucket"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+            .cast("long")
+            .alias("pair_mass"),
+        )
+        .orderBy("band")
+    )

@@ -2009,3 +2009,93 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ssw / (nt - k), 4).alias("ms_within"),
         F.round((ssb / (k - 1)) / (ssw / (nt - k)), 6).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences
+# ---------------------------------------------------------------------------
+
+_DID_SPLIT = "1995-07-01"
+_DID_NATION = 0
+
+
+@query(
+    "q_diff_in_diff",
+    oracle=f"""
+WITH t AS (
+  SELECT CASE WHEN c.c_nationkey = {_DID_NATION} THEN 'T' ELSE 'C' END AS grp,
+         CASE WHEN o.o_orderdate < TIMESTAMP '{_DID_SPLIT}'
+              THEN 'pre' ELSE 'post' END AS period,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+m AS (
+  SELECT grp, period, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS DOUBLE) / count(*) AS mean_v
+  FROM t GROUP BY grp, period
+),
+w AS (
+  SELECT max(CASE WHEN grp = 'T' AND period = 'pre' THEN mean_v END) AS t_pre,
+         max(CASE WHEN grp = 'T' AND period = 'post' THEN mean_v END) AS t_post,
+         max(CASE WHEN grp = 'C' AND period = 'pre' THEN mean_v END) AS c_pre,
+         max(CASE WHEN grp = 'C' AND period = 'post' THEN mean_v END) AS c_post,
+         CAST(sum(n) AS BIGINT) AS n_total
+  FROM m
+)
+SELECT n_total,
+       round(t_pre, 6) AS t_pre, round(t_post, 6) AS t_post,
+       round(c_pre, 6) AS c_pre, round(c_post, 6) AS c_post,
+       round((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate
+FROM w
+""",
+    tags=("stats", "causal", "diff-in-diff"),
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the workhorse causal estimate for
+    a treatment applied to one group at a known date (nation 0,
+    mid-1995): (ΔT) − (ΔC) of mean order totals nets out both the
+    group level and the common time trend. One 4-cell aggregate from
+    exact DECIMAL sums, one shared double chain — the inference
+    sibling of q_psi_drift's same-date split."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    t = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.when(F.col("c_nationkey") == _DID_NATION, "T").otherwise("C").alias(
+            "grp"
+        ),
+        F.when(
+            F.col("o_orderdate") < F.lit(_DID_SPLIT).cast("timestamp"), "pre"
+        )
+        .otherwise("post")
+        .alias("period"),
+        dec(F.col("o_totalprice")).alias("v"),
+    )
+    m = t.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_v"),
+    )
+
+    def cell(g, p):
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("period") == p), F.col("mean_v"))
+        )
+
+    w = m.agg(
+        cell("T", "pre").alias("t_pre"),
+        cell("T", "post").alias("t_post"),
+        cell("C", "pre").alias("c_pre"),
+        cell("C", "post").alias("c_post"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return w.select(
+        "n_total",
+        F.round("t_pre", 6).alias("t_pre"),
+        F.round("t_post", 6).alias("t_post"),
+        F.round("c_pre", 6).alias("c_pre"),
+        F.round("c_post", 6).alias("c_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            6,
+        ).alias("did_estimate"),
+    )
