@@ -2347,3 +2347,104 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_closeness_level", "n_groups",
         )
     )
+
+
+@query(
+    "q_itemcf_topk",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+item AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY pk),
+pair AS (
+  SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING count(*) >= 3
+),
+scored AS (
+  SELECT p.pk_a, p.pk_b, p.c_ab,
+         round(CAST(p.c_ab AS DOUBLE)
+               / (sqrt(CAST(ia.c AS DOUBLE)) * sqrt(CAST(ib.c AS DOUBLE))),
+               6) AS cosine
+  FROM pair p
+  JOIN item ia ON ia.pk = p.pk_a JOIN item ib ON ib.pk = p.pk_b
+),
+sym AS (
+  SELECT pk_a AS item, pk_b AS neighbor, c_ab, cosine FROM scored
+  UNION ALL
+  SELECT pk_b AS item, pk_a AS neighbor, c_ab, cosine FROM scored
+),
+r AS (
+  SELECT item, neighbor, c_ab, cosine,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY cosine DESC, neighbor) AS rn
+  FROM sym
+)
+SELECT item, neighbor, c_ab, cosine, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 3
+ORDER BY item, rn
+""",
+    tags=("analytics", "recommender", "item-cf"),
+)
+def q_itemcf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM-ITEM COLLABORATIVE FILTERING — cosine similarity on the
+    order co-occurrence matrix (c_ab / √(c_a·c_b)), top-3 neighbors
+    per item: the classic Amazon-style "bought together" recommender
+    next to q_basket_affinity's lift view. The pair space is the
+    order-blocked self-join (basket-size-bounded); item counts ride
+    broadcasts; the per-item top-k is a WindowGroupLimit-bounded rank
+    over the min-support-filtered pair table, never the catalog²."""
+    from pyspark.sql import Window as W
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    item = li.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = li.select("ok", F.col("pk").alias("pk_a"))
+    b = li.select("ok", F.col("pk").alias("pk_b"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("pk_a") < F.col("pk_b"))
+        .groupBy("pk_a", "pk_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    ia = item.select(F.col("pk").alias("pk_a"), F.col("c").alias("c_a"))
+    ib = item.select(F.col("pk").alias("pk_b"), F.col("c").alias("c_b"))
+    scored = (
+        pair.join(F.broadcast(ia), "pk_a")
+        .join(F.broadcast(ib), "pk_b")
+        .select(
+            "pk_a",
+            "pk_b",
+            "c_ab",
+            F.round(
+                F.col("c_ab").cast("double")
+                / (
+                    F.sqrt(F.col("c_a").cast("double"))
+                    * F.sqrt(F.col("c_b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    sym = scored.select(
+        F.col("pk_a").alias("item"),
+        F.col("pk_b").alias("neighbor"),
+        "c_ab",
+        "cosine",
+    ).unionByName(
+        scored.select(
+            F.col("pk_b").alias("item"),
+            F.col("pk_a").alias("neighbor"),
+            "c_ab",
+            "cosine",
+        )
+    )
+    w = W.partitionBy("item").orderBy(F.col("cosine").desc(), "neighbor")
+    return (
+        sym.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("item", "rn")
+    )

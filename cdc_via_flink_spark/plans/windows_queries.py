@@ -2559,3 +2559,82 @@ def q_extreme_value_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         lvl(120.0).alias("level_10y"),
     )
     return fit
+
+
+@query(
+    "q_forecast_mase",
+    oracle=f"""
+WITH mrev AS ({_SQL_MREV}),
+lagged AS (
+  SELECT nk, month, rev,
+         lag(rev, 1) OVER (PARTITION BY nk ORDER BY month) AS prev1,
+         lag(rev, 12) OVER (PARTITION BY nk ORDER BY month) AS prev12
+  FROM mrev
+),
+err AS (
+  SELECT nk,
+         CAST(count(CASE WHEN prev12 IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_seasonal,
+         sum(CASE WHEN prev12 IS NOT NULL THEN abs(rev - prev12) END)
+           AS sae_seasonal,
+         CAST(count(CASE WHEN prev1 IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_naive,
+         sum(CASE WHEN prev1 IS NOT NULL THEN abs(rev - prev1) END)
+           AS sae_naive
+  FROM lagged GROUP BY nk
+)
+SELECT nk AS nationkey, n_seasonal, n_naive,
+       round(CAST(sae_seasonal AS DOUBLE) / n_seasonal, 2) AS mae_seasonal,
+       round(CAST(sae_naive AS DOUBLE) / n_naive, 2) AS mae_naive,
+       round((CAST(sae_seasonal AS DOUBLE) / n_seasonal)
+             / (CAST(sae_naive AS DOUBLE) / n_naive), 6) AS mase
+FROM err ORDER BY nationkey
+""",
+    tags=("A5", "forecasting", "mase"),
+)
+def q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE — Mean Absolute Scaled Error (Hyndman & Koehler 2006, the
+    scale-free forecast-accuracy standard): the seasonal-naive
+    forecast (x_{t−12}) scored against the naive one-step baseline
+    (x_{t−1}) per nation. MASE < 1 ⇒ the seasonal model beats naive
+    drift — the go/no-go gate before q_forecast_revenue_change's
+    model ships. Absolute errors are exact DECIMAL differences summed
+    exactly; two divides and one ratio at the end. One nation-keyed
+    lag window over month cells."""
+    mrev = _mrev(spark, sf_dir)
+    pw = W.partitionBy("nk").orderBy("month")
+    lagged = mrev.select(
+        "nk",
+        "rev",
+        F.lag("rev", 1).over(pw).alias("prev1"),
+        F.lag("rev", 12).over(pw).alias("prev12"),
+    )
+    err = lagged.groupBy("nk").agg(
+        F.count(F.when(F.col("prev12").isNotNull(), 1)).cast("long").alias(
+            "n_seasonal"
+        ),
+        F.sum(
+            F.when(
+                F.col("prev12").isNotNull(),
+                F.abs(F.col("rev") - F.col("prev12")),
+            )
+        ).alias("sae_seasonal"),
+        F.count(F.when(F.col("prev1").isNotNull(), 1)).cast("long").alias(
+            "n_naive"
+        ),
+        F.sum(
+            F.when(
+                F.col("prev1").isNotNull(), F.abs(F.col("rev") - F.col("prev1"))
+            )
+        ).alias("sae_naive"),
+    )
+    mae_s = F.col("sae_seasonal").cast("double") / F.col("n_seasonal")
+    mae_n = F.col("sae_naive").cast("double") / F.col("n_naive")
+    return err.select(
+        F.col("nk").alias("nationkey"),
+        "n_seasonal",
+        "n_naive",
+        F.round(mae_s, 2).alias("mae_seasonal"),
+        F.round(mae_n, 2).alias("mae_naive"),
+        F.round(mae_s / mae_n, 6).alias("mase"),
+    ).orderBy("nationkey")
