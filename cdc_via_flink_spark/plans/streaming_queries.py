@@ -2794,3 +2794,142 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = hll_maintenance_query(stream, idx, out, ckpt)
     q.awaitTermination()
     return read_estimates(spark, out, index_path=idx)
+
+
+def _psi_monitor_oracle() -> str:
+    return """
+WITH base AS (
+  SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+         count(*) AS n
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+),
+bt AS (SELECT CAST(sum(n) AS BIGINT) AS tb FROM base),
+strm AS (
+  SELECT (o_orderkey // 2) % 3 AS ep,
+         least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+c AS (SELECT ep, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM strm GROUP BY ep, bucket),
+t AS (SELECT ep, CAST(sum(n) AS BIGINT) AS tc FROM c GROUP BY ep),
+term AS (
+  SELECT c.ep,
+         (CAST(c.n AS DOUBLE) / t.tc - CAST(b.n AS DOUBLE) / bt.tb)
+           * ln((CAST(c.n AS DOUBLE) / t.tc) / (CAST(b.n AS DOUBLE) / bt.tb))
+           AS psi_term,
+         t.tc
+  FROM c
+  JOIN t ON t.ep = c.ep
+  JOIN base b ON b.bucket = c.bucket
+  CROSS JOIN bt
+)
+SELECT CAST(ep AS BIGINT) AS ep, CAST(max(tc) AS BIGINT) AS n_rows,
+       round(CAST(sum(CAST(round(psi_term, 10) AS DECIMAL(28,10)))
+                  AS DOUBLE), 6) AS psi
+FROM term GROUP BY ep
+"""
+
+
+@query(
+    "stream_psi_monitor",
+    oracle=_psi_monitor_oracle(),
+    tags=("ST3", "streaming", "drift", "psi"),
+)
+def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DRIFT MONITOR — q_psi_drift run per micro-batch: the
+    reference order-total distribution (even orderkeys, domain-fixed
+    bins) persists as a ten-row broadcast table; each arriving epoch
+    (odd orderkeys over three batches) reports its PSI against it —
+    the model-monitoring loop (score drift per batch, alert past
+    0.25) expressed as foreachBatch over the same atomically-published
+    per-epoch outputs the kernel adapters use. Every epoch's math is
+    the PSI recipe: exact integer counts, double ln terms,
+    DECIMAL(28,10)-folded total. Epochs whose buckets all exist in
+    the reference (true here by construction: ten domain bins, both
+    halves span them) need no smoothing; production adds the ±0.5
+    Laplace bin floor."""
+    import shutil as _sh
+
+    from cdc_via_flink_spark.streaming import index_kernel as ik
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(9)
+    ).alias("bucket")
+    base = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("bn"))
+    )
+    root = os.path.join(STAGE_ROOT, f"psi_monitor_{sf_name}")
+    _sh.rmtree(root, ignore_errors=True)
+    base_path = os.path.join(root, "base")
+    base.coalesce(1).write.mode("overwrite").parquet(base_path)
+    strm = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_totalprice", ((F.col("o_orderkey") / 2).cast("long") % 3).alias("ep")
+    )
+    frames = [
+        strm.filter(F.col("ep") == k).select("o_totalprice").orderBy(
+            "o_totalprice"
+        )
+        for k in range(3)
+    ]
+    dest = os.path.join(root, "staged")
+    _STAGED_DESTS.discard(dest)
+    _stage_ordered_files(spark, frames, dest)
+    out = os.path.join(root, "psi")
+
+    def process(batch, epoch_id):
+        bsess = batch.sparkSession
+        b = bsess.read.parquet(base_path)
+        bt = b.agg(F.sum("bn").cast("long").alias("tb"))
+        c = (
+            batch.select(
+                F.least(
+                    F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(9)
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        t = c.agg(F.sum("n").cast("long").alias("tc"))
+        p_cur = F.col("n").cast("double") / F.col("tc")
+        p_ref = F.col("bn").cast("double") / F.col("tb")
+        term = (
+            c.join(F.broadcast(b), "bucket")
+            .crossJoin(F.broadcast(t))
+            .crossJoin(F.broadcast(bt))
+            .select(
+                ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+                "tc",
+            )
+        )
+        res = term.agg(
+            F.lit(int(epoch_id)).cast("long").alias("ep"),
+            F.max("tc").cast("long").alias("n_rows"),
+            F.round(
+                F.sum(
+                    F.round(F.col("psi_term"), 10).cast("decimal(28,10)")
+                ).cast("double"),
+                6,
+            ).alias("psi"),
+        )
+        ik.publish_epoch_output(res, out, epoch_id)
+
+    stream = (
+        spark.readStream.schema("o_totalprice double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ik.read_epoch_outputs(
+        spark, out, "ep bigint, n_rows bigint, psi double"
+    )

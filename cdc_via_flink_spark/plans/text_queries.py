@@ -3438,3 +3438,70 @@ def text_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.withColumn("rn", F.row_number().over(w).cast("long")).filter(
         F.col("rn") <= 20
     )
+
+
+@query(
+    "text_dataset_card",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         CAST(sum(len(string_split({SQL_NORM}, ' '))) AS BIGINT) AS ws_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT md5({SQL_NORM})) AS BIGINT) AS n_distinct_texts
+  FROM documents
+),
+tl AS (
+  SELECT lang AS top_lang, CAST(count(*) AS BIGINT) AS top_n
+  FROM documents GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1
+)
+SELECT base.n_docs, base.total_chars, base.ws_tokens, base.n_langs,
+       base.n_sources,
+       tl.top_lang,
+       round(CAST(tl.top_n AS DOUBLE) / base.n_docs, 6) AS top_lang_share,
+       round(CAST(base.n_distinct_texts AS DOUBLE) / base.n_docs, 6)
+         AS distinct_text_ratio
+FROM base CROSS JOIN tl
+""",
+    tags=("X3", "dataset-card", "corpus-summary"),
+)
+def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD — the one-row corpus summary every published
+    training set ships (docs, chars, whitespace tokens, language and
+    source counts, majority-language share, exact-dedup ratio): the
+    composition audit that fronts the deeper per-family queries
+    (token stats, langid, dedup, quality). Three aggregates over one
+    scan-shaped pipeline; the top-language row is a
+    TakeOrderedAndProject over the ≤|langs| rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    base = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(F.size(F.split(norm, " "))).cast("long").alias("ws_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct(F.md5(norm)).cast("long").alias("n_distinct_texts"),
+    )
+    tl = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("top_n"))
+        .orderBy(F.col("top_n").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "top_n")
+    )
+    return base.crossJoin(F.broadcast(tl)).select(
+        "n_docs",
+        "total_chars",
+        "ws_tokens",
+        "n_langs",
+        "n_sources",
+        "top_lang",
+        F.round(F.col("top_n").cast("double") / F.col("n_docs"), 6).alias(
+            "top_lang_share"
+        ),
+        F.round(
+            F.col("n_distinct_texts").cast("double") / F.col("n_docs"), 6
+        ).alias("distinct_text_ratio"),
+    )
