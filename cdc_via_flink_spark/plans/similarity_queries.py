@@ -1145,3 +1145,166 @@ def sim_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("cos") >= _RANGE_THETA).orderBy(
         "query_id", "vec_id"
     )
+
+
+@query(
+    "sim_hard_negative_mining",
+    oracle=f"""
+WITH d AS (SELECT vec_id, label, {SQL_VD} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v
+      FROM d WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, a.vec_id, a.label, {SQL_COS} AS cos
+  FROM d a CROSS JOIN q
+  WHERE a.vec_id <> q.query_id AND a.label <> q.qlabel
+),
+r AS (
+  SELECT query_id, vec_id, label, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id AS negative_id, label AS negative_label, cos,
+       CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 3
+ORDER BY query_id, rn
+""",
+    tags=("X2", "similarity", "hard-negatives", "training-data"),
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD NEGATIVE MINING — for each anchor, the most-similar
+    vectors with a DIFFERENT label (top-3): the contrastive-training
+    data op (DPR/SimCSE-style retrieval training lives on these
+    pairs; random negatives are too easy). Same broadcast-scoring
+    shape as sim_bruteforce_topk with the label-mismatch predicate
+    applied in the scoring stage; at corpus scale the candidate
+    generation swaps to the SRP/IVF index and mines within probed
+    buckets (the sim_ann_lsh path), keeping the exact re-rank."""
+    from cdc_via_flink_spark.functions.vectors import cosine, to_double
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
+    q = d.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            "cos",
+            "rn",
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
+@query(
+    "sim_embedding_drift",
+    oracle=f"""
+WITH d AS (
+  SELECT vec_id, label, {SQL_VD} AS v,
+         CASE WHEN vec_id % 2 = 0 THEN 'A' ELSE 'B' END AS half
+  FROM embeddings
+),
+comp AS (
+  SELECT label, half, dim - 1 AS dim,
+         CAST(round(v[dim], 8) AS DECIMAL(28,8)) AS c
+  FROM d CROSS JOIN (SELECT unnest(range(1, 1 + len([1]))) AS _dummy) _
+  , LATERAL (SELECT unnest(range(1, len(v) + 1)) AS dim) dims
+),
+cent AS (
+  SELECT label, half, dim,
+         CAST(sum(c) AS DOUBLE) / count(*) AS m
+  FROM comp GROUP BY label, half, dim
+),
+pairs AS (
+  SELECT a.label, a.dim, a.m AS ma, b.m AS mb
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.dim = b.dim AND a.half = 'A' AND b.half = 'B'
+),
+agg AS (
+  SELECT label,
+         CAST(sum(CAST(round(ma * mb, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS dot,
+         CAST(sum(CAST(round(ma * ma, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS na,
+         CAST(sum(CAST(round(mb * mb, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS nb
+  FROM pairs GROUP BY label
+)
+SELECT label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS centroid_cosine
+FROM agg ORDER BY label
+""",
+    tags=("X2", "similarity", "drift", "monitoring"),
+)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DRIFT MONITOR — per label, the cosine between the
+    label's centroid in each corpus half (even/odd vec_id standing in
+    for old/new snapshots): the cheap is-my-embedding-space-stable
+    check run before re-training an ANN index or a classifier on new
+    vectors (centroid_cosine ≈ 1 = stable; a drop = re-embed or
+    re-index). Components explode to (label, half, dim) rows and fold
+    as rounded DECIMAL(28,8) — exact, order-independent — so the
+    centroids are identical in both engines; the final cosine over
+    the 2×|labels|×dim centroid table folds the same way."""
+    from cdc_via_flink_spark.functions.vectors import to_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, "A").otherwise("B").alias("half"),
+        to_double(F.col("embedding")).alias("v"),
+    )
+    comp = d.select(
+        "label", "half", F.posexplode("v").alias("dim", "val")
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.round(F.col("val"), 8).cast("decimal(28,8)").alias("c"),
+    )
+    cent = comp.groupBy("label", "half", "dim").agg(
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    a = cent.filter(F.col("half") == "A").select(
+        "label", "dim", F.col("m").alias("ma")
+    )
+    b = cent.filter(F.col("half") == "B").select(
+        "label", "dim", F.col("m").alias("mb")
+    )
+    pairs = a.join(b, ["label", "dim"])
+
+    def fold(expr):
+        return F.sum(F.round(expr, 12).cast("decimal(38,12)")).cast("double")
+
+    agg = pairs.groupBy("label").agg(
+        fold(F.col("ma") * F.col("mb")).alias("dot"),
+        fold(F.col("ma") * F.col("ma")).alias("na"),
+        fold(F.col("mb") * F.col("mb")).alias("nb"),
+    )
+    return agg.select(
+        "label",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+        ).alias("centroid_cosine"),
+    ).orderBy("label")
