@@ -2099,3 +2099,165 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Overdispersion diagnostic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_overdispersion",
+    oracle="""
+WITH k AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey,
+         CAST(count(*) AS BIGINT) AS k
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+),
+m AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(k) AS BIGINT) AS sk,
+         CAST(sum(k * k) AS BIGINT) AS skk
+  FROM k GROUP BY seg
+)
+SELECT seg AS c_mktsegment, n,
+       round(CAST(sk AS DOUBLE) / n, 6) AS mean_orders,
+       round((skk - CAST(n AS DOUBLE) * (CAST(sk AS DOUBLE)/n)
+              * (CAST(sk AS DOUBLE)/n)) / (n - 1), 6) AS var_orders,
+       round(((skk - CAST(n AS DOUBLE) * (CAST(sk AS DOUBLE)/n)
+               * (CAST(sk AS DOUBLE)/n)) / (n - 1))
+             / (CAST(sk AS DOUBLE) / n), 6) AS dispersion,
+       CASE WHEN ((skk - CAST(n AS DOUBLE) * (CAST(sk AS DOUBLE)/n)
+                   * (CAST(sk AS DOUBLE)/n)) / (n - 1))
+                 / (CAST(sk AS DOUBLE) / n) > 1.5
+            THEN 'overdispersed' ELSE 'poisson-like' END AS verdict
+FROM m ORDER BY c_mktsegment
+""",
+    tags=("stats", "overdispersion", "count-models"),
+)
+def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERDISPERSION DIAGNOSTIC on per-customer order counts — the
+    variance/mean ratio that decides Poisson vs negative-binomial for
+    any count model (demand, events, failures); the customer-grain
+    companion to text_burstiness' per-term VMR. Counts are exact
+    BIGINTs (k² stays integer), the ratio one shared double chain."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    k = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    m = k.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("skk"),
+    )
+    mean = F.col("sk").cast("double") / F.col("n")
+    var = (F.col("skk") - F.col("n").cast("double") * mean * mean) / (
+        F.col("n") - 1
+    )
+    disp = var / mean
+    return m.select(
+        F.col("seg").alias("c_mktsegment"),
+        "n",
+        F.round(mean, 6).alias("mean_orders"),
+        F.round(var, 6).alias("var_orders"),
+        F.round(disp, 6).alias("dispersion"),
+        F.when(disp > 1.5, "overdispersed")
+        .otherwise("poisson-like")
+        .alias("verdict"),
+    ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous treatment effects (DiD per segment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_uplift_by_segment",
+    oracle=f"""
+WITH t AS (
+  SELECT c.c_mktsegment AS seg,
+         CASE WHEN c.c_nationkey = {_DID_NATION} THEN 'T' ELSE 'C' END AS grp,
+         CASE WHEN o.o_orderdate < TIMESTAMP '{_DID_SPLIT}'
+              THEN 'pre' ELSE 'post' END AS period,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+m AS (
+  SELECT seg, grp, period, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS DOUBLE) / count(*) AS mean_v
+  FROM t GROUP BY seg, grp, period
+),
+w AS (
+  SELECT seg,
+         max(CASE WHEN grp='T' AND period='pre' THEN mean_v END) AS t_pre,
+         max(CASE WHEN grp='T' AND period='post' THEN mean_v END) AS t_post,
+         max(CASE WHEN grp='C' AND period='pre' THEN mean_v END) AS c_pre,
+         max(CASE WHEN grp='C' AND period='post' THEN mean_v END) AS c_post,
+         CAST(sum(CASE WHEN grp='T' THEN n ELSE 0 END) AS BIGINT) AS n_treated
+  FROM m GROUP BY seg
+)
+SELECT seg AS c_mktsegment, n_treated,
+       round((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate
+FROM w
+WHERE t_pre IS NOT NULL AND t_post IS NOT NULL
+ORDER BY c_mktsegment
+""",
+    tags=("stats", "causal", "uplift"),
+)
+def q_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HETEROGENEOUS TREATMENT EFFECTS — q_diff_in_diff estimated per
+    market segment: WHO responded, the question after the average
+    effect (targeting ships on this split). Same 4-cell decimal-exact
+    estimator, keyed one level deeper; segments without both
+    treatment cells drop (stated in the oracle)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    t = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_nationkey") == _DID_NATION, "T").otherwise("C").alias(
+            "grp"
+        ),
+        F.when(
+            F.col("o_orderdate") < F.lit(_DID_SPLIT).cast("timestamp"), "pre"
+        )
+        .otherwise("post")
+        .alias("period"),
+        dec(F.col("o_totalprice")).alias("v"),
+    )
+    m = t.groupBy("seg", "grp", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_v"),
+    )
+
+    def cell(g, p):
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("period") == p), F.col("mean_v"))
+        )
+
+    w = m.groupBy("seg").agg(
+        cell("T", "pre").alias("t_pre"),
+        cell("T", "post").alias("t_post"),
+        cell("C", "pre").alias("c_pre"),
+        cell("C", "post").alias("c_post"),
+        F.sum(F.when(F.col("grp") == "T", F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_treated"),
+    )
+    return (
+        w.filter(F.col("t_pre").isNotNull() & F.col("t_post").isNotNull())
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            "n_treated",
+            F.round(
+                (F.col("t_post") - F.col("t_pre"))
+                - (F.col("c_post") - F.col("c_pre")),
+                6,
+            ).alias("did_estimate"),
+        )
+        .orderBy("c_mktsegment")
+    )

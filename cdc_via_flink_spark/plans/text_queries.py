@@ -3505,3 +3505,60 @@ def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_distinct_texts").cast("double") / F.col("n_docs"), 6
         ).alias("distinct_text_ratio"),
     )
+
+
+@query(
+    "text_length_percentiles",
+    oracle="""
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(max(CASE WHEN rn = (n + 9) // 10 THEN n_chars END) AS BIGINT)
+         AS p10_chars,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS BIGINT)
+         AS p50_chars,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS BIGINT)
+         AS p90_chars
+FROM r GROUP BY lang
+ORDER BY lang
+""",
+    tags=("X3", "corpus-stats", "percentiles"),
+)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT LENGTH PERCENTILES per language (P10/P50/P90 of n_chars)
+    — the truncation-budget numbers a tokenizer/packing config is
+    sized from (q_pack_chunks' input distribution, per language).
+    Discrete order statistics selected by row_number with a doc_id
+    tie-break — exact integers, never interpolated floats (the
+    q_mad_outliers rule); one lang-keyed rank window."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    r = d.select(
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+
+    def sel(expr):
+        return F.max(F.when(F.col("rn") == expr, F.col("n_chars"))).cast("long")
+
+    n = F.col("n")
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            sel(F.floor((n + 9) / 10).cast("long")).alias("p10_chars"),
+            sel(F.floor((n + 1) / 2).cast("long")).alias("p50_chars"),
+            sel(F.floor((9 * n + 9) / 10).cast("long")).alias("p90_chars"),
+        )
+        .orderBy("lang")
+    )
