@@ -2261,3 +2261,440 @@ def q_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis rank test (k-sample, tie-corrected)
+# ---------------------------------------------------------------------------
+
+_KW_BUCKET = 8192  # price-domain rank buckets (same recipe as the KS CDF)
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle="""
+WITH s AS (
+  SELECT c.c_mktsegment AS seg, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cnt AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS t FROM s GROUP BY v
+),
+cum AS (
+  SELECT v, t, CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS cm FROM cnt
+),
+rn AS (
+  SELECT v, t, 2 * (cm - t) + t + 1 AS rn2 FROM cum
+),
+g AS (
+  SELECT s.seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(CAST(1 AS BIGINT) * rn.rn2 AS DECIMAL(28,0)))
+              AS DECIMAL(38,0)) AS num
+  FROM s JOIN rn ON s.v = rn.v GROUP BY s.seg
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(CAST(round(
+             (CAST(num AS DOUBLE) / 2) * (CAST(num AS DOUBLE) / 2) / n, 6)
+           AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS ssum
+  FROM g
+),
+ties AS (
+  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum FROM cnt
+),
+h AS (
+  SELECT tot.nn, ties.tsum,
+         12.0 * CAST(tot.ssum AS DOUBLE)
+           / (CAST(tot.nn AS DOUBLE) * (tot.nn + 1)) - 3.0 * (tot.nn + 1)
+           AS h_raw,
+         1.0 - CAST(ties.tsum AS DOUBLE)
+           / (CAST(tot.nn AS DOUBLE) * CAST(tot.nn AS DOUBLE)
+              * CAST(tot.nn AS DOUBLE) - CAST(tot.nn AS DOUBLE)) AS c_tie
+  FROM tot CROSS JOIN ties
+)
+SELECT g.seg, g.n,
+       round(CAST(g.num AS DOUBLE) / 2 / g.n, 6) AS mean_rank,
+       round(h.h_raw, 6) AS h_stat,
+       round(h.h_raw / h.c_tie, 6) AS h_adj
+FROM g CROSS JOIN h
+ORDER BY g.seg
+""",
+    tags=("stats", "kruskal-wallis", "inference", "rank"),
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL–WALLIS H across all five market segments' order totals
+    — the k-sample generalization of the rank-based two-sample tests
+    (q_ks_two_sample = two-sample distribution, q_welch_ttest =
+    two-sample means; this is the one-way-ANOVA-without-normality
+    member, with q_anova_f as its parametric twin).
+
+    Exactness: tie-averaged ranks never materialize as fractions —
+    the DOUBLED rank numerator rn2(v) = 2·cum_before + t + 1 is an
+    exact BIGINT per distinct value, per-group rank sums are exact
+    DECIMAL folds of c·rn2, and the per-group H terms are rounded to
+    DECIMAL(38,6) before the ≤5-row cross-group sum (the 5-row double
+    fold is association-order sensitive — the r10e lesson). Tie
+    correction Σ(t³−t)/(N³−N) with t³ as BIGINT (fixture tie runs are
+    tiny; the 100 TB form would widen to DECIMAL).
+
+    Scale shape: ranking is the KS two-level distributed prefix sum —
+    groupBy distinct value, bucket-local running counts, ~61 bucket
+    totals through the one global window — so no input-sized
+    single-partition sort anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), dec(F.col("o_totalprice")).alias("v")
+    )
+    cnt = s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    b = cnt.withColumn("bkt", F.floor(F.col("v") / _KW_BUCKET).cast("long"))
+    loc = b.select(
+        "bkt",
+        "v",
+        "t",
+        F.sum("t").over(W.partitionBy("bkt").orderBy("v")).alias("lc"),
+    )
+    btot = b.groupBy("bkt").agg(F.sum("t").alias("bt"))
+    off = btot.select(
+        "bkt",
+        F.coalesce(
+            F.sum("bt").over(W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("off"),
+    )
+    rn = loc.join(F.broadcast(off), "bkt").select(
+        "v",
+        "t",
+        (2 * (F.col("off") + F.col("lc") - F.col("t")) + F.col("t") + 1)
+        .cast("long")
+        .alias("rn2"),
+    )
+    g = (
+        s.join(rn, "v")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("rn2").cast("decimal(28,0)"))
+            .cast("decimal(38,0)")
+            .alias("num"),
+        )
+    )
+    half = F.col("num").cast("double") / 2
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.round(half * half / F.col("n"), 6).cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("ssum"),
+    )
+    ties = cnt.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tsum")
+    )
+    nn_d = F.col("nn").cast("double")
+    h = tot.crossJoin(F.broadcast(ties)).select(
+        "nn",
+        (
+            F.lit(12.0) * F.col("ssum").cast("double") / (nn_d * (F.col("nn") + 1))
+            - F.lit(3.0) * (F.col("nn") + 1)
+        ).alias("h_raw"),
+        (F.lit(1.0) - F.col("tsum").cast("double") / (nn_d * nn_d * nn_d - nn_d)).alias(
+            "c_tie"
+        ),
+    )
+    return (
+        g.crossJoin(F.broadcast(h))
+        .select(
+            "seg",
+            "n",
+            F.round(F.col("num").cast("double") / 2 / F.col("n"), 6).alias(
+                "mean_rank"
+            ),
+            F.round(F.col("h_raw"), 6).alias("h_stat"),
+            F.round(F.col("h_raw") / F.col("c_tie"), 6).alias("h_adj"),
+        )
+        .orderBy("seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie-averaged ranks, exact moments)
+# ---------------------------------------------------------------------------
+
+_SP_BUCKET = 2048  # extendedprice-domain rank buckets (two-level prefix)
+
+
+@query(
+    "q_spearman_corr",
+    oracle="""
+WITH s AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qv,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS pv
+  FROM lineitem
+),
+qc AS (SELECT qv, CAST(count(*) AS BIGINT) AS t FROM s GROUP BY qv),
+qr AS (
+  SELECT qv, t,
+         2 * (CAST(sum(t) OVER (ORDER BY qv) AS BIGINT) - t) + t + 1 AS rnx
+  FROM qc
+),
+pc AS (SELECT pv, CAST(count(*) AS BIGINT) AS t FROM s GROUP BY pv),
+pr AS (
+  SELECT pv, t,
+         2 * (CAST(sum(t) OVER (ORDER BY pv) AS BIGINT) - t) + t + 1 AS rny
+  FROM pc
+),
+mo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(qr.rnx * pr.rny AS DECIMAL(28,0))) AS DECIMAL(38,0))
+           AS sxy
+  FROM s JOIN qr ON s.qv = qr.qv JOIN pr ON s.pv = pr.pv
+),
+mx AS (
+  SELECT CAST(sum(CAST(t * rnx * rnx AS DECIMAL(28,0))) AS DECIMAL(38,0))
+           AS sxx
+  FROM qr
+),
+my AS (
+  SELECT CAST(sum(CAST(t * rny * rny AS DECIMAL(28,0))) AS DECIMAL(38,0))
+           AS syy
+  FROM pr
+),
+f AS (
+  SELECT n,
+         4 * CAST(sxy AS DOUBLE)
+           - CAST(n AS DOUBLE) * (n + 1) * (n + 1) AS a,
+         4 * CAST(sxx AS DOUBLE)
+           - CAST(n AS DOUBLE) * (n + 1) * (n + 1) AS bx,
+         4 * CAST(syy AS DOUBLE)
+           - CAST(n AS DOUBLE) * (n + 1) * (n + 1) AS by
+  FROM mo CROSS JOIN mx CROSS JOIN my
+)
+SELECT n, round(a / sqrt(bx * by), 6) + 0.0 AS spearman_rho
+FROM f
+""",
+    tags=("stats", "spearman", "rank", "correlation"),
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between lineitem quantity and
+    extended price — the monotone-association companion to
+    q_price_quantity_corr's Pearson (rank transform makes it robust
+    to the price column's heavy right tail). ρ = Pearson on
+    tie-averaged ranks, computed without ever materializing a
+    fractional rank: the DOUBLED rank rn(v) = 2·cum_before + t + 1 is
+    an exact BIGINT per distinct value, so Σ rnx·rny, Σ t·rn² are
+    exact DECIMAL folds and ρ = (4Σxy − N(N+1)²) /
+    √((4Σxx − N(N+1)²)(4Σyy − N(N+1)²)) is one final double chain
+    (Σ rank = N(N+1)/2 holds under tie-averaging, so the mean term is
+    the closed form, not a measured sum).
+
+    Scale shape: each variable's rank map is a groupBy-distinct-value
+    frame joined back to the fact rows by value — two input-sized
+    shuffles, no row-level global sort. The quantity domain is 50
+    values (broadcast); the price cum-sum uses the same two-level
+    prefix recipe as q_ks_two_sample in the Spark plan (the oracle's
+    single global window is the ANSI twin)."""
+    s = _t(spark, sf_dir, "lineitem").select(
+        dec(F.col("l_quantity")).alias("qv"),
+        dec(F.col("l_extendedprice")).alias("pv"),
+    )
+
+    def rank_map(col: str, alias: str, bucket: int) -> DataFrame:
+        cnt = s.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("t"))
+        b = cnt.withColumn("bkt", F.floor(F.col(col) / bucket).cast("long"))
+        loc = b.select(
+            "bkt",
+            col,
+            "t",
+            F.sum("t").over(W.partitionBy("bkt").orderBy(col)).alias("lc"),
+        )
+        off = (
+            b.groupBy("bkt")
+            .agg(F.sum("t").alias("bt"))
+            .select(
+                "bkt",
+                F.coalesce(
+                    F.sum("bt").over(
+                        W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ).alias("off"),
+            )
+        )
+        return loc.join(F.broadcast(off), "bkt").select(
+            col,
+            "t",
+            (2 * (F.col("off") + F.col("lc") - F.col("t")) + F.col("t") + 1)
+            .cast("long")
+            .alias(alias),
+        )
+
+    qr = rank_map("qv", "rnx", 64)
+    pr = rank_map("pv", "rny", _SP_BUCKET)
+    mo = (
+        s.join(F.broadcast(qr.drop("t")), "qv")
+        .join(pr.drop("t"), "pv")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("rnx") * F.col("rny")).cast("decimal(28,0)"))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+        )
+    )
+    mx = qr.agg(
+        F.sum((F.col("t") * F.col("rnx") * F.col("rnx")).cast("decimal(28,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx")
+    )
+    my = pr.agg(
+        F.sum((F.col("t") * F.col("rny") * F.col("rny")).cast("decimal(28,0)"))
+        .cast("decimal(38,0)")
+        .alias("syy")
+    )
+    n_d = F.col("n").cast("double")
+    mean_term = n_d * (F.col("n") + 1) * (F.col("n") + 1)
+    f = (
+        mo.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(my))
+        .select(
+            "n",
+            (4 * F.col("sxy").cast("double") - mean_term).alias("a"),
+            (4 * F.col("sxx").cast("double") - mean_term).alias("bx"),
+            (4 * F.col("syy").cast("double") - mean_term).alias("by"),
+        )
+    )
+    return f.select(
+        "n",
+        (F.round(F.col("a") / F.sqrt(F.col("bx") * F.col("by")), 6) + 0.0).alias(
+            "spearman_rho"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hodges–Lehmann two-sample location shift (median of pairwise diffs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_hodges_lehmann",
+    oracle="""
+WITH s AS (
+  SELECT c.c_mktsegment AS seg,
+         strftime(o.o_orderdate, '%Y-%m') AS month,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+m AS (
+  SELECT seg, month,
+         CAST(round(CAST(sum(v) AS DOUBLE) / count(*), 6)
+              AS DECIMAL(18,6)) AS mv
+  FROM s GROUP BY seg, month
+),
+p AS (
+  SELECT a.month AS ma, b.month AS mb,
+         CAST(a.mv - b.mv AS DECIMAL(19,6)) AS d
+  FROM (SELECT month, mv FROM m WHERE seg = 'BUILDING') a
+  CROSS JOIN (SELECT month, mv FROM m WHERE seg = 'MACHINERY') b
+),
+r AS (
+  SELECT d, row_number() OVER (ORDER BY d, ma, mb) AS rn,
+         count(*) OVER () AS np
+  FROM p
+),
+med AS (
+  SELECT CAST(max(np) AS BIGINT) AS n_pairs,
+         max(CASE WHEN rn = (np + 1) // 2 THEN d END) AS lo,
+         max(CASE WHEN rn = np // 2 + 1 THEN d END) AS hi
+  FROM r
+),
+cnts AS (
+  SELECT CAST(count(DISTINCT CASE WHEN seg = 'BUILDING' THEN month END)
+              AS BIGINT) AS n_a,
+         CAST(count(DISTINCT CASE WHEN seg = 'MACHINERY' THEN month END)
+              AS BIGINT) AS n_b
+  FROM m
+)
+SELECT cnts.n_a, cnts.n_b, med.n_pairs,
+       round((CAST(med.lo AS DOUBLE) + CAST(med.hi AS DOUBLE)) / 2, 6)
+         AS hl_shift
+FROM med CROSS JOIN cnts
+""",
+    tags=("stats", "hodges-lehmann", "robust", "inference"),
+)
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HODGES–LEHMANN location-shift estimate between two segments'
+    monthly mean order totals — the robust effect-size companion to
+    q_welch_ttest's mean difference (median of all pairwise
+    differences; 29% breakdown point vs 0% for the mean, the
+    estimator behind the Wilcoxon–Mann–Whitney interval).
+
+    Scale shape: the raw-row pair space is quadratic (n_a·n_b), so the
+    estimator is computed at the MONTHLY grain — the series length is
+    set by the date DOMAIN (~80 months at every SF), so the cross join
+    is domain-bounded (~6.4k pairs) and both sides broadcast; the
+    input-sized work is the two exact groupBy aggregations. This
+    grain-first-then-quadratic-statistic shape is the same argument as
+    q_interval_overlap_binned's month binning.
+
+    Exactness: monthly means are exact DECIMAL sums with one rounded
+    double divide, re-cast to DECIMAL(18,6) so pairwise differences
+    and their ordering are exact; the median picks order statistics
+    ⌊(n+1)/2⌋ and ⌊n/2⌋+1 with deterministic (d, month, month)
+    tie-breaks, and the even-count average is the one final double
+    op."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    s = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month"),
+        dec(F.col("o_totalprice")).alias("v"),
+    )
+    m = s.groupBy("seg", "month").agg(
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(18,6)")
+        .alias("mv")
+    )
+    a = m.filter(F.col("seg") == "BUILDING").select(
+        F.col("month").alias("ma"), F.col("mv").alias("va")
+    )
+    b = m.filter(F.col("seg") == "MACHINERY").select(
+        F.col("month").alias("mb"), F.col("mv").alias("vb")
+    )
+    p = a.crossJoin(F.broadcast(b)).select(
+        "ma", "mb", (F.col("va") - F.col("vb")).cast("decimal(19,6)").alias("d")
+    )
+    r = p.select(
+        "d",
+        F.row_number().over(W.orderBy("d", "ma", "mb")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("np"),
+    )
+    med = r.agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("np") + 1) / 2), F.col("d"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.floor(F.col("np") / 2) + 1, F.col("d"))
+        ).alias("hi"),
+    )
+    cnts = m.agg(
+        F.countDistinct(F.when(F.col("seg") == "BUILDING", F.col("month")))
+        .cast("long")
+        .alias("n_a"),
+        F.countDistinct(F.when(F.col("seg") == "MACHINERY", F.col("month")))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return med.crossJoin(F.broadcast(cnts)).select(
+        "n_a",
+        "n_b",
+        "n_pairs",
+        F.round(
+            (F.col("lo").cast("double") + F.col("hi").cast("double")) / 2, 6
+        ).alias("hl_shift"),
+    )
