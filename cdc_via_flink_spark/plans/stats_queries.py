@@ -2463,11 +2463,11 @@ my AS (
 ),
 f AS (
   SELECT n,
-         4 * CAST(sxy AS DOUBLE)
+         CAST(sxy AS DOUBLE)
            - CAST(n AS DOUBLE) * (n + 1) * (n + 1) AS a,
-         4 * CAST(sxx AS DOUBLE)
+         CAST(sxx AS DOUBLE)
            - CAST(n AS DOUBLE) * (n + 1) * (n + 1) AS bx,
-         4 * CAST(syy AS DOUBLE)
+         CAST(syy AS DOUBLE)
            - CAST(n AS DOUBLE) * (n + 1) * (n + 1) AS by
   FROM mo CROSS JOIN mx CROSS JOIN my
 )
@@ -2484,8 +2484,10 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-averaged ranks, computed without ever materializing a
     fractional rank: the DOUBLED rank rn(v) = 2·cum_before + t + 1 is
     an exact BIGINT per distinct value, so Σ rnx·rny, Σ t·rn² are
-    exact DECIMAL folds and ρ = (4Σxy − N(N+1)²) /
-    √((4Σxx − N(N+1)²)(4Σyy − N(N+1)²)) is one final double chain
+    exact DECIMAL folds; with S'xy = Σ rnx·rny = 4Σ RxRy the doubled
+    lattice gives ρ = (S'xy − N(N+1)²) / √((S'xx − N(N+1)²)(S'yy −
+    N(N+1)²)) — every N(N+1)²/4 mean term scales by the same 4 — as
+    one final double chain
     (Σ rank = N(N+1)/2 holds under tie-averaging, so the mean term is
     the closed form, not a measured sum).
 
@@ -2559,9 +2561,9 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(my))
         .select(
             "n",
-            (4 * F.col("sxy").cast("double") - mean_term).alias("a"),
-            (4 * F.col("sxx").cast("double") - mean_term).alias("bx"),
-            (4 * F.col("syy").cast("double") - mean_term).alias("by"),
+            (F.col("sxy").cast("double") - mean_term).alias("a"),
+            (F.col("sxx").cast("double") - mean_term).alias("bx"),
+            (F.col("syy").cast("double") - mean_term).alias("by"),
         )
     )
     return f.select(
@@ -2697,4 +2699,355 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("lo").cast("double") + F.col("hi").cast("double")) / 2, 6
         ).alias("hl_shift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR over per-nation permutation p-values
+# ---------------------------------------------------------------------------
+
+_BH_B = 64  # permutation replicates (p granularity 1/65)
+_BH_GROUPS = 25  # nationkey domain 0..24
+_BH_ALPHA_NUM, _BH_ALPHA_DEN = 1, 10  # alpha = 0.10, exact rational
+
+
+@query(
+    "q_fdr_bh",
+    oracle=f"""
+WITH s AS (
+  SELECT c.c_nationkey AS nk, o.o_custkey,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(v) AS DECIMAL(38,2)) AS s_all
+  FROM s
+),
+obs AS (
+  SELECT nk, CAST(count(*) AS BIGINT) AS n_i,
+         CAST(sum(v) AS DECIMAL(38,2)) AS s_i
+  FROM s GROUP BY nk
+),
+dob AS (
+  SELECT o.nk,
+         CAST(o.s_i AS DOUBLE) / o.n_i
+         - CAST(t.s_all - o.s_i AS DOUBLE) / (t.n_all - o.n_i) AS d_obs
+  FROM obs o CROSS JOIN tot t
+),
+reps AS (
+  SELECT b, v,
+         CAST(((o_custkey % {_M}) * {_PERM_MULT} + b * 131) % {_M}
+              % {_BH_GROUPS} AS BIGINT) AS pg
+  FROM s CROSS JOIN (SELECT unnest(range({_BH_B})) AS b)
+),
+rg AS (
+  SELECT b, pg, CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(v) AS DECIMAL(38,2)) AS s_b
+  FROM reps GROUP BY b, pg
+),
+dnull AS (
+  SELECT rg.pg AS nk, rg.b,
+         CAST(rg.s_b AS DOUBLE) / rg.n_b
+         - CAST(t.s_all - rg.s_b AS DOUBLE) / (t.n_all - rg.n_b) AS d_b
+  FROM rg CROSS JOIN tot t
+),
+pv AS (
+  SELECT d.nk, d.d_obs,
+         CAST(1 + sum(CASE WHEN abs(nu.d_b) >= abs(d.d_obs) THEN 1 ELSE 0 END)
+              AS BIGINT) AS p_num
+  FROM dob d JOIN dnull nu ON nu.nk = d.nk
+  GROUP BY d.nk, d.d_obs
+),
+rk AS (
+  SELECT nk, d_obs, p_num,
+         CAST(row_number() OVER (ORDER BY p_num, nk) AS BIGINT) AS k,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM pv
+),
+adj AS (
+  SELECT nk, d_obs, p_num, k, m,
+         min(CAST(m AS DOUBLE) * p_num / ({_BH_B} + 1) / k)
+           OVER (ORDER BY k DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_adj_raw,
+         CASE WHEN p_num * m * {_BH_ALPHA_DEN}
+                   <= k * {_BH_ALPHA_NUM} * ({_BH_B} + 1)
+              THEN k ELSE 0 END AS pass_k
+  FROM rk
+),
+kstar AS (SELECT max(pass_k) AS ks FROM adj)
+SELECT a.nk AS nationkey, round(a.d_obs, 6) AS d_obs,
+       a.p_num AS p_numerator, CAST({_BH_B} + 1 AS BIGINT) AS p_denominator,
+       round(CAST(a.p_num AS DOUBLE) / ({_BH_B} + 1), 6) AS p_value,
+       a.k AS bh_rank,
+       round(least(a.p_adj_raw, 1.0), 6) AS p_adj,
+       CAST(CASE WHEN a.k <= kstar.ks THEN 1 ELSE 0 END AS BIGINT) AS rejected
+FROM adj a CROSS JOIN kstar
+ORDER BY a.k
+""",
+    tags=("stats", "fdr", "multiple-testing", "inference"),
+)
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI–HOCHBERG FDR CONTROL over 25 simultaneous per-nation
+    permutation tests (does this nation's mean order total differ from
+    the rest?) — the multiple-testing layer every metric-drift monitor
+    needs on top of a single test (at alpha=0.1, ~2.5 of 25 null
+    nations would "fire" uncorrected).
+
+    Exactness: p-values are exact rationals (1 + #{|d_b| >= |d_obs|})
+    / (B+1) from the deterministic hash-lattice pseudo-grouping (one
+    mod-25 assignment per replicate gives every nation a same-sized
+    null draw — TPC-H nations are uniform), and the BH step-up
+    decision p_(k) <= k*alpha/m is evaluated in INTEGER arithmetic
+    (p_num*m*10 <= k*(B+1)) — no float threshold. The monotone
+    adjusted p is the standard reverse running-min over m=25 rows.
+
+    Scale shape: the replicate frame is one explode (B rows/order) into
+    ONE partial-aggregating groupBy(b, pseudo-group) — 25*B=1600 group
+    rows regardless of input size; everything after is domain-bounded
+    (25-row windows)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nk"),
+        "o_custkey",
+        dec(F.col("o_totalprice")).alias("v"),
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("v").cast("decimal(38,2)").alias("s_all"),
+    )
+    obs = s.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum("v").cast("decimal(38,2)").alias("s_i"),
+    )
+    dob = obs.crossJoin(F.broadcast(tot)).select(
+        "nk",
+        (
+            F.col("s_i").cast("double") / F.col("n_i")
+            - (F.col("s_all") - F.col("s_i")).cast("double")
+            / (F.col("n_all") - F.col("n_i"))
+        ).alias("d_obs"),
+    )
+    reps = s.select(
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_BH_B - 1))).alias("b"),
+        "o_custkey",
+    ).select(
+        "b",
+        "v",
+        (
+            ((F.col("o_custkey") % _M) * _PERM_MULT + F.col("b") * 131)
+            % _M
+            % _BH_GROUPS
+        )
+        .cast("long")
+        .alias("pg"),
+    )
+    rg = reps.groupBy("b", "pg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("v").cast("decimal(38,2)").alias("s_b"),
+    )
+    dnull = rg.crossJoin(F.broadcast(tot)).select(
+        F.col("pg").alias("nk"),
+        (
+            F.col("s_b").cast("double") / F.col("n_b")
+            - (F.col("s_all") - F.col("s_b")).cast("double")
+            / (F.col("n_all") - F.col("n_b"))
+        ).alias("d_b"),
+    )
+    pv = (
+        dob.join(dnull, "nk")
+        .groupBy("nk", "d_obs")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("p_num")
+        )
+    )
+    rk = pv.select(
+        "nk",
+        "d_obs",
+        "p_num",
+        F.row_number().over(W.orderBy("p_num", "nk")).cast("long").alias("k"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("long").alias("m"),
+    )
+    adj = rk.select(
+        "nk",
+        "d_obs",
+        "p_num",
+        "k",
+        "m",
+        F.min(
+            F.col("m").cast("double") * F.col("p_num") / (_BH_B + 1) / F.col("k")
+        )
+        .over(W.orderBy(F.col("k").desc()).rowsBetween(W.unboundedPreceding, 0))
+        .alias("p_adj_raw"),
+        F.when(
+            F.col("p_num") * F.col("m") * _BH_ALPHA_DEN
+            <= F.col("k") * _BH_ALPHA_NUM * (_BH_B + 1),
+            F.col("k"),
+        )
+        .otherwise(0)
+        .alias("pass_k"),
+    )
+    kstar = adj.agg(F.max("pass_k").alias("ks"))
+    return (
+        adj.crossJoin(F.broadcast(kstar))
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.round("d_obs", 6).alias("d_obs"),
+            F.col("p_num").alias("p_numerator"),
+            F.lit(_BH_B + 1).cast("long").alias("p_denominator"),
+            F.round(F.col("p_num").cast("double") / (_BH_B + 1), 6).alias(
+                "p_value"
+            ),
+            F.col("k").alias("bh_rank"),
+            F.round(F.least(F.col("p_adj_raw"), F.lit(1.0)), 6).alias("p_adj"),
+            F.when(F.col("k") <= F.col("ks"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (exact minimax form of PAVA over domain buckets)
+# ---------------------------------------------------------------------------
+
+_ISO_WIDTH = 50000  # price-domain buckets 0..9 (the PSI binning)
+
+
+@query(
+    "q_isotonic_calibration",
+    oracle=f"""
+WITH s AS (
+  SELECT least(CAST(floor(o_totalprice / {_ISO_WIDTH}) AS BIGINT), 9) AS bkt,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+g AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS w, CAST(sum(y) AS BIGINT) AS p
+  FROM s GROUP BY bkt
+),
+pre AS (
+  SELECT bkt, w, p,
+         CAST(sum(w) OVER (ORDER BY bkt) AS BIGINT) AS cw,
+         CAST(sum(p) OVER (ORDER BY bkt) AS BIGINT) AS cp
+  FROM g
+),
+pre0 AS (
+  SELECT bkt, w, p, cw, cp, cw - w AS cw0, cp - p AS cp0 FROM pre
+),
+tri AS (
+  SELECT j.bkt AS bj, i.bkt AS bi, k.bkt AS bk,
+         CAST(k.cp - i.cp0 AS DOUBLE) / (k.cw - i.cw0) AS seg_avg
+  FROM pre0 j
+  JOIN pre0 i ON i.bkt <= j.bkt
+  JOIN pre0 k ON k.bkt >= j.bkt
+),
+inner_min AS (
+  SELECT bj, bi, min(seg_avg) AS mn FROM tri GROUP BY bj, bi
+),
+fit AS (
+  SELECT bj AS bkt, max(mn) AS iso FROM inner_min GROUP BY bj
+)
+SELECT g.bkt AS bucket, g.w AS n,
+       round(CAST(g.p AS DOUBLE) / g.w, 6) AS raw_rate,
+       round(fit.iso, 6) AS iso_rate
+FROM g JOIN fit ON g.bkt = fit.bkt
+ORDER BY bucket
+""",
+    tags=("stats", "isotonic", "calibration", "ml-features"),
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC (monotone nondecreasing) CALIBRATION of the
+    urgent-priority rate against the order-total bucket — the
+    score-calibration step (Zadrozny & Elkan 2002) a ranking/quality
+    model runs before its scores become probabilities; companion to
+    text_score_calibration's reliability diagram (which DIAGNOSES
+    miscalibration; this FIXES it).
+
+    Instead of the sequential pool-adjacent-violators loop, the fit
+    uses PAVA's exact MINIMAX closed form — iso(j) = max_{{i<=j}}
+    min_{{k>=j}} wavg(y, i..k) — over weighted prefix sums, so the
+    whole fit is a declarative plan with an exact oracle. wavg is a
+    single double divide of exact BIGINT prefix differences; min/max
+    compare identical doubles in both engines.
+
+    Scale shape: buckets come from the price DOMAIN (10 at every SF),
+    so the input-sized work is ONE groupBy; the cubic (i,j,k) triple
+    space is 10^3 domain-bounded rows on broadcast frames — the same
+    bounded-grain-then-expensive-statistic shape as
+    q_hodges_lehmann."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.select(
+        F.least(F.floor(F.col("o_totalprice") / _ISO_WIDTH), F.lit(9))
+        .cast("long")
+        .alias("bkt"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = s.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("w"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    pre = g.select(
+        "bkt",
+        "w",
+        "p",
+        F.sum("w").over(W.orderBy("bkt")).cast("long").alias("cw"),
+        F.sum("p").over(W.orderBy("bkt")).cast("long").alias("cp"),
+    ).select(
+        "bkt",
+        "w",
+        "p",
+        "cw",
+        "cp",
+        (F.col("cw") - F.col("w")).alias("cw0"),
+        (F.col("cp") - F.col("p")).alias("cp0"),
+    )
+    j = pre.select(F.col("bkt").alias("bj"))
+    i = pre.select(F.col("bkt").alias("bi"), "cw0", "cp0")
+    k = pre.select(F.col("bkt").alias("bk"), "cw", "cp")
+    tri = (
+        j.join(F.broadcast(i), F.col("bi") <= F.col("bj"))
+        .join(F.broadcast(k), F.col("bk") >= F.col("bj"))
+        .select(
+            "bj",
+            "bi",
+            (
+                (F.col("cp") - F.col("cp0")).cast("double")
+                / (F.col("cw") - F.col("cw0"))
+            ).alias("seg_avg"),
+        )
+    )
+    fit = (
+        tri.groupBy("bj", "bi")
+        .agg(F.min("seg_avg").alias("mn"))
+        .groupBy("bj")
+        .agg(F.max("mn").alias("iso"))
+    )
+    return (
+        g.join(F.broadcast(fit), g.bkt == fit.bj)
+        .select(
+            F.col("bkt").alias("bucket"),
+            F.col("w").alias("n"),
+            F.round(F.col("p").cast("double") / F.col("w"), 6).alias("raw_rate"),
+            F.round(F.col("iso"), 6).alias("iso_rate"),
+        )
+        .orderBy("bucket")
     )

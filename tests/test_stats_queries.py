@@ -253,3 +253,198 @@ def test_ivm_merge_is_partial_shaped(spark):
     plan = _plan(spark, "q_ivm_aggregate")
     assert "ivm_base_" in plan, plan  # the persisted-partials scan
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-10f rank/inference batch
+# ---------------------------------------------------------------------------
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_kruskal_two_level_rank_windows_and_python_reference(spark):
+    """q_kruskal_wallis: ranking must be the two-level prefix form
+    (the per-value window is bucket-keyed; the unpartitioned window
+    sees only bucket totals), and the tie-corrected H must match an
+    independently-written pure-Python Kruskal-Wallis on the small
+    fixture (guards against both engines sharing one algebra bug)."""
+    plan = _plan(spark, "q_kruskal_wallis")
+    assert "windowspecdefinition(bkt" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    rows = SPECS["q_kruskal_wallis"].fn(spark, SF0001).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT c.c_mktsegment, CAST(o_totalprice AS DOUBLE)
+            FROM '{SF0001}/orders.parquet' o
+            JOIN '{SF0001}/customer.parquet' c ON o.o_custkey = c.c_custkey"""
+    ).fetchall()
+    vals = sorted(v for _, v in data)
+    # tie-averaged ranks
+    import collections
+
+    rank = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        rank[vals[i]] = (i + 1 + j) / 2
+        i = j
+    by_seg = collections.defaultdict(list)
+    for seg, v in data:
+        by_seg[seg].append(rank[v])
+    n = len(vals)
+    h = 12 / (n * (n + 1)) * sum(
+        sum(r) ** 2 / len(r) for r in by_seg.values()
+    ) - 3 * (n + 1)
+    ties = collections.Counter(vals)
+    c = 1 - sum(t**3 - t for t in ties.values()) / (n**3 - n)
+    got = rows[0]["h_adj"]
+    assert abs(got - h / c) < 1e-4, (got, h / c)
+
+
+def test_spearman_matches_python_reference(spark):
+    """q_spearman_corr == pure-Python tie-averaged Spearman on the
+    small fixture."""
+    row = SPECS["q_spearman_corr"].fn(spark, SF0001).collect()[0]
+    import duckdb
+
+    data = duckdb.connect().execute(
+        f"""SELECT CAST(l_quantity AS DOUBLE),
+                   CAST(l_extendedprice AS DOUBLE)
+            FROM '{SF0001}/lineitem.parquet'"""
+    ).fetchall()
+
+    def ranks(xs):
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        r = [0.0] * len(xs)
+        i = 0
+        while i < len(xs):
+            j = i
+            while j < len(xs) and xs[order[j]] == xs[order[i]]:
+                j += 1
+            for t in range(i, j):
+                r[order[t]] = (i + 1 + j) / 2
+            i = j
+        return r
+
+    rx = ranks([a for a, _ in data])
+    ry = ranks([b for _, b in data])
+    n = len(data)
+    mx = sum(rx) / n
+    my = sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    assert abs(row["spearman_rho"] - num / den) < 1e-6
+
+
+def test_hodges_lehmann_is_pair_median(spark):
+    """q_hodges_lehmann == median of the full pairwise-difference set
+    recomputed in Python from the same monthly means."""
+    row = SPECS["q_hodges_lehmann"].fn(spark, SF0001).collect()[0]
+    import duckdb
+
+    m = duckdb.connect().execute(
+        f"""SELECT c.c_mktsegment, strftime(o_orderdate, '%Y-%m'),
+                   round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE
+                         / count(*), 6)
+            FROM '{SF0001}/orders.parquet' o
+            JOIN '{SF0001}/customer.parquet' c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+            GROUP BY 1, 2"""
+    ).fetchall()
+    a = [v for s, _, v in m if s == "BUILDING"]
+    b = [v for s, _, v in m if s == "MACHINERY"]
+    diffs = sorted(round(x - y, 6) for x in a for y in b)
+    np = len(diffs)
+    lo, hi = diffs[(np + 1) // 2 - 1], diffs[np // 2]
+    assert row["n_pairs"] == np
+    assert abs(row["hl_shift"] - (lo + hi) / 2) < 1e-6
+
+
+def test_fdr_bh_integer_decision_and_partial_agg(spark):
+    """q_fdr_bh: the rejected set must equal a Python BH step-up on
+    the emitted exact rational p-values (the decision is integer
+    arithmetic, so equality is exact); the replicate fan-out must be
+    ONE partial-aggregating groupBy(b, pg) — no window touches the
+    exploded frame."""
+    plan = _plan(spark, "q_fdr_bh")
+    assert "keys=[b" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    rows = SPECS["q_fdr_bh"].fn(spark, SF0001).collect()
+    m = len(rows)
+    assert m == 25
+    assert all(r["p_denominator"] == 65 for r in rows)
+    ps = sorted((r["p_numerator"], r["nationkey"]) for r in rows)
+    kstar = 0
+    for k, (pn, _) in enumerate(ps, 1):
+        if pn * m * 10 <= k * 65:  # p <= k*0.1/m in integers
+            kstar = k
+    expect = {nk for i, (_, nk) in enumerate(ps, 1) if i <= kstar}
+    got = {r["nationkey"] for r in rows if r["rejected"] == 1}
+    assert got == expect, (got, expect)
+    # adjusted p monotone nondecreasing in BH rank
+    by_rank = sorted(rows, key=lambda r: r["bh_rank"])
+    adj = [r["p_adj"] for r in by_rank]
+    assert adj == sorted(adj), adj
+
+
+def test_isotonic_matches_pava_and_is_monotone(spark):
+    """q_isotonic_calibration: iso_rate must be nondecreasing and
+    equal an independently-written sequential PAVA on the same bucket
+    histogram (minimax closed form == pool-adjacent-violators)."""
+    rows = sorted(
+        SPECS["q_isotonic_calibration"].fn(spark, SF0001).collect(),
+        key=lambda r: r["bucket"],
+    )
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso), iso
+    import duckdb
+
+    g = duckdb.connect().execute(
+        f"""SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) b,
+                   count(*) w,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) p
+            FROM '{SF0001}/orders.parquet' GROUP BY b ORDER BY b"""
+    ).fetchall()
+    # sequential PAVA with weighted pools
+    pools = [[w, float(p)] for _, w, p in g]
+    i = 0
+    while i < len(pools) - 1:
+        if pools[i][1] / pools[i][0] > pools[i + 1][1] / pools[i + 1][0] + 1e-15:
+            pools[i][0] += pools[i + 1][0]
+            pools[i][1] += pools[i + 1][1]
+            del pools[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    fitted = []
+    for w, p in pools:
+        fitted.extend([p / w] * 1)
+    # expand pools back to buckets
+    expanded = []
+    for w, p in pools:
+        rate = p / w
+        # pool width in buckets = number of original buckets consumed
+        expanded.append((w, rate))
+    # rebuild per-bucket fitted rates by walking original weights
+    per_bucket = []
+    wi = iter(expanded)
+    cur_w, cur_rate = next(wi)
+    for _, w, _ in g:
+        per_bucket.append(cur_rate)
+        cur_w -= w
+        if cur_w == 0:
+            nxt = next(wi, None)
+            if nxt:
+                cur_w, cur_rate = nxt
+    assert len(per_bucket) == len(rows)
+    for got, want in zip(iso, per_bucket):
+        assert abs(got - want) < 1e-6, (iso, per_bucket)
