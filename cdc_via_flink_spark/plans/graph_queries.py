@@ -512,3 +512,231 @@ def q_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mh.groupBy(F.col("hop").cast("long").alias("hop")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous, 3 unrolled iterations)
+# ---------------------------------------------------------------------------
+
+_LPA_ITER = 3
+_LPA_TOP = 25
+
+
+def _lpa_oracle() -> str:
+    its = []
+    prev = "l0"
+    for i in range(1, _LPA_ITER + 1):
+        its.append(f"""
+g{i} AS MATERIALIZED (
+  SELECT e.src, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+  FROM edges e JOIN {prev} l ON e.dst = l.node
+  GROUP BY e.src, l.lbl
+),
+m{i} AS MATERIALIZED (SELECT src, max(cnt) AS mc FROM g{i} GROUP BY src),
+l{i} AS MATERIALIZED (
+  SELECT g.src AS node, min(g.lbl) AS lbl
+  FROM g{i} g JOIN m{i} m ON g.src = m.src AND g.cnt = m.mc
+  GROUP BY g.src
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.pk AS src, b.pk AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+),
+edges AS (SELECT src, dst FROM pairs),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),{",".join(its)},
+comm AS (
+  SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+  FROM {prev} GROUP BY lbl
+),
+ranked AS (
+  SELECT lbl, n_members,
+         row_number() OVER (ORDER BY n_members DESC, lbl) AS rn
+  FROM comm
+)
+SELECT CAST(lbl AS BIGINT) AS community, n_members, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_LPA_TOP}
+"""
+
+
+@query(
+    "q_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "communities", "iterative-unrolled"),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL PROPAGATION COMMUNITIES (Raghavan et al. 2007) over the
+    part co-occurrence graph, 3 synchronous unrolled iterations —
+    the community-detection member of the iterative family
+    (q_pagerank3 = centrality, connected components = reachability;
+    LPA finds DENSE groups, which components cannot: the co-purchase
+    graph is one giant component).
+
+    Determinism (the reason plain async LPA has no oracle): each
+    node adopts its neighbors' MOST FREQUENT label with ties broken
+    by MIN label, evaluated synchronously — no visit order exists.
+    The argmax is two keyed aggregations (per-(node,label) count,
+    then max-count filter + min-label fold) rather than a per-node
+    window sort, so each iteration is 3 keyed shuffles of
+    edge-bounded rows and nothing vertex-quadratic.
+
+    Output: the top-25 communities by size after 3 rounds."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select("ok", F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ITER):
+        g = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        m = g.groupBy("src").agg(F.max("cnt").alias("mc"))
+        labels = (
+            g.join(m, "src")
+            .filter(F.col("cnt") == F.col("mc"))
+            .groupBy("src")
+            .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("src").alias("node"), "lbl")
+        )
+    comm = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    ranked = comm.select(
+        F.col("lbl").cast("long").alias("community"),
+        "n_members",
+        F.row_number()
+        .over(W.orderBy(F.col("n_members").desc(), "lbl"))
+        .cast("long")
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") <= _LPA_TOP)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded-round peel, k = 3)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "e0"
+    selects = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+d{i} AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM {prev} GROUP BY src),
+a{i} AS MATERIALIZED (SELECT src FROM d{i} WHERE deg >= {_KCORE_K}),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN a{i} s ON e.src = s.src
+  JOIN a{i} t ON e.dst = t.src
+)""")
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS round,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM a{i}) AS nodes_alive,"
+            f" (SELECT CAST(count(*) / 2 AS BIGINT) FROM e{i}) AS edges_alive"
+        )
+        prev = f"e{i}"
+    last = _KCORE_ROUNDS
+    conv = f"""
+SELECT CAST({last + 1} AS BIGINT) AS round,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT src FROM e{last} GROUP BY src
+           HAVING count(*) >= {_KCORE_K}) x) AS nodes_alive,
+       CAST(-1 AS BIGINT) AS edges_alive"""
+    return f"""
+WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.pk AS src, b.pk AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+),
+e0 AS MATERIALIZED (SELECT src, dst FROM pairs),{",".join(rounds)}
+{" UNION ALL ".join(selects)} UNION ALL {conv}
+ORDER BY round
+"""
+
+
+@query(
+    "q_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("graph", "kcore", "iterative-unrolled"),
+)
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE PEELING (k=3, 4 unrolled rounds) over the part
+    co-occurrence graph — the density filter that strips hangers-on
+    before community/centrality work (Seidman 1983; at corpus scale,
+    the pre-filter that shrinks a web graph before PageRank).
+
+    Each round recomputes degrees among survivors (one keyed count)
+    and drops nodes below k via two SEMI-shaped joins on the vertex
+    key — the standard distributed peel where a round costs O(E)
+    shuffled rows and rounds, not row counts, are the sequential
+    budget. The fixed unroll keeps one declarative plan with an
+    exact oracle; the final row reports survivors of a FIFTH degree
+    filter — if it equals round 4's count the peel CONVERGED inside
+    the budget (it does on this fixture; the output makes the claim
+    checkable rather than asserted).
+
+    Output: per-round (nodes_alive, edges_alive) + the convergence
+    probe row (edges_alive = -1 sentinel)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select("ok", F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    out = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        alive = deg.filter(F.col("deg") >= _KCORE_K).select("src")
+        edges = (
+            edges.join(alive, "src")
+            .join(alive.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+        )
+        stats = alive.agg(
+            F.count(F.lit(1)).cast("long").alias("nodes_alive")
+        ).crossJoin(
+            edges.agg((F.count(F.lit(1)) / 2).cast("long").alias("edges_alive"))
+        )
+        out.append(
+            stats.select(
+                F.lit(i).cast("long").alias("round"), "nodes_alive", "edges_alive"
+            )
+        )
+    conv = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= _KCORE_K)
+        .agg(F.count(F.lit(1)).cast("long").alias("nodes_alive"))
+        .select(
+            F.lit(_KCORE_ROUNDS + 1).cast("long").alias("round"),
+            "nodes_alive",
+            F.lit(-1).cast("long").alias("edges_alive"),
+        )
+    )
+    out.append(conv)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("round")
