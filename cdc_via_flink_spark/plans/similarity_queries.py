@@ -8,7 +8,7 @@ can't flip any result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_via_flink_spark.operators.similarity import (
     NUM_PROJ,
@@ -1308,3 +1308,211 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
         ).alias("centroid_cosine"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998)
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAMBDA = 0.7  # relevance weight; (1-lambda) penalizes redundancy
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    prev_sel = "s1"
+    for i in range(2, _MMR_K + 1):
+        steps.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT p.query_id, p.vec_id, p.rel,
+         CAST((7 * CAST(p.rel AS DECIMAL(9,6))
+               - 3 * CAST(ms.m AS DECIMAL(9,6)))
+              * CAST(0.1 AS DECIMAL(2,1)) AS DOUBLE) AS score
+  FROM pool p
+  JOIN (
+    SELECT sm.query_id, sm.a_id, max(sm.sim) AS m
+    FROM sims sm JOIN {prev_sel} s
+      ON sm.query_id = s.query_id AND sm.b_id = s.vec_id
+    GROUP BY sm.query_id, sm.a_id
+  ) ms ON ms.query_id = p.query_id AND ms.a_id = p.vec_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {prev_sel} s
+    WHERE s.query_id = p.query_id AND s.vec_id = p.vec_id
+  )
+),
+p{i} AS MATERIALIZED (
+  SELECT query_id, vec_id, score, CAST({i} AS BIGINT) AS step
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS rnn
+    FROM c{i}
+  ) WHERE rnn = 1
+),
+s{i} AS MATERIALIZED (
+  SELECT query_id, vec_id, score, step FROM {prev_sel}
+  UNION ALL SELECT query_id, vec_id, score, step FROM p{i}
+)""")
+        prev_sel = f"s{i}"
+    return f"""
+WITH d AS MATERIALIZED (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM d WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, a.vec_id, {SQL_COS} AS cos, a.v
+  FROM d a CROSS JOIN q WHERE a.vec_id <> q.query_id
+),
+pool AS MATERIALIZED (
+  SELECT query_id, vec_id, cos AS rel, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= {_MMR_POOL}
+),
+sims AS MATERIALIZED (
+  SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM pool a JOIN pool b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+),
+s1 AS MATERIALIZED (
+  SELECT query_id, vec_id,
+         CAST(7 * CAST(rel AS DECIMAL(9,6))
+              * CAST(0.1 AS DECIMAL(2,1)) AS DOUBLE) AS score,
+         CAST(1 AS BIGINT) AS step
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id) AS rnn
+    FROM pool
+  ) WHERE rnn = 1
+),{",".join(steps)}
+SELECT query_id, step, vec_id, score
+FROM {prev_sel}
+ORDER BY query_id, step
+"""
+
+
+@query(
+    "sim_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("X2", "similarity", "mmr", "rerank"),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE diversified top-5 (Carbonell &
+    Goldstein 1998) — the rerank a RAG retrieval stack runs between
+    ANN candidates and the prompt window, trading relevance against
+    redundancy: pick argmax lambda*rel - (1-lambda)*max_sim_to_
+    already-picked, 5 greedy steps unrolled into one declarative
+    plan (the q_pagerank3 recipe: a bounded sequential loop as
+    chained plans with an exact oracle).
+
+    Scale shape: the input-sized work is EXACTLY the brute-force
+    scoring pass (one broadcast-queries scan with WindowGroupLimit
+    top-POOL per query — at 100 TB this stage swaps for the ANN
+    index probe); everything after operates on POOL(=20) rows per
+    query: the pairwise sim matrix is pool-quadratic (20^2 per
+    query, never corpus-quadratic) and each greedy step is a keyed
+    argmax over <=20-row groups.
+
+    Determinism: rel and pairwise sims round to 6 dp, the MMR
+    combination (7*rel - 3*maxsim)/10 is EXACT DECIMAL arithmetic on
+    those 6-dp values (a double product re-rounded at 6 dp can land
+    on a half-ulp boundary and split engines -- observed on this very
+    query), and every argmax tie-breaks on vec_id, so the greedy
+    trajectory is reproducible across engines and partitionings."""
+    from cdc_via_flink_spark.functions.vectors import norm, to_double, dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(e, qs, k=_MMR_POOL)
+    ev = e.select("vec_id", to_double(F.col("embedding")).alias("v")).withColumn(
+        "nv", norm(F.col("v"))
+    )
+    pool = top.join(ev, "vec_id").select(
+        "query_id", "vec_id", F.col("cos").alias("rel"), "v", "nv"
+    )
+    pa = pool.select(
+        "query_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    pb = pool.select(
+        "query_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    sims = (
+        pa.join(pb, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
+    )
+    slim = pool.select("query_id", "vec_id", "rel")
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    first = (
+        slim.select(
+            "query_id",
+            "vec_id",
+            (
+                (F.lit(7) * F.col("rel").cast("decimal(9,6)"))
+                * F.lit("0.1").cast("decimal(2,1)")
+            )
+            .cast("double")
+            .alias("score"),
+        )
+        .withColumn("rnn", F.row_number().over(w))
+        .filter(F.col("rnn") == 1)
+        .select("query_id", "vec_id", "score", F.lit(1).cast("long").alias("step"))
+    )
+    sel = first
+    for i in range(2, _MMR_K + 1):
+        remaining = slim.join(sel, ["query_id", "vec_id"], "left_anti")
+        ms = (
+            sims.join(
+                sel.select("query_id", F.col("vec_id").alias("b_id")),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", "a_id")
+            .agg(F.max("sim").alias("m"))
+        )
+        cand = remaining.join(
+            ms,
+            (remaining.query_id == ms.query_id) & (remaining.vec_id == ms.a_id),
+        ).select(
+            remaining.query_id,
+            "vec_id",
+            (
+                (
+                    F.lit(7) * F.col("rel").cast("decimal(9,6)")
+                    - F.lit(3) * F.col("m").cast("decimal(9,6)")
+                )
+                * F.lit("0.1").cast("decimal(2,1)")
+            )
+            .cast("double")
+            .alias("score"),
+        )
+        pick = (
+            cand.withColumn("rnn", F.row_number().over(w))
+            .filter(F.col("rnn") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                "score",
+                F.lit(i).cast("long").alias("step"),
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel.select("query_id", "step", "vec_id", "score").orderBy(
+        "query_id", "step"
+    )
