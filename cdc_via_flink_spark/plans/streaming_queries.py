@@ -2933,3 +2933,131 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ik.read_epoch_outputs(
         spark, out, "ep bigint, n_rows bigint, psi double"
     )
+
+
+def _mg_topk_oracle() -> str:
+    k1 = 9  # MG_K + 1
+    steps = []
+    prev = "st0"
+    prev_err = "err0"
+    for i in range(3):
+        steps.append(f"""
+e{i}_c AS MATERIALIZED (
+  SELECT token, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE ep = {i} GROUP BY token
+),
+comb{i} AS MATERIALIZED (
+  SELECT coalesce(e.token, s.token) AS token,
+         coalesce(e.c, 0) + coalesce(s.cnt, 0) AS cnt
+  FROM e{i}_c e FULL JOIN {prev} s ON e.token = s.token
+),
+s{i + 1} AS MATERIALIZED (
+  SELECT coalesce(max(CASE WHEN rn = {k1} THEN cnt END), 0) AS s
+  FROM (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rn
+        FROM comb{i})
+),
+st{i + 1} AS MATERIALIZED (
+  SELECT token, CAST(c.cnt - s.s AS BIGINT) AS cnt
+  FROM comb{i} c CROSS JOIN s{i + 1} s WHERE c.cnt - s.s > 0
+),
+err{i + 1} AS MATERIALIZED (
+  SELECT CAST(p.err + s.s AS BIGINT) AS err
+  FROM {prev_err} p CROSS JOIN s{i + 1} s
+)""")
+        prev = f"st{i + 1}"
+        prev_err = f"err{i + 1}"
+    emits = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS ep, st.token, st.cnt AS est, er.err"
+        f" FROM st{i + 1} st CROSS JOIN err{i + 1} er"
+        for i in range(3)
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN -1 ELSE (doc_id // 2) % 3 END AS ep,
+         unnest(string_split(lower(trim(regexp_replace(
+             text, '\\s+', ' ', 'g'))), ' ')) AS token
+  FROM documents
+),
+base_c AS MATERIALIZED (
+  SELECT token, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE ep = -1 GROUP BY token
+),
+s0 AS MATERIALIZED (
+  SELECT coalesce(max(CASE WHEN rn = {k1} THEN c END), 0) AS s
+  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rn
+        FROM base_c)
+),
+st0 AS MATERIALIZED (
+  SELECT token, CAST(b.c - s.s AS BIGINT) AS cnt
+  FROM base_c b CROSS JOIN s0 s WHERE b.c - s.s > 0
+),
+err0 AS MATERIALIZED (SELECT CAST(s AS BIGINT) AS err FROM s0),{",".join(steps)}
+{emits}
+"""
+
+
+@query(
+    "stream_mg_topk",
+    oracle=_mg_topk_oracle(),
+    tags=("A3", "ST5", "streaming", "heavy-hitters", "lifecycle"),
+)
+def stream_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-MAINTAINED MISRA-GRIES HEAVY HITTERS
+    (streaming/mg_maintenance.py — the EIGHTH adapter over the
+    maintained-index kernel): the even-doc half of the corpus builds
+    the 8-counter base summary; the odd half's tokens arrive over
+    three micro-batches. Each epoch folds its exact batch counts into
+    the k counters (combine, subtract the (k+1)-th largest, drop
+    non-positive — Agarwal et al. 2012 mergeable summaries) and
+    publishes the post-fold (token, est, err) rows — the which-tokens-
+    dominate feed whose state is k counters TOTAL at any corpus size,
+    next to stream_hll_distinct's how-many-distinct.
+
+    The truncation makes the fold non-associative, so the adapter is
+    the kernel's STATE-SNAPSHOT variant: deltas hold the post-fold
+    k-row state, reads resolve the newest committed snapshot, and the
+    oracle simulates the sequential three-epoch fold CTE by CTE —
+    est and the accumulated error budget match hash-exactly."""
+    import shutil as _sh
+
+    from cdc_via_flink_spark.streaming.mg_maintenance import (
+        mg_maintenance_query,
+        read_heavy_hitters,
+        save_streaming_mg_index,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = F.explode(
+        F.split(
+            F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+        )
+    ).alias("token")
+    base = d.filter(F.col("doc_id") % 2 == 0).select(tok)
+    strm = d.filter(F.col("doc_id") % 2 == 1).select(
+        ((F.col("doc_id") / 2).cast("long") % 3).alias("ep"), tok
+    )
+
+    root = os.path.join(STAGE_ROOT, f"mg_maint_{sf_name}")
+    _sh.rmtree(root, ignore_errors=True)
+    idx, out, ckpt = (
+        os.path.join(root, "idx"),
+        os.path.join(root, "hh"),
+        os.path.join(root, "ckpt"),
+    )
+    save_streaming_mg_index(base, idx)
+    frames = [
+        strm.filter(F.col("ep") == k).select("token").orderBy("token")
+        for k in range(3)
+    ]
+    dest = os.path.join(root, "staged")
+    _STAGED_DESTS.discard(dest)
+    _stage_ordered_files(spark, frames, dest)
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = mg_maintenance_query(stream, idx, out, ckpt)
+    q.awaitTermination()
+    return read_heavy_hitters(spark, out, index_path=idx)
