@@ -1704,3 +1704,136 @@ def dedup_bucket_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capture–recapture corpus-size estimate (Chapman estimator)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_capture_recapture",
+    oracle=f"""
+WITH corpus AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 7 = 1
+  UNION ALL
+  SELECT 'mirror2' AS source, text FROM documents WHERE doc_id % 14 = 1
+),
+d AS (SELECT source, {_SQL_DIGEST} AS digest FROM corpus),
+per AS (SELECT DISTINCT source, digest FROM d),
+srcn AS (
+  SELECT source, CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct
+  FROM per GROUP BY source
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS m
+  FROM per a JOIN per b ON a.digest = b.digest AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+est AS (
+  SELECT p.src_a, p.src_b, na.n_distinct AS n_a, nb.n_distinct AS n_b, p.m,
+         CAST(na.n_distinct + 1 AS DOUBLE) * (nb.n_distinct + 1)
+           / (p.m + 1) - 1 AS n_hat
+  FROM pairs p
+  JOIN srcn na ON na.source = p.src_a
+  JOIN srcn nb ON nb.source = p.src_b
+)
+SELECT src_a, src_b, n_a, n_b, m,
+       round(n_hat, 2) AS n_hat,
+       round(n_hat - (n_a + n_b - m), 2) AS unseen_est,
+       round((n_a + n_b - m) / n_hat, 6) AS coverage
+FROM est
+ORDER BY src_a, src_b
+""",
+    tags=("X1", "dedup", "capture-recapture", "corpus-stats"),
+)
+def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE–RECAPTURE POPULATION ESTIMATE per source pair (Chapman
+    1951, the bias-corrected Lincoln–Petersen): treat two partial
+    crawls as two "captures" of the same underlying document
+    population and estimate its TRUE size from the overlap —
+    N_hat = (n_a+1)(n_b+1)/(m+1) − 1 — plus the implied unseen count
+    and coverage. dedup_source_overlap says how much two dumps
+    DUPLICATE each other; this says how much of the underlying corpus
+    the pair has NOT seen yet (the crawl-more-or-stop decision), on
+    the same controlled mirror construction.
+
+    Scale shape: identical to the overlap matrix — one distinct over
+    (source, digest), a digest-keyed join whose fan-out is bounded by
+    the source count, |sources|² output rows; the estimator itself is
+    one double chain on three exact BIGINTs per pair."""
+    from cdc_via_flink_spark.functions.hashing import token_int
+    from cdc_via_flink_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (
+        d.select("source", "text")
+        .unionAll(
+            d.filter(F.col("doc_id") % 7 == 1).select(
+                F.lit("mirror").alias("source"), "text"
+            )
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 14 == 1).select(
+                F.lit("mirror2").alias("source"), "text"
+            )
+        )
+    )
+    per = corpus.select(
+        "source", token_int(normalize_text(F.col("text"))).alias("digest")
+    ).distinct()
+    srcn = per.groupBy("source").agg(
+        F.count_distinct("digest").cast("long").alias("n_distinct")
+    )
+    a = per.select(F.col("source").alias("src_a"), "digest")
+    b = per.select(F.col("source").alias("src_b"), "digest")
+    pairs = (
+        a.join(b, "digest")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    n_hat = (
+        (F.col("n_a") + 1).cast("double")
+        * (F.col("n_b") + 1)
+        / (F.col("m") + 1)
+        - 1
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                srcn.select(
+                    F.col("source").alias("src_a"),
+                    F.col("n_distinct").alias("n_a"),
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                srcn.select(
+                    F.col("source").alias("src_b"),
+                    F.col("n_distinct").alias("n_b"),
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "m",
+            F.round(n_hat, 2).alias("n_hat"),
+            F.round(n_hat - (F.col("n_a") + F.col("n_b") - F.col("m")), 2).alias(
+                "unseen_est"
+            ),
+            F.round(
+                (F.col("n_a") + F.col("n_b") - F.col("m")) / n_hat, 6
+            ).alias("coverage"),
+        )
+        .orderBy("src_a", "src_b")
+    )

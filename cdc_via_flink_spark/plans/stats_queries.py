@@ -3051,3 +3051,367 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-feature OLS via closed-form normal equations (Cramer's rule)
+# ---------------------------------------------------------------------------
+
+# One formula text, used verbatim by BOTH engines (Spark F.expr and
+# the DuckDB oracle) over the same one-row moment frame — identical
+# parse tree => identical double op order => hash-equal output.
+_OLS_DETS = {
+    "det": "nn*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)"
+    " + s2*(s1*s12 - s11*s2)",
+    "det0": "sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)"
+    " + s2*(s1y*s12 - s11*s2y)",
+    "det1": "nn*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)"
+    " + s2*(s1*s2y - s1y*s2)",
+    "det2": "nn*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)"
+    " + sy*(s1*s12 - s11*s2)",
+}
+_OLS_EXPRS = [
+    e.format(**_OLS_DETS)
+    for e in (
+        "round(({det0})/({det}), 6) AS beta0",
+        "round(({det1})/({det}), 6) AS beta1",
+        "round(({det2})/({det}), 6) AS beta2",
+        "round(1.0 - (syy - (({det0})/({det}))*sy - (({det1})/({det}))*s1y"
+        " - (({det2})/({det}))*s2y) / (syy - sy*sy/nn), 6) AS r2",
+    )
+]
+_OLS_OUT = ", ".join(_OLS_EXPRS)
+
+
+@query(
+    "q_ols_two_feature",
+    oracle=f"""
+WITH f AS (
+  SELECT l_orderkey AS ok, CAST(count(*) AS BIGINT) AS x1,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT f.x1, f.x2, CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+  FROM f JOIN orders o ON o.o_orderkey = f.ok
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nn,
+         CAST(sum(x1) AS DOUBLE) AS s1,
+         CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+         CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+         CAST(sum(CAST(y AS DECIMAL(19,2)) * y) AS DOUBLE) AS syy
+  FROM j
+)
+SELECT CAST(nn AS BIGINT) AS n, {_OLS_OUT}
+FROM m
+""",
+    tags=("stats", "regression", "ml-features"),
+)
+def q_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-FEATURE OLS (order total ~ item count + total quantity) by
+    closed-form normal equations — the multiple-regression step up
+    from q_price_elasticity's per-group simple slope: nine exact
+    moment sums in one aggregate pass, then Cramer's rule on the 3x3
+    system evaluated from ONE shared formula text (the same string
+    feeds Spark's F.expr and the DuckDB oracle, so the double op
+    order is identical by construction — no per-engine transcription
+    to drift).
+
+    Scale shape: a 100 TB regression is exactly this — one map-side-
+    combinable aggregation to 10 numbers, solve on the driver-sized
+    frame. No iteration, no gradient loop, no collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).cast("long").alias("x1"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("x2"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    j = f.join(o, f.ok == o.o_orderkey).select(
+        "x1", "x2", dec(F.col("o_totalprice")).alias("y")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y").cast("decimal(19,2)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+    )
+    return m.selectExpr("CAST(nn AS BIGINT) AS n", *_OLS_EXPRS)
+
+
+# ---------------------------------------------------------------------------
+# Information-gain feature ranking (decision-stump screen)
+# ---------------------------------------------------------------------------
+
+# Shared entropy fragment: binary entropy of pos/total in nats, with
+# the 0*ln(0) = 0 limit guarded. Same text feeds F.expr and DuckDB.
+_H_EXPR = (
+    "(CASE WHEN {p} <= 0 OR {p} >= {n} THEN 0.0 ELSE "
+    "-(CAST({p} AS DOUBLE)/{n}) * ln(CAST({p} AS DOUBLE)/{n}) "
+    "- (CAST({n} - {p} AS DOUBLE)/{n}) * ln(CAST({n} - {p} AS DOUBLE)/{n}) "
+    "END)"
+)
+
+
+@query(
+    "q_gini_split_gain",
+    oracle=f"""
+WITH s AS (
+  SELECT o.o_orderkey,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         [
+           {{'f': 'segment', 'v': c.c_mktsegment}},
+           {{'f': 'status', 'v': o.o_orderstatus}},
+           {{'f': 'price_bucket',
+             'v': CAST(least(CAST(floor(o.o_totalprice / 50000) AS BIGINT), 9)
+                       AS VARCHAR)}},
+           {{'f': 'order_month', 'v': CAST(month(o.o_orderdate) AS VARCHAR)}}
+         ] AS fs
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+x AS (SELECT y, unnest(fs, recursive := true) FROM s),
+g AS (
+  SELECT f, v, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+  FROM x GROUP BY f, v
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) / 4 AS nn, CAST(sum(p) AS BIGINT) / 4 AS pp
+  FROM g
+),
+hy AS (SELECT {_H_EXPR.format(p="pp", n="nn")} AS h FROM tot),
+cond AS (
+  SELECT g.f, CAST(count(*) AS BIGINT) AS n_values,
+         CAST(sum(CAST(round(
+             (CAST(g.n AS DOUBLE) / t.nn)
+             * {_H_EXPR.format(p="g.p", n="g.n")}, 10)
+           AS DECIMAL(28,10))) AS DOUBLE) AS h_cond
+  FROM g CROSS JOIN tot t
+  GROUP BY g.f, t.nn
+)
+SELECT c.f AS feature, c.n_values,
+       round(c.h_cond, 6) AS h_cond,
+       round(hy.h - c.h_cond, 6) AS info_gain
+FROM cond c CROSS JOIN hy
+ORDER BY info_gain DESC, feature
+""",
+    tags=("stats", "information-gain", "ml-features"),
+)
+def q_gini_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFORMATION-GAIN FEATURE RANKING for predicting urgent
+    priority — the decision-stump screen a feature pipeline runs
+    before training (which columns carry signal at all; companion to
+    q_mutual_information's single-pair MI and q_weight_of_evidence's
+    per-bin scores). Four candidate features (segment, status, price
+    bucket, order month) fan out as ONE map-side explode into one
+    (feature, value) aggregate — a feature costs one group per
+    distinct value, never a scan.
+
+    Exactness: counts are exact; each value's weighted-entropy term
+    is rounded to DECIMAL(28,10) before the cross-value fold (the PSI
+    recipe — cross-group double sums re-round), and the binary
+    entropy uses ONE shared formula text in both engines with the
+    0*ln(0) limit guarded."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+        F.create_map(
+            F.lit("segment"),
+            F.col("c_mktsegment"),
+            F.lit("status"),
+            F.col("o_orderstatus"),
+            F.lit("price_bucket"),
+            F.least(F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(9))
+            .cast("string"),
+            F.lit("order_month"),
+            F.month("o_orderdate").cast("string"),
+        ).alias("fs"),
+    )
+    x = s.select("y", F.explode("fs").alias("f", "v"))
+    g = x.groupBy("f", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    tot = g.agg(
+        (F.sum("n").cast("long") / 4).cast("long").alias("nn"),
+        (F.sum("p").cast("long") / 4).cast("long").alias("pp"),
+    )
+    hy = tot.selectExpr(f"{_H_EXPR.format(p='pp', n='nn')} AS h")
+    cond = (
+        g.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "f",
+            "n",
+            f"CAST(round((CAST(n AS DOUBLE) / nn)"
+            f" * {_H_EXPR.format(p='p', n='n')}, 10) AS DECIMAL(28,10))"
+            " AS term",
+        )
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum("term").cast("double").alias("h_cond"),
+        )
+    )
+    return (
+        cond.crossJoin(F.broadcast(hy))
+        .select(
+            F.col("f").alias("feature"),
+            "n_values",
+            F.round(F.col("h_cond"), 6).alias("h_cond"),
+            F.round(F.col("h") - F.col("h_cond"), 6).alias("info_gain"),
+        )
+        .orderBy(F.col("info_gain").desc(), "feature")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V categorical-association matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cramers_v",
+    oracle="""
+WITH s AS (
+  SELECT o.o_orderkey,
+         [
+           {'pr': 'segment|priority', 'va': c.c_mktsegment,
+            'vb': o.o_orderpriority},
+           {'pr': 'segment|status', 'va': c.c_mktsegment,
+            'vb': o.o_orderstatus},
+           {'pr': 'priority|status', 'va': o.o_orderpriority,
+            'vb': o.o_orderstatus}
+         ] AS prs
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+x AS (SELECT unnest(prs, recursive := true) FROM s),
+o_c AS (
+  SELECT pr, va, vb, CAST(count(*) AS BIGINT) AS o FROM x GROUP BY pr, va, vb
+),
+ra AS (SELECT pr, va, CAST(sum(o) AS BIGINT) AS r FROM o_c GROUP BY pr, va),
+cb AS (SELECT pr, vb, CAST(sum(o) AS BIGINT) AS c FROM o_c GROUP BY pr, vb),
+nt AS (SELECT pr, CAST(sum(o) AS BIGINT) AS n FROM o_c GROUP BY pr),
+dims AS (
+  SELECT pr,
+         least((SELECT count(*) FROM ra WHERE ra.pr = d.pr),
+               (SELECT count(*) FROM cb WHERE cb.pr = d.pr)) - 1 AS df_min
+  FROM (SELECT DISTINCT pr FROM o_c) d
+),
+chi AS (
+  SELECT o_c.pr,
+         CAST(sum(CAST(round(
+             (o_c.o - CAST(ra.r AS DOUBLE) * cb.c / nt.n)
+             * (o_c.o - CAST(ra.r AS DOUBLE) * cb.c / nt.n)
+             / (CAST(ra.r AS DOUBLE) * cb.c / nt.n), 10)
+           AS DECIMAL(28,10))) AS DOUBLE) AS chi2,
+         max(nt.n) AS n
+  FROM o_c
+  JOIN ra ON ra.pr = o_c.pr AND ra.va = o_c.va
+  JOIN cb ON cb.pr = o_c.pr AND cb.vb = o_c.vb
+  JOIN nt ON nt.pr = o_c.pr
+  GROUP BY o_c.pr
+)
+SELECT chi.pr AS pair, CAST(chi.n AS BIGINT) AS n,
+       CAST(dims.df_min AS BIGINT) AS df_min,
+       round(chi.chi2, 6) AS chi2,
+       round(sqrt(chi.chi2 / (chi.n * dims.df_min)), 6) AS cramers_v
+FROM chi JOIN dims ON dims.pr = chi.pr
+ORDER BY pair
+""",
+    tags=("stats", "cramers-v", "association"),
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V ASSOCIATION MATRIX over the categorical columns
+    (segment x priority x status pairs) — the categorical twin of
+    q_corr_matrix's Pearson block: which discrete columns are
+    redundant before feature selection (V near 1 = drop one),
+    generalizing q_chi2_independence's single pair to the matrix.
+
+    Scale shape: all three contingency tables come from ONE map-side
+    explode into one (pair, va, vb) count aggregate — input is
+    scanned once; marginals, totals and the <=25-cell chi-square
+    folds are group-bounded. Per-cell (O-E)^2/E terms are rounded to
+    DECIMAL(28,10) before the cross-cell fold (cross-group double
+    sums re-round — the standing rule)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.array(
+            F.struct(
+                F.lit("segment|priority").alias("pr"),
+                F.col("c_mktsegment").alias("va"),
+                F.col("o_orderpriority").alias("vb"),
+            ),
+            F.struct(
+                F.lit("segment|status").alias("pr"),
+                F.col("c_mktsegment").alias("va"),
+                F.col("o_orderstatus").alias("vb"),
+            ),
+            F.struct(
+                F.lit("priority|status").alias("pr"),
+                F.col("o_orderpriority").alias("va"),
+                F.col("o_orderstatus").alias("vb"),
+            ),
+        ).alias("prs")
+    )
+    x = s.select(F.explode("prs").alias("e")).select("e.pr", "e.va", "e.vb")
+    oc = x.groupBy("pr", "va", "vb").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    ra = oc.groupBy("pr", "va").agg(F.sum("o").cast("long").alias("r"))
+    cb = oc.groupBy("pr", "vb").agg(F.sum("o").cast("long").alias("c"))
+    nt = oc.groupBy("pr").agg(F.sum("o").cast("long").alias("n"))
+    dims = (
+        ra.groupBy("pr")
+        .agg(F.count(F.lit(1)).alias("n_rows_a"))
+        .join(cb.groupBy("pr").agg(F.count(F.lit(1)).alias("n_cols_b")), "pr")
+        .select(
+            "pr",
+            (F.least("n_rows_a", "n_cols_b") - 1).cast("long").alias("df_min"),
+        )
+    )
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    chi = (
+        oc.join(F.broadcast(ra), ["pr", "va"])
+        .join(F.broadcast(cb), ["pr", "vb"])
+        .join(F.broadcast(nt), "pr")
+        .select(
+            "pr",
+            "n",
+            F.round((F.col("o") - e) * (F.col("o") - e) / e, 10)
+            .cast("decimal(28,10)")
+            .alias("term"),
+        )
+        .groupBy("pr")
+        .agg(
+            F.sum("term").cast("double").alias("chi2"),
+            F.max("n").alias("n"),
+        )
+    )
+    return (
+        chi.join(F.broadcast(dims), "pr")
+        .select(
+            F.col("pr").alias("pair"),
+            F.col("n").cast("long").alias("n"),
+            F.col("df_min"),
+            F.round(F.col("chi2"), 6).alias("chi2"),
+            F.round(
+                F.sqrt(F.col("chi2") / (F.col("n") * F.col("df_min"))), 6
+            ).alias("cramers_v"),
+        )
+        .orderBy("pair")
+    )

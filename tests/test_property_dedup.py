@@ -259,3 +259,24 @@ def test_composable_lsh_matches_fused_pipeline(spark):
         for p in minhash_lsh_neardup(d, "text", "doc_id", k, b, r, t).collect()
     }
     assert composed == fused and len(fused) > 0
+
+
+def test_capture_recapture_invariants(spark):
+    """Chapman estimator invariants on the mirror construction:
+    overlap bounded by the smaller capture, coverage <= 1 + rounding,
+    and the estimate at least as large as what was actually seen
+    (minus the Chapman small-sample slack)."""
+    from cdc_via_flink_spark.plans.registry import load_all
+
+    rows = (
+        load_all()["dedup_capture_recapture"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["m"] <= min(r["n_a"], r["n_b"])
+        seen = r["n_a"] + r["n_b"] - r["m"]
+        assert r["coverage"] <= 1.000001, r
+        assert r["n_hat"] >= seen - 1.0, r
+        assert abs((r["n_hat"] - seen) - r["unseen_est"]) < 0.02, r

@@ -448,3 +448,55 @@ def test_isotonic_matches_pava_and_is_monotone(spark):
     assert len(per_bucket) == len(rows)
     for got, want in zip(iso, per_bucket):
         assert abs(got - want) < 1e-6, (iso, per_bucket)
+
+
+def test_ols_two_feature_matches_numpy(spark):
+    """q_ols_two_feature == numpy least squares on the small fixture
+    (independent reference for the Cramer encoding)."""
+    import duckdb
+    import numpy as np
+
+    row = SPECS["q_ols_two_feature"].fn(spark, SF0001).collect()[0]
+    data = duckdb.connect().execute(
+        f"""WITH f AS (
+              SELECT l_orderkey ok, count(*) x1, sum(l_quantity) x2
+              FROM '{SF0001}/lineitem.parquet' GROUP BY ok)
+            SELECT f.x1, f.x2, CAST(o.o_totalprice AS DOUBLE)
+            FROM f JOIN '{SF0001}/orders.parquet' o ON o.o_orderkey = f.ok"""
+    ).fetchall()
+    X = np.array([[1.0, float(x1), float(x2)] for x1, x2, _ in data])
+    y = np.array([v for _, _, v in data])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(row["beta0"] - beta[0]) < 1e-3, (row, beta)
+    assert abs(row["beta1"] - beta[1]) < 1e-4
+    assert abs(row["beta2"] - beta[2]) < 1e-5
+    pred = X @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert abs(row["r2"] - (1 - ss_res / ss_tot)) < 1e-4
+
+
+def test_info_gain_single_explode_and_nonnegative(spark):
+    """q_gini_split_gain: the features fan out as an explode into a
+    (f, v)-keyed aggregate (the tot/hy branches re-reference the same
+    aggregate subtree — identical exchanges, deduped by reuse at
+    runtime); no cross product anywhere; gains are nonnegative."""
+    plan = _plan(spark, "q_gini_split_gain")
+    assert "Generate explode" in plan, plan
+    assert "keys=[f" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = SPECS["q_gini_split_gain"].fn(spark, SF0001).collect()
+    assert len(rows) == 4
+    assert all(r["info_gain"] >= 0 for r in rows), rows
+
+
+def test_cramers_v_bounds_and_single_explode(spark):
+    plan = _plan(spark, "q_cramers_v")
+    assert "Generate explode" in plan, plan
+    assert "keys=[pr" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = SPECS["q_cramers_v"].fn(spark, SF0001).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0.0 <= r["cramers_v"] <= 1.0, r
+        assert r["chi2"] >= 0.0
