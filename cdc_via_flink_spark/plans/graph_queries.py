@@ -594,6 +594,11 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+    # one materialization of the edge list: each of the 3 rounds
+    # references edges twice (count + argmax path), and without the
+    # lineage cut Catalyst inlines the base self-join 2^rounds times
+    # (the connected_components lesson — localCheckpoint truncates)
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -610,6 +615,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("lbl").alias("lbl"))
             .select(F.col("src").alias("node"), "lbl")
+            .localCheckpoint(eager=True)
         )
     comm = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
@@ -706,18 +712,40 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     out = []
-    for i in range(1, _KCORE_ROUNDS + 1):
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        alive = deg.filter(F.col("deg") >= _KCORE_K).select("src")
-        edges = (
+    # ONE materialization of the edge list; rounds iterate on the
+    # NODE-sized alive set (tiny — localCheckpoint per round costs
+    # nothing) and each round makes exactly ONE pass over the
+    # checkpointed edges: deg_i counts the alive-filtered directed
+    # edges, so round i-1's surviving edge count is sum(deg_i)/2 and
+    # the conv probe's fifth pass doubles as round 4's edge count.
+    # (The first cut materialized the filtered EDGE list per round —
+    # measured 44 s at 3x; this shape is 5 edge scans total.)
+    edges = edges.localCheckpoint(eager=True)
+    alive = edges.select("src").distinct()
+    degs = []
+    for _ in range(_KCORE_ROUNDS + 1):
+        deg = (
             edges.join(alive, "src")
             .join(alive.select(F.col("src").alias("dst")), "dst")
-            .select("src", "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         )
-        stats = alive.agg(
-            F.count(F.lit(1)).cast("long").alias("nodes_alive")
-        ).crossJoin(
-            edges.agg((F.count(F.lit(1)) / 2).cast("long").alias("edges_alive"))
+        degs.append(deg)
+        alive = (
+            deg.filter(F.col("deg") >= _KCORE_K)
+            .select("src")
+            .localCheckpoint(eager=True)
+        )
+    for i in range(1, _KCORE_ROUNDS + 1):
+        stats = (
+            degs[i - 1]
+            .filter(F.col("deg") >= _KCORE_K)
+            .agg(F.count(F.lit(1)).cast("long").alias("nodes_alive"))
+            .crossJoin(
+                degs[i].agg(
+                    (F.coalesce(F.sum("deg"), F.lit(0)) / 2).cast("long").alias("edges_alive")
+                )
+            )
         )
         out.append(
             stats.select(
@@ -725,8 +753,7 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     conv = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        degs[_KCORE_ROUNDS]
         .filter(F.col("deg") >= _KCORE_K)
         .agg(F.count(F.lit(1)).cast("long").alias("nodes_alive"))
         .select(

@@ -1427,7 +1427,11 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    top = brute_force_topk(e, qs, k=_MMR_POOL)
+    # stage 1 materializes once: the greedy chain references the pool
+    # O(K) times, and without the lineage cut each reference inlines
+    # the full corpus scoring scan (measured 13.5 s at sf0.1 — the
+    # pool is 100 rows; everything after it should be milliseconds)
+    top = brute_force_topk(e, qs, k=_MMR_POOL).localCheckpoint(eager=True)
     ev = e.select("vec_id", to_double(F.col("embedding")).alias("v")).withColumn(
         "nv", norm(F.col("v"))
     )
@@ -1512,7 +1516,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(i).cast("long").alias("step"),
             )
         )
-        sel = sel.unionByName(pick)
+        # sel is <=25 rows; the cut stops the greedy chain doubling
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
     return sel.select("query_id", "step", "vec_id", "score").orderBy(
         "query_id", "step"
     )

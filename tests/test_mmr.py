@@ -74,12 +74,24 @@ def test_mmr_matches_python_reference(spark):
 
 
 def test_mmr_single_corpus_scan_with_group_limit(spark):
-    df = SPECS["sim_mmr_rerank"].fn(spark, "/root/testdata/sf0.01")
+    """The query localCheckpoints the pool (the greedy chain would
+    otherwise inline the corpus scan O(K) times — measured 13.5 s vs
+    ~3 s), so the pin targets stage 1 itself: the same
+    brute_force_topk(k=POOL) call the query makes must carry the
+    WindowGroupLimit rank pushdown."""
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.operators.similarity import brute_force_topk
+    from cdc_via_flink_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = brute_force_topk(e, qs, k=20)
     jvm = spark._jvm
     plan = df._jdf.queryExecution().explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
-    # the rank<=POOL filter must push WindowGroupLimit below the
-    # shuffle of the scoring stage (same property as brute-force topk)
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
