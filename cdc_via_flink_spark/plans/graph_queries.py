@@ -522,7 +522,10 @@ _LPA_ITER = 3
 _LPA_TOP = 25
 
 
-def _lpa_oracle() -> str:
+def _lpa_cte_block() -> tuple[str, str]:
+    """Shared unrolled-LPA WITH body (edges + 3 label rounds);
+    returns (cte_block, final_label_cte_name). Used by both
+    q_label_propagation and q_newman_modularity oracles."""
     its = []
     prev = "l0"
     for i in range(1, _LPA_ITER + 1):
@@ -539,14 +542,20 @@ l{i} AS MATERIALIZED (
   GROUP BY g.src
 )""")
         prev = f"l{i}"
-    return f"""
+    block = f"""
 WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
 pairs AS MATERIALIZED (
   SELECT DISTINCT a.pk AS src, b.pk AS dst
   FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
 ),
 edges AS (SELECT src, dst FROM pairs),
-l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),{",".join(its)},
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),{",".join(its)}"""
+    return block, prev
+
+
+def _lpa_oracle() -> str:
+    block, prev = _lpa_cte_block()
+    return f"""{block},
 comm AS (
   SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
   FROM {prev} GROUP BY lbl
@@ -559,6 +568,44 @@ ranked AS (
 SELECT CAST(lbl AS BIGINT) AS community, n_members, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= {_LPA_TOP}
 """
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """Co-occurrence edges (localCheckpointed once) + 3 synchronous
+    LPA rounds (most-frequent neighbor label, min tie-break; labels
+    checkpointed per round — node-sized, the lineage cut is free).
+    Shared by q_label_propagation and q_newman_modularity."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select("ok", F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ITER):
+        g = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        m = g.groupBy("src").agg(F.max("cnt").alias("mc"))
+        labels = (
+            g.join(m, "src")
+            .filter(F.col("cnt") == F.col("mc"))
+            .groupBy("src")
+            .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("src").alias("node"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return edges, labels
 
 
 @query(
@@ -583,40 +630,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-bounded rows and nothing vertex-quadratic.
 
     Output: the top-25 communities by size after 3 rounds."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    a = li.select("ok", F.col("pk").alias("src"))
-    b = li.select("ok", F.col("pk").alias("dst"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    # one materialization of the edge list: each of the 3 rounds
-    # references edges twice (count + argmax path), and without the
-    # lineage cut Catalyst inlines the base self-join 2^rounds times
-    # (the connected_components lesson — localCheckpoint truncates)
-    edges = edges.localCheckpoint(eager=True)
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    for _ in range(_LPA_ITER):
-        g = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src", "lbl")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        )
-        m = g.groupBy("src").agg(F.max("cnt").alias("mc"))
-        labels = (
-            g.join(m, "src")
-            .filter(F.col("cnt") == F.col("mc"))
-            .groupBy("src")
-            .agg(F.min("lbl").alias("lbl"))
-            .select(F.col("src").alias("node"), "lbl")
-            .localCheckpoint(eager=True)
-        )
+    edges, labels = _lpa_labels(spark, sf_dir)
     comm = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
@@ -767,3 +781,98 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the LPA partition
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    block, prev = _lpa_cte_block()
+    return f"""{block},
+mtot AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS md FROM edges),
+lab AS (SELECT node, lbl FROM {prev}),
+intra AS MATERIALIZED (
+  SELECT la.lbl, CAST(count(*) AS BIGINT) AS e_in
+  FROM edges e
+  JOIN lab la ON la.node = e.src
+  JOIN lab lb ON lb.node = e.dst AND lb.lbl = la.lbl
+  GROUP BY la.lbl
+),
+degc AS MATERIALIZED (
+  SELECT la.lbl, CAST(count(*) AS BIGINT) AS dsum
+  FROM edges e JOIN lab la ON la.node = e.src
+  GROUP BY la.lbl
+),
+terms AS (
+  SELECT d.lbl,
+         CAST(round(CAST(coalesce(i.e_in, 0) AS DOUBLE) / t.md
+               - (CAST(d.dsum AS DOUBLE) / t.md)
+                 * (CAST(d.dsum AS DOUBLE) / t.md), 10)
+              AS DECIMAL(28,10)) AS q_term
+  FROM degc d
+  LEFT JOIN intra i ON i.lbl = d.lbl
+  CROSS JOIN mtot t
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM degc) AS n_communities,
+       (SELECT CAST(md // 2 AS BIGINT) FROM mtot) AS n_edges,
+       round(CAST(sum(q_term) AS DOUBLE), 6) AS modularity_q
+FROM terms
+"""
+
+
+@query(
+    "q_newman_modularity",
+    oracle=_modularity_oracle(),
+    tags=("graph", "modularity", "communities"),
+)
+def q_newman_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWMAN MODULARITY Q of the 3-round LPA partition (Newman &
+    Girvan 2004) — the number that says whether q_label_propagation's
+    communities are REAL structure or noise (Q near 0 = no better
+    than random given the degree sequence; this fixture's co-purchase
+    graph is near-random, and the output says so honestly — the
+    audit matters precisely when it says "don't trust the
+    communities").
+
+    Q = sum_c [ e_in_c/M − (d_c/M)² ] over directed counts (M = 2m):
+    intra-community edges from one label-tagged edge pass, community
+    degree sums from another, both exact BIGINTs; per-community terms
+    round to DECIMAL(28,10) before the fold. Scale: two keyed joins
+    of the checkpointed edge list against the node-sized label map —
+    no pair blow-up beyond the edge list itself."""
+    edges, labels = _lpa_labels(spark, sf_dir)
+    mtot = edges.agg(F.count(F.lit(1)).cast("long").alias("md"))
+    la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))
+    tagged = edges.join(la, "src").join(lb, "dst")
+    intra = (
+        tagged.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    degc = tagged.groupBy(F.col("la").alias("lbl")).agg(
+        F.count(F.lit(1)).cast("long").alias("dsum")
+    )
+    md = F.col("md").cast("double")
+    terms = (
+        degc.join(intra, "lbl", "left")
+        .crossJoin(F.broadcast(mtot))
+        .select(
+            "md",
+            F.round(
+                F.coalesce(F.col("e_in"), F.lit(0)).cast("double") / md
+                - (F.col("dsum").cast("double") / md)
+                * (F.col("dsum").cast("double") / md),
+                10,
+            )
+            .cast("decimal(28,10)")
+            .alias("q_term"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        (F.max("md") / 2).cast("long").alias("n_edges"),
+        F.round(F.sum("q_term").cast("double"), 6).alias("modularity_q"),
+    )

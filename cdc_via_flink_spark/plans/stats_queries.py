@@ -3415,3 +3415,105 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil + Atkinson inequality indices (the decomposable companions
+# to q_gini_spend / q_lorenz_deciles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_theil_atkinson",
+    oracle="""
+WITH s AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS spend
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_custkey, c.c_nationkey
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(spend) AS DECIMAL(38,2)) AS st
+  FROM s
+),
+terms AS (
+  SELECT s.nk,
+         CAST(round((CAST(s.spend AS DOUBLE) / (CAST(t.st AS DOUBLE) / t.n))
+               * ln(CAST(s.spend AS DOUBLE) / (CAST(t.st AS DOUBLE) / t.n)),
+               10) AS DECIMAL(28,10)) AS t_term,
+         CAST(round(ln(CAST(s.spend AS DOUBLE)
+                       / (CAST(t.st AS DOUBLE) / t.n)), 10)
+              AS DECIMAL(28,10)) AS l_term
+  FROM s CROSS JOIN tot t
+),
+g AS (
+  SELECT nk, CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(t_term) AS DECIMAL(38,10)) AS ts,
+         CAST(sum(l_term) AS DECIMAL(38,10)) AS ls
+  FROM terms GROUP BY nk
+),
+agg AS (
+  SELECT CAST(sum(n_cust) AS BIGINT) AS n,
+         CAST(sum(ts) AS DOUBLE) AS tsum,
+         CAST(sum(ls) AS DOUBLE) AS lsum
+  FROM g
+)
+SELECT n,
+       round(tsum / n, 6) AS theil_t,
+       round(-lsum / n, 6) AS theil_l,
+       round(1.0 - exp(lsum / n), 6) AS atkinson_1
+FROM agg
+""",
+    tags=("stats", "inequality", "theil"),
+)
+def q_theil_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL T / THEIL L / ATKINSON(eps=1) over per-customer spend —
+    the DECOMPOSABLE inequality indices next to q_gini_spend (Gini
+    does not split into within/between-group parts; Theil does, which
+    is why fairness audits over population segments prefer it; the
+    nation-grouped partial sums here ARE the within-group legs of
+    that decomposition, folded to the totals).
+
+    Exactness: spends are exact DECIMAL sums; each x/mu ln(x/mu) term
+    rounds to DECIMAL(28,10) before the two-level fold (per-nation
+    partials, then 25-row total — cross-group double sums re-round,
+    and the fold tree is fixed so a 1000-executor run equals this
+    one); Atkinson(1) = 1 − exp(mean ln(x/mu)) shares the L-series.
+    Scale: one customer-grain aggregate, one term pass, group-bounded
+    folds — no sort, no window."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", F.col("c_nationkey").alias("nk"))
+        .agg(F.sum(dec(F.col("o_totalprice"))).cast("decimal(28,2)").alias("spend"))
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("spend").cast("decimal(38,2)").alias("st"),
+    )
+    mu = F.col("st").cast("double") / F.col("n")
+    ratio = F.col("spend").cast("double") / mu
+    terms = s.crossJoin(F.broadcast(tot)).select(
+        "nk",
+        F.round(ratio * F.log(ratio), 10).cast("decimal(28,10)").alias("t_term"),
+        F.round(F.log(ratio), 10).cast("decimal(28,10)").alias("l_term"),
+    )
+    g = terms.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("t_term").cast("decimal(38,10)").alias("ts"),
+        F.sum("l_term").cast("decimal(38,10)").alias("ls"),
+    )
+    agg = g.agg(
+        F.sum("n_cust").cast("long").alias("n"),
+        F.sum("ts").cast("double").alias("tsum"),
+        F.sum("ls").cast("double").alias("lsum"),
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("tsum") / F.col("n"), 6).alias("theil_t"),
+        F.round(-F.col("lsum") / F.col("n"), 6).alias("theil_l"),
+        F.round(1.0 - F.exp(F.col("lsum") / F.col("n")), 6).alias("atkinson_1"),
+    )

@@ -3061,3 +3061,103 @@ def stream_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = mg_maintenance_query(stream, idx, out, ckpt)
     q.awaitTermination()
     return read_heavy_hitters(spark, out, index_path=idx)
+
+
+def _kmv_sample_oracle() -> str:
+    from cdc_via_flink_spark.streaming.kmv_maintenance import (
+        KMV_K,
+        estimate_sql,
+        kh_sql,
+    )
+
+    h = kh_sql("user_id")
+    return f"""
+WITH ids AS (
+  SELECT user_id,
+         CASE WHEN event_id % 2 = 0 THEN -1
+              ELSE (event_id // 2) % 3 END AS ep
+  FROM events
+),
+hs AS MATERIALIZED (
+  SELECT ep, {h} AS h FROM ids
+),
+eps AS (SELECT unnest([0, 1, 2]) AS e),
+cume AS MATERIALIZED (
+  SELECT eps.e, hs.h, row_number() OVER (
+           PARTITION BY eps.e ORDER BY hs.h) AS rn
+  FROM eps JOIN (SELECT DISTINCT ep, h FROM hs) hs ON hs.ep <= eps.e
+  GROUP BY eps.e, hs.h
+),
+state AS (
+  SELECT e, max(CASE WHEN rn <= {KMV_K} THEN h END) AS kth,
+         CAST(sum(CASE WHEN rn <= {KMV_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_state
+  FROM cume GROUP BY e
+)
+SELECT CAST(e AS BIGINT) AS ep,
+       {estimate_sql("kth", "n_state")} AS est_distinct,
+       CAST(kth AS BIGINT) AS kth_hash,
+       n_state
+FROM state
+"""
+
+
+@query(
+    "stream_kmv_sample",
+    oracle=_kmv_sample_oracle(),
+    tags=("A3", "ST5", "streaming", "kmv", "lifecycle"),
+)
+def stream_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-MAINTAINED KMV BOTTOM-k SKETCH
+    (streaming/kmv_maintenance.py — the NINTH adapter over the
+    maintained-index kernel): half the event history (even event_id)
+    builds the 64-minimum base sketch; the other half arrives over
+    three micro-batches. Each epoch folds its bottom-k in (union →
+    keep k smallest — associative+idempotent, the bitmap/HLL algebra)
+    and reports the post-fold distinct-user ESTIMATE
+    ((k−1)·M/h_(k), Bar-Yossef et al. 2002), the k-th hash, and the
+    state size — the third cardinality design point: unlike the HLL
+    it also carries a uniform SAMPLE of the distinct ids (kmv_sample
+    reads it), which is what sized the sketch at k=64.
+
+    The lattice hash is a bijection, so the order statistics are
+    exact integers and the oracle simulates the sketch bit-for-bit
+    (the stream_hll_distinct recipe)."""
+    import shutil as _sh
+
+    from cdc_via_flink_spark.streaming.kmv_maintenance import (
+        kmv_maintenance_query,
+        read_estimates,
+        save_streaming_kmv_index,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    base = ev.filter(F.col("event_id") % 2 == 0).select("user_id")
+    strm = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", ((F.col("event_id") / 2).cast("long") % 3).alias("ep")
+    )
+
+    root = os.path.join(STAGE_ROOT, f"kmv_maint_{sf_name}")
+    _sh.rmtree(root, ignore_errors=True)
+    idx, out, ckpt = (
+        os.path.join(root, "idx"),
+        os.path.join(root, "est"),
+        os.path.join(root, "ckpt"),
+    )
+    save_streaming_kmv_index(base, idx)
+    frames = [
+        strm.filter(F.col("ep") == k).select("user_id").orderBy("user_id")
+        for k in range(3)
+    ]
+    dest = os.path.join(root, "staged")
+    _STAGED_DESTS.discard(dest)
+    _stage_ordered_files(spark, frames, dest)
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = kmv_maintenance_query(stream, idx, out, ckpt)
+    q.awaitTermination()
+    return read_estimates(spark, out, index_path=idx)
