@@ -3517,3 +3517,255 @@ def q_theil_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.col("lsum") / F.col("n"), 6).alias("theil_l"),
         F.round(1.0 - F.exp(F.col("lsum") / F.col("n")), 6).alias("atkinson_1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b between two monthly series (exact integer concordance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_kendall_tau_b",
+    oracle="""
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM orders GROUP BY month
+),
+p AS (
+  SELECT CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+              THEN 1 ELSE 0 END AS c,
+         CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+              THEN 1 ELSE 0 END AS d,
+         CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+         CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+  FROM m a JOIN m b ON a.month < b.month
+),
+s AS (
+  SELECT CAST(sum(c) AS BIGINT) AS cc, CAST(sum(d) AS BIGINT) AS dd,
+         CAST(sum(tx) AS BIGINT) AS ntx, CAST(sum(ty) AS BIGINT) AS nty,
+         CAST(count(*) AS BIGINT) AS n0
+  FROM p
+),
+nm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m)
+SELECT nm.n AS n_months, s.cc AS concordant, s.dd AS discordant,
+       round((s.cc - s.dd) / (sqrt(CAST(s.n0 - s.ntx AS DOUBLE))
+                              * sqrt(CAST(s.n0 - s.nty AS DOUBLE))), 6)
+         AS tau_b
+FROM s CROSS JOIN nm
+""",
+    tags=("stats", "kendall", "rank", "correlation"),
+)
+def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL tau-b between monthly revenue and monthly order count
+    — the third rank-association member (Spearman = rank Pearson over
+    ROWS; Mann–Kendall = one series vs TIME; tau-b = two SERIES
+    against each other with tie correction). Concordant/discordant
+    pairs are exact integer comparisons of exact DECIMAL monthly
+    aggregates; tau-b's denominator is the one double chain.
+
+    Scale shape: the quadratic pair step runs at the MONTH grain
+    (domain-bounded ~80 rows → ~3.2k pairs on a broadcast self-join)
+    — the q_hodges_lehmann argument; the input-sized work is one
+    exact groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(dec(F.col("o_totalprice"))).cast("decimal(28,2)").alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+    a = m.select(
+        F.col("month").alias("ma"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = m.select(
+        F.col("month").alias("mb"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    p = a.join(F.broadcast(b), F.col("ma") < F.col("mb")).select(
+        F.when(
+            ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+            | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("c"),
+        F.when(
+            ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+            | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("d"),
+        F.when(F.col("xa") == F.col("xb"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("ya") == F.col("yb"), 1).otherwise(0).alias("ty"),
+    )
+    s = p.agg(
+        F.sum("c").cast("long").alias("cc"),
+        F.sum("d").cast("long").alias("dd"),
+        F.sum("tx").cast("long").alias("ntx"),
+        F.sum("ty").cast("long").alias("nty"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+    )
+    nm = m.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return s.crossJoin(F.broadcast(nm)).select(
+        F.col("n").alias("n_months"),
+        F.col("cc").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        F.round(
+            (F.col("cc") - F.col("dd"))
+            / (
+                F.sqrt((F.col("n0") - F.col("ntx")).cast("double"))
+                * F.sqrt((F.col("n0") - F.col("nty")).cast("double"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation (controlling for a confounder)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_partial_corr",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS q,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+         CAST(l_discount AS DECIMAL(18,2)) AS d
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nn,
+         CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+         CAST(sum(d) AS DOUBLE) AS sd,
+         CAST(sum(CAST(q AS DECIMAL(19,2)) * q) AS DOUBLE) AS sqq,
+         CAST(sum(CAST(p AS DECIMAL(19,2)) * p) AS DOUBLE) AS spp,
+         CAST(sum(CAST(d AS DECIMAL(19,2)) * d) AS DOUBLE) AS sdd,
+         CAST(sum(CAST(q AS DECIMAL(19,2)) * p) AS DOUBLE) AS sqp,
+         CAST(sum(CAST(q AS DECIMAL(19,2)) * d) AS DOUBLE) AS sqd,
+         CAST(sum(CAST(p AS DECIMAL(19,2)) * d) AS DOUBLE) AS spd
+  FROM s
+)
+SELECT CAST(nn AS BIGINT) AS n,
+       round((nn*sqp - sq*sp) / (sqrt(nn*sqq - sq*sq) * sqrt(nn*spp - sp*sp)), 6) AS r_qp,
+       round((nn*sqd - sq*sd) / (sqrt(nn*sqq - sq*sq) * sqrt(nn*sdd - sd*sd)), 6) AS r_qd,
+       round((nn*spd - sp*sd) / (sqrt(nn*spp - sp*sp) * sqrt(nn*sdd - sd*sd)), 6) AS r_pd,
+       round((((nn*sqp - sq*sp) / (sqrt(nn*sqq - sq*sq) * sqrt(nn*spp - sp*sp))) - ((nn*sqd - sq*sd) / (sqrt(nn*sqq - sq*sq) * sqrt(nn*sdd - sd*sd))) * ((nn*spd - sp*sd) / (sqrt(nn*spp - sp*sp) * sqrt(nn*sdd - sd*sd))))
+             / (sqrt(1.0 - ((nn*sqd - sq*sd) / (sqrt(nn*sqq - sq*sq) * sqrt(nn*sdd - sd*sd))) * ((nn*sqd - sq*sd) / (sqrt(nn*sqq - sq*sq) * sqrt(nn*sdd - sd*sd))))
+                * sqrt(1.0 - ((nn*spd - sp*sd) / (sqrt(nn*spp - sp*sp) * sqrt(nn*sdd - sd*sd))) * ((nn*spd - sp*sd) / (sqrt(nn*spp - sp*sp) * sqrt(nn*sdd - sd*sd))))), 6)
+         AS partial_r_qp_given_d
+FROM m
+""",
+    tags=("stats", "partial-correlation", "ml-features"),
+)
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL CORRELATION of quantity and extended price CONTROLLING
+    FOR discount — the confounder-adjusted association (first-order
+    partial r, the 2x2 inverse-correlation entry): what q_corr_matrix
+    reports marginally, adjusted for the third variable. All nine
+    moment sums exact DECIMAL in one pass; the three Pearson r's and
+    the partial composition are ONE double chain written as shared
+    expression text (the q_ols_two_feature recipe) so both engines
+    evaluate the identical tree."""
+    s = _t(spark, sf_dir, "lineitem").select(
+        dec(F.col("l_quantity")).alias("q"),
+        dec(F.col("l_extendedprice")).alias("p"),
+        dec(F.col("l_discount")).alias("d"),
+    )
+    w = lambda c: F.col(c).cast("decimal(19,2)")  # noqa: E731
+    m = s.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum("q").cast("double").alias("sq"),
+        F.sum("p").cast("double").alias("sp"),
+        F.sum("d").cast("double").alias("sd"),
+        F.sum(w("q") * F.col("q")).cast("double").alias("sqq"),
+        F.sum(w("p") * F.col("p")).cast("double").alias("spp"),
+        F.sum(w("d") * F.col("d")).cast("double").alias("sdd"),
+        F.sum(w("q") * F.col("p")).cast("double").alias("sqp"),
+        F.sum(w("q") * F.col("d")).cast("double").alias("sqd"),
+        F.sum(w("p") * F.col("d")).cast("double").alias("spd"),
+    )
+    r_qp = "(nn*sqp - sq*sp) / (sqrt(nn*sqq - sq*sq) * sqrt(nn*spp - sp*sp))"
+    r_qd = "(nn*sqd - sq*sd) / (sqrt(nn*sqq - sq*sq) * sqrt(nn*sdd - sd*sd))"
+    r_pd = "(nn*spd - sp*sd) / (sqrt(nn*spp - sp*sp) * sqrt(nn*sdd - sd*sd))"
+    return m.selectExpr(
+        "CAST(nn AS BIGINT) AS n",
+        f"round({r_qp}, 6) AS r_qp",
+        f"round({r_qd}, 6) AS r_qd",
+        f"round({r_pd}, 6) AS r_pd",
+        f"round((({r_qp}) - ({r_qd}) * ({r_pd}))"
+        f" / (sqrt(1.0 - ({r_qd}) * ({r_qd}))"
+        f" * sqrt(1.0 - ({r_pd}) * ({r_pd}))), 6)"
+        " AS partial_r_qp_given_d",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private noisy counts (Laplace mechanism plumbing)
+# ---------------------------------------------------------------------------
+
+_DP_EPS_NUM, _DP_EPS_DEN = 1, 1  # epsilon = 1.0 (sensitivity-1 count)
+_DP_MULT, _DP_OFF = 912871, 41  # odd => bijective lattice draw per group
+
+# One shared formula text (F.expr + oracle): u in (0,1) from the
+# lattice, Laplace(b=1/eps) by inverse CDF. ln over identical doubles.
+_DP_LAP = (
+    "(CASE WHEN u < 0.5 THEN ln(2.0 * u) ELSE -ln(2.0 * (1.0 - u)) END)"
+    f" * {_DP_EPS_DEN}.0 / {_DP_EPS_NUM}.0"
+)
+
+
+@query(
+    "q_dp_noisy_counts",
+    oracle=f"""
+WITH g AS (
+  SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_nationkey
+),
+u AS (
+  SELECT nk, n,
+         (CAST((nk % {_M}) * {_DP_MULT} + {_DP_OFF} AS BIGINT) % {_M} + 0.5)
+           / {_M} AS u
+  FROM g
+)
+SELECT nk AS nationkey,
+       round(n + {_DP_LAP}, 4) AS noisy_count,
+       {_DP_EPS_NUM}.0 / {_DP_EPS_DEN}.0 AS epsilon
+FROM u
+ORDER BY nationkey
+""",
+    tags=("stats", "privacy", "dp-mechanism"),
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAPLACE-MECHANISM NOISY COUNTS per nation (epsilon = 1,
+    sensitivity-1 counting query) — the RELEASE side of the privacy
+    family (q_k_anonymity_audit / q_l_diversity / q_t_closeness audit
+    what's safe to join; this is the mechanism that publishes an
+    aggregate anyway). Inverse-CDF Laplace draw per group, noise
+    scale = sensitivity/epsilon, the composition-accounting epsilon
+    in the output row.
+
+    HONESTY NOTE (the multimodal-stub contract): the per-group
+    uniform comes from the engine's DETERMINISTIC hash lattice so the
+    mechanism's plumbing is exact-oracle-testable — this is NOT
+    private randomness; a real deployment swaps the lattice draw for
+    a cryptographic RNG and every other line (scale, inverse CDF,
+    epsilon ledger) stands. Scale: one keyed count, noise applied
+    map-side per group row."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    u = g.selectExpr(
+        "nk",
+        "n",
+        f"(CAST((nk % {_M}) * {_DP_MULT} + {_DP_OFF} AS BIGINT)"
+        f" % {_M} + 0.5) / {_M} AS u",
+    )
+    return u.selectExpr(
+        "nk AS nationkey",
+        f"round(n + {_DP_LAP}, 4) AS noisy_count",
+        f"CAST({_DP_EPS_NUM}.0 AS DOUBLE) / {_DP_EPS_DEN}.0 AS epsilon",
+    ).orderBy("nationkey")

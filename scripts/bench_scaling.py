@@ -96,9 +96,21 @@ def main() -> None:
     for _n, s in sorted(specs.items()):
         s.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
 
+    def _drop_persistent_rdds() -> None:
+        # iterative queries localCheckpoint intermediates (lineage
+        # cuts); the blocks live until session end, so without this
+        # the NEXT cell pays the previous cell's storage/GC pressure
+        # (measured: q_kcore_peel 12.3 s alone vs 20-44 s after other
+        # cells). Between-cell cleanup measures each query's own cost.
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(True)
+
     results = {}
     big = f"sf0.{COPIES}x"
     for name, s in sorted(specs.items()):
+        _drop_persistent_rdds()
         t = {}
         for label, d in (("sf0.1", SF_DIR), (big, OUT_DIR)):
             best = float("inf")
