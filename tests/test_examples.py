@@ -33,3 +33,22 @@ def test_train_pipeline_build_corpus(spark):
     )
     assert per_split.get("train", 0) > per_split.get("valid", 0)
     assert per_split.get("train", 0) > per_split.get("test", 0)
+
+
+def test_retrieval_pipeline_context(spark):
+    from retrieval_pipeline import build_context
+
+    ctx = build_context(spark, SF0001).collect()
+    # 5 embedding queries x 5 diversified picks
+    assert len(ctx) == 25
+    by_q = {}
+    for r in ctx:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(r["step"] for r in rs) == [1, 2, 3, 4, 5]
+        # MMR never repeats a doc within a query's context
+        assert len({r["doc_id"] for r in rs}) == 5
+        assert all(r["snippet"] for r in rs)
+    # the lexical-evidence flag is well-formed (both values possible
+    # but at minimum the column exists and is boolean)
+    assert {type(r["rrf_evidence"]) for r in ctx} == {bool}
