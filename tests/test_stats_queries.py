@@ -500,3 +500,53 @@ def test_cramers_v_bounds_and_single_explode(spark):
     for r in rows:
         assert 0.0 <= r["cramers_v"] <= 1.0, r
         assert r["chi2"] >= 0.0
+
+
+def test_theil_two_level_fold_no_global_window(spark):
+    """q_theil_atkinson: no window at all — customer-grain aggregate,
+    term pass, nation partials, 25-row total; the plan must be pure
+    aggregates + broadcast of the 1-row total."""
+    plan = _plan(spark, "q_theil_atkinson")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "keys=[nk" in plan, plan
+
+
+def test_kendall_month_grid_broadcast_pairs(spark):
+    """q_kendall_tau_b: the quadratic step is a broadcast self-join
+    of the month grid (domain-bounded), never a shuffle pair join of
+    raw rows."""
+    plan = _plan(spark, "q_kendall_tau_b")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the input-sized work is the one month-grain aggregate
+    assert "date_format" in plan, plan
+
+
+def test_partial_corr_single_pass_no_join(spark):
+    """q_partial_corr: nine moments in ONE aggregate over lineitem —
+    no join, no window, no second scan."""
+    plan = _plan(spark, "q_partial_corr")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_dp_noisy_counts_map_side_noise(spark):
+    """q_dp_noisy_counts: one keyed count; the Laplace draw is a
+    projection over the 25 group rows (no join, no window, no second
+    input scan)."""
+    plan = _plan(spark, "q_dp_noisy_counts")
+    assert "Join" not in plan, plan
+    assert "keys=[c_nationkey" in plan, plan
+    # determinism: two runs emit identical noise
+    a = sorted(
+        (r["nationkey"], r["noisy_count"])
+        for r in SPECS["q_dp_noisy_counts"].fn(spark, SF0001).collect()
+    )
+    b = sorted(
+        (r["nationkey"], r["noisy_count"])
+        for r in SPECS["q_dp_noisy_counts"].fn(spark, SF0001).collect()
+    )
+    assert a == b
+    # noise is actually applied: no noisy count is an exact integer
+    assert all(abs(v - round(v)) > 1e-9 for _, v in a), a
