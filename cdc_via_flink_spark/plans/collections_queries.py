@@ -854,3 +854,92 @@ def q_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("retained") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch, batch face (the declared-query twin of the
+# ninth maintained-index adapter)
+# ---------------------------------------------------------------------------
+
+
+def _bottomk_oracle() -> str:
+    from cdc_via_flink_spark.streaming.kmv_maintenance import (
+        KMV_K,
+        estimate_sql,
+        kh_sql,
+    )
+
+    return f"""
+WITH hs AS (
+  SELECT DISTINCT {kh_sql("user_id")} AS h, user_id FROM events
+),
+dh AS (
+  SELECT h, min(user_id) AS user_id FROM hs GROUP BY h
+),
+r AS (
+  SELECT h, user_id, row_number() OVER (ORDER BY h) AS rn FROM dh
+),
+topk AS (SELECT * FROM r WHERE rn <= {KMV_K}),
+st AS (
+  SELECT max(h) AS kth, CAST(count(*) AS BIGINT) AS n_state FROM topk
+)
+SELECT CAST(t.rn AS BIGINT) AS rn, CAST(t.h AS BIGINT) AS h,
+       CAST(t.user_id AS BIGINT) AS user_id,
+       {estimate_sql("st.kth", "st.n_state")} AS est_distinct
+FROM topk t CROSS JOIN st
+ORDER BY rn
+"""
+
+
+@query(
+    "q_bottomk_sample",
+    oracle=_bottomk_oracle(),
+    tags=("A3", "kmv", "sample", "sketch"),
+)
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV BOTTOM-k SKETCH, batch face — the declared-query twin of
+    stream_kmv_sample's maintained index: the k=64 smallest hash
+    values over the distinct user ids, which are simultaneously (a) a
+    uniform sample of the distinct users and (b) the
+    (k−1)·M/h_(k) distinct-count estimator (Bar-Yossef et al. 2002).
+    The sketch family's third member next to q_hll_sketch_rollup
+    (estimate only) and q_bitmap_distinct_rollup (exact, state grows).
+
+    Scale shape: one distinct over the hash lattice, then
+    orderBy+limit — TakeOrderedAndProject, each map task forwards at
+    most k rows; the estimate rides a 1-row cross join. The bijective
+    lattice makes the order statistics exact in both engines (ids
+    colliding mod the lattice collapse identically — the documented
+    stand-in-for-xxhash64 contract)."""
+    from cdc_via_flink_spark.streaming.kmv_maintenance import (
+        KMV_K,
+        _kh,
+        estimate_expr,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    dh = (
+        ev.select(
+            _kh(F.col("user_id")).cast("long").alias("h"),
+            F.col("user_id").cast("long").alias("user_id"),
+        )
+        .groupBy("h")
+        .agg(F.min("user_id").alias("user_id"))
+    )
+    from pyspark.sql import Window as W
+
+    topk = dh.orderBy("h").limit(KMV_K)
+    st = topk.agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).cast("long").alias("n_state")
+    )
+    w = W.orderBy("h")
+    return (
+        topk.crossJoin(F.broadcast(st))
+        .select(
+            F.row_number().over(w).cast("long").alias("rn"),
+            "h",
+            "user_id",
+            estimate_expr(F.col("kth"), F.col("n_state")).alias("est_distinct"),
+        )
+        .orderBy("rn")
+    )

@@ -3769,3 +3769,111 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round(n + {_DP_LAP}, 4) AS noisy_count",
         f"CAST({_DP_EPS_NUM}.0 AS DOUBLE) / {_DP_EPS_DEN}.0 AS epsilon",
     ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Energy distance (Székely) between two monthly-mean distributions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_energy_distance",
+    oracle="""
+WITH s AS (
+  SELECT c.c_mktsegment AS seg, strftime(o.o_orderdate, '%Y-%m') AS month,
+         CAST(round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS mv
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY seg, month
+),
+a AS (SELECT mv FROM s WHERE seg = 'BUILDING'),
+b AS (SELECT mv FROM s WHERE seg = 'MACHINERY'),
+xy AS (
+  SELECT CAST(sum(CAST(abs(a.mv - b.mv) AS DECIMAL(28,6))) AS DECIMAL(38,6))
+           AS sd, CAST(count(*) AS BIGINT) AS np
+  FROM a CROSS JOIN b
+),
+xx AS (
+  SELECT CAST(sum(CAST(abs(x.mv - y.mv) AS DECIMAL(28,6))) AS DECIMAL(38,6))
+           AS sd, CAST(count(*) AS BIGINT) AS np
+  FROM a x CROSS JOIN a y
+),
+yy AS (
+  SELECT CAST(sum(CAST(abs(x.mv - y.mv) AS DECIMAL(28,6))) AS DECIMAL(38,6))
+           AS sd, CAST(count(*) AS BIGINT) AS np
+  FROM b x CROSS JOIN b y
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+       round(2.0 * (CAST(xy.sd AS DOUBLE) / xy.np)
+             - CAST(xx.sd AS DOUBLE) / xx.np
+             - CAST(yy.sd AS DOUBLE) / yy.np, 6) AS energy_dist
+FROM xy CROSS JOIN xx CROSS JOIN yy
+""",
+    tags=("stats", "energy-distance", "drift"),
+)
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENERGY DISTANCE (Székely & Rizzo) between two segments'
+    monthly-mean order totals — the kernel-free distribution distance
+    completing the drift toolkit (KS = max CDF gap, PSI/JS = binned
+    divergence, energy = moment-free metric sensitive to ALL
+    distribution differences, zero iff equal): E = 2·mean|X−Y| −
+    mean|X−X'| − mean|Y−Y'| (V-statistic form, diagonal included).
+
+    Exactness: the pairwise |differences| are exact DECIMAL(18,6)
+    values folded as DECIMAL(38,6); the three means and the final
+    combination are one double chain. Scale: the quadratic pair step
+    runs at the MONTH grain (the q_hodges_lehmann argument — ~80²
+    broadcast pairs, never raw rows)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.round(
+                F.sum(dec(F.col("o_totalprice"))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("mv")
+        )
+    )
+    a = s.filter(F.col("seg") == "BUILDING").select(F.col("mv").alias("va"))
+    b = s.filter(F.col("seg") == "MACHINERY").select(F.col("mv").alias("vb"))
+
+    def pair_mean(x: DataFrame, xc: str, y: DataFrame, yc: str):
+        return x.crossJoin(F.broadcast(y)).agg(
+            F.sum(F.abs(F.col(xc) - F.col(yc)).cast("decimal(28,6)"))
+            .cast("decimal(38,6)")
+            .alias("sd"),
+            F.count(F.lit(1)).cast("long").alias("np"),
+        )
+
+    xy = pair_mean(a, "va", b, "vb")
+    xx = pair_mean(a, "va", a.select(F.col("va").alias("vb")), "vb")
+    yy = pair_mean(b.select(F.col("vb").alias("va")), "va", b, "vb")
+    na = a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    mean_of = lambda t: F.col(f"{t}_sd").cast("double") / F.col(f"{t}_np")  # noqa: E731
+    return (
+        xy.select(F.col("sd").alias("xy_sd"), F.col("np").alias("xy_np"))
+        .crossJoin(F.broadcast(xx.select(F.col("sd").alias("xx_sd"), F.col("np").alias("xx_np"))))
+        .crossJoin(F.broadcast(yy.select(F.col("sd").alias("yy_sd"), F.col("np").alias("yy_np"))))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                2.0 * mean_of("xy") - mean_of("xx") - mean_of("yy"), 6
+            ).alias("energy_dist"),
+        )
+    )
