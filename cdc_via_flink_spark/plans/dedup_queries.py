@@ -1837,3 +1837,226 @@ def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-Permutation-Hashing MinHash (densified OPH) — the signature-
+# cost path: one universal hash per shingle instead of NUM_HASHES
+# ---------------------------------------------------------------------------
+
+
+def _sql_oph_cte() -> str:
+    from cdc_via_flink_spark.functions.hashing import P, a_j, b_j
+
+    K = NUM_HASHES
+    cols = ",\n         ".join(
+        f"max(CASE WHEN bin2 = {j} THEN sv + {P} * (sb - bin2) END) AS mh{j}"
+        for j in range(K)
+    )
+    return f"""
+sh AS ({SQL_SHINGLES}),
+hv AS (
+  SELECT doc_id, ({a_j(0)} * ({SQL_TOK} % {P}) + {b_j(0)}) % {P} AS v FROM sh
+),
+fb AS MATERIALIZED (
+  SELECT doc_id, v % {K} AS bin, min(v // {K}) AS inval
+  FROM hv GROUP BY doc_id, v % {K}
+),
+fb2 AS (
+  SELECT doc_id, bin, inval FROM fb
+  UNION ALL SELECT doc_id, bin + {K} AS bin, inval FROM fb
+),
+cov AS (
+  SELECT doc_id, inval, bin AS src_bin,
+         unnest(range(COALESCE(lag(bin) OVER (
+             PARTITION BY doc_id ORDER BY bin), -1) + 1, bin + 1)) AS bin2
+  FROM fb2
+),
+dd AS (
+  SELECT doc_id, bin2, inval AS sv, src_bin AS sb
+  FROM cov WHERE bin2 < {K}
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {cols}
+  FROM dd WHERE bin2 < {K} GROUP BY doc_id
+)"""
+
+
+_OPH_ORACLE = f"""
+WITH {_sql_oph_cte()},
+banded AS ({_sql_bands()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b, i.inter, za.sz AS size_a, zb.sz AS size_b,
+       round(i.inter / (za.sz + zb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE i.inter / (za.sz + zb.sz - i.inter) >= {JACCARD_T}
+"""
+
+
+@query(
+    "dedup_oph_pairs",
+    oracle=_OPH_ORACLE,
+    tags=("X1", "dedup", "lsh", "oph"),
+)
+def dedup_oph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via DENSIFIED ONE-PERMUTATION MinHash (Li, Owen
+    & Zhang 2012; Shrivastava & Li 2014) at the SAME derived
+    (54, 18, 3) sizing and the same banding/verification pipeline as
+    dedup_minhash_lsh — but the signature stage evaluates ONE
+    universal hash per shingle instead of 54. At 100 TB the signature
+    pass is the dominant map-side cost of the dedup pipeline, so this
+    is the 54x-cheaper-signatures operating point; the price is
+    OPH's slightly different collision statistics, MEASURED (not
+    asserted) by dedup_oph_recall_eval. Verification is exact
+    Jaccard, so emitted pairs are exactly as trustworthy — only
+    candidate RECALL can differ from classic MinHash."""
+    from cdc_via_flink_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_on_pairs,
+        lsh_candidate_pairs,
+        oph_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "text", "doc_id")
+    # the signature is doc-count-sized (55 longs/doc); snapshotting it
+    # stops the composable banding's 18 band projections + the skew
+    # probe from re-inlining the whole shingle pipeline (measured
+    # 85.7 s -> ~8 s at sf0.1)
+    sig = oph_signatures(sh, NUM_HASHES).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(sig, BANDS, ROWS)
+    verified = jaccard_on_pairs(cand, sh)
+    return verified.filter(F.col("jaccard") >= JACCARD_T).select(
+        "id_a",
+        "id_b",
+        "inter",
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+_OPH_RECALL_ORACLE = f"""
+WITH {_sql_oph_cte()},
+banded AS ({_sql_bands()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+allinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT i.id_a, i.id_b
+  FROM allinter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+  WHERE i.inter / (za.sz + zb.sz - i.inter) >= {JACCARD_T}
+),
+u AS (
+  SELECT COALESCE(e.id_a, c.id_a) AS id_a,
+         (e.id_a IS NOT NULL) AS is_exact,
+         (c.id_a IS NOT NULL) AS is_cand
+  FROM exact e FULL OUTER JOIN cand c
+    ON e.id_a = c.id_a AND e.id_b = c.id_b
+)
+SELECT CAST(count(CASE WHEN is_exact THEN 1 END) AS BIGINT) AS n_exact,
+       CAST(count(CASE WHEN is_cand THEN 1 END) AS BIGINT) AS n_candidates,
+       CAST(count(CASE WHEN is_exact AND is_cand THEN 1 END) AS BIGINT) AS tp,
+       CAST(count(CASE WHEN is_exact AND NOT is_cand THEN 1 END) AS BIGINT)
+         AS fn,
+       round(CAST(count(CASE WHEN is_exact AND is_cand THEN 1 END) AS DOUBLE)
+             / count(CASE WHEN is_exact THEN 1 END), 6) AS recall
+FROM u
+"""
+
+
+@query(
+    "dedup_oph_recall_eval",
+    oracle=_OPH_RECALL_ORACLE,
+    tags=("X1", "dedup", "oph", "evaluation"),
+)
+def dedup_oph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPH CANDIDATE RECALL vs exact ground truth — the honest price
+    tag on dedup_oph_pairs' 54x signature saving: same in-engine
+    audit as dedup_lsh_recall_eval (exact shingle-Jaccard >= 0.5
+    ground truth, full-outer pair-set comparison, one summary row),
+    candidates from the DENSIFIED OPH signature at the identical
+    derived (54, 18, 3) sizing. Run both audits on a corpus sample;
+    if OPH recall is within budget, take the cheap signatures for
+    the 100 TB pass."""
+    from cdc_via_flink_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        oph_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "text", "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    allinter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    exact = (
+        allinter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("za")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("zb")),
+            "id_b",
+        )
+        .filter(
+            F.col("inter") / (F.col("za") + F.col("zb") - F.col("inter"))
+            >= JACCARD_T
+        )
+        .select("id_a", "id_b", F.lit(True).alias("is_exact"))
+    )
+    sig = oph_signatures(sh, NUM_HASHES).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(sig, BANDS, ROWS).select(
+        "id_a", "id_b", F.lit(True).alias("is_cand")
+    )
+    u = exact.join(cand, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce(F.col("is_exact"), F.lit(False)).alias("is_exact"),
+        F.coalesce(F.col("is_cand"), F.lit(False)).alias("is_cand"),
+    )
+    return u.agg(
+        F.count(F.when(F.col("is_exact"), 1)).cast("long").alias("n_exact"),
+        F.count(F.when(F.col("is_cand"), 1)).cast("long").alias("n_candidates"),
+        F.count(F.when(F.col("is_exact") & F.col("is_cand"), 1))
+        .cast("long")
+        .alias("tp"),
+        F.count(F.when(F.col("is_exact") & ~F.col("is_cand"), 1))
+        .cast("long")
+        .alias("fn"),
+        F.round(
+            F.count(F.when(F.col("is_exact") & F.col("is_cand"), 1)).cast(
+                "double"
+            )
+            / F.count(F.when(F.col("is_exact"), 1)),
+            6,
+        ).alias("recall"),
+    )

@@ -280,3 +280,44 @@ def test_capture_recapture_invariants(spark):
         assert r["coverage"] <= 1.000001, r
         assert r["n_hat"] >= seen - 1.0, r
         assert abs((r["n_hat"] - seen) - r["unseen_est"]) < 0.02, r
+
+
+def test_oph_signatures_match_python_reference(spark):
+    """oph_signatures == an independently-written densified-OPH
+    (one hash, value-range binning, rightward circular borrow with
+    distance encoding) on the small fixture — the shared-algebra
+    guard (the q_spearman_corr lesson), plus the drop-in contract:
+    column names match minhash_signatures' mh{j} layout."""
+    import hashlib
+
+    from cdc_via_flink_spark.functions.hashing import P, a_j, b_j
+    from cdc_via_flink_spark.operators.dedup import doc_shingles, oph_signatures
+    from cdc_via_flink_spark.sources.tables import load_table
+
+    K = 8
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    sh = doc_shingles(d, "text", "doc_id")
+    got = {
+        r["doc_id"]: [r[f"mh{j}"] for j in range(K)]
+        for r in oph_signatures(sh, K).collect()
+    }
+
+    by_doc = {}
+    for r in sh.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["sh"])
+    a0, b0 = a_j(0), b_j(0)
+    for doc, shs in by_doc.items():
+        bins = {}
+        for s in shs:
+            t = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            v = (a0 * (t % P) + b0) % P
+            b = v % K
+            bins[b] = min(bins.get(b, 1 << 62), v // K)
+        sig = []
+        for j in range(K):
+            # rightward circular borrow on the doubled axis: the
+            # first position >= j (positions 0..2K-1, position p
+            # filled iff bin p % K is filled)
+            src = next(p for p in range(j, 2 * K) if p % K in bins)
+            sig.append(bins[src % K] + P * (src - j))
+        assert got[doc] == sig, (doc, got[doc], sig)
