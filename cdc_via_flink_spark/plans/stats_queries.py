@@ -3877,3 +3877,414 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("energy_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Regression discontinuity (local-linear at a cutoff)
+# ---------------------------------------------------------------------------
+
+_RD_CUT = 250000  # running variable: order total; cutoff + bandwidth
+_RD_BW = 100000
+
+_RD_SIDE = (
+    "(s{s}_sxy * s{s}_n - s{s}_sx * s{s}_sy)"
+    " / (s{s}_sxx * s{s}_n - s{s}_sx * s{s}_sx)"
+)
+_RD_AT = (
+    "(s{s}_sy / s{s}_n + ({slope}) * ({cut} - s{s}_sx / s{s}_n))"
+)
+
+
+@query(
+    "q_regression_discontinuity",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+  WHERE o_totalprice >= {_RD_CUT - _RD_BW}
+    AND o_totalprice < {_RD_CUT + _RD_BW}
+),
+m AS (
+  SELECT
+    CAST(sum(CASE WHEN x < {_RD_CUT} THEN 1 ELSE 0 END) AS DOUBLE) AS sl_n,
+    CAST(sum(CASE WHEN x < {_RD_CUT} THEN x END) AS DOUBLE) AS sl_sx,
+    CAST(sum(CASE WHEN x < {_RD_CUT} THEN y END) AS DOUBLE) AS sl_sy,
+    CAST(sum(CASE WHEN x < {_RD_CUT}
+                  THEN CAST(x AS DECIMAL(19,2)) * x END) AS DOUBLE) AS sl_sxx,
+    CAST(sum(CASE WHEN x < {_RD_CUT} THEN x * y END) AS DOUBLE) AS sl_sxy,
+    CAST(sum(CASE WHEN x >= {_RD_CUT} THEN 1 ELSE 0 END) AS DOUBLE) AS sr_n,
+    CAST(sum(CASE WHEN x >= {_RD_CUT} THEN x END) AS DOUBLE) AS sr_sx,
+    CAST(sum(CASE WHEN x >= {_RD_CUT} THEN y END) AS DOUBLE) AS sr_sy,
+    CAST(sum(CASE WHEN x >= {_RD_CUT}
+                  THEN CAST(x AS DECIMAL(19,2)) * x END) AS DOUBLE) AS sr_sxx,
+    CAST(sum(CASE WHEN x >= {_RD_CUT} THEN x * y END) AS DOUBLE) AS sr_sxy
+  FROM s
+)
+SELECT CAST(sl_n AS BIGINT) AS n_left, CAST(sr_n AS BIGINT) AS n_right,
+       round({_RD_SIDE.format(s='l')}, 9) + 0.0 AS slope_left,
+       round({_RD_SIDE.format(s='r')}, 9) + 0.0 AS slope_right,
+       round(
+         ({_RD_AT.format(s='r', slope=_RD_SIDE.format(s='r'), cut=_RD_CUT)})
+         - ({_RD_AT.format(s='l', slope=_RD_SIDE.format(s='l'), cut=_RD_CUT)}),
+         6) + 0.0 AS rd_estimate
+FROM m
+""",
+    tags=("stats", "causal", "regression-discontinuity"),
+)
+def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGRESSION DISCONTINUITY at a price cutoff — the third member
+    of the causal toolkit (q_diff_in_diff = parallel trends,
+    q_uplift_by_segment = randomized lift, RD = assignment by
+    threshold): local-linear fits on each side of the cutoff inside
+    the bandwidth, treatment effect = the jump between the two fitted
+    values AT the cutoff. TPC-H has no true discontinuity, so the
+    estimate is honestly ≈0 — the operator is the point (same
+    contract as q_newman_modularity's near-zero Q).
+
+    Exactness: side moments from one CASE-split aggregate pass
+    (exact sums, (19,2)-widened squares), both slopes and the jump as
+    shared formula text in one double chain."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= _RD_CUT - _RD_BW)
+        & (F.col("o_totalprice") < _RD_CUT + _RD_BW)
+    )
+    s = o.select(
+        dec(F.col("o_totalprice")).alias("x"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    left = F.col("x") < _RD_CUT
+
+    def side(tag, cond):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("double").alias(f"s{tag}_n"),
+            F.sum(F.when(cond, F.col("x"))).cast("double").alias(f"s{tag}_sx"),
+            F.sum(F.when(cond, F.col("y"))).cast("double").alias(f"s{tag}_sy"),
+            F.sum(F.when(cond, F.col("x").cast("decimal(19,2)") * F.col("x")))
+            .cast("double")
+            .alias(f"s{tag}_sxx"),
+            F.sum(F.when(cond, F.col("x") * F.col("y")))
+            .cast("double")
+            .alias(f"s{tag}_sxy"),
+        ]
+
+    m = s.agg(*(side("l", left) + side("r", ~left)))
+    sl = _RD_SIDE.format(s="l")
+    sr = _RD_SIDE.format(s="r")
+    return m.selectExpr(
+        "CAST(sl_n AS BIGINT) AS n_left",
+        "CAST(sr_n AS BIGINT) AS n_right",
+        f"round({sl}, 9) + 0.0 AS slope_left",
+        f"round({sr}, 9) + 0.0 AS slope_right",
+        f"round(({_RD_AT.format(s='r', slope=sr, cut=_RD_CUT)})"
+        f" - ({_RD_AT.format(s='l', slope=sl, cut=_RD_CUT)}), 6) + 0.0"
+        " AS rd_estimate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Instrumental-variable Wald (LATE) estimate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_iv_wald_estimate",
+    oracle="""
+WITH cust AS (
+  SELECT c.c_custkey,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS z,
+         CASE WHEN count(o.o_orderkey) >= 10 THEN 1 ELSE 0 END AS d,
+         CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+              AS DECIMAL(28,2)) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(z) AS DOUBLE) AS nz,
+         CAST(sum(1 - z) AS DOUBLE) AS nnz,
+         CAST(sum(CASE WHEN z = 1 THEN d END) AS DOUBLE) AS d1,
+         CAST(sum(CASE WHEN z = 0 THEN d END) AS DOUBLE) AS d0,
+         CAST(sum(CASE WHEN z = 1 THEN y END) AS DOUBLE) AS y1,
+         CAST(sum(CASE WHEN z = 0 THEN y END) AS DOUBLE) AS y0
+  FROM cust
+)
+SELECT n,
+       round(d1 / nz - d0 / nnz, 6) AS first_stage,
+       round(y1 / nz - y0 / nnz, 6) AS reduced_form,
+       round((y1 / nz - y0 / nnz) / (d1 / nz - d0 / nnz), 6) AS wald_late
+FROM m
+""",
+    tags=("stats", "causal", "instrumental-variable"),
+)
+def q_iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSTRUMENTAL-VARIABLE WALD ESTIMATE (the LATE under a binary
+    instrument) — the fourth causal-toolkit member (DiD, uplift, RD,
+    IV): first stage E[D|Z=1]−E[D|Z=0], reduced form on the outcome,
+    Wald ratio = the effect of engagement (≥10 orders) on spend for
+    instrument-compliers. The fixture's instrument (segment
+    membership) is ILLUSTRATIVE — TPC-H has no true random
+    encouragement, so the number demonstrates the estimator, not an
+    effect; the operator mechanics (binary-split exact means, one
+    ratio) are what a real encouragement-design pipeline runs.
+
+    Exactness: per-customer (z, d, y) from one LEFT-JOIN aggregate,
+    four exact conditional sums, one shared double chain."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec(F.col("o_totalprice"))), F.lit(0).cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("y"),
+        )
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("z"),
+            F.when(F.col("n_orders") >= 10, 1).otherwise(0).alias("d"),
+            "y",
+        )
+    )
+    m = cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("double").alias("nz"),
+        F.sum(1 - F.col("z")).cast("double").alias("nnz"),
+        F.sum(F.when(F.col("z") == 1, F.col("d"))).cast("double").alias("d1"),
+        F.sum(F.when(F.col("z") == 0, F.col("d"))).cast("double").alias("d0"),
+        F.sum(F.when(F.col("z") == 1, F.col("y"))).cast("double").alias("y1"),
+        F.sum(F.when(F.col("z") == 0, F.col("y"))).cast("double").alias("y0"),
+    )
+    return m.selectExpr(
+        "n",
+        "round(d1 / nz - d0 / nnz, 6) AS first_stage",
+        "round(y1 / nz - y0 / nnz, 6) AS reduced_form",
+        "round((y1 / nz - y0 / nnz) / (d1 / nz - d0 / nnz), 6) AS wald_late",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Propensity-style nearest-neighbor matching (with replacement) + ATT
+# ---------------------------------------------------------------------------
+
+_PSM_CALIPER = 50.0  # max |score gap| for a valid match (acctbal units)
+
+
+@query(
+    "q_propensity_att",
+    oracle=f"""
+WITH cust AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CAST(c.c_acctbal AS DECIMAL(18,2)) AS score,
+         CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+              AS DECIMAL(28,2)) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal
+),
+ctl AS (
+  SELECT score, min(c_custkey) AS ctl_id
+  FROM cust WHERE c_mktsegment = 'MACHINERY' GROUP BY score
+),
+ctly AS (
+  SELECT l.score, l.ctl_id, c.y AS ctl_y
+  FROM ctl l JOIN cust c ON c.c_custkey = l.ctl_id
+),
+ev AS (
+  SELECT score, NULL AS t_id, CAST(NULL AS DECIMAL(28,2)) AS t_y,
+         ctl_id, ctl_y, 0 AS is_t
+  FROM ctly
+  UNION ALL
+  SELECT score, c_custkey AS t_id, y AS t_y, NULL, NULL, 1 AS is_t
+  FROM cust WHERE c_mktsegment = 'BUILDING'
+),
+scan AS (
+  SELECT *,
+         last_value(CASE WHEN is_t = 0 THEN score END IGNORE NULLS)
+           OVER wb AS lo_s,
+         last_value(CASE WHEN is_t = 0 THEN ctl_y END IGNORE NULLS)
+           OVER wb AS lo_y,
+         first_value(CASE WHEN is_t = 0 THEN score END IGNORE NULLS)
+           OVER wf AS hi_s,
+         first_value(CASE WHEN is_t = 0 THEN ctl_y END IGNORE NULLS)
+           OVER wf AS hi_y
+  FROM ev
+  WINDOW wb AS (ORDER BY score, is_t, t_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (ORDER BY score, is_t, t_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+matched AS (
+  SELECT t_id, t_y,
+         CASE WHEN hi_s IS NULL THEN lo_y
+              WHEN lo_s IS NULL THEN hi_y
+              WHEN score - lo_s <= hi_s - score THEN lo_y ELSE hi_y END AS m_y,
+         CASE WHEN hi_s IS NULL THEN score - lo_s
+              WHEN lo_s IS NULL THEN hi_s - score
+              WHEN score - lo_s <= hi_s - score
+                THEN score - lo_s ELSE hi_s - score END AS gap
+  FROM scan WHERE is_t = 1
+),
+kept AS (SELECT * FROM matched WHERE gap <= {_PSM_CALIPER})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM matched) AS n_treated,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       round(CAST(sum(CAST(t_y - m_y AS DECIMAL(28,2))) AS DOUBLE)
+             / count(*), 6) AS att,
+       round(CAST(sum(gap) AS DOUBLE) / count(*), 6) AS mean_score_gap
+FROM kept
+""",
+    tags=("stats", "causal", "matching"),
+)
+def q_propensity_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-NEIGHBOR MATCHING (with replacement, caliper) + ATT —
+    the fifth causal-toolkit member: each treated customer (BUILDING)
+    matches the nearest control (MACHINERY) on the balancing score
+    (acctbal stands in for a fitted propensity; the MATCHING operator
+    is the point), ties broken deterministically (per-score control
+    representative = min custkey; equidistant neighbors prefer the
+    lower score), matches beyond the caliper dropped, ATT = mean
+    treated-minus-matched-control spend.
+
+    Scale shape: nearest-neighbor matching is the AS-OF pattern, not
+    a pair join — the two cohorts union into one score-ordered stream
+    and backward/forward ignore-nulls fills pick each treated row's
+    bracketing controls. The fill is the TWO-LEVEL bucketed form (the
+    KS prefix-sum recipe): score-domain buckets run their windows
+    keyed (parallel), only ~24 per-bucket boundary controls cross
+    buckets through the one global window, and the result equals the
+    single global scan exactly (the oracle's form). With replacement,
+    matching is embarrassingly declarative — greedy
+    without-replacement is the sequential variant a single-partition
+    pass would own."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    o = _t(spark, sf_dir, "orders")
+    cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
+        .agg(
+            F.coalesce(
+                F.sum(dec(F.col("o_totalprice"))), F.lit(0).cast("decimal(18,2)")
+            )
+            .cast("decimal(28,2)")
+            .alias("y")
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            dec(F.col("c_acctbal")).alias("score"),
+            "y",
+        )
+    )
+    ctl = (
+        cust.filter(F.col("c_mktsegment") == "MACHINERY")
+        .groupBy("score")
+        .agg(F.min("c_custkey").alias("ctl_id"))
+    )
+    ctly = ctl.join(
+        cust.select(F.col("c_custkey").alias("ctl_id"), F.col("y").alias("ctl_y")),
+        "ctl_id",
+    )
+    ev = ctly.select(
+        "score",
+        F.lit(None).cast("long").alias("t_id"),
+        F.lit(None).cast("decimal(28,2)").alias("t_y"),
+        "ctl_y",
+        F.lit(0).alias("is_t"),
+    ).unionByName(
+        cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+            "score",
+            F.col("c_custkey").alias("t_id"),
+            F.col("y").alias("t_y"),
+            F.lit(None).cast("decimal(28,2)").alias("ctl_y"),
+            F.lit(1).alias("is_t"),
+        )
+    )
+    # two-level bucketed fill (the KS prefix-sum recipe): bucket by
+    # the SCORE DOMAIN, in-bucket backward/forward ignore-nulls
+    # windows run bucket-keyed (parallel), and only the ~24 per-bucket
+    # boundary controls cross buckets through a global window — the
+    # single-partition scan never sees input-sized rows. Produces
+    # exactly the global scan's matches (carry = the previous/next
+    # bucket's boundary control).
+    ev = ev.withColumn("bkt", F.floor(F.col("score") / 500).cast("long"))
+    wb = W.partitionBy("bkt").orderBy("score", "is_t", "t_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wf = W.partitionBy("bkt").orderBy("score", "is_t", "t_id").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    ctl_score = F.when(F.col("is_t") == 0, F.col("score"))
+    ctl_yv = F.when(F.col("is_t") == 0, F.col("ctl_y"))
+    local = ev.select(
+        "*",
+        F.last(ctl_score, ignorenulls=True).over(wb).alias("l_lo_s"),
+        F.last(ctl_yv, ignorenulls=True).over(wb).alias("l_lo_y"),
+        F.first(ctl_score, ignorenulls=True).over(wf).alias("l_hi_s"),
+        F.first(ctl_yv, ignorenulls=True).over(wf).alias("l_hi_y"),
+    )
+    bounds = (
+        ev.filter(F.col("is_t") == 0)
+        .groupBy("bkt")
+        .agg(
+            F.max(F.struct("score", "ctl_y")).alias("mx"),
+            F.min(F.struct("score", "ctl_y")).alias("mn"),
+        )
+    )
+    wcb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    wcf = W.orderBy("bkt").rowsBetween(1, W.unboundedFollowing)
+    # carries on the FULL bucket grid (a bucket with no controls at
+    # all still needs its neighbors' boundary controls)
+    grid = ev.select("bkt").distinct()
+    carry_full = (
+        grid.join(bounds, "bkt", "left")
+        .select(
+            "bkt",
+            F.last("mx", ignorenulls=True).over(wcb).alias("c_lo"),
+            F.first("mn", ignorenulls=True).over(wcf).alias("c_hi"),
+        )
+    )
+    scan = (
+        local.join(F.broadcast(carry_full), "bkt")
+        .select(
+            "*",
+            F.coalesce(F.col("l_lo_s"), F.col("c_lo.score")).alias("lo_s"),
+            F.coalesce(F.col("l_lo_y"), F.col("c_lo.ctl_y")).alias("lo_y"),
+            F.coalesce(F.col("l_hi_s"), F.col("c_hi.score")).alias("hi_s"),
+            F.coalesce(F.col("l_hi_y"), F.col("c_hi.ctl_y")).alias("hi_y"),
+        )
+        .filter(F.col("is_t") == 1)
+    )
+    lo_gap = F.col("score") - F.col("lo_s")
+    hi_gap = F.col("hi_s") - F.col("score")
+    prefer_lo = F.col("hi_s").isNull() | (
+        F.col("lo_s").isNotNull() & (lo_gap <= hi_gap)
+    )
+    matched = scan.select(
+        "t_id",
+        "t_y",
+        F.when(prefer_lo, F.col("lo_y")).otherwise(F.col("hi_y")).alias("m_y"),
+        F.when(prefer_lo, lo_gap).otherwise(hi_gap).alias("gap"),
+    )
+    kept = matched.filter(F.col("gap") <= _PSM_CALIPER)
+    nt = matched.agg(F.count(F.lit(1)).cast("long").alias("n_treated"))
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.round(
+            F.sum((F.col("t_y") - F.col("m_y")).cast("decimal(28,2)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("att"),
+        F.round(
+            F.sum("gap").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_score_gap"),
+    ).crossJoin(F.broadcast(nt)).select(
+        "n_treated", "n_matched", "att", "mean_score_gap"
+    )

@@ -550,3 +550,12 @@ def test_dp_noisy_counts_map_side_noise(spark):
     assert a == b
     # noise is actually applied: no noisy count is an exact integer
     assert all(abs(v - round(v)) > 1e-9 for _, v in a), a
+
+
+def test_propensity_matching_two_level_fill(spark):
+    """q_propensity_att: the in-bucket fills are bkt-keyed windows;
+    the only unpartitioned windows consume the ~24-row bucket grid
+    (the KS two-level recipe applied to nearest-neighbor matching)."""
+    plan = _plan(spark, "q_propensity_att")
+    assert "windowspecdefinition(bkt" in plan, plan
+    assert "CartesianProduct" not in plan, plan
