@@ -179,3 +179,19 @@ def test_meta_validation(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(idx + "/base/meta")
     with pytest.raises(ValueError, match="uses k=32"):
         read_kmv_meta(spark, idx + "/base/meta")
+
+
+def test_small_index_estimate_is_exact_count(spark, tmp_path):
+    """With fewer distinct ids than k, every distinct hash fits in
+    the sketch and the estimator must return the EXACT count (the
+    n_state < k branch of estimate_expr), not the (k-1)M/h_(k)
+    extrapolation."""
+    base, _ = _split(spark)
+    small = base.distinct().limit(20)
+    idx = str(tmp_path / "small_idx")
+    save_streaming_kmv_index(small, idx)
+    n = len({r["user_id"] for r in small.collect()})
+    # ids may collide on the lattice; the sketch's truth is distinct h
+    hs = {((r["user_id"] % _LAT) * _MULT + _OFF) % _LAT for r in small.collect()}
+    est = kmv_estimate(spark, idx).head()["est_distinct"]
+    assert est == float(len(hs)), (est, n, len(hs))
