@@ -516,3 +516,594 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (Fleming-Harrington survival)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_nelson_aalen",
+    oracle=f"""
+WITH r AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+dur AS (
+  SELECT f.o_custkey,
+         CASE WHEN s.o_orderdate IS NOT NULL THEN 1 ELSE 0 END AS ev,
+         least(CAST(floor(date_diff('day', f.o_orderdate,
+                 COALESCE(s.o_orderdate, horizon.h)) / 7) AS BIGINT),
+               {_KM_MAX_WEEK}) AS wk
+  FROM (SELECT * FROM r WHERE rn = 1) f
+  LEFT JOIN (SELECT * FROM r WHERE rn = 2) s ON f.o_custkey = s.o_custkey
+  CROSS JOIN horizon
+),
+g AS (
+  SELECT wk, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(ev) AS BIGINT) AS d_events
+  FROM dur GROUP BY wk
+),
+risk AS (
+  SELECT wk, d_events,
+         CAST(sum(n_total) OVER (ORDER BY wk DESC) AS BIGINT) AS n_risk
+  FROM g
+),
+haz AS (
+  SELECT wk, n_risk, d_events,
+         CAST(round(CAST(d_events AS DOUBLE) / n_risk, 12)
+              AS DECIMAL(28,12)) AS h
+  FROM risk
+),
+na AS (
+  SELECT wk, n_risk, d_events,
+         CAST(sum(h) OVER (ORDER BY wk) AS DOUBLE) AS ch
+  FROM haz
+)
+SELECT wk, n_risk, d_events,
+       round(ch, 6) AS cum_hazard,
+       round(exp(-ch), 6) AS s_fleming
+FROM na
+ORDER BY wk
+""",
+    tags=("sequence", "survival", "nelson-aalen"),
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN CUMULATIVE HAZARD of time-to-repeat-purchase, and
+    the Fleming-Harrington survival exp(-H(t)) it induces — the
+    sum-of-hazards counterpart to q_survival_km's product-limit
+    estimator (the two agree closely where weekly hazards are small
+    and diverge exactly where conversion spikes, which is the
+    diagnostic the pair exists for).
+
+    Scale/parity: identical shape to q_survival_km — one
+    customer-keyed row_number window is the only input-sized work;
+    the cumulative sum runs over the <=53-week grid. Each weekly
+    hazard d_t/n_t is one double divide ROUNDED to 12 dp and folded
+    as DECIMAL(28,12), so the running sum H(t) is
+    association-order-independent and bit-equal across engines;
+    exp(-H) is one libm call over identical doubles."""
+    o = _t(spark, sf_dir, "orders")
+    r = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number()
+        .over(W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("rn"),
+    )
+    f = r.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("d1")
+    )
+    s = r.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("o_orderdate").alias("d2")
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    dur = (
+        f.join(s, "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.least(
+                F.floor(
+                    F.datediff(F.coalesce(F.col("d2"), F.col("h")), F.col("d1"))
+                    / 7
+                ).cast("long"),
+                F.lit(_KM_MAX_WEEK).cast("long"),
+            ).alias("wk"),
+        )
+    )
+    g = dur.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("ev").cast("long").alias("d_events"),
+    )
+    risk = g.select(
+        "wk",
+        "d_events",
+        F.sum("n_total").over(W.orderBy(F.col("wk").desc())).cast("long").alias(
+            "n_risk"
+        ),
+    )
+    haz = risk.select(
+        "wk",
+        "n_risk",
+        "d_events",
+        F.round(F.col("d_events").cast("double") / F.col("n_risk"), 12)
+        .cast("decimal(28,12)")
+        .alias("h"),
+    )
+    na = haz.select(
+        "wk",
+        "n_risk",
+        "d_events",
+        F.sum("h").over(W.orderBy("wk")).cast("double").alias("ch"),
+    )
+    return na.select(
+        "wk",
+        "n_risk",
+        "d_events",
+        F.round("ch", 6).alias("cum_hazard"),
+        F.round(F.exp(-F.col("ch")), 6).alias("s_fleming"),
+    ).orderBy("wk")
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value attribution over channel-exposure coalitions
+# ---------------------------------------------------------------------------
+
+_SHAP_LATTICE_CAP = 127  # static subset enumeration bound (supports <=7 channels)
+
+
+@query(
+    "q_attribution_shapley",
+    oracle=f"""
+WITH ch AS MATERIALIZED (
+  SELECT channel, CAST(row_number() OVER (ORDER BY channel) - 1 AS INT) AS idx
+  FROM (SELECT DISTINCT event_type AS channel FROM events
+        WHERE event_type <> 'purchase')
+),
+n AS (SELECT CAST(count(*) AS INT) AS nch FROM ch),
+ue AS (
+  SELECT DISTINCT e.user_id, ch.idx
+  FROM events e JOIN ch ON e.event_type = ch.channel
+),
+um AS (
+  SELECT user_id, CAST(sum(1 << idx) AS BIGINT) AS mask
+  FROM ue GROUP BY user_id
+),
+conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+coh AS (
+  SELECT um.mask,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_conv
+  FROM um LEFT JOIN conv c ON um.user_id = c.user_id
+  GROUP BY um.mask
+),
+r AS MATERIALIZED (
+  SELECT mask,
+         CAST(round(CAST(n_conv AS DOUBLE) / n_users, 12)
+              AS DECIMAL(18,12)) AS cr
+  FROM coh
+),
+lat AS (
+  SELECT CAST(g AS BIGINT) AS mask
+  FROM generate_series(0, {_SHAP_LATTICE_CAP}) t(g)
+  WHERE g < (SELECT 1 << nch FROM n)
+),
+pairs AS (
+  SELECT c.channel, c.idx, l.mask
+  FROM ch c CROSS JOIN lat l
+  WHERE (l.mask & (1 << c.idx)) = 0
+),
+contrib AS (
+  SELECT p.channel,
+         CAST(factorial(bit_count(p.mask))
+              * factorial((SELECT nch FROM n) - 1 - bit_count(p.mask))
+              AS BIGINT) AS w,
+         COALESCE(rw.cr, CAST(0 AS DECIMAL(18,12)))
+           - COALESCE(ro.cr, CAST(0 AS DECIMAL(18,12))) AS marg
+  FROM pairs p
+  LEFT JOIN r rw ON rw.mask = (p.mask | (1 << p.idx))
+  LEFT JOIN r ro ON ro.mask = p.mask
+),
+phi AS (
+  SELECT channel,
+         CAST(sum(w * marg) AS DOUBLE)
+           / CAST((SELECT factorial(nch) FROM n) AS DOUBLE) AS phi
+  FROM contrib GROUP BY channel
+),
+tot AS (
+  SELECT CAST(sum(CAST(round(phi, 12) AS DECIMAL(28,12))) AS DOUBLE) AS total
+  FROM phi
+)
+SELECT p.channel,
+       round(p.phi, 6) AS shapley_value,
+       round(CASE WHEN t.total <> 0 THEN p.phi / t.total ELSE 0.0 END, 6)
+         AS credit_share
+FROM phi p CROSS JOIN tot t
+ORDER BY p.channel
+""",
+    tags=("sequence", "attribution", "shapley"),
+)
+def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SHAPLEY-VALUE ATTRIBUTION (Shapley 1953, as used for
+    marketing credit in Zhao et al. 2018): the coalition worth
+    v(S) is the observed conversion RATE of users exposed to exactly
+    channel subset S, and each channel's credit is its exact Shapley
+    value phi_i = sum_S |S|!(n-1-|S|)!/n! * (v(S+i) - v(S)) — the
+    principled alternative to the heuristic last-touch/linear rules
+    (this one uniquely satisfies efficiency + symmetry + dummy).
+
+    Scale shape: the ONLY input-sized work is one distinct + groupBy
+    per user (exposure bitmask via sum of distinct channel bits, one
+    shuffle on user_id); everything Shapley runs on the 2^n-subset
+    lattice (n = |channels|, statically enumerated to 128 rows and
+    pruned to the observed channel count), so a 100 TB event log
+    costs the same lattice work as a 10 GB one. Exactness: coalition
+    rates are 12-dp DECIMAL, permutation weights are INTEGER
+    factorials (phi scaled by n! stays integer-weighted DECIMAL until
+    one final double divide), so both engines agree bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    ch = (
+        e.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("channel"))
+        .distinct()
+        .select(
+            "channel",
+            (F.row_number().over(W.orderBy("channel")) - 1)
+            .cast("int")
+            .alias("idx"),
+        )
+    )
+    n = ch.agg(F.count(F.lit(1)).cast("int").alias("nch"))
+    ue = (
+        e.join(F.broadcast(ch), e.event_type == ch.channel)
+        .select("user_id", "idx")
+        .distinct()
+    )
+    um = ue.groupBy("user_id").agg(
+        F.sum(F.expr("shiftleft(1, idx)")).cast("long").alias("mask")
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    coh = (
+        um.join(conv.withColumn("cv", F.lit(1)), "user_id", "left")
+        .groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.coalesce(F.col("cv"), F.lit(0))).cast("long").alias("n_conv"),
+        )
+    )
+    r = coh.select(
+        "mask",
+        F.round(F.col("n_conv").cast("double") / F.col("n_users"), 12)
+        .cast("decimal(18,12)")
+        .alias("cr"),
+    )
+    lat = (
+        spark.range(1)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(_SHAP_LATTICE_CAP))).alias("g")
+        )
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("g") < F.expr("shiftleft(1, nch)"))
+        .select(F.col("g").cast("long").alias("mask"), "nch")
+    )
+    pairs = ch.crossJoin(lat).filter(
+        F.col("mask").bitwiseAND(F.expr("shiftleft(1, idx)")) == 0
+    ).withColumn("mask_w", F.expr("cast(mask | shiftleft(1, idx) as bigint)"))
+    zero = F.lit(0).cast("decimal(18,12)")
+    rw = r.select(F.col("mask").alias("mw"), F.col("cr").alias("cr_w"))
+    ro = r.select(F.col("mask").alias("mo"), F.col("cr").alias("cr_o"))
+    contrib = (
+        pairs.join(
+            F.broadcast(rw),
+            pairs.mask_w == rw.mw,
+            "left",
+        )
+        .join(F.broadcast(ro), pairs.mask == ro.mo, "left")
+        .select(
+            "channel",
+            "nch",
+            (
+                F.factorial(F.bit_count(F.col("mask")).cast("int"))
+                * F.factorial(F.col("nch") - 1 - F.bit_count(F.col("mask")).cast("int"))
+            )
+            .cast("long")
+            .alias("w"),
+            (
+                F.coalesce(F.col("cr_w"), zero) - F.coalesce(F.col("cr_o"), zero)
+            ).alias("marg"),
+        )
+    )
+    phi = contrib.groupBy("channel", "nch").agg(
+        (
+            F.sum(F.col("w") * F.col("marg")).cast("double")
+            / F.factorial(F.col("nch").cast("int")).cast("double")
+        ).alias("phi")
+    )
+    tot = phi.agg(
+        F.sum(F.round(F.col("phi"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("total")
+    )
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.round("phi", 6).alias("shapley_value"),
+            F.round(
+                F.when(
+                    F.col("total") != 0, F.col("phi") / F.col("total")
+                ).otherwise(0.0),
+                6,
+            ).alias("credit_share"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (absorbing chain, log-step squaring)
+# ---------------------------------------------------------------------------
+
+# Channel universe is a PARAMETER of the operator (the removal chains are
+# enumerated per channel); pinned to the synthetic event vocabulary here.
+_MKV_CHANNELS = ("click", "error", "signup", "view")
+_MKV_SQUARINGS = 6  # P^(2^6) = P^64 — the declared K-step absorption horizon
+
+
+def _mkv_edges_sql() -> str:
+    """Shared journey->edge CTE prefix (DuckDB dialect)."""
+    return """
+pe AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+fp AS MATERIALIZED (
+  SELECT user_id, ts AS pts, event_id AS pid FROM pe WHERE rn = 1
+),
+chev AS MATERIALIZED (
+  SELECT e.user_id, e.event_type AS ch, e.ts, e.event_id
+  FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+  WHERE e.event_type <> 'purchase'
+    AND (fp.user_id IS NULL OR e.ts < fp.pts
+         OR (e.ts = fp.pts AND e.event_id < fp.pid))
+),
+seqd AS MATERIALIZED (
+  SELECT user_id, ch,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS nc,
+         lead(ch) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM chev
+),
+term AS MATERIALIZED (
+  SELECT u.user_id,
+         CASE WHEN fp.user_id IS NULL THEN 'drop' ELSE 'conv' END AS t
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN fp ON u.user_id = fp.user_id
+),
+edges AS (
+  SELECT 'start' AS from_type, ch AS to_type FROM seqd WHERE rn = 1
+  UNION ALL
+  SELECT ch, nxt FROM seqd WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT s.ch, t.t FROM seqd s JOIN term t ON s.user_id = t.user_id
+  WHERE s.rn = s.nc
+  UNION ALL
+  SELECT 'start', t.t
+  FROM term t
+  LEFT JOIN (SELECT DISTINCT user_id FROM chev) c ON t.user_id = c.user_id
+  WHERE c.user_id IS NULL
+),
+tc AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+  FROM edges GROUP BY from_type, to_type
+),
+rt AS (SELECT from_type, CAST(sum(c) AS BIGINT) AS row_total
+       FROM tc GROUP BY from_type),
+m_full AS MATERIALIZED (
+  SELECT tc.from_type, tc.to_type,
+         CAST(round(CAST(tc.c AS DOUBLE) / rt.row_total, 12)
+              AS DECIMAL(18,12)) AS p
+  FROM tc JOIN rt ON tc.from_type = rt.from_type
+  UNION ALL SELECT 'conv', 'conv', CAST(1 AS DECIMAL(18,12))
+  UNION ALL SELECT 'drop', 'drop', CAST(1 AS DECIMAL(18,12))
+)"""
+
+
+def _mkv_chain_sql(nm: str, base_sql: str) -> str:
+    """CTEs squaring matrix ``nm`` _MKV_SQUARINGS times (DuckDB)."""
+    parts = [f"{nm}_1 AS MATERIALIZED ({base_sql})"]
+    k = 1
+    for _ in range(_MKV_SQUARINGS):
+        parts.append(f"""
+{nm}_{2 * k} AS MATERIALIZED (
+  SELECT a.from_type, b.to_type,
+         CAST(round(sum(a.p * b.p), 12) AS DECIMAL(18,12)) AS p
+  FROM {nm}_{k} a JOIN {nm}_{k} b ON a.to_type = b.from_type
+  GROUP BY a.from_type, b.to_type
+)""")
+        k *= 2
+    return ",\n".join(parts), f"{nm}_{k}"
+
+
+def _mkv_oracle() -> str:
+    chains = []
+    final = {}
+    sql, last = _mkv_chain_sql("mq_full", "SELECT * FROM m_full")
+    chains.append(sql)
+    final["full"] = last
+    for c in _MKV_CHANNELS:
+        base = f"""
+  SELECT from_type,
+         CASE WHEN to_type = '{c}' THEN 'drop' ELSE to_type END AS to_type,
+         CAST(sum(p) AS DECIMAL(18,12)) AS p
+  FROM m_full WHERE from_type <> '{c}'
+  GROUP BY from_type, CASE WHEN to_type = '{c}' THEN 'drop' ELSE to_type END
+"""
+        sql, last = _mkv_chain_sql(f"mq_{c}", base)
+        chains.append(sql)
+        final[c] = last
+    pconv = ",\n".join(
+        f"""
+p_{name} AS (
+  SELECT COALESCE(
+    (SELECT CAST(p AS DOUBLE) FROM {last}
+     WHERE from_type = 'start' AND to_type = 'conv'), 0.0) AS p
+)"""
+        for name, last in final.items()
+    )
+    re_rows = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS channel,
+       (SELECT p FROM p_full) AS p_full,
+       (SELECT p FROM p_{c}) AS p_removed"""
+        for c in _MKV_CHANNELS
+    )
+    return f"""
+WITH {_mkv_edges_sql()},
+{",".join(chains)},
+{pconv},
+base AS ({re_rows}),
+re AS (
+  SELECT channel, p_full, p_removed,
+         greatest(CAST(0 AS DECIMAL(18,12)),
+                  CAST(round(CASE WHEN p_full > 0
+                                  THEN 1.0 - p_removed / p_full
+                                  ELSE 0.0 END, 12)
+                       AS DECIMAL(18,12))) AS eff
+  FROM base
+),
+tot AS (SELECT CAST(sum(eff) AS DECIMAL(28,12)) AS total FROM re)
+SELECT re.channel,
+       round(re.p_full, 6) AS p_conv_full,
+       round(re.p_removed, 6) AS p_conv_removed,
+       round(CAST(re.eff AS DOUBLE), 6) AS removal_effect,
+       round(CASE WHEN t.total <> 0
+                  THEN CAST(re.eff AS DOUBLE) / CAST(t.total AS DOUBLE)
+                  ELSE 0.0 END, 6) AS credit_share
+FROM re CROSS JOIN tot t
+ORDER BY re.channel
+"""
+
+
+@query(
+    "q_attribution_markov",
+    oracle=_mkv_oracle(),
+    tags=("sequence", "attribution", "markov", "iterative-unrolled"),
+)
+def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2016): model
+    user journeys as a first-order absorbing Markov chain (states =
+    start, channels, conv, drop), compute the conversion probability
+    P(conv | start), then for each channel recompute it with that
+    channel REMOVED (its inbound edges rerouted to drop); the credit
+    is the normalized removal effect 1 - P_removed/P_full — the
+    counterfactual "how much conversion do we lose without this
+    channel" that last-touch/linear/Shapley (all exposure-based)
+    cannot answer.
+
+    Absorption probabilities are computed by LOG-STEP MATRIX SQUARING:
+    P -> P^2 -> ... -> P^64 (conv/drop made absorbing via unit
+    self-loops); the declared statistic is the 64-step absorption
+    probability, which at these leak rates is the fixed point to well
+    past the 6 output decimals. The input-sized work — journey
+    windowing and transition counting — is ONE user-keyed shuffle in
+    Spark; the resulting <=7x7 matrix is MODEL-sized, so it is
+    collected once and powered in exact driver-side DECIMAL
+    arithmetic (the kmeans-centroid precedent — a Spark squaring
+    lineage would copy the upstream subtree 2^6 times per chain).
+    The DuckDB oracle runs the identical squarings as MATERIALIZED
+    CTEs; entries are DECIMAL(18,12) with one half-up round per
+    squaring, so all three implementations agree bit-for-bit on the
+    chain algebra."""
+    e = _t(spark, sf_dir, "events")
+    pe = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    fp = pe.filter(F.col("rn") == 1).select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    chev = (
+        e.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id", "left")
+        .filter(
+            F.col("pts").isNull()
+            | (F.col("ts") < F.col("pts"))
+            | ((F.col("ts") == F.col("pts")) & (F.col("event_id") < F.col("pid")))
+        )
+        .select("user_id", F.col("event_type").alias("ch"), "ts", "event_id")
+    )
+    w_u = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = chev.select(
+        "user_id",
+        "ch",
+        F.row_number().over(w_u).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("nc"),
+        F.lead("ch").over(w_u).alias("nxt"),
+    )
+    term = (
+        e.select("user_id")
+        .distinct()
+        .join(fp.select("user_id", F.lit("conv").alias("t0")), "user_id", "left")
+        .select("user_id", F.coalesce(F.col("t0"), F.lit("drop")).alias("t"))
+    )
+    edges = (
+        seqd.filter(F.col("rn") == 1)
+        .select(F.lit("start").alias("from_type"), F.col("ch").alias("to_type"))
+        .unionByName(
+            seqd.filter(F.col("nxt").isNotNull()).select(
+                F.col("ch").alias("from_type"), F.col("nxt").alias("to_type")
+            )
+        )
+        .unionByName(
+            seqd.filter(F.col("rn") == F.col("nc"))
+            .join(term, "user_id")
+            .select(F.col("ch").alias("from_type"), F.col("t").alias("to_type"))
+        )
+        .unionByName(
+            term.join(seqd.select("user_id").distinct(), "user_id", "left_anti")
+            .select(F.lit("start").alias("from_type"), F.col("t").alias("to_type"))
+        )
+    )
+    tc = edges.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rt = tc.groupBy("from_type").agg(F.sum("c").cast("long").alias("row_total"))
+    one = F.lit(1).cast("decimal(18,12)")
+    m_full = (
+        tc.join(rt, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.round(F.col("c").cast("double") / F.col("row_total"), 12)
+            .cast("decimal(18,12)")
+            .alias("p"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("conv", "conv"), ("drop", "drop")], "from_type string, to_type string"
+            ).select("from_type", "to_type", one.alias("p"))
+        )
+    )
+
+    # Model-sized chain algebra lives in operators/markov.py (the
+    # kmeans-centroid precedent: collect the <=7x7 matrix once, power
+    # it in exact driver-side DECIMAL).
+    from cdc_via_flink_spark.operators.markov import removal_effect_attribution
+
+    return removal_effect_attribution(
+        spark, m_full, _MKV_CHANNELS, _MKV_SQUARINGS
+    )

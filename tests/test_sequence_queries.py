@@ -91,3 +91,174 @@ def test_survival_monotone_nonincreasing(spark):
     rows = sorted(df.collect(), key=lambda r: r["wk"])
     for a, b in zip(rows, rows[1:]):
         assert b["survival"] <= a["survival"] + 1e-12, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: Nelson-Aalen, Shapley, Markov removal effect
+# ---------------------------------------------------------------------------
+
+
+def test_nelson_aalen_vs_km_and_reference(spark):
+    """q_nelson_aalen == independently-written Python NA estimator on
+    the raw durations, and exp(-H) dominates the KM product-limit
+    pointwise (1-h <= e^-h), with equality only at h=0 weeks."""
+    import duckdb
+
+    na = {
+        r["wk"]: r for r in SPECS["q_nelson_aalen"].fn(spark, SF001).collect()
+    }
+    km = {r["wk"]: r for r in SPECS["q_survival_km"].fn(spark, SF001).collect()}
+    assert set(na) == set(km)
+    for wk, r in na.items():
+        assert r["n_risk"] == km[wk]["n_risk"]
+        assert r["d_events"] == km[wk]["d_events"]
+        assert r["s_fleming"] >= km[wk]["survival"] - 1e-9, wk
+
+    # independent reference: durations straight from parquet
+    rows = duckdb.connect().execute(
+        f"""
+        WITH r AS (
+          SELECT o_custkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) rn
+          FROM '{SF001}/orders.parquet')
+        SELECT f.o_orderdate, s.o_orderdate,
+               (SELECT max(o_orderdate) FROM '{SF001}/orders.parquet')
+        FROM (SELECT * FROM r WHERE rn=1) f
+        LEFT JOIN (SELECT * FROM r WHERE rn=2) s USING (o_custkey)
+        """
+    ).fetchall()
+    durs = []
+    for d1, d2, h in rows:
+        end = d2 if d2 is not None else h
+        durs.append((min((end - d1).days // 7, 52), d2 is not None))
+    import math
+    from collections import Counter
+
+    n_tot = Counter(w for w, _ in durs)
+    d_ev = Counter(w for w, ev in durs if ev)
+    h_cum = 0.0
+    for wk in sorted(n_tot):
+        n_risk = sum(c for w, c in n_tot.items() if w >= wk)
+        h_cum += round(d_ev.get(wk, 0) / n_risk, 12)
+        assert na[wk]["n_risk"] == n_risk, wk
+        assert abs(na[wk]["cum_hazard"] - h_cum) < 1e-6, wk
+        assert abs(na[wk]["s_fleming"] - math.exp(-h_cum)) < 1e-6, wk
+
+
+def test_shapley_matches_bruteforce_reference(spark):
+    """q_attribution_shapley == brute-force permutation-averaged
+    Shapley (the O(n!) definition, not the subset-lattice form the
+    query uses) computed pure-Python from the raw events — plus the
+    efficiency axiom sum(phi) == v(full coalition)."""
+    import itertools
+
+    import duckdb
+
+    out = {
+        r["channel"]: r["shapley_value"]
+        for r in SPECS["q_attribution_shapley"].fn(spark, SF001).collect()
+    }
+    rows = duckdb.connect().execute(
+        f"SELECT user_id, event_type FROM '{SF001}/events.parquet'"
+    ).fetchall()
+    exposure: dict = {}
+    converted: set = set()
+    for uid, et in rows:
+        if et == "purchase":
+            converted.add(uid)
+        else:
+            exposure.setdefault(uid, set()).add(et)
+    channels = sorted({c for s in exposure.values() for c in s})
+    # coalition worth: conversion rate of users exposed to EXACTLY S
+    from collections import Counter
+
+    n_users: Counter = Counter()
+    n_conv: Counter = Counter()
+    for uid, s in exposure.items():
+        key = frozenset(s)
+        n_users[key] += 1
+        n_conv[key] += uid in converted
+
+    def v(s: frozenset) -> float:
+        if s not in n_users:
+            return 0.0
+        return round(n_conv[s] / n_users[s], 12)
+
+    n = len(channels)
+    phi = dict.fromkeys(channels, 0.0)
+    for perm in itertools.permutations(channels):
+        cur: frozenset = frozenset()
+        for c in perm:
+            nxt = cur | {c}
+            phi[c] += v(nxt) - v(cur)
+            cur = nxt
+    import math
+
+    fact = math.factorial(n)
+    for c in channels:
+        assert abs(out[c] - phi[c] / fact) < 1e-6, (c, out[c], phi[c] / fact)
+    # efficiency: credits add up to the grand-coalition worth
+    assert abs(sum(out.values()) - v(frozenset(channels))) < 1e-5
+
+
+def test_markov_removal_reference_and_invariants(spark):
+    """q_attribution_markov vs an independent pandas-built edge list +
+    numpy EXACT absorption solve (I - Q)^-1 R: the declared 64-step
+    statistic must sit within 5e-7 of the true fixed point, removal
+    can never increase conversion, and credits are efficiency-
+    normalized."""
+    import numpy as np
+    import pandas as pd
+
+    res = {
+        r["channel"]: r
+        for r in SPECS["q_attribution_markov"].fn(spark, SF001).collect()
+    }
+    ev = pd.read_parquet(f"{SF001}/events.parquet")[
+        ["user_id", "ts", "event_id", "event_type"]
+    ].sort_values(["user_id", "ts", "event_id"])
+
+    edges: list = []
+    for _, g in ev.groupby("user_id", sort=False):
+        types = list(g["event_type"])
+        if "purchase" in types:
+            cut = types.index("purchase")
+            path, term = types[:cut], "conv"
+        else:
+            path, term = types, "drop"
+        states = ["start"] + path + [term]
+        edges += list(zip(states, states[1:]))
+    df = pd.DataFrame(edges, columns=["a", "b"])
+    counts = df.value_counts().reset_index(name="c")
+
+    def absorb(excl: str | None) -> float:
+        sub = counts[counts["a"] != excl].copy()
+        if excl is not None:
+            sub.loc[sub["b"] == excl, "b"] = "drop"
+        sub = sub.groupby(["a", "b"], as_index=False)["c"].sum()
+        tot = sub.groupby("a")["c"].sum()
+        trans = sorted(set(sub["a"]) - {"conv", "drop"})
+        idx = {s: i for i, s in enumerate(trans)}
+        q = np.zeros((len(trans), len(trans)))
+        r = np.zeros(len(trans))
+        for _, row in sub.iterrows():
+            p = row["c"] / tot[row["a"]]
+            if row["b"] in idx:
+                q[idx[row["a"]], idx[row["b"]]] = p
+            elif row["b"] == "conv":
+                r[idx[row["a"]]] = p
+        sol = np.linalg.solve(np.eye(len(trans)) - q, r)
+        return float(sol[idx["start"]])
+
+    p_full = absorb(None)
+    effs = {}
+    for c, row in res.items():
+        p_rm = absorb(c)
+        assert abs(row["p_conv_full"] - p_full) < 5e-7, (c, row, p_full)
+        assert abs(row["p_conv_removed"] - p_rm) < 5e-7, (c, row, p_rm)
+        assert row["p_conv_removed"] <= row["p_conv_full"] + 1e-9, c
+        effs[c] = max(0.0, 1.0 - p_rm / p_full)
+    tot_eff = sum(effs.values())
+    for c, row in res.items():
+        assert abs(row["credit_share"] - effs[c] / tot_eff) < 1e-5, c
