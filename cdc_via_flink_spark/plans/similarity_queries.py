@@ -1521,3 +1521,173 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("query_id", "step", "vec_id", "score").orderBy(
         "query_id", "step"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: top principal component by power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_D = 64
+_PCA_SQUARINGS = 11  # effective power 2^11 = 2048
+
+
+def _pca_oracle() -> str:
+    its = []
+    prev = "s0"
+    for k in range(1, _PCA_SQUARINGS + 1):
+        its.append(f"""
+p{k} AS MATERIALIZED (
+  SELECT a.i, b.j,
+         CAST(sum(CAST(round(CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE), 14)
+                       AS DECIMAL(30,14))) AS DECIMAL(32,14)) AS p
+  FROM {prev} a JOIN {prev} b ON a.j = b.i
+  GROUP BY a.i, b.j
+),
+mx{k} AS (SELECT CAST(max(abs(p)) AS DOUBLE) AS mx FROM p{k}),
+s{k} AS MATERIALIZED (
+  SELECT i, j, CAST(round(CAST(p AS DOUBLE) / (SELECT mx FROM mx{k}), 12)
+                    AS DECIMAL(14,12)) AS s
+  FROM p{k}
+)""")
+        prev = f"s{k}"
+    return f"""
+WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
+e AS (SELECT unnest(generate_series(0, {_PCA_D - 1})) AS dim),
+x AS MATERIALIZED (
+  SELECT e.dim AS i, d.vec_id, round(d.v[e.dim + 1], 6) AS x
+  FROM d CROSS JOIN e
+),
+m AS MATERIALIZED (
+  SELECT i, CAST(CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+                 AS DOUBLE) AS mu
+  FROM x GROUP BY i
+),
+c AS MATERIALIZED (
+  SELECT x.i, x.vec_id, x.x - m.mu AS cx FROM x JOIN m USING (i)
+),
+cov AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         CAST(round(CAST(sum(CAST(round(a.cx * b.cx, 12) AS DECIMAL(30,12)))
+                         AS DOUBLE)
+                    / ((SELECT count(*) FROM d) - 1), 12)
+              AS DECIMAL(16,12)) AS cv
+  FROM c a JOIN c b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+mx0 AS (SELECT CAST(max(abs(cv)) AS DOUBLE) AS mx FROM cov),
+s0 AS MATERIALIZED (
+  SELECT i, j, CAST(round(CAST(cv AS DOUBLE) / (SELECT mx FROM mx0), 12)
+                    AS DECIMAL(14,12)) AS s
+  FROM cov
+),
+{",".join(its)},
+jstar AS (
+  SELECT i AS jsel FROM {prev} WHERE i = j ORDER BY s DESC, i LIMIT 1
+),
+vraw AS (
+  SELECT s.i, s.s FROM {prev} s JOIN jstar ON s.j = jstar.jsel
+),
+nrm AS (
+  SELECT sqrt(CAST(sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 14)
+                            AS DECIMAL(30,14))) AS DOUBLE)) AS nrm
+  FROM vraw
+),
+vv AS MATERIALIZED (
+  SELECT i, CAST(round(CAST(s AS DOUBLE) / (SELECT nrm FROM nrm), 12)
+                 AS DECIMAL(14,12)) AS v
+  FROM vraw
+),
+w AS MATERIALIZED (
+  SELECT cov.i,
+         CAST(sum(CAST(round(CAST(cov.cv AS DOUBLE) * CAST(v.v AS DOUBLE), 14)
+                       AS DECIMAL(30,14))) AS DECIMAL(32,14)) AS w
+  FROM cov JOIN vv v ON cov.j = v.i GROUP BY cov.i
+),
+lam AS (
+  SELECT CAST(sum(CAST(round(CAST(v.v AS DOUBLE) * CAST(w.w AS DOUBLE), 14)
+                       AS DECIMAL(30,14))) AS DOUBLE) AS l
+  FROM vv v JOIN w ON v.i = w.i
+),
+tr AS (SELECT CAST(sum(cv) AS DOUBLE) AS t FROM cov WHERE i = j)
+SELECT v.i AS dim,
+       round(CAST(v.v AS DOUBLE), 6) AS loading,
+       round((SELECT l FROM lam), 6) AS eigenvalue,
+       round((SELECT l FROM lam) / (SELECT t FROM tr), 6) AS var_share
+FROM vv v
+ORDER BY dim
+"""
+
+
+@query(
+    "sim_pca_top_component",
+    oracle=_pca_oracle(),
+    tags=("X2", "pca", "iterative-unrolled"),
+)
+def sim_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding corpus by distributed
+    covariance + log-step matrix squaring — the whitening /
+    drift-direction primitive (SemDeDup centers on it,
+    embedding-drift monitors project onto it, matryoshka prefix
+    quality is judged against it). Output: per-dimension loading of
+    the dominant eigenvector, its Rayleigh eigenvalue, and the
+    explained-variance share lambda/trace(C).
+
+    Scale shape: per-dimension means are a d-key aggregate; the
+    covariance is ONE self-join on vec_id (co-partitioned, d^2
+    expansion map-side) into a d^2-key aggregate with map-side
+    partial combine — input-sized work is linear in n with a d^2
+    constant, never quadratic in corpus size. The d x d matrix
+    (4096 rows, corpus-size-INDEPENDENT) is then collected and
+    SQUARED 11 times as a LocalRelation in operators/pca.py —
+    C -> C^2 -> ... -> C^2048 with max-element renormalization.
+    Squaring, not plain power iteration, is load-bearing: this
+    corpus is near-isotropic (lambda2/lambda1 ~ 0.99), where k-step
+    iteration needs thousands of steps but 11 squarings suppress the
+    subdominant space by 0.99^2048 ~ 1e-9 — a spectral-GAP-FREE
+    plan. The LocalRelation keeps the covariance subtree out of the
+    squaring lineage (the q_markov_stationary lesson) and the
+    oracle's MATERIALIZED CTEs replay the identical arithmetic.
+    Exactness: elements rounded to 6 dp up front; every product
+    rounded half-up to 14 dp and folded as DECIMAL —
+    association-order independent, bit-equal across engines; each
+    squaring closes with an exact decimal max and one double
+    divide."""
+    from cdc_via_flink_spark.functions.vectors import to_double
+    from cdc_via_flink_spark.operators.pca import top_component
+    from cdc_via_flink_spark.sources.tables import ensure_min_partitions
+
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    x = (
+        e.select("vec_id", to_double(F.col("embedding")).alias("v"))
+        .select("vec_id", F.posexplode("v").alias("i", "x0"))
+        .select("vec_id", "i", F.round("x0", 6).alias("x"))
+    )
+    m = x.groupBy("i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    c = x.join(F.broadcast(m), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("mu")).alias("cx")
+    )
+    cnt = e.agg(F.count(F.lit(1)).alias("n"))
+    a = c.select(F.col("vec_id"), F.col("i"), F.col("cx").alias("ca"))
+    b = c.select(F.col("vec_id"), F.col("i").alias("j"), F.col("cx").alias("cb"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.round(F.col("ca") * F.col("cb"), 12).cast("decimal(30,12)"))
+            .alias("s")
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "i",
+            "j",
+            F.round(F.col("s").cast("double") / (F.col("n") - 1), 12)
+            .cast("decimal(16,12)")
+            .alias("cv"),
+        )
+    )
+    return top_component(spark, cov, _PCA_D, _PCA_SQUARINGS)
