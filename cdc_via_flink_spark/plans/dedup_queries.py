@@ -2060,3 +2060,184 @@ def dedup_oph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter blocked record linkage (structured entity resolution)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# Published m/u conditional-agreement parameters of the linkage model
+# (operator inputs; a production deployment estimates them by EM).
+# Weights are precomputed HERE and inlined as identical literals into
+# both engines, so no cross-engine log() is ever evaluated.
+_FS_PARAMS = {
+    "name": (0.95, 0.01),
+    "bal": (0.90, 0.05),
+    "seg": (0.85, 0.20),
+}
+_FS_W = {
+    f: (
+        round(_math.log2(m / u), 6),
+        round(_math.log2((1 - m) / (1 - u)), 6),
+    )
+    for f, (m, u) in _FS_PARAMS.items()
+}
+_FS_MATCH_T = "4.0"  # score thresholds of the decision rule
+_FS_POSSIBLE_T = "0.0"
+
+
+def _fs_weight_sql(field: str, agree_expr: str) -> str:
+    wa, wd = _FS_W[field]
+    return (
+        f"CASE WHEN {agree_expr} THEN CAST({wa} AS DECIMAL(18,6)) "
+        f"ELSE CAST({wd} AS DECIMAL(18,6)) END"
+    )
+
+
+@query(
+    "dedup_record_linkage",
+    oracle=f"""
+WITH clean AS (
+  SELECT c_custkey AS key, c_name AS name, c_nationkey AS nk,
+         c_acctbal AS bal, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 100) AS BIGINT) AS blk
+  FROM customer
+),
+dirty AS (
+  SELECT c_custkey AS key,
+         CASE WHEN c_custkey % 3 = 0
+              THEN substr(c_name, 1, length(c_name) - 1)
+              WHEN c_custkey % 3 = 1
+              THEN substr(c_name, 1, length(c_name) - 1) || 'X'
+              ELSE c_name END AS name,
+         c_nationkey AS nk,
+         CASE WHEN c_custkey % 2 = 0 THEN round(c_acctbal, 0)
+              ELSE c_acctbal END AS bal,
+         CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
+              ELSE c_mktsegment END AS seg
+  FROM customer
+),
+pairs AS (
+  SELECT d.key AS dkey, c.key AS ckey,
+         {_fs_weight_sql("name", "levenshtein(d.name, c.name) <= 1")}
+         + {_fs_weight_sql("bal", "abs(d.bal - c.bal) < 1.0")}
+         + {_fs_weight_sql("seg", "d.seg = c.seg")} AS score
+  FROM dirty d
+  JOIN clean c
+    ON d.nk = c.nk AND CAST(floor(d.bal / 100) AS BIGINT) = c.blk
+),
+decided AS (
+  SELECT CASE WHEN score >= {_FS_MATCH_T} THEN 'match'
+              WHEN score >= {_FS_POSSIBLE_T} THEN 'possible'
+              ELSE 'non-match' END AS decision,
+         CASE WHEN dkey = ckey THEN 1 ELSE 0 END AS is_true
+  FROM pairs
+)
+SELECT decision,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(is_true) AS BIGINT) AS n_true_pairs,
+       round(CAST(sum(is_true) AS DOUBLE) / count(*), 6) AS "precision"
+FROM decided
+GROUP BY decision
+ORDER BY decision
+""",
+    tags=("X1", "record-linkage", "fellegi-sunter"),
+)
+def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI-SUNTER BLOCKED RECORD LINKAGE (Fellegi & Sunter 1969)
+    — structured entity resolution, the tabular sibling of the text
+    near-dup family: a deterministically perturbed "dirty" twin of
+    the customer table (name truncation/typo by custkey mod, balance
+    rounding, segment nulling) is linked back against the clean
+    records. Field agreements (name within edit distance 1, balance
+    within 1.0, segment equality) are scored with log2(m/u)
+    agreement / log2((1-m)/(1-u)) disagreement weights — precomputed
+    constants inlined identically into both engines — and the summed
+    score drives the classic match / possible / non-match decision
+    rule; ground truth (same custkey) yields per-decision precision.
+
+    Scale shape: candidate generation is a BLOCKED equi-join on
+    (nationkey, floor(balance/100)) — the dedup blocking argument on
+    a compound quasi-identifier key whose cardinality grows with the
+    balance range, never an all-pairs compare; records whose
+    perturbation crosses a block boundary are honestly lost
+    (blocking recall < 100 % is the textbook trade). Weights fold as
+    exact DECIMAL(18,6); thresholds compare exactly; the only
+    doubles are the final precision divides."""
+    c0 = load_table(spark, sf_dir, "customer")
+    clean = c0.select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_name").alias("cname"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_acctbal").alias("cbal"),
+        F.col("c_mktsegment").alias("cseg"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("blk"),
+    )
+    dirty = c0.select(
+        F.col("c_custkey").alias("dkey"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.expr("substr(c_name, 1, length(c_name) - 1)"),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(
+                F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("dname"),
+        F.col("c_nationkey").alias("nk"),
+        F.when(F.col("c_custkey") % 2 == 0, F.round(F.col("c_acctbal"), 0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("dbal"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("dseg"),
+    )
+
+    def w(field: str, agree):
+        wa, wd = _FS_W[field]
+        dec = "decimal(18,6)"
+        return F.when(agree, F.lit(wa).cast(dec)).otherwise(F.lit(wd).cast(dec))
+
+    pairs = dirty.join(
+        clean,
+        (dirty.nk == clean.nk)
+        & (F.floor(dirty.dbal / 100).cast("long") == clean.blk),
+    ).select(
+        "dkey",
+        "ckey",
+        (
+            w("name", F.levenshtein(F.col("dname"), F.col("cname")) <= 1)
+            + w("bal", F.abs(F.col("dbal") - F.col("cbal")) < 1.0)
+            + w("seg", F.col("dseg") == F.col("cseg"))
+        ).alias("score"),
+    )
+    match_t = F.lit(float(_FS_MATCH_T))
+    poss_t = F.lit(float(_FS_POSSIBLE_T))
+    decided = pairs.select(
+        F.when(F.col("score") >= match_t, F.lit("match"))
+        .when(F.col("score") >= poss_t, F.lit("possible"))
+        .otherwise(F.lit("non-match"))
+        .alias("decision"),
+        F.when(F.col("dkey") == F.col("ckey"), 1).otherwise(0).alias("is_true"),
+    )
+    return (
+        decided.groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("is_true").cast("long").alias("n_true_pairs"),
+        )
+        .select(
+            "decision",
+            "n_pairs",
+            "n_true_pairs",
+            F.round(
+                F.col("n_true_pairs").cast("double") / F.col("n_pairs"), 6
+            ).alias("precision"),
+        )
+        .orderBy("decision")
+    )

@@ -321,3 +321,90 @@ def test_oph_signatures_match_python_reference(spark):
             src = next(p for p in range(j, 2 * K) if p % K in bins)
             sig.append(bins[src % K] + P * (src - j))
         assert got[doc] == sig, (doc, got[doc], sig)
+
+
+def test_record_linkage_python_reference(spark):
+    """dedup_record_linkage == pure-Python Fellegi-Sunter replication
+    (blocking, agreement weights, decision rule) from the raw
+    parquet, plus quality invariants: match precision ~1 and most
+    true pairs recovered despite blocking loss."""
+    import math
+
+    import pandas as pd
+
+    from cdc_via_flink_spark.plans.registry import load_all
+
+    specs = load_all()
+    sf = "/root/testdata/sf0.01"
+    out = {
+        r["decision"]: r
+        for r in specs["dedup_record_linkage"].fn(spark, sf).collect()
+    }
+
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    W = {
+        "name": (round(math.log2(0.95 / 0.01), 6), round(math.log2(0.05 / 0.99), 6)),
+        "bal": (round(math.log2(0.90 / 0.05), 6), round(math.log2(0.10 / 0.95), 6)),
+        "seg": (round(math.log2(0.85 / 0.20), 6), round(math.log2(0.15 / 0.80), 6)),
+    }
+
+    def lev(a: str, b: str) -> int:
+        if a == b:
+            return 0
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    clean = {}
+    for _, r in cust.iterrows():
+        blk = (r.c_nationkey, math.floor(r.c_acctbal / 100))
+        clean.setdefault(blk, []).append(r)
+    from collections import Counter
+
+    counts: Counter = Counter()
+    true_c: Counter = Counter()
+    for _, r in cust.iterrows():
+        k = r.c_custkey
+        name = (
+            r.c_name[:-1]
+            if k % 3 == 0
+            else (r.c_name[:-1] + "X" if k % 3 == 1 else r.c_name)
+        )
+        bal = round(r.c_acctbal) if k % 2 == 0 else r.c_acctbal
+        seg = "UNKNOWN" if k % 7 == 0 else r.c_mktsegment
+        for c in clean.get((r.c_nationkey, math.floor(bal / 100)), []):
+            s = (
+                (W["name"][0] if lev(name, c.c_name) <= 1 else W["name"][1])
+                + (W["bal"][0] if abs(bal - c.c_acctbal) < 1.0 else W["bal"][1])
+                + (W["seg"][0] if seg == c.c_mktsegment else W["seg"][1])
+            )
+            d = "match" if s >= 4.0 else ("possible" if s >= 0.0 else "non-match")
+            counts[d] += 1
+            true_c[d] += k == c.c_custkey
+    for d in counts:
+        assert out[d]["n_pairs"] == counts[d], (d, out[d], counts[d])
+        assert out[d]["n_true_pairs"] == true_c[d], d
+    # quality invariants on the fixture
+    assert out["match"]["precision"] > 0.95
+    n_records = len(cust)
+    assert out["match"]["n_true_pairs"] > 0.8 * n_records
+
+
+def test_record_linkage_blocked_equijoin_plan(spark):
+    """The candidate join must be an equi-join on the blocking key —
+    never a cartesian/nested-loop all-pairs compare."""
+    from cdc_via_flink_spark.plans.registry import load_all
+
+    df = load_all()["dedup_record_linkage"].fn(spark, "/root/testdata/sf0.01")
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
