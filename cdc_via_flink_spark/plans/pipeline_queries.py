@@ -1293,3 +1293,50 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("alloc_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch face of the weighted reservoir (Efraimidis-Spirtakis bottom-k)
+# ---------------------------------------------------------------------------
+
+
+def _wrs_batch_oracle() -> str:
+    from cdc_via_flink_spark.streaming.wrs_maintenance import WRS_K, pri_sql
+
+    pri = pri_sql("doc_id", "n_chars + 1")
+    return f"""
+SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS w,
+       round({pri}, 9) AS pri
+FROM documents
+ORDER BY {pri}, doc_id
+LIMIT {WRS_K}
+"""
+
+
+@query(
+    "q_weighted_reservoir",
+    oracle=_wrs_batch_oracle(),
+    tags=("pipeline", "sample", "weighted", "A6"),
+)
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-SIZE WEIGHTED SAMPLE (Efraimidis-Spirtakis 2006) — the
+    batch face of streaming/wrs_maintenance.py: one exponential-race
+    priority -ln(u)/w per document (u exact-dyadic from the bijective
+    lattice hash, w = length), k smallest win. Complements
+    q_weighted_sample's Bernoulli design (keep PROBABILITY per doc,
+    sample size drifts) with the exact-k contract a packing or
+    eval-set budget needs. Plan shape: orderBy+limit is
+    TakeOrderedAndProject — each map task forwards at most k rows,
+    no global sort at any corpus size; RNG-free and reproducible
+    across engines, retries, and cluster sizes."""
+    from cdc_via_flink_spark.streaming.wrs_maintenance import WRS_K, pri_col
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (F.col("n_chars") + 1).cast("long")
+    pri = pri_col(F.col("doc_id"), w)
+    return (
+        d.select("doc_id", w.alias("w"), pri.alias("pri0"))
+        .orderBy("pri0", "doc_id")
+        .limit(WRS_K)
+        .select("doc_id", "w", F.round("pri0", 9).alias("pri"))
+    )

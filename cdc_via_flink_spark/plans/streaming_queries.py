@@ -3161,3 +3161,106 @@ def stream_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = kmv_maintenance_query(stream, idx, out, ckpt)
     q.awaitTermination()
     return read_estimates(spark, out, index_path=idx)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-maintained weighted reservoir sample (tenth kernel adapter)
+# ---------------------------------------------------------------------------
+
+
+def _wrs_sample_oracle() -> str:
+    from cdc_via_flink_spark.streaming.wrs_maintenance import WRS_K, pri_sql
+
+    pri = pri_sql("doc_id", "w")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, n_chars + 1 AS w,
+         CASE WHEN doc_id % 2 = 0 THEN -1
+              ELSE (doc_id // 2) % 3 END AS ep
+  FROM documents
+),
+pr AS MATERIALIZED (
+  SELECT ep, doc_id, w, {pri} AS pri FROM docs
+),
+eps AS (SELECT unnest([0, 1, 2]) AS e),
+cume AS MATERIALIZED (
+  SELECT eps.e, pr.doc_id, pr.w, pr.pri,
+         row_number() OVER (PARTITION BY eps.e
+                            ORDER BY pr.pri, pr.doc_id) AS rn
+  FROM eps JOIN pr ON pr.ep <= eps.e
+),
+state AS (
+  SELECT e,
+         CAST(sum(CASE WHEN rn <= {WRS_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_state,
+         round(max(CASE WHEN rn <= {WRS_K} THEN pri END), 9) AS kth_pri,
+         CAST(sum(CASE WHEN rn <= {WRS_K} THEN w END) AS BIGINT) AS total_w
+  FROM cume GROUP BY e
+)
+SELECT CAST(e AS BIGINT) AS ep, n_state, kth_pri, total_w
+FROM state
+"""
+
+
+@query(
+    "stream_weighted_sample",
+    oracle=_wrs_sample_oracle(),
+    tags=("X1", "ST5", "streaming", "sampling", "lifecycle"),
+)
+def stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-MAINTAINED WEIGHTED RESERVOIR SAMPLE
+    (streaming/wrs_maintenance.py — the TENTH adapter over the
+    maintained-index kernel; Efraimidis-Spirtakis 2006): half the
+    document corpus (even doc_id) builds the k=32 base sample; the
+    other half arrives over three micro-batches. Each epoch folds its
+    exponential-race bottom-k in (union → keep k smallest priorities
+    — associative+idempotent, the KMV algebra) and reports the
+    post-fold state size, k-th priority, and total sampled weight.
+    Inclusion probability is proportional to document length — the
+    fixed-size quality-weighted subsample the Bernoulli samplers
+    (q_weighted_sample) cannot give, maintained incrementally at
+    O(k) state.
+
+    Priorities are -ln(u)/w on an exact dyadic u from the bijective
+    lattice hash, so both engines compute identical doubles and the
+    oracle simulates the cumulative fold bit-for-bit."""
+    import shutil as _sh
+
+    from cdc_via_flink_spark.streaming.wrs_maintenance import (
+        read_outputs,
+        save_streaming_wrs_index,
+        wrs_maintenance_query,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") + 1).alias("w")
+    )
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    strm = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "w", ((F.col("doc_id") / 2).cast("long") % 3).alias("ep")
+    )
+
+    root = os.path.join(STAGE_ROOT, f"wrs_maint_{sf_name}")
+    _sh.rmtree(root, ignore_errors=True)
+    idx, out, ckpt = (
+        os.path.join(root, "idx"),
+        os.path.join(root, "est"),
+        os.path.join(root, "ckpt"),
+    )
+    save_streaming_wrs_index(base, idx)
+    frames = [
+        strm.filter(F.col("ep") == k).select("doc_id", "w").orderBy("doc_id")
+        for k in range(3)
+    ]
+    dest = os.path.join(root, "staged")
+    _STAGED_DESTS.discard(dest)
+    _stage_ordered_files(spark, frames, dest)
+    stream = (
+        spark.readStream.schema("doc_id long, w long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = wrs_maintenance_query(stream, idx, out, ckpt)
+    q.awaitTermination()
+    return read_outputs(spark, out, index_path=idx)
