@@ -1107,3 +1107,129 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return removal_effect_attribution(
         spark, m_full, _MKV_CHANNELS, _MKV_SQUARINGS
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay attribution
+# ---------------------------------------------------------------------------
+
+_DECAY_HALFLIFE_S = 2 * 24 * 3600  # 2-day half-life
+
+
+@query(
+    "q_attribution_time_decay",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, event_id AS pid,
+         CAST(floor(epoch(ts)) AS BIGINT) AS pes
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_type AS channel,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tes
+  FROM events WHERE event_type <> 'purchase'
+),
+tw AS (
+  SELECT p.pid, t.channel,
+         CAST(round(power(0.5, CAST(p.pes - t.tes AS DOUBLE)
+                               / {_DECAY_HALFLIFE_S}), 12)
+              AS DECIMAL(28,12)) AS dw
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND t.tes < p.pes AND p.pes - t.tes <= {_ATTR_WINDOW_S}
+),
+n AS (SELECT pid, CAST(sum(dw) AS DECIMAL(28,12)) AS w_tot
+      FROM tw GROUP BY pid),
+credit AS (
+  SELECT tw.channel,
+         sum(CAST(round(CAST(tw.dw AS DOUBLE) / CAST(n.w_tot AS DOUBLE), 12)
+                  AS DECIMAL(28,12))) AS credit
+  FROM tw JOIN n ON tw.pid = n.pid
+  GROUP BY tw.channel
+  UNION ALL
+  SELECT 'direct' AS channel,
+         CAST(count(*) AS DECIMAL(28,12)) AS credit
+  FROM p WHERE NOT EXISTS (SELECT 1 FROM tw WHERE tw.pid = p.pid)
+),
+tot AS (SELECT CAST(sum(credit) AS DOUBLE) AS total FROM credit)
+SELECT c.channel, round(CAST(c.credit AS DOUBLE), 6) AS credit,
+       round(CAST(c.credit AS DOUBLE) / t.total, 6) AS share
+FROM credit c CROSS JOIN tot t
+ORDER BY c.channel
+""",
+    tags=("sequence", "attribution", "time-decay"),
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY MULTI-TOUCH ATTRIBUTION — each touch in the 7-day
+    window earns credit 0.5^(age/half-life) (2-day half-life),
+    normalized per purchase; the recency-weighted middle ground
+    between last-touch (all credit to the newest) and linear (equal
+    split), completing the rule family the Shapley/Markov queries
+    benchmark against. Same single-shuffle shape as
+    q_attribution_linear (user-keyed range join bounded by per-user
+    activity); decay weights and per-purchase normalized credits are
+    rounded to 12 dp and folded as DECIMAL(28,12), so channel totals
+    are association-order independent; untouched purchases credit
+    'direct' wholly."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.unix_timestamp("ts").alias("pes"),
+    )
+    t = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.unix_timestamp("ts").alias("tes"),
+    )
+    tw = (
+        p.join(t, "user_id")
+        .filter(
+            (F.col("tes") < F.col("pes"))
+            & (F.col("pes") - F.col("tes") <= _ATTR_WINDOW_S)
+        )
+        .select(
+            "pid",
+            "channel",
+            F.round(
+                F.pow(
+                    F.lit(0.5),
+                    (F.col("pes") - F.col("tes")).cast("double")
+                    / _DECAY_HALFLIFE_S,
+                ),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("dw"),
+        )
+    )
+    n = tw.groupBy("pid").agg(F.sum("dw").cast("decimal(28,12)").alias("w_tot"))
+    touched = (
+        tw.join(F.broadcast(n), "pid")
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("dw").cast("double") / F.col("w_tot").cast("double"),
+                    12,
+                ).cast("decimal(28,12)")
+            ).alias("credit")
+        )
+    )
+    direct = (
+        p.join(tw.select("pid").distinct(), "pid", "left_anti")
+        .agg(F.count(F.lit(1)).cast("decimal(28,12)").alias("credit"))
+        .select(F.lit("direct").alias("channel"), "credit")
+    )
+    credit = touched.unionByName(direct)
+    tot = credit.agg(F.sum("credit").cast("double").alias("total"))
+    return (
+        credit.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.round(F.col("credit").cast("double"), 6).alias("credit"),
+            F.round(F.col("credit").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("channel")
+    )

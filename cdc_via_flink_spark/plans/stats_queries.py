@@ -4074,6 +4074,84 @@ def q_iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PSM_CALIPER = 50.0  # max |score gap| for a valid match (acctbal units)
 
 
+def _nn_bucketed_scan(ev: DataFrame, carry: list) -> DataFrame:
+    """Two-level bucketed backward/forward ignore-nulls fill (the KS
+    prefix-sum recipe) shared by the matching estimator and its
+    balance diagnostic: bucket by the SCORE DOMAIN, in-bucket
+    ignore-nulls windows run bucket-keyed (parallel), and only the
+    ~24 per-bucket boundary controls cross buckets through a global
+    window — the single-partition scan never sees input-sized rows.
+    Produces exactly the global scan's matches (carry = the
+    previous/next bucket's boundary control).
+
+    ``ev`` columns: score, t_id, is_t (1 = treated), plus each name
+    in ``carry`` (non-null on control rows). Returns the TREATED rows
+    with lo_s/hi_s (bracketing control scores) and lo_<c>/hi_<c> for
+    every carried column."""
+    ev = ev.withColumn("bkt", F.floor(F.col("score") / 500).cast("long"))
+    wb = W.partitionBy("bkt").orderBy("score", "is_t", "t_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wf = W.partitionBy("bkt").orderBy("score", "is_t", "t_id").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    is_ctl = F.col("is_t") == 0
+    sel = [
+        F.last(F.when(is_ctl, F.col("score")), ignorenulls=True)
+        .over(wb)
+        .alias("l_lo_s"),
+        F.first(F.when(is_ctl, F.col("score")), ignorenulls=True)
+        .over(wf)
+        .alias("l_hi_s"),
+    ]
+    for c in carry:
+        sel.append(
+            F.last(F.when(is_ctl, F.col(c)), ignorenulls=True)
+            .over(wb)
+            .alias(f"l_lo_{c}")
+        )
+        sel.append(
+            F.first(F.when(is_ctl, F.col(c)), ignorenulls=True)
+            .over(wf)
+            .alias(f"l_hi_{c}")
+        )
+    local = ev.select("*", *sel)
+    bounds = (
+        ev.filter(is_ctl)
+        .groupBy("bkt")
+        .agg(
+            F.max(F.struct("score", *carry)).alias("mx"),
+            F.min(F.struct("score", *carry)).alias("mn"),
+        )
+    )
+    wcb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    wcf = W.orderBy("bkt").rowsBetween(1, W.unboundedFollowing)
+    # carries on the FULL bucket grid (a bucket with no controls at
+    # all still needs its neighbors' boundary controls)
+    grid = ev.select("bkt").distinct()
+    carry_full = grid.join(bounds, "bkt", "left").select(
+        "bkt",
+        F.last("mx", ignorenulls=True).over(wcb).alias("c_lo"),
+        F.first("mn", ignorenulls=True).over(wcf).alias("c_hi"),
+    )
+    out = [
+        F.coalesce(F.col("l_lo_s"), F.col("c_lo.score")).alias("lo_s"),
+        F.coalesce(F.col("l_hi_s"), F.col("c_hi.score")).alias("hi_s"),
+    ]
+    for c in carry:
+        out.append(
+            F.coalesce(F.col(f"l_lo_{c}"), F.col(f"c_lo.{c}")).alias(f"lo_{c}")
+        )
+        out.append(
+            F.coalesce(F.col(f"l_hi_{c}"), F.col(f"c_hi.{c}")).alias(f"hi_{c}")
+        )
+    return (
+        local.join(F.broadcast(carry_full), "bkt")
+        .select("*", *out)
+        .filter(F.col("is_t") == 1)
+    )
+
+
 @query(
     "q_propensity_att",
     oracle=f"""
@@ -4205,60 +4283,10 @@ def q_propensity_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("is_t"),
         )
     )
-    # two-level bucketed fill (the KS prefix-sum recipe): bucket by
-    # the SCORE DOMAIN, in-bucket backward/forward ignore-nulls
-    # windows run bucket-keyed (parallel), and only the ~24 per-bucket
-    # boundary controls cross buckets through a global window — the
-    # single-partition scan never sees input-sized rows. Produces
-    # exactly the global scan's matches (carry = the previous/next
-    # bucket's boundary control).
-    ev = ev.withColumn("bkt", F.floor(F.col("score") / 500).cast("long"))
-    wb = W.partitionBy("bkt").orderBy("score", "is_t", "t_id").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    wf = W.partitionBy("bkt").orderBy("score", "is_t", "t_id").rowsBetween(
-        0, W.unboundedFollowing
-    )
-    ctl_score = F.when(F.col("is_t") == 0, F.col("score"))
-    ctl_yv = F.when(F.col("is_t") == 0, F.col("ctl_y"))
-    local = ev.select(
+    scan = _nn_bucketed_scan(ev, ["ctl_y"]).select(
         "*",
-        F.last(ctl_score, ignorenulls=True).over(wb).alias("l_lo_s"),
-        F.last(ctl_yv, ignorenulls=True).over(wb).alias("l_lo_y"),
-        F.first(ctl_score, ignorenulls=True).over(wf).alias("l_hi_s"),
-        F.first(ctl_yv, ignorenulls=True).over(wf).alias("l_hi_y"),
-    )
-    bounds = (
-        ev.filter(F.col("is_t") == 0)
-        .groupBy("bkt")
-        .agg(
-            F.max(F.struct("score", "ctl_y")).alias("mx"),
-            F.min(F.struct("score", "ctl_y")).alias("mn"),
-        )
-    )
-    wcb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
-    wcf = W.orderBy("bkt").rowsBetween(1, W.unboundedFollowing)
-    # carries on the FULL bucket grid (a bucket with no controls at
-    # all still needs its neighbors' boundary controls)
-    grid = ev.select("bkt").distinct()
-    carry_full = (
-        grid.join(bounds, "bkt", "left")
-        .select(
-            "bkt",
-            F.last("mx", ignorenulls=True).over(wcb).alias("c_lo"),
-            F.first("mn", ignorenulls=True).over(wcf).alias("c_hi"),
-        )
-    )
-    scan = (
-        local.join(F.broadcast(carry_full), "bkt")
-        .select(
-            "*",
-            F.coalesce(F.col("l_lo_s"), F.col("c_lo.score")).alias("lo_s"),
-            F.coalesce(F.col("l_lo_y"), F.col("c_lo.ctl_y")).alias("lo_y"),
-            F.coalesce(F.col("l_hi_s"), F.col("c_hi.score")).alias("hi_s"),
-            F.coalesce(F.col("l_hi_y"), F.col("c_hi.ctl_y")).alias("hi_y"),
-        )
-        .filter(F.col("is_t") == 1)
+        F.col("lo_ctl_y").alias("lo_y"),
+        F.col("hi_ctl_y").alias("hi_y"),
     )
     lo_gap = F.col("score") - F.col("lo_s")
     hi_gap = F.col("hi_s") - F.col("score")
@@ -4288,3 +4316,254 @@ def q_propensity_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(nt)).select(
         "n_treated", "n_matched", "att", "mean_score_gap"
     )
+
+
+@query(
+    "q_treatment_balance_smd",
+    oracle=f"""
+WITH cust AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CAST(c.c_acctbal AS DECIMAL(18,2)) AS score,
+         CAST(count(o.o_orderkey) AS DECIMAL(18,2)) AS nord
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal
+),
+ctl AS (
+  SELECT score, min(c_custkey) AS ctl_id
+  FROM cust WHERE c_mktsegment = 'MACHINERY' GROUP BY score
+),
+ctlx AS (
+  SELECT l.score, c.nord AS ctl_ord
+  FROM ctl l JOIN cust c ON c.c_custkey = l.ctl_id
+),
+ev AS (
+  SELECT score, NULL AS t_id, CAST(NULL AS DECIMAL(18,2)) AS t_ord,
+         ctl_ord, 0 AS is_t
+  FROM ctlx
+  UNION ALL
+  SELECT score, c_custkey AS t_id, nord AS t_ord,
+         NULL, 1 AS is_t
+  FROM cust WHERE c_mktsegment = 'BUILDING'
+),
+scan AS (
+  SELECT *,
+         last_value(CASE WHEN is_t = 0 THEN score END IGNORE NULLS)
+           OVER wb AS lo_s,
+         last_value(CASE WHEN is_t = 0 THEN ctl_ord END IGNORE NULLS)
+           OVER wb AS lo_o,
+         first_value(CASE WHEN is_t = 0 THEN score END IGNORE NULLS)
+           OVER wf AS hi_s,
+         first_value(CASE WHEN is_t = 0 THEN ctl_ord END IGNORE NULLS)
+           OVER wf AS hi_o
+  FROM ev
+  WINDOW wb AS (ORDER BY score, is_t, t_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (ORDER BY score, is_t, t_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+matched AS (
+  SELECT score AS t_s, t_ord,
+         CASE WHEN hi_s IS NULL THEN lo_s
+              WHEN lo_s IS NULL THEN hi_s
+              WHEN score - lo_s <= hi_s - score THEN lo_s ELSE hi_s END AS m_s,
+         CASE WHEN hi_s IS NULL THEN lo_o
+              WHEN lo_s IS NULL THEN hi_o
+              WHEN score - lo_s <= hi_s - score THEN lo_o ELSE hi_o END AS m_o,
+         CASE WHEN hi_s IS NULL THEN score - lo_s
+              WHEN lo_s IS NULL THEN hi_s - score
+              WHEN score - lo_s <= hi_s - score
+                THEN score - lo_s ELSE hi_s - score END AS gap
+  FROM scan WHERE is_t = 1
+),
+kept AS (SELECT * FROM matched WHERE gap <= {_PSM_CALIPER}),
+stats AS (
+  SELECT cohort, covariate,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) / count(*) AS mu,
+         (CAST(sum(x * x) AS DOUBLE)
+          - count(*) * (CAST(sum(x) AS DOUBLE) / count(*))
+                     * (CAST(sum(x) AS DOUBLE) / count(*)))
+           / (count(*) - 1) AS v
+  FROM (
+    SELECT 'tb' AS cohort, 'score' AS covariate, score AS x
+    FROM cust WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT 'tb', 'n_orders', nord FROM cust WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT 'cb', 'score', score FROM cust WHERE c_mktsegment = 'MACHINERY'
+    UNION ALL
+    SELECT 'cb', 'n_orders', nord FROM cust WHERE c_mktsegment = 'MACHINERY'
+    UNION ALL
+    SELECT 'ta', 'score', t_s FROM kept
+    UNION ALL
+    SELECT 'ta', 'n_orders', t_ord FROM kept
+    UNION ALL
+    SELECT 'ma', 'score', m_s FROM kept
+    UNION ALL
+    SELECT 'ma', 'n_orders', m_o FROM kept
+  )
+  GROUP BY cohort, covariate
+)
+SELECT tb.covariate,
+       round((tb.mu - cb.mu) / sqrt((tb.v + cb.v) / 2), 6) AS smd_before,
+       round((ta.mu - ma.mu) / sqrt((ta.v + ma.v) / 2), 6) AS smd_after,
+       round(tb.v / cb.v, 6) AS var_ratio_before,
+       round(ta.v / ma.v, 6) AS var_ratio_after,
+       ta.n AS n_matched
+FROM stats tb
+JOIN stats cb ON cb.covariate = tb.covariate AND cb.cohort = 'cb'
+JOIN stats ta ON ta.covariate = tb.covariate AND ta.cohort = 'ta'
+JOIN stats ma ON ma.covariate = tb.covariate AND ma.cohort = 'ma'
+WHERE tb.cohort = 'tb'
+ORDER BY tb.covariate
+""",
+    tags=("stats", "causal", "matching", "diagnostic"),
+)
+def q_treatment_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COVARIATE BALANCE DIAGNOSTIC for the matching estimator —
+    standardized mean differences (Rosenbaum & Rubin's |SMD| < 0.1
+    rule) and variance ratios, BEFORE (raw BUILDING vs MACHINERY
+    cohorts) and AFTER nearest-neighbor matching, for the balancing
+    score and the pre-treatment activity covariate (order count).
+    This is the table that decides whether q_propensity_att's ATT is
+    readable at all: matching is only as good as the balance it buys.
+
+    Reuses the SHARED two-level bucketed as-of fill
+    (_nn_bucketed_scan — the q_propensity_att machinery, carrying the
+    matched control's covariates instead of its outcome), so the
+    matched multiset here is exactly the estimator's. Moments fold as
+    DECIMAL sums (x and x^2 exact), variances/SMDs are a handful of
+    double ops over them; one user-keyed aggregate and the bucketed
+    scan are the only input-sized work."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    o = _t(spark, sf_dir, "orders")
+    cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
+        .agg(F.count("o_orderkey").cast("decimal(18,2)").alias("nord"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            dec(F.col("c_acctbal")).alias("score"),
+            "nord",
+        )
+    )
+    ctl = (
+        cust.filter(F.col("c_mktsegment") == "MACHINERY")
+        .groupBy("score")
+        .agg(F.min("c_custkey").alias("ctl_id"))
+    )
+    ctlx = ctl.join(
+        cust.select(
+            F.col("c_custkey").alias("ctl_id"), F.col("nord").alias("ctl_ord")
+        ),
+        "ctl_id",
+    )
+    ev = ctlx.select(
+        "score",
+        F.lit(None).cast("long").alias("t_id"),
+        F.lit(None).cast("decimal(18,2)").alias("t_ord"),
+        "ctl_ord",
+        F.lit(0).alias("is_t"),
+    ).unionByName(
+        cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+            "score",
+            F.col("c_custkey").alias("t_id"),
+            F.col("nord").alias("t_ord"),
+            F.lit(None).cast("decimal(18,2)").alias("ctl_ord"),
+            F.lit(1).alias("is_t"),
+        )
+    )
+    scan = _nn_bucketed_scan(ev, ["ctl_ord"])
+    lo_gap = F.col("score") - F.col("lo_s")
+    hi_gap = F.col("hi_s") - F.col("score")
+    prefer_lo = F.col("hi_s").isNull() | (
+        F.col("lo_s").isNotNull() & (lo_gap <= hi_gap)
+    )
+    matched = scan.select(
+        F.col("score").alias("t_s"),
+        "t_ord",
+        F.when(prefer_lo, F.col("lo_s")).otherwise(F.col("hi_s")).alias("m_s"),
+        F.when(prefer_lo, F.col("lo_ctl_ord"))
+        .otherwise(F.col("hi_ctl_ord"))
+        .alias("m_o"),
+        F.when(prefer_lo, lo_gap).otherwise(hi_gap).alias("gap"),
+    )
+    kept = matched.filter(F.col("gap") <= _PSM_CALIPER)
+
+    rows = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.lit("tb").alias("cohort"), F.lit("score").alias("covariate"), F.col("score").alias("x"))
+        .unionByName(
+            cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+                F.lit("tb").alias("cohort"), F.lit("n_orders").alias("covariate"), F.col("nord").alias("x")
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+                F.lit("cb").alias("cohort"), F.lit("score").alias("covariate"), F.col("score").alias("x")
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+                F.lit("cb").alias("cohort"), F.lit("n_orders").alias("covariate"), F.col("nord").alias("x")
+            )
+        )
+        .unionByName(
+            kept.select(F.lit("ta").alias("cohort"), F.lit("score").alias("covariate"), F.col("t_s").alias("x"))
+        )
+        .unionByName(
+            kept.select(F.lit("ta").alias("cohort"), F.lit("n_orders").alias("covariate"), F.col("t_ord").alias("x"))
+        )
+        .unionByName(
+            kept.select(F.lit("ma").alias("cohort"), F.lit("score").alias("covariate"), F.col("m_s").alias("x"))
+        )
+        .unionByName(
+            kept.select(F.lit("ma").alias("cohort"), F.lit("n_orders").alias("covariate"), F.col("m_o").alias("x"))
+        )
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sx2 = F.sum(F.col("x") * F.col("x")).cast("double")
+    stats = rows.groupBy("cohort", "covariate").agg(
+        n.cast("long").alias("n"),
+        (sx / n).alias("mu"),
+        ((sx2 - n * (sx / n) * (sx / n)) / (n - 1)).alias("v"),
+    )
+
+    def coh(tag):
+        return (
+            stats.filter(F.col("cohort") == tag)
+            .select(
+                "covariate",
+                F.col("n").alias(f"n_{tag}"),
+                F.col("mu").alias(f"mu_{tag}"),
+                F.col("v").alias(f"v_{tag}"),
+            )
+        )
+
+    j = (
+        coh("tb")
+        .join(coh("cb"), "covariate")
+        .join(coh("ta"), "covariate")
+        .join(coh("ma"), "covariate")
+    )
+    return j.select(
+        "covariate",
+        F.round(
+            (F.col("mu_tb") - F.col("mu_cb"))
+            / F.sqrt((F.col("v_tb") + F.col("v_cb")) / 2),
+            6,
+        ).alias("smd_before"),
+        F.round(
+            (F.col("mu_ta") - F.col("mu_ma"))
+            / F.sqrt((F.col("v_ta") + F.col("v_ma")) / 2),
+            6,
+        ).alias("smd_after"),
+        F.round(F.col("v_tb") / F.col("v_cb"), 6).alias("var_ratio_before"),
+        F.round(F.col("v_ta") / F.col("v_ma"), 6).alias("var_ratio_after"),
+        F.col("n_ta").alias("n_matched"),
+    ).orderBy("covariate")

@@ -559,3 +559,22 @@ def test_propensity_matching_two_level_fill(spark):
     plan = _plan(spark, "q_propensity_att")
     assert "windowspecdefinition(bkt" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_balance_smd_consistent_with_matching(spark):
+    """q_treatment_balance_smd shares the matched multiset with
+    q_propensity_att (same scan, same caliper): n_matched must agree,
+    matching must nearly zero the score SMD (it matched ON score),
+    and the variance ratio must move toward 1."""
+    bal = {
+        r["covariate"]: r
+        for r in SPECS["q_treatment_balance_smd"].fn(spark, SF0001).collect()
+    }
+    att = SPECS["q_propensity_att"].fn(spark, SF0001).collect()[0]
+    assert bal["score"]["n_matched"] == att["n_matched"]
+    s = bal["score"]
+    assert abs(s["smd_after"]) < 0.01, s
+    assert abs(s["smd_after"]) < abs(s["smd_before"]) / 5, s
+    assert abs(s["var_ratio_after"] - 1.0) < abs(s["var_ratio_before"] - 1.0), s
+    # the unmatched covariate must be reported, not silently dropped
+    assert "n_orders" in bal
