@@ -66,12 +66,13 @@ def _rescaled(p: DataFrame) -> DataFrame:
     )
 
 
-def top_component(
+def top_vector(
     spark: SparkSession, cov_df: DataFrame, d: int, squarings: int
-) -> DataFrame:
-    """Dominant eigenvector/eigenvalue of the covariance frame
-    (i int, j int, cv decimal(16,12)) via ``squarings`` normalized
-    matrix squarings (effective power 2^squarings)."""
+) -> tuple[DataFrame, DataFrame]:
+    """(cov LocalRelation, unit top eigenvector (i int,
+    v decimal(14,12))) via ``squarings`` normalized matrix squarings
+    (effective power 2^squarings) — the shared model step of
+    sim_pca_top_component and sim_pca_scores."""
     cov = spark.createDataFrame(
         cov_df.collect(), "i int, j int, cv decimal(16,12)"
     )
@@ -106,6 +107,15 @@ def top_component(
         .cast("decimal(14,12)")
         .alias("v"),
     )
+    return cov, v
+
+
+def top_component(
+    spark: SparkSession, cov_df: DataFrame, d: int, squarings: int
+) -> DataFrame:
+    """Dominant eigenvector/eigenvalue/variance-share output frame
+    (dim, loading, eigenvalue, var_share)."""
+    cov, v = top_vector(spark, cov_df, d, squarings)
     w = (
         cov.join(v.select(F.col("i").alias("j"), F.col("v")), "j")
         .groupBy("i")

@@ -1531,7 +1531,10 @@ _PCA_D = 64
 _PCA_SQUARINGS = 11  # effective power 2^11 = 2048
 
 
-def _pca_oracle() -> str:
+def _pca_core_cte() -> str:
+    """Shared oracle prefix: covariance + squarings + unit top
+    eigenvector ``vv`` and centered frame ``c`` (used by both the
+    component query and the projection query)."""
     its = []
     prev = "s0"
     for k in range(1, _PCA_SQUARINGS + 1):
@@ -1596,7 +1599,11 @@ vv AS MATERIALIZED (
   SELECT i, CAST(round(CAST(s AS DOUBLE) / (SELECT nrm FROM nrm), 12)
                  AS DECIMAL(14,12)) AS v
   FROM vraw
-),
+)"""
+
+
+def _pca_oracle() -> str:
+    return f"""{_pca_core_cte()},
 w AS MATERIALIZED (
   SELECT cov.i,
          CAST(sum(CAST(round(CAST(cov.cv AS DOUBLE) * CAST(v.v AS DOUBLE), 14)
@@ -1618,42 +1625,11 @@ ORDER BY dim
 """
 
 
-@query(
-    "sim_pca_top_component",
-    oracle=_pca_oracle(),
-    tags=("X2", "pca", "iterative-unrolled"),
-)
-def sim_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TOP PRINCIPAL COMPONENT of the embedding corpus by distributed
-    covariance + log-step matrix squaring — the whitening /
-    drift-direction primitive (SemDeDup centers on it,
-    embedding-drift monitors project onto it, matryoshka prefix
-    quality is judged against it). Output: per-dimension loading of
-    the dominant eigenvector, its Rayleigh eigenvalue, and the
-    explained-variance share lambda/trace(C).
-
-    Scale shape: per-dimension means are a d-key aggregate; the
-    covariance is ONE self-join on vec_id (co-partitioned, d^2
-    expansion map-side) into a d^2-key aggregate with map-side
-    partial combine — input-sized work is linear in n with a d^2
-    constant, never quadratic in corpus size. The d x d matrix
-    (4096 rows, corpus-size-INDEPENDENT) is then collected and
-    SQUARED 11 times as a LocalRelation in operators/pca.py —
-    C -> C^2 -> ... -> C^2048 with max-element renormalization.
-    Squaring, not plain power iteration, is load-bearing: this
-    corpus is near-isotropic (lambda2/lambda1 ~ 0.99), where k-step
-    iteration needs thousands of steps but 11 squarings suppress the
-    subdominant space by 0.99^2048 ~ 1e-9 — a spectral-GAP-FREE
-    plan. The LocalRelation keeps the covariance subtree out of the
-    squaring lineage (the q_markov_stationary lesson) and the
-    oracle's MATERIALIZED CTEs replay the identical arithmetic.
-    Exactness: elements rounded to 6 dp up front; every product
-    rounded half-up to 14 dp and folded as DECIMAL —
-    association-order independent, bit-equal across engines; each
-    squaring closes with an exact decimal max and one double
-    divide."""
+def _pca_centered_cov(spark: SparkSession, sf_dir: str):
+    """Distributed PCA inputs shared by sim_pca_top_component and
+    sim_pca_scores: (centered exploded frame c(vec_id, i, cx),
+    covariance frame cov(i, j, cv DECIMAL(16,12)))."""
     from cdc_via_flink_spark.functions.vectors import to_double
-    from cdc_via_flink_spark.operators.pca import top_component
     from cdc_via_flink_spark.sources.tables import ensure_min_partitions
 
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
@@ -1690,4 +1666,114 @@ def sim_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cv"),
         )
     )
+    return c, cov
+
+
+@query(
+    "sim_pca_top_component",
+    oracle=_pca_oracle(),
+    tags=("X2", "pca", "iterative-unrolled"),
+)
+def sim_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding corpus by distributed
+    covariance + log-step matrix squaring — the whitening /
+    drift-direction primitive (SemDeDup centers on it,
+    embedding-drift monitors project onto it, matryoshka prefix
+    quality is judged against it). Output: per-dimension loading of
+    the dominant eigenvector, its Rayleigh eigenvalue, and the
+    explained-variance share lambda/trace(C).
+
+    Scale shape: per-dimension means are a d-key aggregate; the
+    covariance is ONE self-join on vec_id (co-partitioned, d^2
+    expansion map-side) into a d^2-key aggregate with map-side
+    partial combine — input-sized work is linear in n with a d^2
+    constant, never quadratic in corpus size. The d x d matrix
+    (4096 rows, corpus-size-INDEPENDENT) is then collected and
+    SQUARED 11 times as a LocalRelation in operators/pca.py —
+    C -> C^2 -> ... -> C^2048 with max-element renormalization.
+    Squaring, not plain power iteration, is load-bearing: this
+    corpus is near-isotropic (lambda2/lambda1 ~ 0.99), where k-step
+    iteration needs thousands of steps but 11 squarings suppress the
+    subdominant space by 0.99^2048 ~ 1e-9 — a spectral-GAP-FREE
+    plan. The LocalRelation keeps the covariance subtree out of the
+    squaring lineage (the q_markov_stationary lesson) and the
+    oracle's MATERIALIZED CTEs replay the identical arithmetic.
+    Exactness: elements rounded to 6 dp up front; every product
+    rounded half-up to 14 dp and folded as DECIMAL —
+    association-order independent, bit-equal across engines; each
+    squaring closes with an exact decimal max and one double
+    divide."""
+    from cdc_via_flink_spark.operators.pca import top_component
+
+    _, cov = _pca_centered_cov(spark, sf_dir)
     return top_component(spark, cov, _PCA_D, _PCA_SQUARINGS)
+
+
+_PCA_TOPK = 10
+
+
+def _pca_scores_oracle() -> str:
+    return f"""{_pca_core_cte()},
+proj AS (
+  SELECT c.vec_id,
+         CAST(sum(CAST(round(CAST(v.v AS DOUBLE) * c.cx, 14)
+                       AS DECIMAL(30,14))) AS DOUBLE) AS score
+  FROM c JOIN vv v ON v.i = c.i
+  GROUP BY c.vec_id
+)
+SELECT vec_id,
+       round(score, 6) AS pc_score,
+       round(abs(score), 6) AS abs_score
+FROM proj
+ORDER BY abs(score) DESC, vec_id
+LIMIT {_PCA_TOPK}
+"""
+
+
+@query(
+    "sim_pca_scores",
+    oracle=_pca_scores_oracle(),
+    tags=("X2", "pca", "projection", "A6"),
+)
+def sim_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA PROJECTION / DRIFT-DIRECTION OUTLIERS — the "apply" face of
+    sim_pca_top_component's "fit": every embedding is projected onto
+    the learned dominant eigenvector (score = v . centered x) and the
+    top-|score| documents surface — the vectors an embedding-drift
+    review reads first, and the whitening transform's first
+    coordinate. Fit and apply SHARE the model step (_pca_centered_cov
+    + operators/pca.top_vector), so this query is the composition
+    proof that the component is reusable, not a one-shot statistic.
+
+    Scale shape: the projection is ONE broadcast join of the d-row
+    eigenvector against the exploded centered frame, then a
+    vec_id-keyed aggregate; top-k is orderBy+limit =
+    TakeOrderedAndProject (each map task forwards <= k rows).
+    Products round half-up to 14 dp and fold as DECIMAL —
+    association-order independent, bit-equal across engines."""
+    from cdc_via_flink_spark.operators.pca import top_vector
+
+    c, cov = _pca_centered_cov(spark, sf_dir)
+    _, v = top_vector(spark, cov, _PCA_D, _PCA_SQUARINGS)
+    proj = (
+        c.join(F.broadcast(v), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.round(F.col("v").cast("double") * F.col("cx"), 14).cast(
+                    "decimal(30,14)"
+                )
+            )
+            .cast("double")
+            .alias("score")
+        )
+    )
+    return (
+        proj.orderBy(F.abs(F.col("score")).desc(), "vec_id")
+        .limit(_PCA_TOPK)
+        .select(
+            "vec_id",
+            F.round("score", 6).alias("pc_score"),
+            F.round(F.abs(F.col("score")), 6).alias("abs_score"),
+        )
+    )

@@ -53,3 +53,20 @@ def test_pca_plan_covariance_once_iterations_local(spark):
     # the parquet scan does NOT appear in the returned frame's plan
     # (covariance was collected upstream, squarings checkpointed)
     assert "parquet" not in plan.lower(), plan
+
+
+def test_pca_scores_match_numpy_projection(spark):
+    """sim_pca_scores top outliers == numpy projection onto the eigh
+    top component (up to global sign), same ranking."""
+    out = SPECS["sim_pca_scores"].fn(spark, SF001).collect()
+    comp = SPECS["sim_pca_top_component"].fn(spark, SF001).collect()
+    v = np.array([r["loading"] for r in sorted(comp, key=lambda r: r["dim"])])
+
+    df = pd.read_parquet(f"{SF001}/embeddings.parquet")
+    x = np.round(np.stack(df["embedding"].to_numpy()).astype(np.float64), 6)
+    ids = df["vec_id"].to_numpy()
+    scores = (x - x.mean(0)) @ v
+    order = np.argsort(-np.abs(scores))[: len(out)]
+    assert [r["vec_id"] for r in out] == list(ids[order])
+    for r, k in zip(out, order):
+        assert abs(r["pc_score"] - scores[k]) < 1e-3, (r, scores[k])
