@@ -4567,3 +4567,139 @@ def q_treatment_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v_ta") / F.col("v_ma"), 6).alias("var_ratio_after"),
         F.col("n_ta").alias("n_matched"),
     ).orderBy("covariate")
+
+
+_QR_TAU = "0.90"  # pinball quantile level (exact DECIMAL both engines)
+_QR_STEPS = 20  # slope grid resolution (candidates 0..steps)
+
+
+@query(
+    "q_quantile_regression",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+  FROM lineitem
+),
+b AS (
+  SELECT CAST(round(CAST(sum(y) AS DOUBLE) / CAST(sum(x) AS DOUBLE) * 2, 2)
+              AS DECIMAL(10,2)) AS smax,
+         CAST(count(*) AS BIGINT) AS n
+  FROM d
+),
+slopes AS (
+  SELECT CAST(round(CAST((SELECT smax FROM b) AS DOUBLE) * g / {_QR_STEPS}.0,
+              2) AS DECIMAL(10,2)) AS s
+  FROM generate_series(0, {_QR_STEPS}) t(g)
+),
+resid AS MATERIALIZED (
+  SELECT s.s, d.y - s.s * d.x AS r
+  FROM d CROSS JOIN slopes s
+),
+ranked AS (
+  SELECT s, r, row_number() OVER (PARTITION BY s ORDER BY r) AS rn
+  FROM resid
+),
+icept AS (
+  SELECT s, r AS q
+  FROM ranked
+  WHERE rn = (SELECT (9 * n + 9) // 10 FROM b)
+),
+loss AS (
+  SELECT resid.s, icept.q,
+         sum(CASE WHEN resid.r >= icept.q
+                  THEN CAST({_QR_TAU} AS DECIMAL(3,2)) * (resid.r - icept.q)
+                  ELSE CAST(1 - {_QR_TAU} AS DECIMAL(3,2))
+                       * (icept.q - resid.r) END) AS pl
+  FROM resid JOIN icept ON resid.s = icept.s
+  GROUP BY resid.s, icept.q
+)
+SELECT CAST({_QR_TAU} AS DOUBLE) AS tau,
+       CAST(s AS DOUBLE) AS slope,
+       CAST(q AS DOUBLE) AS intercept,
+       round(CAST(pl AS DOUBLE) / (SELECT n FROM b), 6) AS avg_pinball
+FROM loss
+ORDER BY pl, s
+LIMIT 1
+""",
+    tags=("stats", "regression", "quantile"),
+)
+def q_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE REGRESSION (tau = 0.9) of extended price on quantity
+    by exact grid search: 21 candidate slopes span [0, 2*(sum y /
+    sum x)]; for each, the pinball-OPTIMAL intercept in closed form —
+    the tau-quantile of the residuals (an exact order statistic, no
+    interpolation) — then the total pinball loss picks the winner.
+    The p90 price-per-unit frontier that OLS (q_ols_two_feature)
+    cannot see: it prices the upper tail, not the mean.
+
+    Scale shape: the grid explode is map-side (x 21); per-slope
+    residual ranking is one window per slope partition (21 parallel
+    sorts, linear in n each); the argmin runs on the 21-row loss
+    table. Exactness end-to-end: slopes/residuals/quantile/pinball
+    are ALL exact DECIMAL arithmetic (tau = 0.90 exact), so both
+    engines agree bit-for-bit with zero float-boundary risk; the only
+    doubles are the data-driven grid bound and the final display
+    casts."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("decimal(18,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    b = li.agg(
+        F.round(
+            F.sum("y").cast("double") / F.sum("x").cast("double") * 2, 2
+        )
+        .cast("decimal(10,2)")
+        .alias("smax"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    slopes = (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(_QR_STEPS))).alias("g"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.round(
+                F.col("smax").cast("double") * F.col("g") / float(_QR_STEPS), 2
+            )
+            .cast("decimal(10,2)")
+            .alias("s"),
+            "n",
+        )
+    )
+    resid = li.crossJoin(F.broadcast(slopes)).select(
+        "s", "n", (F.col("y") - F.col("s") * F.col("x")).alias("r")
+    )
+    ranked = resid.select(
+        "s",
+        "n",
+        "r",
+        F.row_number().over(W.partitionBy("s").orderBy("r")).alias("rn"),
+    )
+    icept = ranked.filter(
+        F.col("rn") == F.expr("(9 * n + 9) div 10")
+    ).select("s", F.col("r").alias("q"))
+    tau = F.expr("CAST(0.90 AS DECIMAL(3,2))")
+    one_m_tau = F.expr("CAST(0.10 AS DECIMAL(3,2))")
+    loss = (
+        resid.join(F.broadcast(icept), "s")
+        .groupBy("s", "q", "n")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("r") >= F.col("q"), tau * (F.col("r") - F.col("q"))
+                ).otherwise(one_m_tau * (F.col("q") - F.col("r")))
+            ).alias("pl")
+        )
+    )
+    return (
+        loss.orderBy("pl", "s")
+        .limit(1)
+        .select(
+            F.lit(0.9).alias("tau"),
+            F.col("s").cast("double").alias("slope"),
+            F.col("q").cast("double").alias("intercept"),
+            F.round(F.col("pl").cast("double") / F.col("n"), 6).alias(
+                "avg_pinball"
+            ),
+        )
+    )

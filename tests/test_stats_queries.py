@@ -578,3 +578,35 @@ def test_balance_smd_consistent_with_matching(spark):
     assert abs(s["var_ratio_after"] - 1.0) < abs(s["var_ratio_before"] - 1.0), s
     # the unmatched covariate must be reported, not silently dropped
     assert "n_orders" in bal
+
+
+def test_quantile_regression_python_reference(spark):
+    """q_quantile_regression == numpy replication of the grid search
+    (slopes, exact order-statistic intercept, pinball loss), and the
+    fitted line covers ~tau of the data from above."""
+    import numpy as np
+    import pandas as pd
+
+    row = SPECS["q_quantile_regression"].fn(spark, SF0001).collect()[0]
+    li = pd.read_parquet(f"{SF0001}/lineitem.parquet")
+    x = np.round(li["l_quantity"].to_numpy(float), 2)
+    y = np.round(li["l_extendedprice"].to_numpy(float), 2)
+    n = len(x)
+    smax = round(y.sum() / x.sum() * 2, 2)
+    k = (9 * n + 9) // 10
+    best = None
+    for g in range(21):
+        s = round(smax * g / 20.0, 2)
+        r = y - s * x
+        q = np.sort(r)[k - 1]
+        pl = np.where(r >= q, 0.9 * (r - q), 0.1 * (q - r)).sum()
+        if best is None or pl < best[0]:
+            best = (pl, s, q)
+    assert abs(row["slope"] - best[1]) < 1e-9, (row, best)
+    assert abs(row["intercept"] - best[2]) < 1e-6, (row, best)
+    assert abs(row["avg_pinball"] - best[0] / n) < 1e-3, (row, best)
+    # coverage: residuals at the fit are below the intercept for
+    # exactly ceil(tau*n)/n of rows (exact order statistic)
+    r = y - row["slope"] * x
+    cov = (r <= row["intercept"] + 1e-9).mean()
+    assert abs(cov - k / n) < 0.02, cov
