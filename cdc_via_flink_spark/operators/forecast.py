@@ -1,0 +1,58 @@
+"""Holt linear-trend recurrence (plans/stats_queries.py::
+q_holt_forecast) — model-sized sequential smoothing.
+
+The DISTRIBUTED part — the monthly revenue aggregate — happens in the
+plans layer (one shuffle). The recurrence l_t = a*y_t +
+(1-a)(l_{t-1}+b_{t-1}), b_t = g*(l_t-l_{t-1}) + (1-g)*b_{t-1} is
+inherently sequential over the BOUNDED month grid (24 points), so the
+series is collected once and folded in exact driver-side DECIMAL
+(the kmeans-centroid / markov precedent). Every step applies the
+exact products of DECIMAL coefficients (a = 0.30, g = 0.10) and ONE
+half-up round to 6 dp — bit-identical to the oracle's chained
+MATERIALIZED CTEs, association-order independent by construction
+(each step is a 1-row fold)."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal, getcontext
+
+_Q6 = Decimal("1e-6")
+ALPHA = Decimal("0.30")
+GAMMA = Decimal("0.10")
+
+
+def holt_fold(ys: list[Decimal]) -> tuple[Decimal, Decimal]:
+    """(level, trend) after folding the ordered series."""
+    getcontext().prec = 50
+    level = ys[0]
+    trend = ys[1] - ys[0]
+    one_a = Decimal(1) - ALPHA
+    one_g = Decimal(1) - GAMMA
+    for y in ys[1:]:
+        prev = level
+        level = (ALPHA * y + one_a * (prev + trend)).quantize(
+            _Q6, ROUND_HALF_UP
+        )
+        trend = (GAMMA * (level - prev) + one_g * trend).quantize(
+            _Q6, ROUND_HALF_UP
+        )
+    return level, trend
+
+
+def holt_forecast_frame(spark, series_df, horizon: int):
+    """Collect the model-sized (mo, y DECIMAL) monthly frame, fold the
+    recurrence, and return the (h, forecast, level, trend) frame."""
+    rows = sorted(series_df.collect(), key=lambda r: r["mo"])
+    level, trend = holt_fold([r["y"] for r in rows])
+    q2 = Decimal("1e-2")
+
+    def r2(x: Decimal) -> float:
+        return float(x.quantize(q2, ROUND_HALF_UP))
+
+    out = [
+        (h, r2(level + h * trend), r2(level), r2(trend))
+        for h in range(1, horizon + 1)
+    ]
+    return spark.createDataFrame(
+        out, "h int, forecast double, level double, trend double"
+    ).orderBy("h")

@@ -4703,3 +4703,301 @@ def q_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_HOLT_WINDOW = 24  # trailing months fitted
+_HOLT_H = 3  # forecast horizon
+
+
+def _holt_oracle() -> str:
+    steps = []
+    for t in range(2, _HOLT_WINDOW + 1):
+        steps.append(f"""
+st{t} AS MATERIALIZED (
+  SELECT q.l,
+         CAST(round(0.10 * (q.l - q.pl) + 0.90 * q.pb, 6)
+              AS DECIMAL(28,6)) AS b
+  FROM (
+    SELECT CAST(round(0.30 * s.y + 0.70 * (p.l + p.b), 6)
+                AS DECIMAL(28,6)) AS l,
+           p.l AS pl, p.b AS pb
+    FROM st{t - 1} p
+    CROSS JOIN (SELECT y FROM ser WHERE t = {t}) s
+  ) q
+)""")
+    return f"""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mo,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,6)) AS y
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+),
+idx AS (
+  SELECT mo, y, row_number() OVER (ORDER BY mo DESC) AS rd FROM m
+),
+ser AS MATERIALIZED (
+  SELECT {_HOLT_WINDOW + 1} - rd AS t, y FROM idx WHERE rd <= {_HOLT_WINDOW}
+),
+st1 AS MATERIALIZED (
+  SELECT a.y AS l, CAST(b.y - a.y AS DECIMAL(28,6)) AS b
+  FROM (SELECT y FROM ser WHERE t = 1) a
+  CROSS JOIN (SELECT y FROM ser WHERE t = 2) b
+),{",".join(steps)}
+SELECT h,
+       round(CAST(s.l + h * s.b AS DOUBLE), 2) AS forecast,
+       round(CAST(s.l AS DOUBLE), 2) AS level,
+       round(CAST(s.b AS DOUBLE), 2) AS trend
+FROM st{_HOLT_WINDOW} s
+CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) hs
+ORDER BY h
+"""
+
+
+@query(
+    "q_holt_forecast",
+    oracle=_holt_oracle(),
+    tags=("stats", "forecast", "iterative-unrolled"),
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR-TREND FORECAST (double exponential smoothing,
+    a = 0.30, g = 0.10) of monthly revenue over the trailing 24
+    months, horizons 1-3 — the trend-aware member of the forecasting
+    family (q_forecast_revenue_change is seasonal-naive,
+    q_forecast_mase scores them; Holt extrapolates drift both miss).
+
+    Scale/parity shape: the month aggregate is the only input-sized
+    work (one shuffle); the recurrence is inherently SEQUENTIAL over
+    the bounded 24-point grid, so the series is collected once and
+    folded in exact driver-side DECIMAL (operators/forecast.py — the
+    markov/kmeans model-sized precedent) while the oracle chains 23
+    MATERIALIZED CTEs through the identical exact arithmetic: DECIMAL
+    coefficient products with one half-up round to 6 dp per step, so
+    all three implementations agree bit-for-bit."""
+    from cdc_via_flink_spark.operators.forecast import holt_forecast_frame
+
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mo"))
+        .agg(
+            F.sum(dec(F.col("o_totalprice"))).cast("decimal(28,6)").alias("y")
+        )
+        .orderBy(F.col("mo").desc())
+        .limit(_HOLT_WINDOW)
+    )
+    return holt_forecast_frame(spark, m, _HOLT_H)
+
+
+# SPRT (Wald 1945) of conversion rate: H0 p=0.18 vs H1 p=0.22,
+# alpha = beta = 0.05. Log-likelihood-ratio increments and thresholds
+# precomputed and inlined as identical 12-dp DECIMAL literals.
+_SPRT_INC_S = "0.200670695462"  # ln(p1/p0)
+_SPRT_INC_F = "-0.050010420575"  # ln((1-p1)/(1-p0))
+_SPRT_A = "2.944438979166"  # ln((1-beta)/alpha): accept H1 at/above
+_SPRT_B = "-2.944438979166"  # ln(beta/(1-alpha)): accept H0 at/below
+
+
+@query(
+    "q_sprt_monitor",
+    oracle=f"""
+WITH trials AS (
+  SELECT CAST(ts AS DATE) AS d, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST({_SPRT_INC_S} AS DECIMAL(18,12))
+              ELSE CAST({_SPRT_INC_F} AS DECIMAL(18,12)) END AS inc
+  FROM events
+),
+daily AS (
+  SELECT d, CAST(sum(inc) AS DECIMAL(28,12)) AS day_sum,
+         CAST(count(*) AS BIGINT) AS day_n
+  FROM trials GROUP BY d
+),
+dayoff AS MATERIALIZED (
+  SELECT d,
+         CAST(coalesce(sum(day_sum) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS DECIMAL(28,12)) AS off_sum,
+         CAST(coalesce(sum(day_n) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off_n
+  FROM daily
+),
+cum AS (
+  SELECT t.ts, t.event_id,
+         CAST(o.off_sum + sum(t.inc) OVER (PARTITION BY t.d
+                ORDER BY t.ts, t.event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(28,12)) AS llr,
+         o.off_n + row_number() OVER (PARTITION BY t.d
+                ORDER BY t.ts, t.event_id) AS n
+  FROM trials t JOIN dayoff o ON t.d = o.d
+),
+crossing AS (
+  SELECT *, CASE WHEN llr >= {_SPRT_A} THEN 'accept_h1'
+                 ELSE 'accept_h0' END AS decision
+  FROM cum
+  WHERE llr >= {_SPRT_A} OR llr <= {_SPRT_B}
+  ORDER BY ts, event_id LIMIT 1
+),
+final AS (
+  SELECT 'continue' AS decision, max(n) AS n, NULL AS llr_at
+  FROM cum
+)
+SELECT decision, CAST(n AS BIGINT) AS n_at_decision,
+       round(CAST(llr AS DOUBLE), 6) AS llr
+FROM crossing
+UNION ALL
+SELECT f.decision, f.n, CAST(NULL AS DOUBLE)
+FROM final f WHERE NOT EXISTS (SELECT 1 FROM crossing)
+""",
+    tags=("stats", "sequential-test", "sprt"),
+)
+def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD SPRT MONITOR of the event-level conversion rate — the
+    always-valid sequential counterpart to q_ab_test_proportions'
+    fixed-n test: each event adds an inlined-constant log-likelihood
+    increment (purchase vs not, H0 p=0.18 vs H1 p=0.22), and the
+    FIRST threshold crossing (ln 19 at alpha=beta=0.05) decides;
+    peeking is free by construction. Returns the decision, the trial
+    count at decision, and the LLR there.
+
+    Scale shape: the global ordered cumulative sum uses the TWO-LEVEL
+    prefix recipe (the KS/matching pattern): per-DAY partial cumsums
+    run day-keyed (parallel), day offsets cross through one window on
+    the bounded calendar grid — no input-sized single-partition scan.
+    Increments are 12-dp DECIMAL literals identical in both engines;
+    every cumulative value is an exact decimal sum, so the crossing
+    row is bit-deterministic."""
+    e = _t(spark, sf_dir, "events")
+    inc_s = F.expr(f"CAST({_SPRT_INC_S} AS DECIMAL(18,12))")
+    inc_f = F.expr(f"CAST({_SPRT_INC_F} AS DECIMAL(18,12))")
+    trials = e.select(
+        F.col("ts").cast("date").alias("d"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", inc_s)
+        .otherwise(inc_f)
+        .alias("inc"),
+    )
+    daily = trials.groupBy("d").agg(
+        F.sum("inc").cast("decimal(28,12)").alias("day_sum"),
+        F.count(F.lit(1)).cast("long").alias("day_n"),
+    )
+    wday = W.orderBy("d").rowsBetween(W.unboundedPreceding, -1)
+    dayoff = daily.select(
+        "d",
+        F.coalesce(F.sum("day_sum").over(wday), F.lit(0))
+        .cast("decimal(28,12)")
+        .alias("off_sum"),
+        F.coalesce(F.sum("day_n").over(wday), F.lit(0))
+        .cast("long")
+        .alias("off_n"),
+    )
+    win = W.partitionBy("d").orderBy("ts", "event_id")
+    cum = trials.join(F.broadcast(dayoff), "d").select(
+        "ts",
+        "event_id",
+        (
+            F.col("off_sum")
+            + F.sum("inc").over(win.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .cast("decimal(28,12)")
+        .alias("llr"),
+        (F.col("off_n") + F.row_number().over(win)).alias("n"),
+    )
+    a = F.expr(f"CAST({_SPRT_A} AS DECIMAL(28,12))")
+    b = F.expr(f"CAST({_SPRT_B} AS DECIMAL(28,12))")
+    crossing = (
+        cum.filter((F.col("llr") >= a) | (F.col("llr") <= b))
+        .orderBy("ts", "event_id")
+        .limit(1)
+        .select(
+            F.when(F.col("llr") >= a, F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+            F.col("n").cast("long").alias("n_at_decision"),
+            F.round(F.col("llr").cast("double"), 6).alias("llr"),
+        )
+    )
+    final = cum.agg(F.max("n").cast("long").alias("n")).select(
+        F.lit("continue").alias("decision"),
+        F.col("n").alias("n_at_decision"),
+        F.lit(None).cast("double").alias("llr"),
+    )
+    has = crossing.agg(F.count(F.lit(1)).alias("k"))
+    return crossing.unionByName(
+        final.crossJoin(F.broadcast(has)).filter(F.col("k") == 0).drop("k")
+    )
+
+
+# Two-sided alpha=0.05, power=0.80 normal quantiles, inlined
+_MDE_ZA = "1.959964"
+_MDE_ZB = "0.841621"
+
+
+@query(
+    "q_mde_power",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT c.c_mktsegment, c.c_custkey,
+         CASE WHEN count(o.o_orderkey) >= 2 THEN 1 ELSE 0 END AS conv
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+),
+seg AS (
+  SELECT c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(conv) AS BIGINT) AS n_conv
+  FROM per_cust GROUP BY c_mktsegment
+)
+SELECT segment, n_users,
+       round(CAST(n_conv AS DOUBLE) / n_users, 6) AS base_rate,
+       round(({_MDE_ZA} + {_MDE_ZB})
+             * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / n_users)
+                        * (1.0 - CAST(n_conv AS DOUBLE) / n_users)
+                        / (CAST(n_users AS DOUBLE) / 2)), 6) AS mde_abs,
+       round(({_MDE_ZA} + {_MDE_ZB})
+             * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / n_users)
+                        * (1.0 - CAST(n_conv AS DOUBLE) / n_users)
+                        / (CAST(n_users AS DOUBLE) / 2))
+             / (CAST(n_conv AS DOUBLE) / n_users), 6) AS mde_rel
+FROM seg
+ORDER BY segment
+""",
+    tags=("stats", "experiment-design", "power"),
+)
+def q_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM DETECTABLE EFFECT / POWER TABLE per market segment —
+    the experiment-DESIGN face of the testing family
+    (q_ab_test_proportions evaluates a finished test; this sizes the
+    next one): with each segment's users split into two equal arms
+    and its observed repeat-purchase base rate, the smallest absolute
+    and relative lift detectable at alpha=0.05 / power=0.80
+    (two-proportion z formula; normal quantiles inlined as identical
+    literals — no cross-engine quantile functions).
+
+    One customer-keyed aggregate then segment-sized arithmetic; exact
+    integer counts feed a handful of identical double ops."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.when(F.count("o_orderkey") >= 2, 1).otherwise(0).alias("conv")
+        )
+    )
+    seg = per_cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    )
+    p = F.col("n_conv").cast("double") / F.col("n_users")
+    z = float(_MDE_ZA) + float(_MDE_ZB)
+    mde = F.lit(z) * F.sqrt(
+        2.0 * p * (1.0 - p) / (F.col("n_users").cast("double") / 2)
+    )
+    return seg.select(
+        "segment",
+        "n_users",
+        F.round(p, 6).alias("base_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 6).alias("mde_rel"),
+    ).orderBy("segment")

@@ -610,3 +610,82 @@ def test_quantile_regression_python_reference(spark):
     r = y - row["slope"] * x
     cov = (r <= row["intercept"] + 1e-9).mean()
     assert abs(cov - k / n) < 0.02, cov
+
+
+def test_holt_forecast_reference_and_identity(spark):
+    """q_holt_forecast == pandas float replication of Holt smoothing
+    (tolerance: the engine chain rounds at 12 dp), and forecast(h) ==
+    level + h*trend exactly."""
+    import pandas as pd
+
+    rows = {r["h"]: r for r in SPECS["q_holt_forecast"].fn(spark, SF0001).collect()}
+    o = pd.read_parquet(f"{SF0001}/orders.parquet")
+    m = (
+        o.assign(mo=o["o_orderdate"].values.astype("datetime64[M]"))
+        .groupby("mo")["o_totalprice"]
+        .sum()
+        .sort_index()
+        .tail(24)
+    )
+    ys = [round(v, 2) for v in m.to_numpy(float)]
+    level, trend = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        prev = level
+        level = 0.30 * y + 0.70 * (prev + trend)
+        trend = 0.10 * (level - prev) + 0.90 * trend
+    for h, r in rows.items():
+        assert abs(r["forecast"] - (level + h * trend)) < 1e-2 * max(
+            1.0, abs(level)
+        ), (h, r, level, trend)
+        assert abs(r["forecast"] - (r["level"] + h * r["trend"])) < 0.02, r
+
+
+def test_sprt_matches_sequential_python(spark):
+    """q_sprt_monitor == an order-faithful pure-Python sequential
+    walk over the raw events (the two-level prefix decomposition must
+    equal the plain sequential scan)."""
+    import pandas as pd
+
+    row = SPECS["q_sprt_monitor"].fn(spark, SF0001).collect()[0]
+    e = pd.read_parquet(f"{SF0001}/events.parquet")[
+        ["ts", "event_id", "event_type"]
+    ].sort_values(["ts", "event_id"])
+    from decimal import Decimal
+
+    inc_s, inc_f = Decimal("0.200670695462"), Decimal("-0.050010420575")
+    a = Decimal("2.944438979166")
+    llr, n, hit = Decimal(0), 0, None
+    for et in e["event_type"]:
+        n += 1
+        llr += inc_s if et == "purchase" else inc_f
+        if llr >= a or llr <= -a:
+            hit = ("accept_h1" if llr >= a else "accept_h0", n, float(llr))
+            break
+    if hit is None:
+        assert row["decision"] == "continue" and row["n_at_decision"] == n
+    else:
+        assert row["decision"] == hit[0]
+        assert row["n_at_decision"] == hit[1]
+        assert abs(row["llr"] - hit[2]) < 1e-6
+
+
+def test_mde_power_formula_and_monotonicity(spark):
+    """q_mde_power == the two-proportion z formula recomputed from raw
+    counts; MDE must shrink as cohort size grows at similar base
+    rates."""
+    import math
+
+    import pandas as pd
+
+    out = {r["segment"]: r for r in SPECS["q_mde_power"].fn(spark, SF0001).collect()}
+    c = pd.read_parquet(f"{SF0001}/customer.parquet")
+    o = pd.read_parquet(f"{SF0001}/orders.parquet")
+    cnt = o.groupby("o_custkey").size()
+    for seg, grp in c.groupby("c_mktsegment"):
+        n = len(grp)
+        conv = sum(1 for k in grp["c_custkey"] if cnt.get(k, 0) >= 2)
+        p = conv / n
+        mde = (1.959964 + 0.841621) * math.sqrt(2 * p * (1 - p) / (n / 2))
+        assert out[seg]["n_users"] == n
+        assert abs(out[seg]["base_rate"] - round(p, 6)) < 1e-9
+        assert abs(out[seg]["mde_abs"] - mde) < 1e-5, (seg, out[seg], mde)
