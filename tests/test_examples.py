@@ -52,3 +52,25 @@ def test_retrieval_pipeline_context(spark):
     # the lexical-evidence flag is well-formed (both values possible
     # but at minimum the column exists and is boolean)
     assert {type(r["rrf_evidence"]) for r in ctx} == {bool}
+
+
+def test_attribution_report_comparison(spark):
+    from attribution_report import build_comparison
+
+    rows = build_comparison(spark, SF0001).collect()
+    channels = {r["channel"] for r in rows}
+    # the four event channels always present; 'direct' optional
+    assert {"click", "error", "signup", "view"} <= channels
+    for r in rows:
+        if r["channel"] == "direct":
+            # exposure-based rules don't define 'direct'
+            assert r["shapley"] is None and r["markov"] is None
+            continue
+        # every rule produced a share and the spread is consistent
+        vals = [r[k] for k in ("last_touch", "linear", "time_decay", "shapley", "markov")]
+        vals = [v for v in vals if v is not None]
+        assert vals and abs(r["share_spread"] - (max(vals) - min(vals))) < 1e-6
+    # each rule's shares sum to ~1 across channels
+    for k in ("last_touch", "linear", "time_decay", "shapley", "markov"):
+        tot = sum(r[k] for r in rows if r[k] is not None)
+        assert abs(tot - 1.0) < 1e-3, (k, tot)
