@@ -1531,28 +1531,9 @@ _PCA_D = 64
 _PCA_SQUARINGS = 11  # effective power 2^11 = 2048
 
 
-def _pca_core_cte() -> str:
-    """Shared oracle prefix: covariance + squarings + unit top
-    eigenvector ``vv`` and centered frame ``c`` (used by both the
-    component query and the projection query)."""
-    its = []
-    prev = "s0"
-    for k in range(1, _PCA_SQUARINGS + 1):
-        its.append(f"""
-p{k} AS MATERIALIZED (
-  SELECT a.i, b.j,
-         CAST(sum(CAST(round(CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE), 14)
-                       AS DECIMAL(30,14))) AS DECIMAL(32,14)) AS p
-  FROM {prev} a JOIN {prev} b ON a.j = b.i
-  GROUP BY a.i, b.j
-),
-mx{k} AS (SELECT CAST(max(abs(p)) AS DOUBLE) AS mx FROM p{k}),
-s{k} AS MATERIALIZED (
-  SELECT i, j, CAST(round(CAST(p AS DOUBLE) / (SELECT mx FROM mx{k}), 12)
-                    AS DECIMAL(14,12)) AS s
-  FROM p{k}
-)""")
-        prev = f"s{k}"
+def _pca_cov_cte() -> str:
+    """Oracle prefix through the covariance CTE only (shared by the
+    spectrum-summary query, which needs no squarings)."""
     return f"""
 WITH d AS (SELECT vec_id, {SQL_VD} AS v FROM embeddings),
 e AS (SELECT unnest(generate_series(0, {_PCA_D - 1})) AS dim),
@@ -1576,7 +1557,32 @@ cov AS MATERIALIZED (
               AS DECIMAL(16,12)) AS cv
   FROM c a JOIN c b ON a.vec_id = b.vec_id
   GROUP BY a.i, b.i
+)"""
+
+
+def _pca_core_cte() -> str:
+    """Shared oracle prefix: covariance + squarings + unit top
+    eigenvector ``vv`` and centered frame ``c`` (used by both the
+    component query and the projection query)."""
+    its = []
+    prev = "s0"
+    for k in range(1, _PCA_SQUARINGS + 1):
+        its.append(f"""
+p{k} AS MATERIALIZED (
+  SELECT a.i, b.j,
+         CAST(sum(CAST(round(CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE), 14)
+                       AS DECIMAL(30,14))) AS DECIMAL(32,14)) AS p
+  FROM {prev} a JOIN {prev} b ON a.j = b.i
+  GROUP BY a.i, b.j
 ),
+mx{k} AS (SELECT CAST(max(abs(p)) AS DOUBLE) AS mx FROM p{k}),
+s{k} AS MATERIALIZED (
+  SELECT i, j, CAST(round(CAST(p AS DOUBLE) / (SELECT mx FROM mx{k}), 12)
+                    AS DECIMAL(14,12)) AS s
+  FROM p{k}
+)""")
+        prev = f"s{k}"
+    return f"""{_pca_cov_cte()},
 mx0 AS (SELECT CAST(max(abs(cv)) AS DOUBLE) AS mx FROM cov),
 s0 AS MATERIALIZED (
   SELECT i, j, CAST(round(CAST(cv AS DOUBLE) / (SELECT mx FROM mx0), 12)
@@ -1776,4 +1782,62 @@ def sim_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("pc_score"),
             F.round(F.abs(F.col("score")), 6).alias("abs_score"),
         )
+    )
+
+
+def _effective_rank_oracle() -> str:
+    return f"""{_pca_cov_cte()},
+agg AS (
+  SELECT CAST(sum(CASE WHEN i = j THEN cv END) AS DOUBLE) AS tr,
+         CAST(sum(cv * cv) AS DOUBLE) AS fro2
+  FROM cov
+)
+SELECT {_PCA_D} AS d,
+       round(tr, 6) AS trace,
+       round(fro2, 6) AS frobenius_sq,
+       round(tr * tr / fro2, 4) AS effective_rank,
+       round(tr * tr / fro2 / {_PCA_D}, 4) AS isotropy
+FROM agg
+"""
+
+
+@query(
+    "sim_effective_rank",
+    oracle=_effective_rank_oracle(),
+    tags=("X2", "pca", "spectrum"),
+)
+def sim_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE RANK / INTRINSIC DIMENSIONALITY of the embedding
+    corpus — the participation ratio (sum lambda)^2 / sum lambda^2 =
+    trace(C)^2 / ||C||_F^2, computed WITHOUT any eigendecomposition
+    (both traces are one aggregate over the covariance frame). The
+    one-number spectrum summary that decides whether matryoshka
+    truncation / PQ compression / IVF clustering have room to work:
+    isotropy ~1 means no low-dimensional structure to exploit (and
+    explains why sim_pca_top_component needed gap-free squaring on
+    this corpus); isotropy << 1 means a few directions carry the
+    variance.
+
+    Scale shape: identical input-sized work to sim_pca_top_component
+    (shared _pca_centered_cov — one vec_id self-join into the
+    d^2-key aggregate), then a single d^2-row aggregate; exact
+    DECIMAL sums (cv*cv runs exact at scale 24) with four double
+    display ops."""
+    _, cov = _pca_centered_cov(spark, sf_dir)
+    agg = cov.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("cv")))
+        .cast("double")
+        .alias("tr"),
+        F.sum(F.col("cv") * F.col("cv")).cast("double").alias("fro2"),
+    )
+    return agg.select(
+        F.lit(_PCA_D).alias("d"),
+        F.round("tr", 6).alias("trace"),
+        F.round("fro2", 6).alias("frobenius_sq"),
+        F.round(F.col("tr") * F.col("tr") / F.col("fro2"), 4).alias(
+            "effective_rank"
+        ),
+        F.round(
+            F.col("tr") * F.col("tr") / F.col("fro2") / _PCA_D, 4
+        ).alias("isotropy"),
     )

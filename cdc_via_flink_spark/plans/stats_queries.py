@@ -4600,19 +4600,25 @@ ranked AS (
   SELECT s, r, row_number() OVER (PARTITION BY s ORDER BY r) AS rn
   FROM resid
 ),
-icept AS (
-  SELECT s, r AS q
-  FROM ranked
-  WHERE rn = (SELECT (9 * n + 9) // 10 FROM b)
+agg AS (
+  SELECT s,
+         max(CASE WHEN rn <= (SELECT (9 * n + 9) // 10 FROM b)
+                  THEN r END) AS q,
+         sum(CASE WHEN rn <= (SELECT (9 * n + 9) // 10 FROM b)
+                  THEN r END) AS s_lo,
+         coalesce(sum(CASE WHEN rn > (SELECT (9 * n + 9) // 10 FROM b)
+                           THEN r END), 0) AS s_hi
+  FROM ranked GROUP BY s
 ),
 loss AS (
-  SELECT resid.s, icept.q,
-         sum(CASE WHEN resid.r >= icept.q
-                  THEN CAST({_QR_TAU} AS DECIMAL(3,2)) * (resid.r - icept.q)
-                  ELSE CAST(1 - {_QR_TAU} AS DECIMAL(3,2))
-                       * (icept.q - resid.r) END) AS pl
-  FROM resid JOIN icept ON resid.s = icept.s
-  GROUP BY resid.s, icept.q
+  -- pinball decomposes over the rank split (ties at q contribute 0
+  -- under either branch): tau*(S_hi - (n-k)q) + (1-tau)*(kq - S_lo)
+  SELECT s, q,
+         CAST({_QR_TAU} AS DECIMAL(3,2))
+           * (s_hi - ((SELECT n FROM b) - (SELECT (9 * n + 9) // 10 FROM b)) * q)
+         + CAST(1 - {_QR_TAU} AS DECIMAL(3,2))
+           * ((SELECT (9 * n + 9) // 10 FROM b) * q - s_lo) AS pl
+  FROM agg
 )
 SELECT CAST({_QR_TAU} AS DOUBLE) AS tau,
        CAST(s AS DOUBLE) AS slope,
@@ -4635,7 +4641,13 @@ def q_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the grid explode is map-side (x 21); per-slope
     residual ranking is one window per slope partition (21 parallel
-    sorts, linear in n each); the argmin runs on the 21-row loss
+    sorts, linear in n each) and the pinball loss DECOMPOSES over the
+    rank split (tau*(S_hi-(n-k)q) + (1-tau)*(kq-S_lo); ties at q
+    contribute 0 under either branch), so one ranking pass feeds
+    everything — no second explode, no re-join. At 100x the sort
+    itself would yield to the two-level bucketed-histogram quantile
+    (the KS prefix recipe: range-bucket counts, locate the rank-k
+    bucket, rank only inside it); the argmin runs on the 21-row loss
     table. Exactness end-to-end: slopes/residuals/quantile/pinball
     are ALL exact DECIMAL arithmetic (tau = 0.90 exact), so both
     engines agree bit-for-bit with zero float-boundary risk; the only
@@ -4675,21 +4687,26 @@ def q_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         F.row_number().over(W.partitionBy("s").orderBy("r")).alias("rn"),
     )
-    icept = ranked.filter(
-        F.col("rn") == F.expr("(9 * n + 9) div 10")
-    ).select("s", F.col("r").alias("q"))
     tau = F.expr("CAST(0.90 AS DECIMAL(3,2))")
     one_m_tau = F.expr("CAST(0.10 AS DECIMAL(3,2))")
-    loss = (
-        resid.join(F.broadcast(icept), "s")
-        .groupBy("s", "q", "n")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("r") >= F.col("q"), tau * (F.col("r") - F.col("q"))
-                ).otherwise(one_m_tau * (F.col("q") - F.col("r")))
-            ).alias("pl")
-        )
+    k = F.expr("(9 * n + 9) div 10")
+    agg = ranked.groupBy("s", "n").agg(
+        F.max(F.when(F.col("rn") <= k, F.col("r"))).alias("q"),
+        F.sum(F.when(F.col("rn") <= k, F.col("r"))).alias("s_lo"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") > k, F.col("r"))), F.lit(0)
+        ).alias("s_hi"),
+    )
+    # pinball decomposes over the rank split (ties at q contribute 0
+    # under either branch): tau*(S_hi - (n-k)q) + (1-tau)*(kq - S_lo)
+    loss = agg.select(
+        "s",
+        "q",
+        "n",
+        (
+            tau * (F.col("s_hi") - (F.col("n") - k) * F.col("q"))
+            + one_m_tau * (k * F.col("q") - F.col("s_lo"))
+        ).alias("pl"),
     )
     return (
         loss.orderBy("pl", "s")

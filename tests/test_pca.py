@@ -70,3 +70,19 @@ def test_pca_scores_match_numpy_projection(spark):
     assert [r["vec_id"] for r in out] == list(ids[order])
     for r, k in zip(out, order):
         assert abs(r["pc_score"] - scores[k]) < 1e-3, (r, scores[k])
+
+
+def test_effective_rank_matches_numpy_spectrum(spark):
+    """sim_effective_rank == (sum eigvals)^2 / sum(eigvals^2) from
+    numpy's spectrum of the same rounded-input covariance; isotropy
+    near 1 on this near-isotropic corpus (the documented reason the
+    component query needs gap-free squaring)."""
+    row = SPECS["sim_effective_rank"].fn(spark, SF001).collect()[0]
+    df = pd.read_parquet(f"{SF001}/embeddings.parquet")
+    x = np.round(np.stack(df["embedding"].to_numpy()).astype(np.float64), 6)
+    c = np.cov(x, rowvar=False, ddof=1)
+    ev = np.linalg.eigvalsh(c)
+    er = ev.sum() ** 2 / (ev**2).sum()
+    assert abs(row["trace"] - np.trace(c)) < 1e-3
+    assert abs(row["effective_rank"] - er) < 0.05, (row, er)
+    assert row["isotropy"] > 0.7  # near-isotropic fixture
