@@ -2010,6 +2010,45 @@ BM25_TERMS = ("spark", "join", "window")  # literal query (static oracle)
 BM25_TOP = 20
 
 
+def _bm25_scored_topk(tf, df, dl, stats):
+    """Shared BM25 scoring tail (in-memory and persisted-index faces
+    are value-identical and share one oracle): Lucene idf, k1/b
+    saturation, 9-dp per-term rounds into the exact decimal sum,
+    TakeOrderedAndProject top-k."""
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (
+                    (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(BM25_K1)
+                        * (
+                            F.lit(1.0 - BM25_B)
+                            + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+                        )
+                    )
+                ),
+                9,
+            ).alias("st"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("st").cast("decimal(28,9)")).cast("double"), 6
+        ).alias("score")
+    )
+    return agg.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOP)
+
+
 @query(
     "text_bm25_topk",
     oracle=f"""
@@ -2082,38 +2121,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.round(
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                )
-                * (
-                    (F.col("tf") * F.lit(BM25_K1 + 1.0))
-                    / (
-                        F.col("tf")
-                        + F.lit(BM25_K1)
-                        * (
-                            F.lit(1.0 - BM25_B)
-                            + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
-                        )
-                    )
-                ),
-                9,
-            ).alias("st"),
-        )
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.round(
-            F.sum(F.col("st").cast("decimal(28,9)")).cast("double"), 6
-        ).alias("score")
-    )
-    return agg.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOP)
+    return _bm25_scored_topk(tf, df, dl, stats)
 
 
 # --- Gopher quality rules ---
@@ -3562,3 +3570,42 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_bm25_persisted_topk",
+    oracle=None,  # set below: shares text_bm25_topk's oracle verbatim
+    tags=("X3", "bm25", "retrieval", "index-persistence"),
+)
+def text_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL TEXT-SEARCH INDEX LIFECYCLE (the BM25 twin of
+    sim_ivf_persisted_topk): build the inverted index, PERSIST it
+    (term-bucket-partitioned postings + vocabulary df + doc lengths +
+    corpus stats, operators/textindex.py), reload, probe — value-
+    identical to the in-memory text_bm25_topk, so both share one
+    oracle. The point at 100 TB: the probe's term buckets arrive as a
+    STATIC PARTITION-PRUNING filter, so the scan reads only the query
+    terms' bucket files (pinned in tests) — a three-term query never
+    touches the rest of a trillion-posting index; term stats join
+    broadcast; df comes from the persisted vocabulary table (computed
+    FROM the persisted postings, so stats can never drift from the
+    lists they describe)."""
+    import os
+
+    from cdc_via_flink_spark.operators.textindex import (
+        probe_text_index,
+        save_text_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/.tmp/bm25_index_{sf_name}"
+    save_text_index(d, path)
+    tf, df, dl, stats = probe_text_index(spark, path, BM25_TERMS, BM25_TOP)
+    return _bm25_scored_topk(tf, df, dl, stats)
+
+
+# value-identical faces share one oracle (the sim_ivf_persisted recipe)
+from cdc_via_flink_spark.plans.registry import QUERIES as _Q  # noqa: E402
+
+_Q["text_bm25_persisted_topk"].oracle = _Q["text_bm25_topk"].oracle

@@ -1253,3 +1253,22 @@ def test_runs_test_keyed_windows_bounded(spark):
     plan = _plan(spark, "q_runs_test")
     assert "Exchange SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_persisted_bm25_probe_prunes_term_buckets(spark):
+    """Text-index-lifecycle scale guard: probing the PERSISTED BM25
+    index must plan a STATIC partition-pruning filter on the postings
+    scan — PartitionFilters carries the query terms' tb buckets, so a
+    three-term query reads only those buckets' files. Losing this
+    degrades to a full posting scan at 100 TB."""
+    plan = _plan(spark, "text_bm25_persisted_topk")
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[[^\]]*tb[^\]]*\]", plan)
+    assert pf, plan
+    # and the result is value-identical to the in-memory face
+    a = SPECS["text_bm25_topk"].fn(spark, SF001).collect()
+    b = SPECS["text_bm25_persisted_topk"].fn(spark, SF001).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
