@@ -3609,3 +3609,66 @@ def text_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 from cdc_via_flink_spark.plans.registry import QUERIES as _Q  # noqa: E402
 
 _Q["text_bm25_persisted_topk"].oracle = _Q["text_bm25_topk"].oracle
+
+
+@query(
+    "text_bm25_append_topk",
+    oracle=None,  # set below: shares text_bm25_topk's oracle verbatim
+    tags=("X3", "bm25", "retrieval", "index-maintenance", "streaming"),
+)
+def text_bm25_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING TEXT-INDEX MAINTENANCE, value-pinned (the BM25 twin
+    of sim_ivf_append_topk): build the persisted inverted index over
+    HALF the corpus (even doc_ids), stream the other half through the
+    incremental maintainer (streaming/textindex_maintenance.py — the
+    ELEVENTH index-kernel adapter) in TWO micro-batches — each batch
+    tokenized into term-bucket-partitioned postings + doc lengths and
+    committed as an atomic delta — then probe the maintained
+    (base ∪ deltas) view. Because df and corpus stats are DERIVED
+    from the merged index at probe time, the result must be
+    value-identical to the monolithic text_bm25_topk: the oracle is
+    shared, unchanged — a maintenance bug (lost delta, double-applied
+    epoch, stale stats) breaks the hash."""
+    import os
+    import shutil as _sh
+
+    from cdc_via_flink_spark.plans.streaming_queries import (
+        STAGE_ROOT,
+        _STAGED_DESTS,
+        _stage_ordered_files,
+    )
+    from cdc_via_flink_spark.streaming.textindex_maintenance import (
+        probe_maintained_text_index,
+        save_streaming_text_index,
+        text_maintenance_query,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(STAGE_ROOT, f"bm25_maint_{sf_name}")
+    _sh.rmtree(root, ignore_errors=True)
+    idx = os.path.join(root, "idx")
+    ckpt = os.path.join(root, "ckpt")
+    save_streaming_text_index(d.filter(F.col("doc_id") % 2 == 0), idx)
+    strm = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", ((F.col("doc_id") / 2).cast("long") % 2).alias("ep")
+    )
+    frames = [
+        strm.filter(F.col("ep") == k).select("doc_id", "text").orderBy("doc_id")
+        for k in range(2)
+    ]
+    dest = os.path.join(root, "staged")
+    _STAGED_DESTS.discard(dest)
+    _stage_ordered_files(spark, frames, dest)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = text_maintenance_query(stream, idx, ckpt)
+    q.awaitTermination()
+    tf, df, dl, stats = probe_maintained_text_index(spark, idx, BM25_TERMS)
+    return _bm25_scored_topk(tf, df, dl, stats)
+
+
+_Q["text_bm25_append_topk"].oracle = _Q["text_bm25_topk"].oracle
