@@ -56,3 +56,40 @@ def holt_forecast_frame(spark, series_df, horizon: int):
     return spark.createDataFrame(
         out, "h int, forecast double, level double, trend double"
     ).orderBy("h")
+
+
+_Q12 = Decimal("1e-12")
+
+
+def pacf_frame(spark, rho_df, max_lag: int):
+    """Durbin-Levinson partial autocorrelations from the collected
+    model-sized (lag, rho DECIMAL(14,12)) frame — exact DECIMAL
+    vector updates, one double divide per level rounded half-up to
+    12 dp (bit-identical to the oracle's chained CTEs). Returns
+    (lag, acf, pacf) with 6-dp display rounding."""
+    getcontext().prec = 50
+    rho = {int(r["lag"]): r["rho"] for r in rho_df.collect()}
+    q6 = Decimal("1e-2") ** 3  # 1e-6
+    v = {1: rho[1]}
+    out = [(1, rho[1], rho[1])]
+    for k in range(2, max_lag + 1):
+        num = float(rho[k]) - float(
+            sum(v[j] * rho[k - j] for j in v)
+        )
+        den = 1.0 - float(sum(v[j] * rho[j] for j in v))
+        kk = Decimal(num / den).quantize(_Q12, ROUND_HALF_UP)
+        v = {
+            j: (v[j] - kk * v[k - j]).quantize(_Q12, ROUND_HALF_UP) for j in v
+        } | {k: kk}
+        out.append((k, rho[k], kk))
+    rows = [
+        (
+            lag,
+            float(a.quantize(q6, ROUND_HALF_UP)),
+            float(p.quantize(q6, ROUND_HALF_UP)),
+        )
+        for lag, a, p in out
+    ]
+    return spark.createDataFrame(
+        rows, "lag int, acf double, pacf double"
+    ).orderBy("lag")

@@ -515,10 +515,7 @@ FROM orders GROUP BY 1
 """
 
 
-@query(
-    "q_acf_revenue",
-    oracle=f"""
-WITH m AS ({_SQL_GMREV}),
+_ACF_PAIRS_SQL = f"""m AS ({_SQL_GMREV}),
 idx AS (SELECT rev, row_number() OVER (ORDER BY month) AS i FROM m),
 base AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
@@ -536,11 +533,19 @@ pairs AS (
   JOIN idx a ON TRUE
   JOIN idx b ON b.i = a.i + l.lag
   GROUP BY l.lag
-)
-SELECT p.lag, p.n_pairs,
-       round((p.sab - (base.sx / base.n) * p.sa - (base.sx / base.n) * p.sb
+)"""
+
+_ACF_RAW_SQL = """(p.sab - (base.sx / base.n) * p.sa - (base.sx / base.n) * p.sb
               + p.n_pairs * (base.sx / base.n) * (base.sx / base.n))
-             / (base.sxx - base.n * (base.sx / base.n) * (base.sx / base.n)),
+             / (base.sxx - base.n * (base.sx / base.n) * (base.sx / base.n))"""
+
+
+@query(
+    "q_acf_revenue",
+    oracle=f"""
+WITH {_ACF_PAIRS_SQL}
+SELECT p.lag, p.n_pairs,
+       round({_ACF_RAW_SQL},
              6) AS acf
 FROM pairs p CROSS JOIN base
 ORDER BY p.lag
@@ -562,6 +567,16 @@ def q_acf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the month aggregation; the lag self-join runs on the ~84-row
     month series (time-dimension-sized, ~constant as data grows), the
     same blocking argument as q_mann_kendall_trend."""
+    return _acf_raw(spark, sf_dir).select(
+        "lag", "n_pairs", F.round(F.col("acf_raw"), 6).alias("acf")
+    ).orderBy("lag")
+
+
+def _acf_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lag sample autocorrelation, UNROUNDED (shared by
+    q_acf_revenue at 6 dp and q_pacf_revenue's Durbin-Levinson input
+    at 12 dp); the closed-form double is identical to the pre-split
+    expression so q_acf_revenue's hash is unchanged."""
     o = _t(spark, sf_dir, "orders")
     m = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
         F.sum(dec(F.col("o_totalprice"))).cast("decimal(18,2)").alias("rev")
@@ -591,23 +606,18 @@ def q_acf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     xbar = F.col("sx") / F.col("n")
-    return (
-        pairs.crossJoin(F.broadcast(base))
-        .select(
-            "lag",
-            "n_pairs",
-            F.round(
-                (
-                    F.col("sab")
-                    - xbar * F.col("sa")
-                    - xbar * F.col("sb")
-                    + F.col("n_pairs") * xbar * xbar
-                )
-                / (F.col("sxx") - F.col("n") * xbar * xbar),
-                6,
-            ).alias("acf"),
-        )
-        .orderBy("lag")
+    return pairs.crossJoin(F.broadcast(base)).select(
+        "lag",
+        "n_pairs",
+        (
+            (
+                F.col("sab")
+                - xbar * F.col("sa")
+                - xbar * F.col("sb")
+                + F.col("n_pairs") * xbar * xbar
+            )
+            / (F.col("sxx") - F.col("n") * xbar * xbar)
+        ).alias("acf_raw"),
     )
 
 
@@ -5018,3 +5028,74 @@ def q_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / p, 6).alias("mde_rel"),
     ).orderBy("segment")
+
+
+def _pacf_oracle() -> str:
+    levels = []
+    for k in range(2, _ACF_MAX_LAG + 1):
+        levels.append(f"""
+nd{k} AS (
+  SELECT CAST((SELECT rho FROM rho WHERE lag = {k}) AS DOUBLE)
+           - CAST(coalesce(sum(v.phi * r.rho), 0) AS DOUBLE) AS num,
+         1.0 - CAST(coalesce(sum(v.phi * r2.rho), 0) AS DOUBLE) AS den
+  FROM v{k - 1} v
+  JOIN rho r ON r.lag = {k} - v.j
+  JOIN rho r2 ON r2.lag = v.j
+),
+kk{k} AS (
+  SELECT CAST(round(num / den, 12) AS DECIMAL(14,12)) AS phi FROM nd{k}
+),
+v{k} AS MATERIALIZED (
+  SELECT v.j,
+         CAST(round(v.phi - (SELECT phi FROM kk{k}) * v2.phi, 12)
+              AS DECIMAL(14,12)) AS phi
+  FROM v{k - 1} v JOIN v{k - 1} v2 ON v2.j = {k} - v.j
+  UNION ALL SELECT {k} AS j, phi FROM kk{k}
+),
+p{k} AS (SELECT {k} AS lag, (SELECT phi FROM kk{k}) AS pacf)""")
+    finals = " UNION ALL ".join(
+        ["SELECT 1 AS lag, (SELECT phi FROM v1 WHERE j = 1) AS pacf"]
+        + [f"SELECT lag, pacf FROM p{k}" for k in range(2, _ACF_MAX_LAG + 1)]
+    )
+    return f"""
+WITH {_ACF_PAIRS_SQL},
+rho AS MATERIALIZED (
+  SELECT p.lag, CAST(round({_ACF_RAW_SQL}, 12) AS DECIMAL(14,12)) AS rho
+  FROM pairs p CROSS JOIN base
+),
+v1 AS MATERIALIZED (
+  SELECT 1 AS j, (SELECT rho FROM rho WHERE lag = 1) AS phi
+),{",".join(levels)},
+allp AS ({finals})
+SELECT CAST(a.lag AS INT) AS lag,
+       round(CAST(r.rho AS DOUBLE), 6) AS acf,
+       round(CAST(a.pacf AS DOUBLE), 6) AS pacf
+FROM allp a JOIN rho r ON r.lag = a.lag
+ORDER BY a.lag
+"""
+
+
+@query(
+    "q_pacf_revenue",
+    oracle=_pacf_oracle(),
+    tags=("stats", "timeseries", "pacf", "iterative-unrolled"),
+)
+def q_pacf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL AUTOCORRELATION FUNCTION of monthly revenue at lags
+    1..6 by the DURBIN-LEVINSON recursion — with q_acf_revenue it
+    completes the Box-Jenkins identification pair (ACF tails/PACF
+    cuts => AR order; the reverse => MA order). Shares the ACF
+    closed-form moments (_acf_raw, rounded to 12 dp as the rho
+    input); the recursion is MODEL-sized (6 rho values), so it folds
+    in exact driver-side DECIMAL (operators/forecast.pacf_frame —
+    the holt/markov precedent) while the oracle chains the identical
+    levels as MATERIALIZED CTEs: exact DECIMAL vector updates, ONE
+    double divide per level rounded half-up to 12 dp. The only
+    input-sized work is the month aggregate."""
+    from cdc_via_flink_spark.operators.forecast import pacf_frame
+
+    rho = _acf_raw(spark, sf_dir).select(
+        "lag",
+        F.round(F.col("acf_raw"), 12).cast("decimal(14,12)").alias("rho"),
+    )
+    return pacf_frame(spark, rho, _ACF_MAX_LAG)

@@ -689,3 +689,22 @@ def test_mde_power_formula_and_monotonicity(spark):
         assert out[seg]["n_users"] == n
         assert abs(out[seg]["base_rate"] - round(p, 6)) < 1e-9
         assert abs(out[seg]["mde_abs"] - mde) < 1e-5, (seg, out[seg], mde)
+
+
+def test_pacf_matches_yule_walker_solve(spark):
+    """q_pacf_revenue == numpy Yule-Walker solve per order (phi_kk of
+    the order-k AR fit) on the query's own ACF values — an
+    independent algorithm (matrix solve, not Durbin-Levinson), plus
+    pacf(1) == acf(1) identically."""
+    import numpy as np
+
+    rows = {r["lag"]: r for r in SPECS["q_pacf_revenue"].fn(spark, SF0001).collect()}
+    acf = {r["lag"]: r["acf"] for r in SPECS["q_acf_revenue"].fn(spark, SF0001).collect()}
+    for lag in acf:
+        assert abs(rows[lag]["acf"] - acf[lag]) < 1e-9
+    assert abs(rows[1]["pacf"] - rows[1]["acf"]) < 1e-9
+    rho = [1.0] + [rows[k]["acf"] for k in sorted(rows)]
+    for k in range(2, len(rho)):
+        toe = np.array([[rho[abs(i - j)] for j in range(k)] for i in range(k)])
+        phi = np.linalg.solve(toe, np.array(rho[1 : k + 1]))
+        assert abs(rows[k]["pacf"] - phi[-1]) < 1e-4, (k, rows[k], phi)
