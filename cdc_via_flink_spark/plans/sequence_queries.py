@@ -1233,3 +1233,171 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: do two segments share a survival curve?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_survival_logrank",
+    oracle=f"""
+WITH r AS (
+  SELECT o.o_custkey, c.c_mktsegment AS seg, o.o_orderdate,
+         row_number() OVER (PARTITION BY o.o_custkey
+                            ORDER BY o.o_orderdate, o.o_orderkey) AS rn
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+dur AS (
+  SELECT f.seg,
+         CASE WHEN s.o_orderdate IS NOT NULL THEN 1 ELSE 0 END AS ev,
+         least(CAST(floor(date_diff('day', f.o_orderdate,
+                 COALESCE(s.o_orderdate, horizon.h)) / 7) AS BIGINT),
+               {_KM_MAX_WEEK}) AS wk
+  FROM (SELECT * FROM r WHERE rn = 1) f
+  LEFT JOIN (SELECT * FROM r WHERE rn = 2) s ON f.o_custkey = s.o_custkey
+  CROSS JOIN horizon
+),
+g AS (
+  SELECT wk,
+         CAST(count(*) FILTER (seg = 'BUILDING') AS BIGINT) AS c1,
+         CAST(coalesce(sum(ev) FILTER (seg = 'BUILDING'), 0) AS BIGINT) AS d1,
+         CAST(count(*) FILTER (seg = 'MACHINERY') AS BIGINT) AS c2,
+         CAST(coalesce(sum(ev) FILTER (seg = 'MACHINERY'), 0) AS BIGINT) AS d2
+  FROM dur GROUP BY wk
+),
+risk AS (
+  SELECT wk, d1, d2,
+         CAST(sum(c1) OVER (ORDER BY wk DESC) AS BIGINT) AS n1,
+         CAST(sum(c2) OVER (ORDER BY wk DESC) AS BIGINT) AS n2
+  FROM g
+),
+terms AS (
+  SELECT wk, d1,
+         CAST(round(CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2), 12)
+              AS DECIMAL(28,12)) AS e1,
+         CAST(round(CASE WHEN n1 + n2 > 1
+              THEN CAST(d1 + d2 AS DOUBLE)
+                   * (CAST(n1 AS DOUBLE) / (n1 + n2))
+                   * (1.0 - CAST(n1 AS DOUBLE) / (n1 + n2))
+                   * (n1 + n2 - d1 - d2) / (n1 + n2 - 1)
+              ELSE 0.0 END, 12) AS DECIMAL(28,12)) AS v
+  FROM risk WHERE n1 > 0 AND n2 > 0
+),
+agg AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         CAST(sum(e1) AS DECIMAL(28,12)) AS e1,
+         CAST(sum(v) AS DECIMAL(28,12)) AS v
+  FROM terms
+)
+SELECT o1,
+       round(CAST(e1 AS DOUBLE), 6) AS e1,
+       round((o1 - CAST(e1 AS DOUBLE)) * (o1 - CAST(e1 AS DOUBLE))
+             / CAST(v AS DOUBLE), 6) AS chi2
+FROM agg
+""",
+    tags=("sequence", "survival", "logrank"),
+)
+def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST (Mantel-Cox): do BUILDING and MACHINERY
+    customers share a time-to-repeat-purchase curve? Completes the
+    survival family (q_survival_km estimates, q_nelson_aalen sums
+    hazards, this TESTS): per week, the observed group-1 events are
+    compared to the hypergeometric expectation d_t*n1_t/n_t with
+    variance d_t*(n1/n)(1-n1/n)(n-d)/(n-1); chi2 = (O-E)^2 / V with
+    1 df.
+
+    Scale/parity: the KM shape — one customer-keyed window, then all
+    test arithmetic on the <=53-week grid; per-week expectations and
+    variances are single double expressions ROUNDED to 12 dp and
+    folded as DECIMAL, so the sums are association-order independent
+    and bit-equal across engines."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_custkey",
+            F.col("c_mktsegment").alias("seg"),
+            "o_orderdate",
+            F.row_number()
+            .over(
+                W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            )
+            .alias("rn"),
+        )
+    )
+    f = r.filter(F.col("rn") == 1).select(
+        "o_custkey", "seg", F.col("o_orderdate").alias("d1d")
+    )
+    s = r.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("o_orderdate").alias("d2d")
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    dur = (
+        f.join(s, "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "seg",
+            F.when(F.col("d2d").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.least(
+                F.floor(
+                    F.datediff(F.coalesce(F.col("d2d"), F.col("h")), F.col("d1d"))
+                    / 7
+                ).cast("long"),
+                F.lit(_KM_MAX_WEEK).cast("long"),
+            ).alias("wk"),
+        )
+    )
+    is1 = F.col("seg") == "BUILDING"
+    g = dur.groupBy("wk").agg(
+        F.count(F.when(is1, 1)).cast("long").alias("c1"),
+        F.sum(F.when(is1, F.col("ev")).otherwise(0)).cast("long").alias("d1"),
+        F.count(F.when(~is1, 1)).cast("long").alias("c2"),
+        F.sum(F.when(~is1, F.col("ev")).otherwise(0)).cast("long").alias("d2"),
+    )
+    risk = g.select(
+        "wk",
+        "d1",
+        "d2",
+        F.sum("c1").over(W.orderBy(F.col("wk").desc())).cast("long").alias("n1"),
+        F.sum("c2").over(W.orderBy(F.col("wk").desc())).cast("long").alias("n2"),
+    )
+    n = F.col("n1") + F.col("n2")
+    d = F.col("d1") + F.col("d2")
+    p1 = F.col("n1").cast("double") / n
+    terms = risk.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "d1",
+        F.round(d.cast("double") * F.col("n1") / n, 12)
+        .cast("decimal(28,12)")
+        .alias("e1"),
+        F.round(
+            F.when(
+                n > 1,
+                d.cast("double") * p1 * (1.0 - p1) * (n - d) / (n - 1),
+            ).otherwise(0.0),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("v"),
+    )
+    agg = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1").cast("decimal(28,12)").alias("e1"),
+        F.sum("v").cast("decimal(28,12)").alias("v"),
+    )
+    return agg.select(
+        "o1",
+        F.round(F.col("e1").cast("double"), 6).alias("e1"),
+        F.round(
+            (F.col("o1") - F.col("e1").cast("double"))
+            * (F.col("o1") - F.col("e1").cast("double"))
+            / F.col("v").cast("double"),
+            6,
+        ).alias("chi2"),
+    )

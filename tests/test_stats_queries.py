@@ -708,3 +708,90 @@ def test_pacf_matches_yule_walker_solve(spark):
         toe = np.array([[rho[abs(i - j)] for j in range(k)] for i in range(k)])
         phi = np.linalg.solve(toe, np.array(rho[1 : k + 1]))
         assert abs(rows[k]["pacf"] - phi[-1]) < 1e-4, (k, rows[k], phi)
+
+
+def test_logrank_python_reference(spark):
+    """q_survival_logrank == pure-Python Mantel-Cox from raw
+    durations (including weeks where one group has no rows — the
+    FILTER-sum NULL trap the oracle had to coalesce)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    row = SPECS["q_survival_logrank"].fn(spark, SF0001).collect()[0]
+    o = pd.read_parquet(f"{SF0001}/orders.parquet")
+    c = pd.read_parquet(f"{SF0001}/customer.parquet")
+    seg = dict(zip(c["c_custkey"], c["c_mktsegment"]))
+    h = o["o_orderdate"].max()
+    o = o.sort_values(["o_orderdate", "o_orderkey"])
+    firsts, seconds = {}, {}
+    for k, dte in zip(o["o_custkey"], o["o_orderdate"]):
+        if k not in firsts:
+            firsts[k] = dte
+        elif k not in seconds:
+            seconds[k] = dte
+    cnt = {g: Counter() for g in (1, 2)}
+    dev = {g: Counter() for g in (1, 2)}
+    for k, d1 in firsts.items():
+        sg = seg.get(k)
+        if sg == "BUILDING":
+            g = 1
+        elif sg == "MACHINERY":
+            g = 2
+        else:
+            continue
+        end = seconds.get(k, h)
+        wk = min((end - d1).days // 7, 52)
+        cnt[g][wk] += 1
+        dev[g][wk] += k in seconds
+    weeks = sorted(set(cnt[1]) | set(cnt[2]))
+    o1 = e1 = v = 0.0
+    for wk in weeks:
+        n1 = sum(cc for w, cc in cnt[1].items() if w >= wk)
+        n2 = sum(cc for w, cc in cnt[2].items() if w >= wk)
+        if n1 == 0 or n2 == 0:
+            continue
+        d1 = dev[1].get(wk, 0)
+        dd = d1 + dev[2].get(wk, 0)
+        n = n1 + n2
+        o1 += d1
+        e1 += round(dd * n1 / n, 12)
+        if n > 1:
+            v += round(dd * (n1 / n) * (1 - n1 / n) * (n - dd) / (n - 1), 12)
+    assert row["o1"] == o1
+    assert abs(row["e1"] - e1) < 1e-5, (row, e1)
+    assert abs(row["chi2"] - (o1 - e1) ** 2 / v) < 1e-4, (row, (o1 - e1) ** 2 / v)
+
+
+def test_wasserstein_python_reference(spark):
+    """q_wasserstein_1d == numpy binned-EMD replication, and the
+    metric axioms hold on the fixture (non-negative; zero against
+    itself)."""
+    import numpy as np
+    import pandas as pd
+
+    row = SPECS["q_wasserstein_1d"].fn(spark, SF0001).collect()[0]
+    o = pd.read_parquet(f"{SF0001}/orders.parquet")
+    c = pd.read_parquet(f"{SF0001}/customer.parquet")
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    b1 = np.floor(
+        m.loc[m["c_mktsegment"] == "BUILDING", "o_totalprice"] / 1000.0
+    ).astype(int)
+    b2 = np.floor(
+        m.loc[m["c_mktsegment"] == "MACHINERY", "o_totalprice"] / 1000.0
+    ).astype(int)
+    bins = sorted(set(b1) | set(b2))
+    f1 = f2 = 0
+    s = 0
+    n1, n2 = len(b1), len(b2)
+    from collections import Counter
+
+    c1, c2 = Counter(b1), Counter(b2)
+    for b in bins:
+        f1 += c1.get(b, 0)
+        f2 += c2.get(b, 0)
+        s += abs(f1 * n2 - f2 * n1)
+    want = s * 1000.0 / (n1 * n2)
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["wasserstein_1d"] - want) < 1e-4, (row, want)
+    assert row["wasserstein_1d"] >= 0
