@@ -1340,3 +1340,53 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WRS_K)
         .select("doc_id", "w", F.round("pri0", 9).alias("pri"))
     )
+
+
+@query(
+    "q_corpus_checksum",
+    oracle="""
+WITH h AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12))::BIGINT
+              AS BIGINT) AS hv
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(hv) AS BIGINT) AS checksum
+FROM h GROUP BY source
+ORDER BY source
+""",
+    tags=("pipeline", "reproducibility", "checksum"),
+)
+def q_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INSENSITIVE CORPUS CHECKSUM per source — the artifact
+    fingerprint a reproducibility audit pins between pipeline runs
+    (same checksum => byte-identical (doc_id, text) multiset, any
+    partitioning/ordering): sum of the first 48 bits of
+    md5(doc_id:text) as exact integers. Content-sensitive where
+    row counts alone are blind (a silently truncated or re-encoded
+    text changes the checksum, not the count), and associative by
+    construction — partial checksums of shards ADD UP to the corpus
+    checksum, so verification never needs a global sort or a single
+    reducer (48-bit values over billions of rows stay far inside
+    int64/int128 sums in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.select("source", hv.alias("hv"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("hv").cast("long").alias("checksum"),
+        )
+        .orderBy("source")
+    )

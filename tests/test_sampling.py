@@ -115,3 +115,52 @@ def test_mixture_resample_rates_and_determinism(spark):
         expect = r.n_docs * r.k256 / 256
         sd = max((expect * (1 - r.k256 / 256)) ** 0.5, 1.0)
         assert abs(r.n_kept - expect) <= 5 * sd, (s, r.n_kept, expect)
+
+
+def test_corpus_checksum_shard_additivity(spark):
+    """q_corpus_checksum's associativity claim, exercised: per-source
+    checksums over two disjoint halves ADD UP to the full corpus
+    checksum, and perturbing one text changes it."""
+    from pyspark.sql import functions as F
+
+    from cdc_via_flink_spark.plans.registry import load_all
+    from cdc_via_flink_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        r["source"]: (r["n_docs"], r["checksum"])
+        for r in load_all()["q_corpus_checksum"].fn(spark, sf).collect()
+    }
+    d = load_table(spark, sf, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+    def cks(df):
+        return {
+            r["source"]: (r["n"], r["c"])
+            for r in df.select("source", hv.alias("hv"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("hv").alias("c"))
+            .collect()
+        }
+
+    a = cks(d.filter(F.col("doc_id") % 2 == 0))
+    b = cks(d.filter(F.col("doc_id") % 2 == 1))
+    for srcname, (n, c) in full.items():
+        na, ca = a.get(srcname, (0, 0))
+        nb, cb = b.get(srcname, (0, 0))
+        assert (na + nb, ca + cb) == (n, c), srcname
+    # content sensitivity: a one-character change moves the checksum
+    perturbed = cks(d.withColumn(
+        "text",
+        F.when(F.col("doc_id") == d.select(F.min("doc_id")).head()[0],
+               F.concat(F.col("text"), F.lit("x"))).otherwise(F.col("text")),
+    ))
+    assert perturbed != cks(d)
