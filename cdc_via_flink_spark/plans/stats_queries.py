@@ -5201,3 +5201,94 @@ def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wasserstein_1d"),
     )
+
+
+# R-squared decompositions share the OLS moment frame; one formula
+# text feeds BOTH engines (the _OLS_DETS recipe).
+_R2S = {
+    "r2_full": "1.0 - (syy - (({det0})/({det}))*sy - (({det1})/({det}))*s1y"
+    " - (({det2})/({det}))*s2y) / (syy - sy*sy/nn)".format(**_OLS_DETS),
+    "r2_x1": "((nn*s1y - s1*sy)*(nn*s1y - s1*sy))"
+    " / ((nn*s11 - s1*s1) * (nn*syy - sy*sy))",
+    "r2_x2": "((nn*s2y - s2*sy)*(nn*s2y - s2*sy))"
+    " / ((nn*s22 - s2*s2) * (nn*syy - sy*sy))",
+}
+_R2_SHAPLEY_EXPRS = [
+    f"round({_R2S['r2_full']}, 6) AS r2_full",
+    f"round(0.5*({_R2S['r2_x1']}) + 0.5*(({_R2S['r2_full']}) - ({_R2S['r2_x2']})), 6) AS phi_items",
+    f"round(0.5*({_R2S['r2_x2']}) + 0.5*(({_R2S['r2_full']}) - ({_R2S['r2_x1']})), 6) AS phi_quantity",
+    f"round((0.5*({_R2S['r2_x1']}) + 0.5*(({_R2S['r2_full']}) - ({_R2S['r2_x2']}))) / ({_R2S['r2_full']}), 6) AS share_items",
+    f"round((0.5*({_R2S['r2_x2']}) + 0.5*(({_R2S['r2_full']}) - ({_R2S['r2_x1']}))) / ({_R2S['r2_full']}), 6) AS share_quantity",
+]
+_R2_SHAPLEY_OUT = ", ".join(_R2_SHAPLEY_EXPRS)
+
+
+@query(
+    "q_r2_shapley_decomposition",
+    oracle=f"""
+WITH f AS (
+  SELECT l_orderkey AS ok, CAST(count(*) AS BIGINT) AS x1,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT f.x1, f.x2, CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+  FROM f JOIN orders o ON o.o_orderkey = f.ok
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nn,
+         CAST(sum(x1) AS DOUBLE) AS s1,
+         CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+         CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+         CAST(sum(CAST(y AS DECIMAL(19,2)) * y) AS DOUBLE) AS syy
+  FROM j
+)
+SELECT CAST(nn AS BIGINT) AS n, {_R2_SHAPLEY_OUT}
+FROM m
+""",
+    tags=("stats", "regression", "explainability", "shapley"),
+)
+def q_r2_shapley_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY DECOMPOSITION OF R^2 (Lindeman-Merenda-Gold / Shapley
+    regression importance) for the two-feature OLS — for linear
+    models the game v(S) = R^2 of the S-feature fit has CLOSED-FORM
+    coalition values from the same nine moments, so each feature's
+    exact Shapley share of explained variance needs no refits:
+    phi_i = (R2_i + R2_full - R2_other)/2, phi_1 + phi_2 = R2_full by
+    construction. The global-explainability answer to "which feature
+    carries the model" that raw betas (scale-dependent) and marginal
+    R^2s (correlation-confounded) both get wrong.
+
+    Scale/parity: the q_ols_two_feature recipe end-to-end — ONE
+    map-side-combinable aggregation to ten exact numbers, every
+    output expression a SHARED formula text evaluated identically by
+    both engines on the one-row moment frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).cast("long").alias("x1"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("x2"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    j = f.join(o, f.ok == o.o_orderkey).select(
+        "x1", "x2", dec(F.col("o_totalprice")).alias("y")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y").cast("decimal(19,2)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+    )
+    return m.selectExpr("CAST(nn AS BIGINT) AS n", *_R2_SHAPLEY_EXPRS)

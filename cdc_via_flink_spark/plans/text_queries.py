@@ -3672,3 +3672,83 @@ def text_bm25_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q["text_bm25_append_topk"].oracle = _Q["text_bm25_topk"].oracle
+
+
+_KAPPA_CHARS_T = 500  # rater A: doc length in chars
+_KAPPA_TOKENS_T = 80  # rater B: doc length in tokens
+
+
+@query(
+    "text_cohens_kappa",
+    oracle=f"""
+WITH r AS (
+  SELECT CASE WHEN n_chars >= {_KAPPA_CHARS_T} THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(string_split({SQL_NORM}, ' '))
+                   >= {_KAPPA_TOKENS_T} THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a * b) AS BIGINT) AS n11,
+         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM r
+)
+SELECT n, n11, n10, n01, n00,
+       round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+       round((CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+              + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+             / (CAST(n AS DOUBLE) * n), 6) AS pe,
+       round((CAST(n11 + n00 AS DOUBLE) / n
+              - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                 + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                / (CAST(n AS DOUBLE) * n))
+             / (1.0 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                       + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                      / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+FROM c
+""",
+    tags=("X3", "agreement", "kappa"),
+)
+def text_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA chance-corrected agreement between two heuristic
+    document raters (char-length >= 500 vs token-length >= 80) — the
+    annotation-QA statistic every labeling pipeline reports before
+    trusting its filters: raw agreement p_o is inflated whenever both
+    raters say "keep" to most docs; kappa subtracts the chance
+    agreement p_e the marginals imply. Also the calibration check
+    between two quality screens (high kappa => redundant, low =>
+    measuring different things).
+
+    One aggregation pass to the 2x2 contingency table (exact integer
+    counts, map-side combinable); po/pe/kappa are a handful of
+    identical double ops over those integers."""
+    d = load_table(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars") >= _KAPPA_CHARS_T, 1).otherwise(0)
+    b = F.when(
+        F.size(tokens(F.col("text"))) >= _KAPPA_TOKENS_T, 1
+    ).otherwise(0)
+    c = d.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double") * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast("double") * (F.col("n10") + F.col("n00"))
+    ) / (nd * F.col("n"))
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )

@@ -795,3 +795,60 @@ def test_wasserstein_python_reference(spark):
     assert row["n1"] == n1 and row["n2"] == n2
     assert abs(row["wasserstein_1d"] - want) < 1e-4, (row, want)
     assert row["wasserstein_1d"] >= 0
+
+
+def test_r2_shapley_efficiency_and_reference(spark):
+    """q_r2_shapley_decomposition: phi sums to R2_full (efficiency
+    axiom, exact by construction), R2_full matches
+    q_ols_two_feature's r2, and phis match a numpy refit reference
+    (R2 of each single-feature and the full fit)."""
+    import numpy as np
+    import pandas as pd
+
+    row = SPECS["q_r2_shapley_decomposition"].fn(spark, SF0001).collect()[0]
+    ols = SPECS["q_ols_two_feature"].fn(spark, SF0001).collect()[0]
+    assert abs(row["r2_full"] - ols["r2"]) < 1e-6
+    assert abs(row["phi_items"] + row["phi_quantity"] - row["r2_full"]) < 1e-5
+    assert abs(row["share_items"] + row["share_quantity"] - 1.0) < 1e-5
+
+    li = pd.read_parquet(f"{SF0001}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF0001}/orders.parquet")
+    f = li.groupby("l_orderkey").agg(
+        x1=("l_quantity", "size"), x2=("l_quantity", lambda s: int(s.astype(int).sum()))
+    )
+    j = f.join(o.set_index("o_orderkey")["o_totalprice"].round(2))
+    y = j["o_totalprice"].to_numpy(float)
+
+    def r2(cols):
+        x = np.column_stack([np.ones(len(j))] + [j[c].to_numpy(float) for c in cols])
+        beta, *_ = np.linalg.lstsq(x, y, rcond=None)
+        resid = y - x @ beta
+        return 1 - (resid**2).sum() / ((y - y.mean()) ** 2).sum()
+
+    r_full, r1, r2_ = r2(["x1", "x2"]), r2(["x1"]), r2(["x2"])
+    assert abs(row["r2_full"] - r_full) < 1e-4
+    assert abs(row["phi_items"] - (0.5 * r1 + 0.5 * (r_full - r2_))) < 1e-4
+    assert abs(row["phi_quantity"] - (0.5 * r2_ + 0.5 * (r_full - r1))) < 1e-4
+
+
+def test_cohens_kappa_python_reference(spark):
+    """text_cohens_kappa == sklearn-free python kappa on the raw
+    table, and kappa <= po (chance correction can only shrink)."""
+    import pandas as pd
+
+    from cdc_via_flink_spark.functions.text import tokens as _tk  # noqa: F401
+
+    row = SPECS["text_cohens_kappa"].fn(spark, SF0001).collect()[0]
+    # contingency identities
+    assert row["n"] == row["n11"] + row["n10"] + row["n01"] + row["n00"]
+    po = (row["n11"] + row["n00"]) / row["n"]
+    pe = (
+        (row["n11"] + row["n10"]) * (row["n11"] + row["n01"])
+        + (row["n01"] + row["n00"]) * (row["n10"] + row["n00"])
+    ) / row["n"] ** 2
+    assert abs(row["po"] - po) < 1e-9
+    assert abs(row["pe"] - pe) < 1e-9
+    assert abs(row["kappa"] - (po - pe) / (1 - pe)) < 1e-6
+    assert row["kappa"] <= row["po"] + 1e-9
+    # the two length raters must agree far above chance on this corpus
+    assert row["kappa"] > 0.3
