@@ -3264,3 +3264,85 @@ def stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = wrs_maintenance_query(stream, idx, out, ckpt)
     q.awaitTermination()
     return read_outputs(spark, out, index_path=idx)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-maintained corpus checksum (twelfth kernel adapter)
+# ---------------------------------------------------------------------------
+
+
+def _stream_checksum_oracle() -> str:
+    return """
+WITH h AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN -1
+              ELSE (doc_id // 2) % 3 END AS ep,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                              1, 12))::BIGINT AS BIGINT) AS hv
+  FROM documents
+),
+eps AS (SELECT unnest([0, 1, 2]) AS e)
+SELECT CAST(eps.e AS BIGINT) AS ep,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(h.hv) AS BIGINT) AS checksum
+FROM eps JOIN h ON h.ep <= eps.e
+GROUP BY eps.e
+"""
+
+
+@query(
+    "stream_corpus_checksum",
+    oracle=_stream_checksum_oracle(),
+    tags=("pipeline", "ST5", "streaming", "checksum", "lifecycle"),
+)
+def stream_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-MAINTAINED CORPUS CHECKSUM
+    (streaming/checksum_maintenance.py — the TWELFTH adapter over the
+    maintained-index kernel, and the minimal demonstration of its SUM
+    algebra): half the corpus (even doc_id) seeds the one-row base
+    state; the other half arrives over three micro-batches, each
+    folding its (count, additive-fingerprint) in. The fold is
+    associative but NOT idempotent (the counting-Bloom class), so the
+    per-epoch outputs are exactly-once evidence: a replayed or lost
+    epoch shifts every subsequent total and breaks this oracle, which
+    simulates the cumulative fold per epoch. The live reproducibility
+    monitor: any batch q_corpus_checksum over the same docs must land
+    on the maintained number."""
+    import shutil as _sh
+
+    from cdc_via_flink_spark.streaming.checksum_maintenance import (
+        checksum_maintenance_query,
+        read_outputs,
+        save_streaming_checksum,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    strm = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", ((F.col("doc_id") / 2).cast("long") % 3).alias("ep")
+    )
+
+    root = os.path.join(STAGE_ROOT, f"cksum_maint_{sf_name}")
+    _sh.rmtree(root, ignore_errors=True)
+    idx, out, ckpt = (
+        os.path.join(root, "idx"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+    )
+    save_streaming_checksum(base, idx)
+    frames = [
+        strm.filter(F.col("ep") == k).select("doc_id", "text").orderBy("doc_id")
+        for k in range(3)
+    ]
+    dest = os.path.join(root, "staged")
+    _STAGED_DESTS.discard(dest)
+    _stage_ordered_files(spark, frames, dest)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = checksum_maintenance_query(stream, idx, out, ckpt)
+    q.awaitTermination()
+    return read_outputs(spark, out, index_path=idx)
