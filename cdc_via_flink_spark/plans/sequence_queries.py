@@ -91,7 +91,7 @@ _K_ITER = 16
 _DP = "decimal(18,12)"
 
 
-def _stationary_oracle() -> str:
+def _stationary_oracle_iters() -> list:
     its = []
     prev = "pi0"
     for i in range(1, _K_ITER + 1):
@@ -103,6 +103,12 @@ pi{i} AS (
   GROUP BY m.to_type
 )""")
         prev = f"pi{i}"
+    return its
+
+
+def _stationary_oracle() -> str:
+    its = _stationary_oracle_iters()
+    prev = f"pi{_K_ITER}"
     return f"""
 WITH t AS ({_SQL_TRANS}),
 r AS (SELECT from_type, CAST(sum(c) AS BIGINT) AS row_total
@@ -1400,4 +1406,122 @@ def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("v").cast("double"),
             6,
         ).alias("chi2"),
+    )
+
+
+@query(
+    "q_markov_entropy_rate",
+    oracle=f"""
+WITH t AS ({_SQL_TRANS}),
+r AS (SELECT from_type, CAST(sum(c) AS BIGINT) AS row_total
+      FROM t GROUP BY from_type),
+m AS MATERIALIZED (
+  SELECT t.from_type, t.to_type,
+         CAST(round(CAST(t.c AS DOUBLE) / r.row_total, 12)
+              AS DECIMAL(18,12)) AS p
+  FROM t JOIN r ON t.from_type = r.from_type
+),
+states AS (SELECT from_type AS state FROM r),
+n AS (SELECT count(*) AS ns FROM states),
+pi0 AS (
+  SELECT state,
+         CAST(round(1.0 / (SELECT ns FROM n), 12) AS DECIMAL(18,12)) AS pi
+  FROM states
+),{",".join(_stationary_oracle_iters())},
+rowent AS (
+  SELECT from_type,
+         CAST(sum(CAST(round(-CAST(p AS DOUBLE)
+                             * log2(CAST(p AS DOUBLE)), 12)
+                       AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS h
+  FROM m WHERE p > 0 GROUP BY from_type
+),
+ent AS (
+  SELECT CAST(sum(CAST(round(CAST(s.pi AS DOUBLE) * CAST(e.h AS DOUBLE), 12)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS hr
+  FROM pi{_K_ITER} s JOIN rowent e ON e.from_type = s.state
+)
+SELECT round(hr, 6) AS entropy_rate_bits,
+       round(power(2.0, hr), 6) AS perplexity
+FROM ent
+""",
+    tags=("sequence", "markov", "entropy", "iterative-unrolled"),
+)
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTROPY RATE of the user-event Markov chain — H = -sum_s pi_s
+    sum_t P(s,t) log2 P(s,t), the bits-per-event predictability
+    number (and its perplexity 2^H: the effective branching factor a
+    next-event model must beat). Composes the declared chain builders
+    end to end: q_markov_transitions' matrix and
+    q_markov_stationary's 16-iteration DECIMAL-exact pi feed one
+    state-space-sized weighted sum. H near log2(|states|) says the
+    stream is near-uniform (little sequence signal for
+    next-event-prediction features); H near 0 says deterministic
+    funnels.
+
+    Scale/parity: one user-keyed lead() window is the only
+    input-sized work; everything else runs on the <=25-row matrix.
+    Per-row -p*log2(p) terms and pi-weighted products are rounded to
+    12 dp and DECIMAL-folded (the ln/exp shared-double-chain policy),
+    so both engines agree bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    r = t.groupBy("from_type").agg(F.sum("c").cast("long").alias("row_total"))
+    m = t.join(r, "from_type").select(
+        "from_type",
+        "to_type",
+        F.round(F.col("c").cast("double") / F.col("row_total"), 12)
+        .cast(_DP)
+        .alias("p"),
+    )
+    states = r.select(F.col("from_type").alias("state"))
+    n = states.agg(F.count(F.lit(1)).alias("ns"))
+    pi = states.crossJoin(F.broadcast(n)).select(
+        "state",
+        F.round(F.lit(1.0) / F.col("ns"), 12).cast(_DP).alias("pi"),
+    )
+    for _ in range(_K_ITER):
+        pi = (
+            pi.join(m, pi.state == m.from_type)
+            .groupBy(F.col("to_type").alias("state"))
+            .agg(
+                F.round(F.sum(F.col("pi") * F.col("p")), 12)
+                .cast(_DP)
+                .alias("pi")
+            )
+        )
+    pd_ = F.col("p").cast("double")
+    rowent = (
+        m.filter(F.col("p") > 0)
+        .groupBy("from_type")
+        .agg(
+            F.sum(
+                F.round(-pd_ * F.log2(pd_), 12).cast("decimal(28,12)")
+            )
+            .cast("decimal(28,12)")
+            .alias("h")
+        )
+    )
+    ent = (
+        pi.join(rowent, pi.state == rowent.from_type)
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("pi").cast("double") * F.col("h").cast("double"), 12
+                ).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("hr")
+        )
+    )
+    return ent.select(
+        F.round("hr", 6).alias("entropy_rate_bits"),
+        F.round(F.pow(F.lit(2.0), F.col("hr")), 6).alias("perplexity"),
     )

@@ -262,3 +262,27 @@ def test_markov_removal_reference_and_invariants(spark):
     tot_eff = sum(effs.values())
     for c, row in res.items():
         assert abs(row["credit_share"] - effs[c] / tot_eff) < 1e-5, c
+
+
+def test_entropy_rate_python_reference_and_bounds(spark):
+    """q_markov_entropy_rate == python H = -sum pi_s P st log2 P st
+    from the declared transition/stationary queries, bounded by
+    log2(|states|); perplexity == 2^H."""
+    import math
+
+    row = SPECS["q_markov_entropy_rate"].fn(spark, SF001).collect()[0]
+    pi = {
+        r["state"]: r["pi"]
+        for r in SPECS["q_markov_stationary"].fn(spark, SF001).collect()
+    }
+    t = SPECS["q_markov_transitions"].fn(spark, SF001).collect()
+    row_tot: dict = {}
+    for r in t:
+        row_tot[r["from_type"]] = row_tot.get(r["from_type"], 0) + r["c"]
+    h = 0.0
+    for r in t:
+        p = r["c"] / row_tot[r["from_type"]]
+        h += pi[r["from_type"]] * (-p * math.log2(p))
+    assert abs(row["entropy_rate_bits"] - h) < 1e-6, (row, h)
+    assert 0 < row["entropy_rate_bits"] <= math.log2(len(pi)) + 1e-9
+    assert abs(row["perplexity"] - 2 ** row["entropy_rate_bits"]) < 1e-4
