@@ -3752,3 +3752,99 @@ def text_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
     )
+
+
+_NEG_ALPHA = "0.75"  # unigram temperature (word2vec/GloVe convention)
+_NEG_TOPK = 20
+
+
+@query(
+    "text_negative_sampling_table",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split({SQL_NORM}, ' ')) AS term FROM documents
+),
+c AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok WHERE term <> '' GROUP BY term
+),
+w AS MATERIALIZED (
+  SELECT term, cnt,
+         CAST(round(power(CAST(cnt AS DOUBLE), {_NEG_ALPHA}), 9)
+              AS DECIMAL(28,9)) AS wgt
+  FROM c
+),
+z AS (SELECT CAST(sum(wgt) AS DOUBLE) AS z,
+             CAST(count(*) AS BIGINT) AS vocab FROM w),
+ent AS (
+  SELECT CAST(sum(CAST(round(
+           -(CAST(wgt AS DOUBLE) / (SELECT z FROM z))
+             * log2(CAST(wgt AS DOUBLE) / (SELECT z FROM z)), 12)
+           AS DECIMAL(28,12))) AS DOUBLE) AS h
+  FROM w
+)
+SELECT w.term, w.cnt,
+       round(CAST(w.wgt AS DOUBLE) / z.z, 9) AS p_neg,
+       z.vocab,
+       round(power(2.0, (SELECT h FROM ent)), 2) AS effective_vocab
+FROM w CROSS JOIN z
+ORDER BY w.cnt DESC, w.term
+LIMIT {_NEG_TOPK}
+""",
+    tags=("X3", "sampling", "word2vec"),
+)
+def text_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE-SAMPLING DISTRIBUTION (word2vec/GloVe unigram^0.75):
+    per-term sampling probability p_i = c_i^0.75 / sum c^0.75 — the
+    temperature that down-weights stopwords and up-weights the tail —
+    for the corpus vocabulary, reporting the top-20 most-sampled
+    terms plus the distribution's EFFECTIVE VOCABULARY 2^H (how many
+    'equally likely' negatives the table really offers; raw vocab vs
+    effective vocab is the skew diagnostic that decides whether 0.75
+    is the right temperature for this corpus).
+
+    Scale shape: one token explode into a vocab-key aggregate
+    (map-side combinable); weights rounded to 9 dp and DECIMAL-folded
+    so the normalizer is association-order independent; the entropy
+    fold reuses the -p*log2(p) rounded-12 recipe; top-k is
+    TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("term")).filter(
+        F.col("term") != ""
+    )
+    c = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = c.select(
+        "term",
+        "cnt",
+        F.round(F.pow(F.col("cnt").cast("double"), float(_NEG_ALPHA)), 9)
+        .cast("decimal(28,9)")
+        .alias("wgt"),
+    )
+    z = w.agg(
+        F.sum("wgt").cast("double").alias("z"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    pw = F.col("wgt").cast("double") / F.col("z")
+    ent = (
+        w.crossJoin(F.broadcast(z))
+        .agg(
+            F.sum(
+                F.round(-pw * F.log2(pw), 12).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("h")
+        )
+    )
+    return (
+        w.crossJoin(F.broadcast(z))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "term",
+            "cnt",
+            F.round(pw, 9).alias("p_neg"),
+            "vocab",
+            F.round(F.pow(F.lit(2.0), F.col("h")), 2).alias("effective_vocab"),
+        )
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(_NEG_TOPK)
+    )

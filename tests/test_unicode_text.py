@@ -249,3 +249,34 @@ def test_winnow_selected_matches_python_reference(spark):
         got.setdefault(r.doc_id, set()).add(r.se)
     for i, t in rows:
         assert got[i] == _winnow_reference(t, WINNOW_K, WINNOW_W), (i, t)
+
+
+def test_negative_sampling_distribution_properties(spark):
+    """text_negative_sampling_table: probabilities from an
+    independent pandas recompute; effective vocab <= raw vocab;
+    temperature flattens (p_neg of the top term < its raw share)."""
+    import pandas as pd
+
+    from cdc_via_flink_spark.plans.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["text_negative_sampling_table"].fn(spark, sf).collect()
+    d = pd.read_parquet(f"{sf}/documents.parquet")["text"]
+    import re
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for t in d:
+        norm = re.sub(r"\s+", " ", t).strip().lower()
+        for w in norm.split(" "):
+            if w:
+                cnt[w] += 1
+    z = sum(c**0.75 for c in cnt.values())
+    total = sum(cnt.values())
+    top = rows[0]
+    assert top["cnt"] == max(cnt.values())
+    assert abs(top["p_neg"] - cnt[top["term"]] ** 0.75 / z) < 1e-6
+    assert top["vocab"] == len(cnt)
+    assert 1.0 <= top["effective_vocab"] <= top["vocab"]
+    # 0.75 tempering must shrink the head's share
+    assert top["p_neg"] < cnt[top["term"]] / total
