@@ -5292,3 +5292,201 @@ def q_r2_shapley_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("syy"),
     )
     return m.selectExpr("CAST(nn AS BIGINT) AS n", *_R2_SHAPLEY_EXPRS)
+
+
+_GMM_ITERS = 3
+
+
+def _gmm_oracle() -> str:
+    its = []
+    prev = "it0"
+    for k in range(1, _GMM_ITERS + 1):
+        its.append(f"""
+e{k} AS MATERIALIZED (
+  SELECT CAST(round(
+           (p.pi1 * exp(-(d.x - p.mu1)*(d.x - p.mu1)/(2*p.s1*p.s1)) / p.s1)
+           / ((p.pi1 * exp(-(d.x - p.mu1)*(d.x - p.mu1)/(2*p.s1*p.s1)) / p.s1)
+              + ((1 - p.pi1) * exp(-(d.x - p.mu2)*(d.x - p.mu2)/(2*p.s2*p.s2))
+                 / p.s2)), 12) AS DECIMAL(14,12)) AS r1,
+         d.x
+  FROM d CROSS JOIN {prev} p
+),
+m{k} AS MATERIALIZED (
+  SELECT CAST(sum(r1) AS DOUBLE) AS n1,
+         CAST(sum(CAST(round(CAST(r1 AS DOUBLE) * x, 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS sx1,
+         CAST(sum(CAST(round(CAST(r1 AS DOUBLE) * x * x, 2)
+                       AS DECIMAL(30,2))) AS DOUBLE) AS sxx1,
+         CAST(sum(1 - r1) AS DOUBLE) AS n2,
+         CAST(sum(CAST(round(CAST(1 - r1 AS DOUBLE) * x, 6)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS sx2,
+         CAST(sum(CAST(round(CAST(1 - r1 AS DOUBLE) * x * x, 2)
+                       AS DECIMAL(30,2))) AS DOUBLE) AS sxx2,
+         CAST(count(*) AS DOUBLE) AS nn
+  FROM e{k}
+),
+it{k} AS (
+  SELECT round(n1 / nn, 12) AS pi1,
+         round(sx1 / n1, 12) AS mu1,
+         round(sqrt(greatest(sxx1 / n1 - (sx1/n1)*(sx1/n1), 1e-6)), 12) AS s1,
+         round(sx2 / n2, 12) AS mu2,
+         round(sqrt(greatest(sxx2 / n2 - (sx2/n2)*(sx2/n2), 1e-6)), 12) AS s2
+  FROM m{k}
+)""")
+        prev = f"it{k}"
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS x
+  FROM orders
+),
+mom AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nn,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,2))
+                  * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+  FROM orders
+),
+it0 AS (
+  SELECT 0.5 AS pi1,
+         round(sx/nn - sqrt(sxx/nn - (sx/nn)*(sx/nn)), 12) AS mu1,
+         round(sqrt(sxx/nn - (sx/nn)*(sx/nn)), 12) AS s1,
+         round(sx/nn + sqrt(sxx/nn - (sx/nn)*(sx/nn)), 12) AS mu2,
+         round(sqrt(sxx/nn - (sx/nn)*(sx/nn)), 12) AS s2
+  FROM mom
+),{",".join(its)}
+SELECT 1 AS component, round(pi1, 6) AS weight,
+       round(mu1, 2) AS mu, round(s1, 2) AS sigma
+FROM {prev}
+UNION ALL
+SELECT 2, round(1 - pi1, 6), round(mu2, 2), round(s2, 2)
+FROM {prev}
+ORDER BY component
+"""
+
+
+@query(
+    "q_gmm_em_1d",
+    oracle=_gmm_oracle(),
+    tags=("stats", "clustering", "em", "iterative-unrolled"),
+)
+def q_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D GAUSSIAN MIXTURE by EM (2 components, 3 unrolled
+    iterations) over order values — SOFT clustering next to the
+    kmeans family's hard assignments: every order carries a
+    responsibility r in [0,1] instead of a cluster id, which is what
+    downstream mixture-of-sources weighting actually needs. Init is
+    moment-based and deterministic (mu = mean -/+ std, shared sigma,
+    pi = 0.5); the declared statistic is the 3-step EM state.
+
+    Scale shape: each iteration is ONE map-side-combinable aggregate
+    pass (E-step responsibilities and all six M-step moments fused;
+    no per-row state, no collect); parameters flow as 1-row broadcast
+    frames. Parity: responsibilities and weighted moments are rounded
+    (12/6/2 dp) and DECIMAL-folded, parameters round to 12 between
+    iterations — both engines run the identical exp/sqrt double
+    chain on identical inputs."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(dec(F.col("o_totalprice")).cast("double").alias("x"))
+    mom = o.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum(dec(F.col("o_totalprice"))).cast("double").alias("sx"),
+        F.sum(
+            dec(F.col("o_totalprice")).cast("decimal(19,2)")
+            * dec(F.col("o_totalprice"))
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("nn")
+    std = F.sqrt(F.col("sxx") / F.col("nn") - mean * mean)
+    params = mom.select(
+        F.lit(0.5).alias("pi1"),
+        F.round(mean - std, 12).alias("mu1"),
+        F.round(std, 12).alias("s1"),
+        F.round(mean + std, 12).alias("mu2"),
+        F.round(std, 12).alias("s2"),
+    )
+    for _ in range(_GMM_ITERS):
+        x, mu1, s1, mu2, s2, pi1 = (
+            F.col("x"),
+            F.col("mu1"),
+            F.col("s1"),
+            F.col("mu2"),
+            F.col("s2"),
+            F.col("pi1"),
+        )
+        a1 = pi1 * F.exp(-(x - mu1) * (x - mu1) / (2 * s1 * s1)) / s1
+        a2 = (1 - pi1) * F.exp(-(x - mu2) * (x - mu2) / (2 * s2 * s2)) / s2
+        e = d.crossJoin(F.broadcast(params)).select(
+            F.round(a1 / (a1 + a2), 12).cast("decimal(14,12)").alias("r1"),
+            "x",
+        )
+        r1d = F.col("r1").cast("double")
+        m = e.agg(
+            F.sum("r1").cast("double").alias("n1"),
+            F.sum(F.round(r1d * F.col("x"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sx1"),
+            F.sum(
+                F.round(r1d * F.col("x") * F.col("x"), 2).cast("decimal(30,2)")
+            )
+            .cast("double")
+            .alias("sxx1"),
+            F.sum(1 - F.col("r1")).cast("double").alias("n2"),
+            F.sum(
+                F.round((1 - F.col("r1")).cast("double") * F.col("x"), 6).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("sx2"),
+            F.sum(
+                F.round(
+                    (1 - F.col("r1")).cast("double") * F.col("x") * F.col("x"),
+                    2,
+                ).cast("decimal(30,2)")
+            )
+            .cast("double")
+            .alias("sxx2"),
+            F.count(F.lit(1)).cast("double").alias("nn"),
+        )
+        params = m.select(
+            F.round(F.col("n1") / F.col("nn"), 12).alias("pi1"),
+            F.round(F.col("sx1") / F.col("n1"), 12).alias("mu1"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col("sxx1") / F.col("n1")
+                        - (F.col("sx1") / F.col("n1"))
+                        * (F.col("sx1") / F.col("n1")),
+                        F.lit(1e-6),
+                    )
+                ),
+                12,
+            ).alias("s1"),
+            F.round(F.col("sx2") / F.col("n2"), 12).alias("mu2"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col("sxx2") / F.col("n2")
+                        - (F.col("sx2") / F.col("n2"))
+                        * (F.col("sx2") / F.col("n2")),
+                        F.lit(1e-6),
+                    )
+                ),
+                12,
+            ).alias("s2"),
+        )
+    c1 = params.select(
+        F.lit(1).alias("component"),
+        F.round("pi1", 6).alias("weight"),
+        F.round("mu1", 2).alias("mu"),
+        F.round("s1", 2).alias("sigma"),
+    )
+    c2 = params.select(
+        F.lit(2).alias("component"),
+        F.round(1 - F.col("pi1"), 6).alias("weight"),
+        F.round("mu2", 2).alias("mu"),
+        F.round("s2", 2).alias("sigma"),
+    )
+    return c1.unionByName(c2).orderBy("component")

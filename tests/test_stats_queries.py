@@ -852,3 +852,42 @@ def test_cohens_kappa_python_reference(spark):
     assert row["kappa"] <= row["po"] + 1e-9
     # the two length raters must agree far above chance on this corpus
     assert row["kappa"] > 0.3
+
+
+def test_gmm_em_matches_numpy_and_preserves_mean(spark):
+    """q_gmm_em_1d == float numpy EM with the same init and 3 steps
+    (rounding-free, tolerance 1e-3 relative), and the mixture mean
+    sum(w*mu) equals the corpus mean (the E/M moment-preservation
+    identity)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = {
+        r["component"]: r for r in SPECS["q_gmm_em_1d"].fn(spark, SF0001).collect()
+    }
+    x = np.round(
+        pd.read_parquet(f"{SF0001}/orders.parquet")["o_totalprice"].to_numpy(
+            float
+        ),
+        2,
+    )
+    m, s = x.mean(), x.std()
+    pi1, mu1, s1, mu2, s2 = 0.5, m - s, s, m + s, s
+    for _ in range(3):
+        a1 = pi1 * np.exp(-((x - mu1) ** 2) / (2 * s1 * s1)) / s1
+        a2 = (1 - pi1) * np.exp(-((x - mu2) ** 2) / (2 * s2 * s2)) / s2
+        r1 = a1 / (a1 + a2)
+        n1, n2 = r1.sum(), (1 - r1).sum()
+        mu1, mu2 = (r1 * x).sum() / n1, ((1 - r1) * x).sum() / n2
+        s1 = np.sqrt(max((r1 * x * x).sum() / n1 - mu1 * mu1, 1e-6))
+        s2 = np.sqrt(max(((1 - r1) * x * x).sum() / n2 - mu2 * mu2, 1e-6))
+        pi1 = n1 / len(x)
+    scale = max(1.0, abs(mu2))
+    assert abs(rows[1]["weight"] - pi1) < 1e-3
+    assert abs(rows[1]["mu"] - mu1) < 1e-3 * scale
+    assert abs(rows[2]["mu"] - mu2) < 1e-3 * scale
+    assert abs(rows[1]["sigma"] - s1) < 1e-3 * scale
+    # moment preservation: mixture mean == corpus mean
+    mix_mean = rows[1]["weight"] * rows[1]["mu"] + rows[2]["weight"] * rows[2]["mu"]
+    assert abs(mix_mean - m) < 1e-2 * scale
+    assert abs(rows[1]["weight"] + rows[2]["weight"] - 1.0) < 1e-9
