@@ -5490,3 +5490,154 @@ def q_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s2", 2).alias("sigma"),
     )
     return c1.unionByName(c2).orderBy("component")
+
+
+_CUPED_CUTOFF = "1996-01-01"  # pre/post split of the order history
+
+
+@query(
+    "q_cuped_adjustment",
+    oracle=f"""
+WITH pc AS (
+  SELECT c.c_custkey, c.c_mktsegment AS arm,
+         CAST(coalesce(sum(CASE WHEN o.o_orderdate < DATE '{_CUPED_CUTOFF}'
+                          THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0)
+              AS DECIMAL(18,2)) AS x,
+         CAST(coalesce(sum(CASE WHEN o.o_orderdate >= DATE '{_CUPED_CUTOFF}'
+                          THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0)
+              AS DECIMAL(18,2)) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY c.c_custkey, c.c_mktsegment
+),
+pool AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,2)) * x) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x AS DECIMAL(19,2)) * y) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(y AS DECIMAL(19,2)) * y) AS DOUBLE) AS syy
+  FROM pc
+),
+th AS (
+  SELECT n, sx / n AS xbar, sy / n AS ybar,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+         (syy - sy * sy / n) / n AS var_y,
+         (syy - sy * sy / n) / n
+           - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+             * ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+             * (sxx - sx * sx / n) / n AS var_adj
+  FROM pool
+),
+arm AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_arm,
+         CAST(sum(x) AS DOUBLE) AS asx, CAST(sum(y) AS DOUBLE) AS asy
+  FROM pc GROUP BY arm
+)
+SELECT a.arm, a.n_arm,
+       round(a.asy / a.n_arm, 6) AS mean_y,
+       round(a.asy / a.n_arm
+             - t.theta * (a.asx / a.n_arm - t.xbar), 6) AS mean_y_adj,
+       round(t.theta, 6) AS theta,
+       round(1.0 - t.var_adj / t.var_y, 6) AS var_reduction
+FROM arm a CROSS JOIN th t
+ORDER BY a.arm
+""",
+    tags=("stats", "experimentation", "cuped"),
+)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED VARIANCE REDUCTION (Deng et al. 2013 — the
+    pre-experiment-covariate adjustment every experimentation
+    platform runs): per-customer pre-period spend X (before
+    1996-01-01) adjusts post-period spend Y via Y* = Y - theta(X -
+    Xbar), theta = cov(X,Y)/var(X); per-arm adjusted means move while
+    the contrast stays unbiased, and var_reduction = rho^2 says how
+    much smaller the experiment could have been. Completes the
+    experimentation family: q_mde_power sizes, q_sprt_monitor peeks,
+    q_ab_test_proportions tests, this one shrinks the noise.
+
+    Scale/parity: one customer-keyed aggregate, then five pooled
+    moments (the ACF (19,2)x(18,2) int128 widening recipe — exact
+    DECIMAL folds) and closed-form combines: adjusted means and the
+    variance identity var(Y*) = var(Y) - theta^2 var(X) evaluate
+    straight from the moments, so no second data pass and no per-row
+    adjusted column is ever materialized."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUPED_CUTOFF).cast("date")
+    zero = F.lit(0).cast("decimal(18,2)")
+    pc = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("arm"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("o_orderdate") < cutoff, dec(F.col("o_totalprice")))
+                ),
+                zero,
+            )
+            .cast("decimal(18,2)")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") >= cutoff, dec(F.col("o_totalprice"))
+                    )
+                ),
+                zero,
+            )
+            .cast("decimal(18,2)")
+            .alias("y"),
+        )
+    )
+    pool = pc.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,2)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(19,2)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("y").cast("decimal(19,2)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    th = pool.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        (F.col("sy") / F.col("n")).alias("ybar"),
+        (cov / vx).alias("theta"),
+        (vy / F.col("n")).alias("var_y"),
+        (vy / F.col("n") - (cov / vx) * (cov / vx) * vx / F.col("n")).alias(
+            "var_adj"
+        ),
+    )
+    arm = pc.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_arm"),
+        F.sum("x").cast("double").alias("asx"),
+        F.sum("y").cast("double").alias("asy"),
+    )
+    return (
+        arm.crossJoin(F.broadcast(th))
+        .select(
+            "arm",
+            "n_arm",
+            F.round(F.col("asy") / F.col("n_arm"), 6).alias("mean_y"),
+            F.round(
+                F.col("asy") / F.col("n_arm")
+                - F.col("theta") * (F.col("asx") / F.col("n_arm") - F.col("xbar")),
+                6,
+            ).alias("mean_y_adj"),
+            F.round("theta", 6).alias("theta"),
+            F.round(1.0 - F.col("var_adj") / F.col("var_y"), 6).alias(
+                "var_reduction"
+            ),
+        )
+        .orderBy("arm")
+    )

@@ -891,3 +891,39 @@ def test_gmm_em_matches_numpy_and_preserves_mean(spark):
     mix_mean = rows[1]["weight"] * rows[1]["mu"] + rows[2]["weight"] * rows[2]["mu"]
     assert abs(mix_mean - m) < 1e-2 * scale
     assert abs(rows[1]["weight"] + rows[2]["weight"] - 1.0) < 1e-9
+
+
+def test_cuped_python_reference_and_identities(spark):
+    """q_cuped_adjustment == pandas replication; var_reduction ==
+    pooled rho^2; the adjusted GRAND mean is unchanged (CUPED is
+    mean-preserving at theta fitted on the pool)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = {r["arm"]: r for r in SPECS["q_cuped_adjustment"].fn(spark, SF0001).collect()}
+    c = pd.read_parquet(f"{SF0001}/customer.parquet")
+    o = pd.read_parquet(f"{SF0001}/orders.parquet")
+    c = c[c["c_mktsegment"].isin(["BUILDING", "MACHINERY"])]
+    o = o.merge(c[["c_custkey", "c_mktsegment"]], left_on="o_custkey", right_on="c_custkey")
+    cut = pd.Timestamp("1996-01-01")
+    pre = o[o["o_orderdate"] < cut].groupby("o_custkey")["o_totalprice"].sum()
+    post = o[o["o_orderdate"] >= cut].groupby("o_custkey")["o_totalprice"].sum()
+    df = c.set_index("c_custkey")
+    x = pre.reindex(df.index).fillna(0).round(2).to_numpy()
+    y = post.reindex(df.index).fillna(0).round(2).to_numpy()
+    theta = np.cov(x, y, ddof=0)[0, 1] / np.var(x)
+    rho2 = np.cov(x, y, ddof=0)[0, 1] ** 2 / (np.var(x) * np.var(y))
+    for arm, grp in df.groupby("c_mktsegment"):
+        mask = df.index.isin(grp.index)
+        my = y[mask].mean()
+        madj = my - theta * (x[mask].mean() - x.mean())
+        assert rows[arm]["n_arm"] == int(mask.sum())
+        assert abs(rows[arm]["mean_y"] - my) < 1e-3, arm
+        assert abs(rows[arm]["mean_y_adj"] - madj) < 1e-3, arm
+        assert abs(rows[arm]["theta"] - theta) < 1e-5
+        assert abs(rows[arm]["var_reduction"] - rho2) < 1e-5
+    # grand-mean preservation
+    w = np.array([rows[a]["n_arm"] for a in rows])
+    gy = sum(rows[a]["mean_y"] * rows[a]["n_arm"] for a in rows) / w.sum()
+    ga = sum(rows[a]["mean_y_adj"] * rows[a]["n_arm"] for a in rows) / w.sum()
+    assert abs(gy - ga) < 1e-4
