@@ -1525,3 +1525,163 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hr", 6).alias("entropy_rate_bits"),
         F.round(F.pow(F.lit(2.0), F.col("hr")), 6).alias("perplexity"),
     )
+
+
+@query(
+    "q_survival_km_ci",
+    oracle=f"""
+WITH r AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+dur AS (
+  SELECT f.o_custkey,
+         CASE WHEN s.o_orderdate IS NOT NULL THEN 1 ELSE 0 END AS ev,
+         least(CAST(floor(date_diff('day', f.o_orderdate,
+                 COALESCE(s.o_orderdate, horizon.h)) / 7) AS BIGINT),
+               {_KM_MAX_WEEK}) AS wk
+  FROM (SELECT * FROM r WHERE rn = 1) f
+  LEFT JOIN (SELECT * FROM r WHERE rn = 2) s ON f.o_custkey = s.o_custkey
+  CROSS JOIN horizon
+),
+g AS (
+  SELECT wk, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(ev) AS BIGINT) AS d_events
+  FROM dur GROUP BY wk
+),
+risk AS (
+  SELECT wk, d_events,
+         CAST(sum(n_total) OVER (ORDER BY wk DESC) AS BIGINT) AS n_risk
+  FROM g
+),
+fac AS (
+  SELECT wk, n_risk, d_events,
+         CAST(round(1.0 - CAST(d_events AS DOUBLE) / n_risk, 12) AS DOUBLE)
+           AS f,
+         CAST(round(CASE WHEN n_risk > d_events
+              THEN CAST(d_events AS DOUBLE)
+                   / (CAST(n_risk AS DOUBLE) * (n_risk - d_events))
+              ELSE 0.0 END, 12) AS DECIMAL(28,12)) AS gw
+  FROM risk
+),
+km AS (
+  SELECT wk, n_risk, d_events,
+         CASE WHEN min(f) OVER (ORDER BY wk) = 0 THEN 0.0
+              ELSE exp(sum(ln(CASE WHEN f > 0 THEN f ELSE 1.0 END))
+                       OVER (ORDER BY wk)) END AS s,
+         CAST(sum(gw) OVER (ORDER BY wk) AS DOUBLE) AS gsum
+  FROM fac
+)
+SELECT wk, n_risk, d_events,
+       round(s, 6) AS survival,
+       round(s * sqrt(gsum), 6) AS se_greenwood,
+       round(greatest(s - 1.959964 * s * sqrt(gsum), 0.0), 6) AS ci_lo,
+       round(least(s + 1.959964 * s * sqrt(gsum), 1.0), 6) AS ci_hi
+FROM km
+ORDER BY wk
+""",
+    tags=("sequence", "survival", "greenwood"),
+)
+def q_survival_km_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER WITH GREENWOOD CONFIDENCE BANDS — the uncertainty
+    the point-estimate curve (q_survival_km) cannot convey:
+    Var[S(t)] = S(t)^2 * sum_{j<=t} d_j / (n_j (n_j - d_j)), with
+    plain 95% bands clamped to [0, 1] (the z constant inlined
+    identically in both engines). The band width is what decides
+    whether two cohort curves are distinguishable before reaching for
+    q_survival_logrank.
+
+    Same shape/parity as the KM pair: one customer-keyed window, all
+    cumulative work on the <=53-week grid, Greenwood increments
+    rounded to 12 dp and DECIMAL-folded, the S(t) ln/exp chain over
+    identical doubles."""
+    o = _t(spark, sf_dir, "orders")
+    r = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number()
+        .over(W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("rn"),
+    )
+    f = r.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("d1")
+    )
+    s = r.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("o_orderdate").alias("d2")
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    dur = (
+        f.join(s, "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.least(
+                F.floor(
+                    F.datediff(F.coalesce(F.col("d2"), F.col("h")), F.col("d1"))
+                    / 7
+                ).cast("long"),
+                F.lit(_KM_MAX_WEEK).cast("long"),
+            ).alias("wk"),
+        )
+    )
+    g = dur.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("ev").cast("long").alias("d_events"),
+    )
+    risk = g.select(
+        "wk",
+        "d_events",
+        F.sum("n_total").over(W.orderBy(F.col("wk").desc())).cast("long").alias(
+            "n_risk"
+        ),
+    )
+    fac = risk.select(
+        "wk",
+        "n_risk",
+        "d_events",
+        F.round(
+            1.0 - F.col("d_events").cast("double") / F.col("n_risk"), 12
+        ).alias("f"),
+        F.round(
+            F.when(
+                F.col("n_risk") > F.col("d_events"),
+                F.col("d_events").cast("double")
+                / (
+                    F.col("n_risk").cast("double")
+                    * (F.col("n_risk") - F.col("d_events"))
+                ),
+            ).otherwise(0.0),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("gw"),
+    )
+    km = fac.select(
+        "wk",
+        "n_risk",
+        "d_events",
+        F.when(F.min("f").over(W.orderBy("wk")) == 0, F.lit(0.0))
+        .otherwise(
+            F.exp(
+                F.sum(
+                    F.log(F.when(F.col("f") > 0, F.col("f")).otherwise(1.0))
+                ).over(W.orderBy("wk"))
+            )
+        )
+        .alias("s"),
+        F.sum("gw").over(W.orderBy("wk")).cast("double").alias("gsum"),
+    )
+    se = F.col("s") * F.sqrt(F.col("gsum"))
+    z = F.lit(1.959964)
+    return km.select(
+        "wk",
+        "n_risk",
+        "d_events",
+        F.round("s", 6).alias("survival"),
+        F.round(se, 6).alias("se_greenwood"),
+        F.round(F.greatest(F.col("s") - z * se, F.lit(0.0)), 6).alias("ci_lo"),
+        F.round(F.least(F.col("s") + z * se, F.lit(1.0)), 6).alias("ci_hi"),
+    ).orderBy("wk")

@@ -286,3 +286,24 @@ def test_entropy_rate_python_reference_and_bounds(spark):
     assert abs(row["entropy_rate_bits"] - h) < 1e-6, (row, h)
     assert 0 < row["entropy_rate_bits"] <= math.log2(len(pi)) + 1e-9
     assert abs(row["perplexity"] - 2 ** row["entropy_rate_bits"]) < 1e-4
+
+
+def test_km_ci_greenwood_reference(spark):
+    """q_survival_km_ci: survival equals q_survival_km exactly; the
+    Greenwood SE matches a python recompute; bands bracket the curve
+    and stay in [0, 1]."""
+    import math
+
+    km = {r["wk"]: r for r in SPECS["q_survival_km"].fn(spark, SF001).collect()}
+    ci = {r["wk"]: r for r in SPECS["q_survival_km_ci"].fn(spark, SF001).collect()}
+    assert set(km) == set(ci)
+    gsum = 0.0
+    for wk in sorted(ci):
+        r = ci[wk]
+        assert abs(r["survival"] - km[wk]["survival"]) < 1e-9, wk
+        d, n = r["d_events"], r["n_risk"]
+        if n > d:
+            gsum += round(d / (n * (n - d)), 12)
+        se = r["survival"] * math.sqrt(gsum)
+        assert abs(r["se_greenwood"] - se) < 1e-6, wk
+        assert 0.0 <= r["ci_lo"] <= r["survival"] <= r["ci_hi"] <= 1.0, wk
