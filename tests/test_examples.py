@@ -74,3 +74,20 @@ def test_attribution_report_comparison(spark):
     for k in ("last_touch", "linear", "time_decay", "shapley", "markov"):
         tot = sum(r[k] for r in rows if r[k] is not None)
         assert abs(tot - 1.0) < 1e-3, (k, tot)
+
+
+def test_experimentation_report_runs(spark):
+    """The experimentation one-pager's components stay composable:
+    every step query it uses exists and returns rows at sf0.001."""
+    from cdc_via_flink_spark.plans.registry import load_all
+
+    specs = load_all()
+    for name in (
+        "q_mde_power",
+        "q_treatment_balance_smd",
+        "q_cuped_adjustment",
+        "q_sprt_monitor",
+        "q_ab_test_proportions",
+        "q_fdr_bh",
+    ):
+        assert specs[name].fn(spark, SF0001).collect(), name
