@@ -5641,3 +5641,63 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@query(
+    "q_srm_check",
+    oracle="""
+WITH a AS (
+  SELECT CAST(count(*) FILTER (c_mktsegment = 'BUILDING') AS BIGINT) AS n1,
+         CAST(count(*) FILTER (c_mktsegment = 'MACHINERY') AS BIGINT) AS n2
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+)
+SELECT n1, n2,
+       round((CAST(n1 - n2 AS DOUBLE) * (n1 - n2))
+             / CAST(n1 + n2 AS DOUBLE) / 2
+             + (CAST(n2 - n1 AS DOUBLE) * (n2 - n1))
+               / CAST(n1 + n2 AS DOUBLE) / 2, 6) AS chi2,
+       CASE WHEN (CAST(n1 - n2 AS DOUBLE) * (n1 - n2))
+                 / CAST(n1 + n2 AS DOUBLE) / 2
+                 + (CAST(n2 - n1 AS DOUBLE) * (n2 - n1))
+                   / CAST(n1 + n2 AS DOUBLE) / 2 > 3.841459
+            THEN 'SRM' ELSE 'ok' END AS verdict
+FROM a
+""",
+    tags=("stats", "experimentation", "srm"),
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH CHECK — the experimentation DATA-QUALITY
+    gate that must pass before any readout is trusted (an assignment
+    split that misses its expected 50/50 means the randomizer or the
+    logging dropped users non-randomly, and every downstream effect
+    estimate is suspect): chi-square of the observed BUILDING vs
+    MACHINERY arm counts against equal allocation, with the 1-df 95%
+    critical value (3.841459) inlined identically in both engines.
+    One aggregate to two exact integers; chi2 is a handful of
+    identical double ops."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    a = c.agg(
+        F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1))
+        .cast("long")
+        .alias("n1"),
+        F.count(F.when(F.col("c_mktsegment") == "MACHINERY", 1))
+        .cast("long")
+        .alias("n2"),
+    )
+    d12 = (F.col("n1") - F.col("n2")).cast("double")
+    d21 = (F.col("n2") - F.col("n1")).cast("double")
+    tot = (F.col("n1") + F.col("n2")).cast("double")
+    chi2 = d12 * (F.col("n1") - F.col("n2")) / tot / 2 + d21 * (
+        F.col("n2") - F.col("n1")
+    ) / tot / 2
+    return a.select(
+        "n1",
+        "n2",
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2 > 3.841459, F.lit("SRM")).otherwise(F.lit("ok")).alias(
+            "verdict"
+        ),
+    )

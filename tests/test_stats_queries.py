@@ -927,3 +927,19 @@ def test_cuped_python_reference_and_identities(spark):
     gy = sum(rows[a]["mean_y"] * rows[a]["n_arm"] for a in rows) / w.sum()
     ga = sum(rows[a]["mean_y_adj"] * rows[a]["n_arm"] for a in rows) / w.sum()
     assert abs(gy - ga) < 1e-4
+
+
+def test_srm_check_reference(spark):
+    """q_srm_check == python chi-square against 50/50 on the raw
+    counts, with the standard 1-df decision."""
+    import pandas as pd
+
+    row = SPECS["q_srm_check"].fn(spark, SF0001).collect()[0]
+    c = pd.read_parquet(f"{SF0001}/customer.parquet")
+    n1 = int((c["c_mktsegment"] == "BUILDING").sum())
+    n2 = int((c["c_mktsegment"] == "MACHINERY").sum())
+    e = (n1 + n2) / 2
+    chi2 = (n1 - e) ** 2 / e + (n2 - e) ** 2 / e
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert abs(row["chi2"] - chi2) < 1e-6
+    assert row["verdict"] == ("SRM" if chi2 > 3.841459 else "ok")
