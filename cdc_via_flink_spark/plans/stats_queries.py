@@ -5701,3 +5701,78 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "verdict"
         ),
     )
+
+
+_QTE_QS = tuple(round(0.1 * k, 1) for k in range(1, 10))
+
+
+def _qte_oracle() -> str:
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({q} AS DOUBLE) AS tau,
+       round(quantile_cont(CASE WHEN arm = 'BUILDING'
+                                THEN o_totalprice END, {q}), 4) AS q_treated,
+       round(quantile_cont(CASE WHEN arm = 'MACHINERY'
+                                THEN o_totalprice END, {q}), 4) AS q_control
+FROM j"""
+        for q in _QTE_QS
+    )
+    return f"""
+WITH j AS (
+  SELECT c.c_mktsegment AS arm, o.o_totalprice
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+g AS ({rows})
+SELECT tau, q_treated, q_control,
+       round(q_treated - q_control, 4) AS qte
+FROM g ORDER BY tau
+"""
+
+
+@query(
+    "q_quantile_treatment_effect",
+    oracle=_qte_oracle(),
+    tags=("stats", "causal", "quantile"),
+)
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE TREATMENT EFFECTS — the per-decile difference between
+    the BUILDING and MACHINERY order-value distributions: where an
+    average effect (q_uplift_by_segment) can net to ~0 while the
+    tails move, the QTE curve says WHO moved (p10 shifts = the small
+    orders, p90 shifts = the big ones); the decile-resolution
+    companion to q_wasserstein_1d's one-number distance.
+
+    Scale/parity: one fact-dim join, then per-arm interpolated
+    percentiles as conditional aggregates (both engines
+    linear-interpolate; rounded to 4 dp to absorb final-ulp wiggle —
+    the q_percentiles recipe); the decile grid is 9 rows of
+    arithmetic."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    o = _t(spark, sf_dir, "orders")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("arm"), "o_totalprice"
+    )
+    t_val = F.when(F.col("arm") == "BUILDING", F.col("o_totalprice"))
+    c_val = F.when(F.col("arm") == "MACHINERY", F.col("o_totalprice"))
+    agg = j.agg(
+        *[
+            F.round(F.percentile(t_val, F.lit(q)), 4).alias(f"t_{k}")
+            for k, q in enumerate(_QTE_QS)
+        ],
+        *[
+            F.round(F.percentile(c_val, F.lit(q)), 4).alias(f"c_{k}")
+            for k, q in enumerate(_QTE_QS)
+        ],
+    )
+    rows = None
+    for k, q in enumerate(_QTE_QS):
+        r = agg.select(
+            F.lit(q).alias("tau"),
+            F.col(f"t_{k}").alias("q_treated"),
+            F.col(f"c_{k}").alias("q_control"),
+            F.round(F.col(f"t_{k}") - F.col(f"c_{k}"), 4).alias("qte"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("tau")

@@ -943,3 +943,29 @@ def test_srm_check_reference(spark):
     assert (row["n1"], row["n2"]) == (n1, n2)
     assert abs(row["chi2"] - chi2) < 1e-6
     assert row["verdict"] == ("SRM" if chi2 > 3.841459 else "ok")
+
+
+def test_qte_numpy_reference_and_monotone_grid(spark):
+    """q_quantile_treatment_effect == numpy interpolated quantile
+    differences; per-arm quantiles are monotone in tau."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        SPECS["q_quantile_treatment_effect"].fn(spark, SF0001).collect(),
+        key=lambda r: r["tau"],
+    )
+    c = pd.read_parquet(f"{SF0001}/customer.parquet")
+    o = pd.read_parquet(f"{SF0001}/orders.parquet")
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    t = m.loc[m["c_mktsegment"] == "BUILDING", "o_totalprice"].to_numpy(float)
+    ct = m.loc[m["c_mktsegment"] == "MACHINERY", "o_totalprice"].to_numpy(float)
+    for r in rows:
+        qt = np.quantile(t, r["tau"], method="linear")
+        qc = np.quantile(ct, r["tau"], method="linear")
+        assert abs(r["q_treated"] - qt) < 1e-3, r
+        assert abs(r["q_control"] - qc) < 1e-3, r
+        assert abs(r["qte"] - (r["q_treated"] - r["q_control"])) < 1e-3
+    for a, b in zip(rows, rows[1:]):
+        assert b["q_treated"] >= a["q_treated"]
+        assert b["q_control"] >= a["q_control"]
