@@ -3848,3 +3848,67 @@ def text_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "term")
         .limit(_NEG_TOPK)
     )
+
+
+@query(
+    "text_length_lognormal_fit",
+    oracle="""
+WITH l AS (
+  SELECT CAST(round(ln(CAST(n_chars AS DOUBLE)), 12) AS DECIMAL(28,12)) AS lx,
+         n_chars
+  FROM documents WHERE n_chars > 0
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lx) AS DOUBLE) AS slx,
+         CAST(sum(lx * lx) AS DOUBLE) AS slx2,
+         CAST(sum(n_chars) AS BIGINT) AS schars
+  FROM l
+)
+SELECT n,
+       round(slx / n, 6) AS mu_log,
+       round(sqrt(greatest(slx2 / n - (slx / n) * (slx / n), 0.0)), 6)
+         AS sigma_log,
+       round(exp(slx / n), 2) AS median_model,
+       round(exp(slx / n
+                 + greatest(slx2 / n - (slx / n) * (slx / n), 0.0) / 2), 2)
+         AS mean_model,
+       round(CAST(schars AS DOUBLE) / n, 2) AS mean_observed
+FROM m
+""",
+    tags=("X3", "corpus-stats", "lognormal"),
+)
+def text_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-NORMAL FIT of document lengths by method of moments — the
+    canonical corpus length model (web-text lengths are heavy-tailed;
+    a normal fit under-budgets packing and over-trims filters):
+    mu/sigma of ln(length), the implied model MEDIAN exp(mu) and MEAN
+    exp(mu + sigma^2/2), next to the observed mean — the model-vs-
+    observed mean gap is the heavy-tail diagnostic that calibrates
+    q_pack_greedy's bin budget and the Gopher length filters.
+
+    One aggregate pass; ln terms rounded to 12 dp and DECIMAL-folded
+    ((28,12) * (28,12) products run exact int128 in both engines),
+    closed-form moments in identical doubles."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    lx = F.round(F.log(F.col("n_chars").cast("double")), 12).cast(
+        "decimal(28,12)"
+    )
+    m = d.select(lx.alias("lx"), "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lx").cast("double").alias("slx"),
+        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("slx2"),
+        F.sum("n_chars").cast("long").alias("schars"),
+    )
+    mu = F.col("slx") / F.col("n")
+    v = F.greatest(F.col("slx2") / F.col("n") - mu * mu, F.lit(0.0))
+    return m.select(
+        "n",
+        F.round(mu, 6).alias("mu_log"),
+        F.round(F.sqrt(v), 6).alias("sigma_log"),
+        F.round(F.exp(mu), 2).alias("median_model"),
+        F.round(F.exp(mu + v / 2), 2).alias("mean_model"),
+        F.round(F.col("schars").cast("double") / F.col("n"), 2).alias(
+            "mean_observed"
+        ),
+    )

@@ -280,3 +280,26 @@ def test_negative_sampling_distribution_properties(spark):
     assert 1.0 <= top["effective_vocab"] <= top["vocab"]
     # 0.75 tempering must shrink the head's share
     assert top["p_neg"] < cnt[top["term"]] / total
+
+
+def test_lognormal_fit_numpy_reference(spark):
+    """text_length_lognormal_fit == numpy method-of-moments on
+    ln(lengths); heavy-tail diagnostic: model mean >= model median."""
+    import numpy as np
+    import pandas as pd
+
+    from cdc_via_flink_spark.plans.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    row = load_all()["text_length_lognormal_fit"].fn(spark, sf).collect()[0]
+    n = pd.read_parquet(f"{sf}/documents.parquet")["n_chars"]
+    n = n[n > 0].to_numpy(float)
+    lx = np.round(np.log(n), 12)
+    mu, var = lx.mean(), lx.var()
+    assert row["n"] == len(n)
+    assert abs(row["mu_log"] - mu) < 1e-6
+    assert abs(row["sigma_log"] - np.sqrt(var)) < 1e-6
+    assert abs(row["median_model"] - np.exp(mu)) < 1e-2 * np.exp(mu)
+    assert abs(row["mean_model"] - np.exp(mu + var / 2)) < 1e-2 * np.exp(mu)
+    assert abs(row["mean_observed"] - n.mean()) < 0.01
+    assert row["mean_model"] >= row["median_model"]
