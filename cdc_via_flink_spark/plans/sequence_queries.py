@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from cdc_via_flink_spark.plans.parity import dec
 from cdc_via_flink_spark.plans.registry import query
 from cdc_via_flink_spark.sources.tables import load_table
 
@@ -1685,3 +1686,96 @@ def q_survival_km_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.greatest(F.col("s") - z * se, F.lit(0.0)), 6).alias("ci_lo"),
         F.round(F.least(F.col("s") + z * se, F.lit(1.0)), 6).alias("ci_hi"),
     ).orderBy("wk")
+
+
+_LTV_MAX_AGE = 11  # cohort ages reported (months since first order)
+
+
+@query(
+    "q_cohort_ltv_curve",
+    oracle=f"""
+WITH f AS (
+  SELECT o_custkey,
+         min(date_trunc('month', o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+x AS (
+  SELECT f.cohort,
+         (CAST(year(o.o_orderdate) AS BIGINT) * 12
+          + CAST(month(o.o_orderdate) AS BIGINT))
+         - (CAST(year(f.cohort) AS BIGINT) * 12
+            + CAST(month(f.cohort) AS BIGINT)) AS age,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+  FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+),
+sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cust FROM f
+       GROUP BY cohort),
+g AS (
+  SELECT cohort, age, CAST(sum(rev) AS DECIMAL(28,2)) AS rev
+  FROM x WHERE age <= {_LTV_MAX_AGE} GROUP BY cohort, age
+),
+c AS (
+  SELECT g.cohort, g.age, sz.n_cust,
+         CAST(sum(g.rev) OVER (PARTITION BY g.cohort ORDER BY g.age)
+              AS DOUBLE) AS cum_rev
+  FROM g JOIN sz ON sz.cohort = g.cohort
+)
+SELECT CAST(cohort AS DATE) AS cohort, age, n_cust,
+       round(cum_rev / n_cust, 2) AS ltv_per_cust
+FROM c
+WHERE year(cohort) = (SELECT year(min(cohort)) FROM f)
+ORDER BY cohort, age
+""",
+    tags=("sequence", "cohort", "ltv"),
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV CURVES — cumulative revenue per customer by months
+    since first order, one curve per first-year signup cohort: the
+    "how much is a new customer worth by month m" table that
+    q_cohort_retention (activity share) cannot price; flattening
+    curves say payback stalls, fanning curves say later cohorts
+    monetize differently.
+
+    Scale shape: first-order cohorts are one customer-keyed
+    aggregate; the fact join carries the cohort to each order
+    map-side-derivable age (integer month lattice — no date diff
+    rounding ambiguity); the cumulative window runs per cohort over
+    the bounded <=12-row age grid. Revenue folds as exact DECIMAL;
+    the single divide per cell is double."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("cohort")
+    )
+    mo = lambda c: F.year(c).cast("long") * 12 + F.month(c).cast("long")  # noqa: E731
+    x = o.join(f, "o_custkey").select(
+        "cohort",
+        (mo(F.col("o_orderdate")) - mo(F.col("cohort"))).alias("age"),
+        dec(F.col("o_totalprice")).alias("rev"),
+    )
+    sz = f.groupBy("cohort").agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+    g = (
+        x.filter(F.col("age") <= _LTV_MAX_AGE)
+        .groupBy("cohort", "age")
+        .agg(F.sum("rev").cast("decimal(28,2)").alias("rev"))
+    )
+    c = g.join(F.broadcast(sz), "cohort").select(
+        "cohort",
+        "age",
+        "n_cust",
+        F.sum("rev")
+        .over(W.partitionBy("cohort").orderBy("age"))
+        .cast("double")
+        .alias("cum_rev"),
+    )
+    y0 = f.agg(F.year(F.min("cohort")).alias("y0"))
+    return (
+        c.crossJoin(F.broadcast(y0))
+        .filter(F.year("cohort") == F.col("y0"))
+        .select(
+            F.col("cohort").cast("date").alias("cohort"),
+            "age",
+            "n_cust",
+            F.round(F.col("cum_rev") / F.col("n_cust"), 2).alias("ltv_per_cust"),
+        )
+        .orderBy("cohort", "age")
+    )

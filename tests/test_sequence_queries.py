@@ -307,3 +307,39 @@ def test_km_ci_greenwood_reference(spark):
         se = r["survival"] * math.sqrt(gsum)
         assert abs(r["se_greenwood"] - se) < 1e-6, wk
         assert 0.0 <= r["ci_lo"] <= r["survival"] <= r["ci_hi"] <= 1.0, wk
+
+
+def test_cohort_ltv_monotone_and_reference(spark):
+    """q_cohort_ltv_curve: per-cohort LTV is non-decreasing in age
+    (cumulative revenue can only grow), and a pandas recompute
+    matches exactly at the first cohort."""
+    import pandas as pd
+
+    rows = SPECS["q_cohort_ltv_curve"].fn(spark, SF001).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    for _cohort, rs in by_cohort.items():
+        rs = sorted(rs, key=lambda r: r["age"])
+        for a, b in zip(rs, rs[1:]):
+            assert b["ltv_per_cust"] >= a["ltv_per_cust"] - 1e-9, (a, b)
+            assert b["n_cust"] == a["n_cust"]
+
+    o = pd.read_parquet(f"{SF001}/orders.parquet")
+    mo = o["o_orderdate"].values.astype("datetime64[M]")
+    o = o.assign(mo=mo)
+    first = o.groupby("o_custkey")["mo"].min().rename("cohort")
+    j = o.merge(first, on="o_custkey")
+    j["age"] = (j["mo"].values.astype("datetime64[M]")
+                - j["cohort"].values.astype("datetime64[M]")).astype(int)
+    c0 = min(by_cohort)
+    sub = j[(j["cohort"].values.astype("datetime64[M]")
+             == pd.Timestamp(c0).to_datetime64().astype("datetime64[M]"))]
+    n0 = first[first == pd.Timestamp(c0)].count()
+    want = round(
+        sub[sub["age"] <= 11]["o_totalprice"].round(2).sum() / n0, 2
+    )
+    last = max(by_cohort[c0], key=lambda r: r["age"])
+    assert last["n_cust"] == n0
+    assert abs(last["ltv_per_cust"] - want) < 0.05, (last, want)
