@@ -22,9 +22,16 @@ GAMMA = Decimal("0.10")
 
 
 def holt_fold(ys: list[Decimal]) -> tuple[Decimal, Decimal]:
-    """(level, trend) after folding the ordered series."""
+    """(level, trend) after folding the ordered series.
+
+    Requires >= 1 point; a 1-point series degrades to (y0, trend 0)
+    rather than crashing (the trend seed y1 - y0 needs two points)."""
+    if not ys:
+        raise ValueError("holt_fold requires a non-empty series")
     getcontext().prec = 50
     level = ys[0]
+    if len(ys) == 1:
+        return level, Decimal(0)
     trend = ys[1] - ys[0]
     one_a = Decimal(1) - ALPHA
     one_g = Decimal(1) - GAMMA

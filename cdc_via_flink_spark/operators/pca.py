@@ -72,10 +72,15 @@ def top_vector(
     """(cov LocalRelation, unit top eigenvector (i int,
     v decimal(14,12))) via ``squarings`` normalized matrix squarings
     (effective power 2^squarings) — the shared model step of
-    sim_pca_top_component and sim_pca_scores."""
-    cov = spark.createDataFrame(
-        cov_df.collect(), "i int, j int, cv decimal(16,12)"
-    )
+    sim_pca_top_component and sim_pca_scores. ``d`` is load-bearing:
+    the collected covariance must be the dense d x d matrix (d*d
+    rows), or the squaring silently operates on a ragged frame."""
+    rows = cov_df.collect()
+    if len(rows) != d * d:
+        raise ValueError(
+            f"covariance frame has {len(rows)} rows, expected d*d={d * d}"
+        )
+    cov = spark.createDataFrame(rows, "i int, j int, cv decimal(16,12)")
     # localCheckpoint per level: the squaring references its input
     # TWICE, so an un-truncated lineage is a 2^t-leaf binary tree —
     # each level is materialized (4096 rows, model-sized) before the

@@ -60,10 +60,12 @@ def save_text_index(docs: DataFrame, path: str) -> None:
 
 
 def probe_text_index(
-    spark: SparkSession, path: str, terms: tuple, k: int
+    spark: SparkSession, path: str, terms: tuple
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(tf, df, dl, stats) for the query terms, reading ONLY the
-    term-buckets the query hashes to (static partition pruning)."""
+    term-buckets the query hashes to (static partition pruning).
+    Top-k truncation is the caller's job (the probe returns every
+    posting for the query terms)."""
     meta = spark.read.parquet(path + "/meta").head()
     nb = int(meta["n_buckets"])
     terms_df = spark.createDataFrame([(t,) for t in terms], "term string")

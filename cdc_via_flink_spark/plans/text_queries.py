@@ -3601,7 +3601,7 @@ def text_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     path = f"/root/repo/.tmp/bm25_index_{sf_name}"
     save_text_index(d, path)
-    tf, df, dl, stats = probe_text_index(spark, path, BM25_TERMS, BM25_TOP)
+    tf, df, dl, stats = probe_text_index(spark, path, BM25_TERMS)
     return _bm25_scored_topk(tf, df, dl, stats)
 
 
@@ -3861,7 +3861,8 @@ WITH l AS (
 m AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(lx) AS DOUBLE) AS slx,
-         CAST(sum(lx * lx) AS DOUBLE) AS slx2,
+         CAST(sum(CAST(round(CAST(lx AS DOUBLE) * CAST(lx AS DOUBLE), 12)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS slx2,
          CAST(sum(n_chars) AS BIGINT) AS schars
   FROM l
 )
@@ -3887,17 +3888,25 @@ def text_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed mean gap is the heavy-tail diagnostic that calibrates
     q_pack_greedy's bin budget and the Gopher length filters.
 
-    One aggregate pass; ln terms rounded to 12 dp and DECIMAL-folded
-    ((28,12) * (28,12) products run exact int128 in both engines),
-    closed-form moments in identical doubles."""
+    One aggregate pass; ln terms rounded to 12 dp and DECIMAL-folded.
+    The squared term uses the repo's per-term rounding recipe (the
+    q_markov_entropy_rate / PCA precedent): the product is computed in
+    DOUBLE, rounded half-up to 12 dp, and cast DECIMAL(28,12) BEFORE
+    the fold in BOTH engines — a raw (28,12)*(28,12) product would be
+    rescaled to decimal(38,6) by Spark's allowPrecisionLoss while
+    DuckDB keeps (38,24), so parity there was data luck, not by
+    construction. Closed-form moments in identical doubles."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     lx = F.round(F.log(F.col("n_chars").cast("double")), 12).cast(
         "decimal(28,12)"
     )
+    lx2 = F.round(
+        F.col("lx").cast("double") * F.col("lx").cast("double"), 12
+    ).cast("decimal(28,12)")
     m = d.select(lx.alias("lx"), "n_chars").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("lx").cast("double").alias("slx"),
-        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("slx2"),
+        F.sum(lx2).cast("double").alias("slx2"),
         F.sum("n_chars").cast("long").alias("schars"),
     )
     mu = F.col("slx") / F.col("n")

@@ -969,3 +969,19 @@ def test_qte_numpy_reference_and_monotone_grid(spark):
     for a, b in zip(rows, rows[1:]):
         assert b["q_treated"] >= a["q_treated"]
         assert b["q_control"] >= a["q_control"]
+
+
+def test_holt_fold_degenerate_series():
+    """holt_fold degrades instead of crashing on short series (the
+    ADVICE r10 IndexError on <2 points): 1 point -> (y0, 0); empty ->
+    clear ValueError, never an IndexError."""
+    from decimal import Decimal
+
+    import pytest
+
+    from cdc_via_flink_spark.operators.forecast import holt_fold
+
+    level, trend = holt_fold([Decimal("5")])
+    assert (level, trend) == (Decimal("5"), Decimal(0))
+    with pytest.raises(ValueError, match="non-empty"):
+        holt_fold([])
