@@ -61,6 +61,26 @@ def main() -> None:
         if name.startswith("stream_"):
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def _drop_cross_cell_state() -> None:
+        # Between-cell cleanup (the scripts/bench_scaling.py lesson,
+        # VERDICT r10 #1): iterative queries localCheckpoint
+        # intermediates whose blocks live until session end, and a
+        # long single-JVM run accumulates shuffle/broadcast state that
+        # the ContextCleaner only reclaims on a driver GC (default
+        # periodicGC is 30 min — longer than the whole bench). Without
+        # this, later cells pay earlier cells' storage/GC pressure:
+        # the driver-recorded dedup_semantic cell drifted 11.4 -> 21.2 s
+        # across r8 -> r10 as the phases before it grew, while the same
+        # query idle-measured ~10.5 s. Runs OUTSIDE the timed window.
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(True)
+        spark.sparkContext._jvm.System.gc()
+
+    _drop_cross_cell_state()
+
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -80,6 +100,8 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            _drop_cross_cell_state()  # between RUNS too: the decay is
+            # visible run-to-run (repro: 14.6 s then 23.4 s back-to-back)
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
@@ -95,6 +117,7 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            _drop_cross_cell_state()
         times2[name] = round(best, 3)
 
     print(
@@ -114,7 +137,14 @@ def main() -> None:
                 # without this tag (r1-r6) are NOT comparable for
                 # stream_* queries (e.g. the r6 stream_temporal_join
                 # 23.25 s cell included ~17 s of one-time staging).
-                "policy": "stream-prerun-at-target-sf",
+                # Since r11 every cell is followed by an untimed
+                # cross-cell state drop (clearCache + unpersist
+                # localCheckpoint RDDs + driver GC to kick the
+                # ContextCleaner), so cells measure their own work,
+                # not the accumulated storage/GC pressure of the
+                # phases before them (the r8-r10 dedup_semantic
+                # drift).
+                "policy": "stream-prerun-at-target-sf+cell-state-drop",
                 "sf": sf,
             }
         )
