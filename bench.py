@@ -30,6 +30,11 @@ def main() -> None:
     # trained NB, perplexity gate). Reported separately so the tier-1
     # headline total stays comparable to the round-1 BASELINE.md row.
     tier2_specs = {n: s for n, s in specs.items() if s.bench2}
+    # Tier 3 (r11, VERDICT r10 #3): gate cells for the heavy r10f/g
+    # families (k-core peel, bucketed quantile regression, MMR rerank,
+    # 1-D GMM EM) so regressions there trip scripts/bench_gate.py
+    # instead of surviving as one-shot scaling artifacts.
+    tier3_specs = {n: s for n, s in specs.items() if s.bench3}
 
     spark = get_spark("cdc_via_flink_spark-bench")
 
@@ -45,7 +50,9 @@ def main() -> None:
     # charged per query for it).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(sf_dir):
-        for _name, spec in sorted({**bench_specs, **tier2_specs}.items()):
+        for _name, spec in sorted(
+            {**bench_specs, **tier2_specs, **tier3_specs}.items()
+        ):
             spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     # Pre-run every STREAMING bench query once at the TARGET SF
@@ -57,7 +64,9 @@ def main() -> None:
     # recorded 23.25 s for stream_temporal_join whose idle marginal
     # cost is ~5 s); with it, both timed runs measure marginal
     # streaming work under any host weather.
-    for name, spec in sorted({**bench_specs, **tier2_specs}.items()):
+    for name, spec in sorted(
+        {**bench_specs, **tier2_specs, **tier3_specs}.items()
+    ):
         if name.startswith("stream_"):
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
@@ -120,6 +129,18 @@ def main() -> None:
             _drop_cross_cell_state()
         times2[name] = round(best, 3)
 
+    # gate tier (r11): heavy r10f/g families, min-of-2 like tier 2
+    times3: dict[str, float] = {}
+    for name, spec in sorted(tier3_specs.items()):
+        best = float("inf")
+        for _ in range(runs2):
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            _drop_cross_cell_state()
+        times3[name] = round(best, 3)
+
     print(
         json.dumps(
             {
@@ -129,6 +150,8 @@ def main() -> None:
                 "queries": times,
                 "tier2_total": round(sum(times2.values()), 3),
                 "queries_tier2": times2,
+                "tier3_total": round(sum(times3.values()), 3),
+                "queries_tier3": times3,
                 # Measurement-policy tag (ADVICE r7): since r7, every
                 # stream_* query gets ONE untimed pre-run at the target
                 # SF before the timed min-of-N, so streaming cells

@@ -693,6 +693,7 @@ ORDER BY round
 
 @query(
     "q_kcore_peel",
+    bench3=True,
     oracle=_kcore_oracle(),
     tags=("graph", "kcore", "iterative-unrolled"),
 )

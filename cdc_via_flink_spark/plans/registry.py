@@ -31,6 +31,7 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set (tier 1)
     bench2: bool = False  # heavy tier: expensive new-surface queries
+    bench3: bool = False  # r11 gate tier: heavy r10f/g families
     doc: str = ""
 
 
@@ -43,6 +44,7 @@ def query(
     tags: tuple[str, ...] = (),
     bench: bool = False,
     bench2: bool = False,
+    bench3: bool = False,
 ):
     """Decorator registering a query under ``name``."""
 
@@ -54,6 +56,7 @@ def query(
             tags=tags,
             bench=bench,
             bench2=bench2,
+            bench3=bench3,
             doc=fn.__doc__ or "",
         )
         return fn

@@ -1395,6 +1395,7 @@ ORDER BY query_id, step
 
 @query(
     "sim_mmr_rerank",
+    bench3=True,
     oracle=_mmr_oracle(),
     tags=("X2", "similarity", "mmr", "rerank"),
 )

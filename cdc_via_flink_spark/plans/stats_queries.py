@@ -4586,6 +4586,7 @@ _QR_BUCKETS = 1024  # histogram resolution of the two-level quantile
 
 @query(
     "q_quantile_regression",
+    bench3=True,
     oracle=f"""
 WITH d AS (
   SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
@@ -5488,6 +5489,7 @@ ORDER BY component
 
 @query(
     "q_gmm_em_1d",
+    bench3=True,
     oracle=_gmm_oracle(),
     tags=("stats", "clustering", "em", "iterative-unrolled"),
 )

@@ -43,11 +43,14 @@ def load_bench(path: str | None) -> dict:
     return json.loads(line)
 
 
-def check(bench: dict, floors: dict) -> tuple[list[str], list[str], float, float]:
+def check(
+    bench: dict, floors: dict
+) -> tuple[list[str], list[str], float, float, float]:
     breaches: list[str] = []
     infos: list[str] = []
     t1 = sum(bench.get("queries", {}).values())
     t2 = sum(bench.get("queries_tier2", {}).values())
+    t3 = sum(bench.get("queries_tier3", {}).values())
     if t1 > floors["tier1_total_max"]:
         breaches.append(
             f"tier-1 total {t1:.3f}s > cap {floors['tier1_total_max']}s"
@@ -56,17 +59,27 @@ def check(bench: dict, floors: dict) -> tuple[list[str], list[str], float, float
         breaches.append(
             f"tier-2 total {t2:.3f}s > cap {floors['tier2_total_max']}s"
         )
+    # tier 3 (r11): gated only once a cap is recorded; a bench line
+    # without tier-3 cells (pre-r11 artifacts) sums to 0 and passes
+    if t3 > floors.get("tier3_total_max", float("inf")):
+        breaches.append(
+            f"tier-3 total {t3:.3f}s > cap {floors['tier3_total_max']}s"
+        )
     mult = floors["cell_mult"]
-    for tier, key in (("tier1_floors", "queries"), ("tier2_floors", "queries_tier2")):
+    for tier, key in (
+        ("tier1_floors", "queries"),
+        ("tier2_floors", "queries_tier2"),
+        ("tier3_floors", "queries_tier3"),
+    ):
         for q, sec in bench.get(key, {}).items():
-            floor = floors[tier].get(q)
+            floor = floors.get(tier, {}).get(q)
             if floor is None:
                 infos.append(f"no floor yet for {q} ({sec:.3f}s) — informational")
             elif sec > mult * floor:
                 breaches.append(
                     f"{q}: {sec:.3f}s > {mult}x floor {floor}s"
                 )
-    return breaches, infos, t1, t2
+    return breaches, infos, t1, t2, t3
 
 
 def cell_min(benches: list[dict]) -> dict:
@@ -76,7 +89,7 @@ def cell_min(benches: list[dict]) -> dict:
     min across independent runs recovers the machine's honest number
     without relaxing any floor."""
     out: dict = dict(benches[0])
-    for key in ("queries", "queries_tier2"):
+    for key in ("queries", "queries_tier2", "queries_tier3"):
         cells = dict(benches[0].get(key, {}))
         for b in benches[1:]:
             for q, sec in b.get(key, {}).items():
@@ -105,7 +118,7 @@ def main(argv: list[str]) -> int:
     with open(os.path.join(ROOT, "BENCH_FLOORS.json")) as f:
         floors = json.load(f)
 
-    breaches, infos, t1, t2 = check(bench, floors)
+    breaches, infos, t1, t2, t3 = check(bench, floors)
     runs = [bench]
     retried = 0
     while breaches and retried < RETRIES_ON_BREACH:
@@ -116,11 +129,12 @@ def main(argv: list[str]) -> int:
         )
         runs.append(load_bench(None))
         merged = cell_min(runs)
-        breaches, infos, t1, t2 = check(merged, floors)
+        breaches, infos, t1, t2, t3 = check(merged, floors)
 
     print(
         f"bench gate: tier-1 {t1:.3f}s (cap {floors['tier1_total_max']}), "
         f"tier-2 {t2:.3f}s (cap {floors['tier2_total_max']}), "
+        f"tier-3 {t3:.3f}s (cap {floors.get('tier3_total_max', 'unset')}), "
         f"{len(breaches)} breach(es)"
         + (f" [min of {len(runs)} runs]" if len(runs) > 1 else "")
     )
