@@ -114,6 +114,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     train_mod: int = 1,
+    routing_only: bool = False,
 ) -> DataFrame:
     """Train centroids; returns (centroid_id long, cv array<double>).
 
@@ -128,13 +129,26 @@ def kmeans_fit(
     sample), AND the update step left-joins against the previous
     centroid table (empty clusters keep their old centroid), so k is
     invariant across iterations even when a sampled iteration assigns
-    a centroid no members (likelier as train_mod grows)."""
+    a centroid no members (likelier as train_mod grows).
+
+    routing_only=True declares that the caller uses the centroids
+    ONLY as argmin routing targets (two_level_fit's coarse level) —
+    never their positions (unlike PQ residuals or centroid-score
+    outputs). Under that contract a k == 1 fit short-circuits Lloyd's
+    entirely: single-cell assignment is invariant to the centroid's
+    position, and at small corpora the iterations are pure driver
+    round-trips (measured ~2-3 s of tiny jobs at sf0.1's 2000-vector
+    fixture — fixed overhead the bench cell otherwise pays forever)."""
     v_df = corpus.select(
         F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")
     )
     cents = v_df.filter(F.col("vec_id") % every_k == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
+    if routing_only:
+        cents = cents.localCheckpoint(eager=True)
+        if cents.count() == 1:
+            return cents
     train = _train_sample(v_df, train_mod)
     for _ in range(max_iter):
         assigned = _nearest(train, cents)
@@ -233,6 +247,10 @@ def two_level_fit(
         vec_col=vec_col,
         id_col=id_col,
         train_mod=train_mod,
+        # coarse centroids are pure routing targets here (their
+        # positions never surface downstream), so a 1-cell corpus
+        # skips Lloyd's — see kmeans_fit
+        routing_only=True,
     )
     fine_init = corpus.filter(F.col(id_col) % fine_every_k == 0).select(
         F.col(id_col).alias("vec_id"), to_double(F.col(vec_col)).alias("v")

@@ -747,6 +747,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_via_flink_spark.sources.tables import ensure_min_partitions
 
     e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    # NOT snapshotted: dec is referenced three times (drop audit +
+    # both sides of the co-cluster join), but an interleaved A/B at
+    # sf0.1 measured the eager localCheckpoint barrier ~0.7 s SLOWER
+    # than letting exchange reuse dedupe the recomputes (min 10.12 vs
+    # 9.45 s) — the opposite of the q_quantile_regression case, where
+    # the re-executed subplan was a full 21x table scan.
     dec = semantic_dedup(e, tau=SEM_TAU)
 
     drop_ok = dec.agg(
