@@ -898,3 +898,150 @@ def cdc_bootstrap_snapshot_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_suffix").cast("long").alias("n_suffix_events"),
         (F.col("snap_flag") == 1).alias("snapshot_present"),
     )
+
+
+_CHUNKS = 4  # incremental-snapshot waves (key-hash chunks)
+
+
+@query(
+    "cdc_incremental_snapshot_chunks",
+    oracle=f"""
+WITH ch AS ({CH_SQL}),
+b AS (SELECT min(seq) AS mn, max(seq) AS mx FROM ch),
+k AS (
+  SELECT *,
+         CAST(substring(txn_id, 5) AS BIGINT) % {_CHUNKS} AS chunk,
+         (SELECT mn FROM b)
+           + (CAST(substring(txn_id, 5) AS BIGINT) % {_CHUNKS} + 1)
+             * (((SELECT mx FROM b) - (SELECT mn FROM b)) // ({_CHUNKS} + 1))
+           AS pk
+  FROM ch
+),
+w AS (
+  SELECT txn_id, chunk, pk, op, ts_ms, seq,
+         CASE WHEN op = 'd' THEN NULL ELSE props END AS final_after,
+         row_number() OVER (PARTITION BY txn_id
+                            ORDER BY ts_ms DESC, seq DESC) AS rn
+  FROM k
+),
+sufc AS (
+  SELECT txn_id, count(*) AS n_suffix FROM k WHERE seq > pk GROUP BY txn_id
+),
+prec AS (SELECT DISTINCT txn_id FROM k WHERE seq <= pk)
+SELECT w.txn_id, CAST(w.chunk AS BIGINT) AS chunk,
+       CAST(w.pk AS BIGINT) AS chunk_pos,
+       CASE WHEN w.seq > w.pk THEN w.op ELSE 'r' END AS last_seen_op,
+       w.ts_ms AS final_ts_ms, w.final_after,
+       CAST(coalesce(s.n_suffix, 0) AS BIGINT) AS n_suffix_events,
+       (p2.txn_id IS NOT NULL) AS snapshot_present
+FROM w
+LEFT JOIN sufc s ON w.txn_id = s.txn_id
+LEFT JOIN prec p2 ON w.txn_id = p2.txn_id
+WHERE w.rn = 1
+""",
+    tags=("cdc", "S5", "ST5", "bootstrap", "incremental-snapshot"),
+)
+def cdc_incremental_snapshot_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNKED incremental snapshot — the full DBLog / Debezium
+    incremental-snapshot algorithm (the cdc_bootstrap_snapshot_chain
+    companion, and the part that makes a binlog source bootstrap a
+    100 TB table without stopping the stream): the key space is split
+    into hash chunks, and each chunk is snapshotted in its own WAVE at
+    a LATER log position P_i while the log keeps flowing — so no
+    single consistent point-in-time read of the whole table is ever
+    needed, and snapshot memory is bounded by one chunk. Per chunk the
+    chain is (snapshot-'r' records at P_i) ∪ (that chunk's log suffix
+    > P_i); the union over chunks must still equal full-log replay —
+    per-key the bootstrap-equivalence theorem holds at the key's OWN
+    chunk position, which is exactly what the oracle states (it never
+    sees a snapshot).
+
+    The Spark side runs every wave through the real envelope codec and
+    one final keyed last-writer-wins window; wave positions are
+    derived from the (min, max) log-position envelope (1-row driver
+    scalar), chunk id from the key hash — both engine-exact."""
+    from pyspark.sql import Window as W
+
+    env = _envelopes(spark, sf_dir)
+    chg = parse_debezium(env).filter(F.col("kind") == "change")
+    b = chg.agg(
+        F.min("seq").alias("mn"), F.max("seq").alias("mx")
+    ).head()
+    mn, mx = int(b["mn"]), int(b["mx"])
+    chunk = (
+        F.substring(F.col("txn_id"), 5, 30).cast("long") % _CHUNKS
+    )
+    pos = F.lit(mn) + (chunk + 1) * F.lit((mx - mn) // (_CHUNKS + 1))
+    # NB: (chunk+1) * ((mx-mn) // (K+1)) — the divide happens FIRST on
+    # both sides. DuckDB's * and // are equal-precedence
+    # left-associative, so the oracle parenthesizes the // explicitly;
+    # without it (chunk+1)*(mx-mn) // (K+1) divides LAST and drifts by
+    # up to K-1 positions (caught by the hash gate on first run).
+    keyed = chg.withColumn("chunk", chunk).withColumn("pk", pos)
+
+    # one wave per chunk: snapshot that chunk's keys at P_i, render as
+    # 'r' records AT P_i, chain the chunk's suffix behind it
+    waves = []
+    for i in range(_CHUNKS):
+        p_i = mn + (i + 1) * ((mx - mn) // (_CHUNKS + 1))
+        part = keyed.filter(F.col("chunk") == i)
+        snap = latest_state(part.filter(F.col("seq") <= p_i))
+        waves.append(
+            snap.select(
+                F.lit(p_i).cast("long").alias("seq"),
+                render_change_envelope(
+                    F.lit("r"),
+                    F.col("last_ts_ms"),
+                    F.col("txn_id"),
+                    F.lit(None).cast("string"),
+                    F.col("last_after"),
+                ).alias("value"),
+            )
+        )
+        waves.append(
+            part.filter(F.col("seq") > p_i).select(
+                "seq",
+                render_change_envelope(
+                    F.col("op"),
+                    F.col("ts_ms"),
+                    F.col("txn_id"),
+                    F.lit(None).cast("string"),
+                    F.col("after"),
+                ).alias("value"),
+            )
+        )
+    chain_env = waves[0]
+    for wv in waves[1:]:
+        chain_env = chain_env.unionByName(wv)
+    cp = parse_debezium(chain_env).filter(F.col("kind") == "change")
+    cp = cp.withColumn("chunk", chunk).withColumn("pk", pos)
+
+    wtx = W.partitionBy("txn_id")
+    ranked = cp.select(
+        "txn_id",
+        "chunk",
+        "pk",
+        "op",
+        "ts_ms",
+        "after",
+        "seq",
+        F.row_number()
+        .over(wtx.orderBy(F.col("ts_ms").desc(), F.col("seq").desc()))
+        .alias("rn"),
+        F.sum(F.when(F.col("seq") > F.col("pk"), 1).otherwise(0))
+        .over(wtx)
+        .alias("n_suffix"),
+        F.max(F.when(F.col("seq") == F.col("pk"), 1).otherwise(0))
+        .over(wtx)
+        .alias("snap_flag"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "txn_id",
+        F.col("chunk").cast("long").alias("chunk"),
+        F.col("pk").cast("long").alias("chunk_pos"),
+        F.col("op").alias("last_seen_op"),
+        F.col("ts_ms").alias("final_ts_ms"),
+        F.col("after").alias("final_after"),
+        F.col("n_suffix").cast("long").alias("n_suffix_events"),
+        (F.col("snap_flag") == 1).alias("snapshot_present"),
+    )
