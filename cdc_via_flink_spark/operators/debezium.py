@@ -45,6 +45,59 @@ ENVELOPE_SCHEMA = T.StructType(
 )
 
 
+# Evolved envelope (schema version 2): Debezium deployments add
+# payload fields over time (source block, LSN); a consumer pinned to
+# the OLD schema must keep parsing v2 records (from_json ignores
+# unknown JSON fields), and a NEW consumer must read v1 records with
+# the added fields null — both directions are oracle-gated by
+# cdc_schema_evolution. The superset schema is the new-reader view.
+ENVELOPE_SCHEMA_V2 = T.StructType(
+    [
+        T.StructField(
+            "payload",
+            T.StructType(
+                list(ENVELOPE_SCHEMA["payload"].dataType.fields)
+                + [
+                    T.StructField("lsn", T.LongType()),
+                    T.StructField(
+                        "source",
+                        T.StructType(
+                            [T.StructField("version", T.StringType())]
+                        ),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def render_change_envelope_v2(
+    op: Column,
+    ts_ms: Column,
+    txn_id: Column,
+    before: Column,
+    after: Column,
+    lsn: Column,
+    version: Column,
+) -> Column:
+    """Serialize a v2 change event: the v1 fields plus the evolved
+    payload.lsn and payload.source.version block."""
+    return F.to_json(
+        F.struct(
+            F.struct(
+                op.alias("op"),
+                ts_ms.alias("ts_ms"),
+                F.struct(txn_id.alias("id")).alias("transaction"),
+                before.alias("before"),
+                after.alias("after"),
+                lsn.alias("lsn"),
+                F.struct(version.alias("version")).alias("source"),
+            ).alias("payload")
+        )
+    )
+
+
 def render_change_envelope(
     op: Column, ts_ms: Column, txn_id: Column, before: Column, after: Column
 ) -> Column:
@@ -75,8 +128,18 @@ def render_txn_envelope(status: Column, txn_id: Column, event_count: Column) -> 
     )
 
 
-def parse_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_debezium(
+    df: DataFrame,
+    value_col: str = "value",
+    schema: T.StructType = ENVELOPE_SCHEMA,
+) -> DataFrame:
     """Parse a stream/frame of Debezium JSON strings into the flat union schema.
+
+    ``schema`` selects the reader's envelope version (default v1;
+    pass ENVELOPE_SCHEMA_V2 for the evolved reader — v1 records then
+    parse with the added fields null, and the output gains the
+    evolved columns `lsn` / `source_version`; see
+    cdc_schema_evolution).
 
     Output columns:
       kind        'change' | 'txn' | NULL (malformed)
@@ -87,9 +150,17 @@ def parse_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
     Malformed records keep kind NULL so callers can dead-letter them
     (SURVEY.md S4 side-output mapping).
     """
-    parsed = df.withColumn("_env", F.from_json(F.col(value_col), ENVELOPE_SCHEMA))
+    parsed = df.withColumn("_env", F.from_json(F.col(value_col), schema))
     p = F.col("_env.payload")
-    return (
+    payload_fields = {f.name for f in schema["payload"].dataType.fields}
+    extra = []
+    if "lsn" in payload_fields:
+        extra.append(("lsn", p.getField("lsn")))
+    if "source" in payload_fields:
+        extra.append(
+            ("source_version", p.getField("source").getField("version"))
+        )
+    out = (
         parsed.withColumn(
             "kind",
             F.when(p.isNull(), F.lit(None).cast("string"))
@@ -109,5 +180,7 @@ def parse_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
         .withColumn("after", p.getField("after"))
         .withColumn("status", p.getField("status"))
         .withColumn("event_count", p.getField("event_count"))
-        .drop("_env")
     )
+    for name, col in extra:
+        out = out.withColumn(name, col)
+    return out.drop("_env")

@@ -16,8 +16,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_via_flink_spark.operators.debezium import (
+    ENVELOPE_SCHEMA_V2,
     parse_debezium,
     render_change_envelope,
+    render_change_envelope_v2,
     render_txn_envelope,
 )
 from cdc_via_flink_spark.operators.reconstruct import (
@@ -1044,4 +1046,94 @@ def cdc_incremental_snapshot_chunks(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("after").alias("final_after"),
         F.col("n_suffix").cast("long").alias("n_suffix_events"),
         (F.col("snap_flag") == 1).alias("snapshot_present"),
+    )
+
+
+@query(
+    "cdc_schema_evolution",
+    oracle=f"""
+WITH ch AS ({CH_SQL}),
+v AS (
+  SELECT *, CASE WHEN seq % 3 = 0 THEN 2 ELSE 1 END AS ver,
+         CASE WHEN seq % 3 = 0 THEN seq * 1000 END AS lsn
+  FROM ch
+)
+SELECT CAST(ver AS BIGINT) AS schema_version,
+       count(*) AS n,
+       count(*) AS n_v1_reader_ok,
+       count(lsn) AS n_with_lsn,
+       min(lsn) AS min_lsn,
+       max(lsn) AS max_lsn,
+       count(DISTINCT txn_id) AS n_txn
+FROM v GROUP BY ver
+""",
+    tags=("cdc", "P1", "P2", "schema-evolution"),
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENVELOPE SCHEMA EVOLUTION tolerance — the production CDC drift
+    concern a connector upgrade creates: a topic carries BOTH v1
+    envelopes and v2 envelopes (payload gains `lsn` and a
+    `source.version` block; every 3rd record here), and the two
+    reader generations must keep working:
+
+      - OLD reader (ENVELOPE_SCHEMA) over the mixed stream: from_json
+        ignores unknown JSON fields, so v2 records parse identically
+        to v1 — the query ASSERTS this by counting v1-reader
+        successes per version (must equal n; a regression would
+        surface as a count mismatch against the oracle, which never
+        parses JSON at all);
+      - NEW reader (ENVELOPE_SCHEMA_V2) over the same stream: v1
+        records parse with lsn/source_version NULL, v2 records
+        surface the evolved fields — pinned by the lsn stats.
+
+    One pass each through the REAL codec (render_change_envelope /
+    render_change_envelope_v2 -> parse_debezium)."""
+    changes, _ = _streams(spark, sf_dir)
+    is_v2 = F.col("seq") % 3 == 0
+    env = changes.select(
+        "seq",
+        F.when(
+            is_v2,
+            render_change_envelope_v2(
+                F.col("op"),
+                F.col("ts_ms"),
+                F.col("txn_id"),
+                F.col("before"),
+                F.col("after"),
+                (F.col("seq") * 1000).cast("long"),
+                F.lit("2"),
+            ),
+        )
+        .otherwise(
+            render_change_envelope(
+                F.col("op"),
+                F.col("ts_ms"),
+                F.col("txn_id"),
+                F.col("before"),
+                F.col("after"),
+            )
+        )
+        .alias("value"),
+    )
+    new_reader = parse_debezium(env, schema=ENVELOPE_SCHEMA_V2)
+    old_reader = parse_debezium(env)
+    old_ok = old_reader.filter(F.col("kind") == "change").select(
+        "seq", F.lit(1).alias("ok_v1")
+    )
+    return (
+        new_reader.filter(F.col("kind") == "change")
+        .join(old_ok, "seq", "left")
+        .withColumn(
+            "schema_version",
+            F.when(F.col("source_version") == "2", 2).otherwise(1),
+        )
+        .groupBy(F.col("schema_version").cast("long").alias("schema_version"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("ok_v1").alias("n_v1_reader_ok"),
+            F.count("lsn").alias("n_with_lsn"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+            F.countDistinct("txn_id").alias("n_txn"),
+        )
     )
