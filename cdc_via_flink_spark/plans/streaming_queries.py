@@ -3458,3 +3458,98 @@ def stream_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = checksum_maintenance_query(stream, idx, out, ckpt)
     q.awaitTermination()
     return read_outputs(spark, out, index_path=idx)
+
+
+@query(
+    "stream_bootstrap_snapshot_chain",
+    oracle=f"""
+WITH ch AS ({CH_SQL}),
+b AS (SELECT (min(seq) + max(seq)) // 2 AS p FROM ch),
+w AS (
+  SELECT txn_id, op, ts_ms, seq,
+         CASE WHEN op = 'd' THEN NULL ELSE props END AS after,
+         row_number() OVER (PARTITION BY txn_id
+                            ORDER BY ts_ms DESC, seq DESC) AS rn
+  FROM ch
+)
+SELECT txn_id,
+       CASE WHEN seq > (SELECT p FROM b) THEN op ELSE 'r' END AS op,
+       ts_ms,
+       CASE WHEN seq > (SELECT p FROM b) THEN seq
+            ELSE (SELECT p FROM b) END AS seq,
+       after
+FROM w WHERE rn = 1 AND op <> 'd'
+""",
+    tags=("cdc", "S5", "ST5", "streaming", "bootstrap", "upsert"),
+)
+def stream_bootstrap_snapshot_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot+log bootstrap UNDER STREAMING EXECUTION — the
+    cdc_bootstrap_snapshot_chain theorem driven through the real
+    micro-batch upsert sink, which is how a new CDC consumer actually
+    comes up: micro-batch 0 is the SNAPSHOT wave (Debezium 'r' records
+    at position P, deleted keys carried as tombstone 'd' records so a
+    late out-of-order update cannot resurrect them through the merge),
+    micro-batches 1-2 replay the log suffix (> P). The foreachBatch
+    newest-wins merge (epoch-versioned snapshots + pointer,
+    streaming/upsert.py) lands the state table; its committed
+    read-back (tombstones filtered) must equal the FULL-log latest
+    row image — which is all the oracle computes, with op masked to
+    'r' for keys untouched since the snapshot."""
+    import shutil as _sh
+
+    from cdc_via_flink_spark.operators.debezium import (
+        render_change_envelope,
+    )
+    from cdc_via_flink_spark.operators.reconstruct import latest_state
+    from cdc_via_flink_spark.streaming.upsert import (
+        read_latest_snapshot,
+        upsert_latest_state_query,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    env = _envelopes(spark, sf_dir)
+    chg = parse_debezium(env).filter(F.col("kind") == "change")
+    b = chg.agg(F.min("seq").alias("mn"), F.max("seq").alias("mx")).head()
+    p = (int(b["mn"]) + int(b["mx"])) // 2
+
+    snap = latest_state(chg.filter(F.col("seq") <= p))
+    snap_env = snap.select(
+        F.lit(p).cast("long").alias("seq"),
+        render_change_envelope(
+            F.when(F.col("last_op") == "d", "d").otherwise("r"),
+            F.col("last_ts_ms"),
+            F.col("txn_id"),
+            F.lit(None).cast("string"),
+            F.col("last_after"),
+        ).alias("value"),
+    )
+    suffix = env.filter(F.col("seq") > p)
+    frames = [
+        snap_env,
+        suffix.filter(F.col("seq") % 2 == 0),
+        suffix.filter(F.col("seq") % 2 == 1),
+    ]
+    root = os.path.join(STAGE_ROOT, f"bootstrap_chain_{sf_name}")
+    _sh.rmtree(root, ignore_errors=True)
+    dest = os.path.join(root, "src")
+    _STAGED_DESTS.discard(dest)
+    _stage_ordered_files(spark, frames, dest)
+
+    table_dir = os.path.join(root, "table")
+    ckpt = os.path.join(root, "ckpt")
+    raw = (
+        spark.readStream.schema("seq long, value string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest)
+    )
+    q = upsert_latest_state_query(parse_debezium(raw), table_dir, ckpt)
+    q.awaitTermination()
+
+    snap_out = read_latest_snapshot(spark, table_dir)
+    return snap_out.select(
+        "txn_id",
+        "op",
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        F.col("seq").cast("long").alias("seq"),
+        "after",
+    )
