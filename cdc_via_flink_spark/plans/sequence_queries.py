@@ -1779,3 +1779,91 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age")
     )
+
+
+@query(
+    "q_cep_pattern_match",
+    oracle="""
+WITH ev AS (
+  SELECT user_id,
+         CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+              WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
+              ELSE 'e' END AS ch,
+         ts, event_id
+  FROM events
+),
+seqs AS (
+  SELECT user_id,
+         string_agg(ch, '' ORDER BY ts, event_id) AS s
+  FROM ev GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(s) AS BIGINT) AS seq_len,
+       CAST(length(coalesce(regexp_extract(s, 's[cv]*p'), '')) AS BIGINT)
+           AS funnel_len,
+       CAST(len(regexp_extract_all(s, 'vp')) AS BIGINT) AS vp_hits,
+       (regexp_extract(s, 's[^e]*p') IS NOT NULL
+        AND regexp_extract(s, 's[^e]*p') <> '') AS clean_funnel
+FROM seqs
+""",
+    tags=("A1", "A5", "cep", "sequence", "pattern"),
+)
+def q_cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP / MATCH_RECOGNIZE-style sequence pattern matching — the
+    flagship Flink-SQL capability (the reference's ecosystem), which
+    Spark lacks as a primitive, re-expressed Spark-first via the
+    ClickHouse sequenceMatch idiom: per key, the ORDERED event-type
+    sequence collapses to a compact symbol string (one keyed
+    aggregate; per-user sequences are activity-bounded, <= 99 symbols
+    at sf0.1), and patterns run as ordinary JVM-side regexes over the
+    strings — leftmost-first greedy semantics are identical in Java
+    regex and DuckDB's RE2, which the exact-hash gate verifies rather
+    than assumes:
+
+      funnel_len    first match of  s[cv]*p  (signup -> clicks/views
+                    -> purchase, nothing else between)
+      vp_hits       non-overlapping count of  vp  (purchase
+                    immediately after a view)
+      clean_funnel  s[^e]*p  (a signup->purchase journey with NO
+                    error anywhere between)
+
+    Scale shape: one hash aggregate keyed by user (collect_list of
+    (ts, id, ch) structs, array_sort, transform+join — all built-in,
+    no UDF), then pure per-row regex projection; nothing shuffles
+    twice and the regex work is embarrassingly parallel. The symbol
+    string per key is the CEP state machine's input tape — the same
+    trick productionizes at 100 TB because the per-key tape is
+    bounded by per-entity activity, not corpus size."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+        .alias("ch"),
+        "ts_ms",
+        "event_id",
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts_ms", "event_id", "ch"))
+                ),
+                lambda x: x.getField("ch"),
+            ),
+            "",
+        ).alias("s")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("s").cast("long").alias("seq_len"),
+        F.length(F.regexp_extract(F.col("s"), "s[cv]*p", 0))
+        .cast("long")
+        .alias("funnel_len"),
+        F.regexp_count(F.col("s"), F.lit("vp")).cast("long").alias("vp_hits"),
+        (F.regexp_extract(F.col("s"), "s[^e]*p", 0) != "").alias(
+            "clean_funnel"
+        ),
+    )
