@@ -85,14 +85,34 @@ def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
     e1 = li.select("ok", F.col("pk").alias("src"))
-    e2 = li.select("ok", F.col("pk").alias("dst"))
+    # SHUFFLE-HASH for the edge self-join (the q_triangle_count
+    # precedent): the probe side grows with the corpus, and the
+    # broadcast build measured 3.6 s vs 1.2 s for the partitioned
+    # hash join on the identical edge output at sf0.1 (r12).
+    e2 = li.select("ok", F.col("pk").alias("dst")).hint("shuffle_hash")
+    # ONE materialization of the edge list and the node-sized degree
+    # table (r12, guide §2.4/§3.3): without it the unrolled loop
+    # inlines the self-join+distinct subtree once per REFERENCE —
+    # the executed plan scanned lineitem 18x and re-aggregated the
+    # edge list ~9x (plans/r12/q_pagerank3_before.txt), and exchange
+    # reuse only partially dedupes it. The iteration state (r) is
+    # node-sized, so every per-iteration join against the
+    # checkpointed edges broadcasts it — the only exchange per
+    # iteration is the groupBy(dst) contribution aggregate.
+    # (A/B at sf0.1, min-of-3 with cell-state drops: lineage 6.87 s,
+    # lineage+shuffle_hash 7.92 s, checkpoint+broadcast 4.42 s.)
     edges = (
         e1.join(e2, "ok")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     n_row = deg.agg(F.count(F.lit(1)).alias("nn"))
     nodes = deg.select(F.col("src").alias("node"), "deg").crossJoin(
         F.broadcast(n_row)
@@ -102,7 +122,7 @@ def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(N_ITER):
         contrib = (
-            r.join(edges, r.node == edges.src)
+            edges.join(F.broadcast(r), r.node == edges.src)
             .select(
                 F.col("dst"),
                 F.round(F.col("r") / F.col("deg"), 12).cast(DEC).alias("c"),
@@ -111,7 +131,7 @@ def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("sc"))
         )
         r = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 "deg",
@@ -719,7 +739,10 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
     a = li.select("ok", F.col("pk").alias("src"))
-    b = li.select("ok", F.col("pk").alias("dst"))
+    # SHUFFLE-HASH for the edge self-join (the q_triangle_count
+    # precedent, applied here in r12): the broadcast build measured
+    # 3.6 s vs 1.2 s for the partitioned hash join at sf0.1.
+    b = li.select("ok", F.col("pk").alias("dst")).hint("shuffle_hash")
     edges = (
         a.join(b, "ok")
         .filter(F.col("src") != F.col("dst"))
@@ -735,22 +758,27 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the conv probe's fifth pass doubles as round 4's edge count.
     # (The first cut materialized the filtered EDGE list per round —
     # measured 44 s at 3x; this shape is 5 edge scans total.)
+    # r12: each round's deg is itself NODE-sized and referenced up to
+    # three times (its round's alive set, that round's nodes_alive
+    # stat, the previous round's edges_alive stat) — checkpointing
+    # deg instead of alive makes "5 edge scans total" literally true
+    # in execution, not just per reference chain, and the alive
+    # filters ride the checkpointed deg for free. The alive side of
+    # each edge join is broadcast explicitly (node-sized vs the
+    # edge-sized probe).
     edges = edges.localCheckpoint(eager=True)
     alive = edges.select("src").distinct()
     degs = []
     for _ in range(_KCORE_ROUNDS + 1):
         deg = (
-            edges.join(alive, "src")
-            .join(alive.select(F.col("src").alias("dst")), "dst")
+            edges.join(F.broadcast(alive), "src")
+            .join(F.broadcast(alive.select(F.col("src").alias("dst"))), "dst")
             .groupBy("src")
             .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        )
-        degs.append(deg)
-        alive = (
-            deg.filter(F.col("deg") >= _KCORE_K)
-            .select("src")
             .localCheckpoint(eager=True)
         )
+        degs.append(deg)
+        alive = deg.filter(F.col("deg") >= _KCORE_K).select("src")
     for i in range(1, _KCORE_ROUNDS + 1):
         stats = (
             degs[i - 1]
