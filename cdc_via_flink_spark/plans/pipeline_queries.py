@@ -922,20 +922,23 @@ def q_corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(F.sum("c").cast("long").alias("tc"), F.count(F.lit(1)).alias("v"))
-    cnt2 = cnt.select(F.col("t").alias("ct"), "c")
+    # r12: per-token NLL precomputed on the model-sized LM frame (the
+    # text_nb_classify / text_unigram_ppl_buckets recipe) — the corpus
+    # scoring pass sums a joined decimal, no per-row log/round/cast
+    cnt2 = cnt.crossJoin(tot).select(
+        F.col("t").alias("ct"),
+        F.round(
+            -F.log((F.col("c") + F.lit(1.0)) / (F.col("tc") + F.col("v"))), 6
+        )
+        .cast("decimal(28,6)")
+        .alias("nll_t"),
+    )
     nll = (
         tok.join(F.broadcast(cnt2), F.col("t") == F.col("ct"))
-        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             (
-                F.sum(
-                    F.round(
-                        -F.log((F.col("c") + F.lit(1.0)) / (F.col("tc") + F.col("v"))),
-                        6,
-                    ).cast("decimal(28,6)")
-                ).cast("double")
-                / F.count(F.lit(1))
+                F.sum("nll_t").cast("double") / F.count(F.lit(1))
             ).alias("doc_nll")
         )
     )
@@ -955,14 +958,20 @@ def q_corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text", normalize_text(F.col("text")).alias("norm"))
         .filter(F.size(F.split(F.col("norm"), " ")) >= 20)
     )
-    keepers = (
-        q.groupBy(F.md5(F.col("norm")).alias("digest"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # keeper election as ONE window over q (r12, guide §2.4): the
+    # groupBy+self-join form evaluated the whole q subtree (perplexity
+    # join + near-dup anti-join + normalize_text) twice — min(doc_id)
+    # over the digest partition elects the identical keeper set from a
+    # single evaluation (interleaved A/B at sf0.1: old 4.94 s vs new
+    # 4.61 s warm, 15.2 vs 8.8 cold; outputs verified equal row-set)
+    keep = (
+        q.withColumn(
+            "_mn", F.min("doc_id").over(W.partitionBy(F.md5(F.col("norm"))))
+        )
+        .filter(F.col("doc_id") == F.col("_mn"))
+        .drop("_mn")
     )
-    k = hash_split(
-        q.join(keepers, "doc_id"), "doc_id", {"train": 204, "valid": 26, "test": 26}
-    )
+    k = hash_split(keep, "doc_id", {"train": 204, "valid": 26, "test": 26})
     return k.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)))

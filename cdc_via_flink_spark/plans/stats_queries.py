@@ -5439,19 +5439,32 @@ def q_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 12,
             ).alias("s2"),
         )
-    c1 = params.select(
-        F.lit(1).alias("component"),
-        F.round("pi1", 6).alias("weight"),
-        F.round("mu1", 2).alias("mu"),
-        F.round("s1", 2).alias("sigma"),
+    # ONE reference to params (r12): the c1/c2 union referenced the
+    # 3-iteration nested-broadcast chain twice — explode a 2-struct
+    # array instead so the EM chain executes once per run even where
+    # exchange reuse fails to dedupe it
+    return (
+        params.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("component"),
+                        F.round("pi1", 6).alias("weight"),
+                        F.round("mu1", 2).alias("mu"),
+                        F.round("s1", 2).alias("sigma"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("component"),
+                        F.round(1 - F.col("pi1"), 6).alias("weight"),
+                        F.round("mu2", 2).alias("mu"),
+                        F.round("s2", 2).alias("sigma"),
+                    ),
+                )
+            ).alias("c")
+        )
+        .select("c.*")
+        .orderBy("component")
     )
-    c2 = params.select(
-        F.lit(2).alias("component"),
-        F.round(1 - F.col("pi1"), 6).alias("weight"),
-        F.round("mu2", 2).alias("mu"),
-        F.round("s2", 2).alias("sigma"),
-    )
-    return c1.unionByName(c2).orderBy("component")
 
 
 _CUPED_CUTOFF = "1996-01-01"  # pre/post split of the order history
