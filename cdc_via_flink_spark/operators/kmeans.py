@@ -146,8 +146,14 @@ def kmeans_fit(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
     if routing_only:
-        cents = cents.localCheckpoint(eager=True)
-        if cents.count() == 1:
+        # model-sized by construction (k1 = n/every_k rows of 64
+        # doubles — the kmeans-centroid collect precedent): ONE
+        # collect job replaces the r11 localCheckpoint+count pair and
+        # hands downstream argmin broadcasts a LocalRelation instead
+        # of an RDD-scan lineage (r12)
+        rows = cents.collect()
+        cents = corpus.sparkSession.createDataFrame(rows, cents.schema)
+        if len(rows) == 1:
             return cents
     train = _train_sample(v_df, train_mod)
     for _ in range(max_iter):
