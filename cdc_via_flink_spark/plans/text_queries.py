@@ -1001,43 +1001,61 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     utot = uni.agg(
         F.sum("c").cast("long").alias("tc"), F.count(F.lit(1)).alias("v")
     )
-    a = tokp.select("doc_id", F.col("pos").alias("apos"), F.col("t").alias("t1"))
-    b = tokp.select(
-        "doc_id", "lang", F.col("pos").alias("bpos"), F.col("t").alias("t2")
-    )
-    bi = (
-        a.join(b, (a.doc_id == b.doc_id) & (b.bpos == a.apos + 1))
-        .groupBy("t1", "t2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    pairs = a.join(
-        b.withColumnRenamed("doc_id", "doc_id_b"),
-        (F.col("doc_id") == F.col("doc_id_b")) & (F.col("bpos") == F.col("apos") + 1),
-    )
+    # r12: token ADJACENCY map-side from the token array (the
+    # text_kn_bigram_ppl_buckets shape) instead of TWO positional
+    # self-joins of the full token stream — the bigram counts and the
+    # scoring pairs were each a corpus-sized shuffle join; now both
+    # derive from one in-row transform. (tokp stays the source of the
+    # unigram model so counts are bit-identical.)
+    base = d.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("tks")
+    ).filter(F.size("tks") >= 2)
+    pairs = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tks)-2),"
+                " i -> struct(tks[i] as t1, tks[i+1] as t2))"
+            )
+        ).alias("u"),
+    ).select("doc_id", "lang", "u.t1", "u.t2")
+    bi = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c"))
     uni1 = uni.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
-    bi2 = bi.select(
-        F.col("t1").alias("bt1"), F.col("t2").alias("bt2"), F.col("c").alias("cb")
-    )
-    scored = (
-        pairs.join(
-            F.broadcast(bi2),
-            (F.col("t1") == F.col("bt1")) & (F.col("t2") == F.col("bt2")),
-            "left",
-        )
-        .join(F.broadcast(uni1), "t1")
-        .crossJoin(F.broadcast(utot))
+    # per-bigram NLL precomputed on the MODEL frames (hit side per
+    # (t1, t2), miss side one constant per t1 — the text_nb_classify
+    # recipe): the corpus pair stream coalesces two joined decimals
+    hit = (
+        bi.join(uni1, "t1")
+        .crossJoin(utot)
         .select(
-            "doc_id",
-            "lang",
+            F.col("t1").alias("bt1"),
+            F.col("t2").alias("bt2"),
             F.round(
-                -F.log(
-                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("c1") + F.col("v"))
-                ),
+                -F.log((F.col("c") + F.lit(1.0)) / (F.col("c1") + F.col("v"))),
                 6,
             )
             .cast("decimal(28,6)")
-            .alias("s"),
+            .alias("s_hit"),
+        )
+    )
+    miss = uni1.crossJoin(utot).select(
+        "t1",
+        F.round(-F.log(F.lit(1.0) / (F.col("c1") + F.col("v"))), 6)
+        .cast("decimal(28,6)")
+        .alias("s_miss"),
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(hit),
+            (F.col("t1") == F.col("bt1")) & (F.col("t2") == F.col("bt2")),
+            "left",
+        )
+        .join(F.broadcast(miss), "t1")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("s_hit"), F.col("s_miss")).alias("s"),
         )
     )
     per_doc = scored.groupBy("doc_id", "lang").agg(
@@ -2869,16 +2887,26 @@ def text_kn_bigram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         F.greatest(F.col("c") - F.lit(KN_D), F.lit(0.0)) / F.col("c1")
     ) + ((F.lit(KN_D) * F.col("nl") / F.col("c1")) * (F.col("nr") / F.col("b")))
+    # r12: the per-bigram NLL depends only on the MODEL-sized (w1, w2)
+    # row — assemble the three count joins + the log/round/cast on the
+    # model frame and hand the corpus bigram stream ONE broadcast join
+    # over a precomputed decimal (the text_nb_classify recipe)
+    mod = (
+        bc.join(lft, "w1")
+        .join(rgt, "w2")
+        .crossJoin(tot)
+        .select(
+            "w1",
+            "w2",
+            F.round(-F.log(p), 6).cast("decimal(28,6)").alias("nll_t"),
+        )
+    )
     nll = (
-        big.join(F.broadcast(bc), ["w1", "w2"])
-        .join(F.broadcast(lft), "w1")
-        .join(F.broadcast(rgt), "w2")
-        .crossJoin(F.broadcast(tot))
+        big.join(F.broadcast(mod), ["w1", "w2"])
         .groupBy("doc_id", "lang")
         .agg(
             (
-                F.sum(F.round(-F.log(p), 6).cast("decimal(28,6)")).cast("double")
-                / F.count(F.lit(1))
+                F.sum("nll_t").cast("double") / F.count(F.lit(1))
             ).alias("doc_nll")
         )
     )
