@@ -87,7 +87,34 @@ def main() -> None:
         while it.hasNext():
             it.next().unpersist(True)
         spark.sparkContext._jvm.System.gc()
+        # Python-side process-lifetime memos too (VERDICT r12 #4):
+        # _SIZING_MEMO / _GUARD_MEMO survive the JVM-state drop, so
+        # without this the min-of-N's runs 2..N skip real sizing jobs
+        # a cold production run pays — the recorded min must measure
+        # the full cell.
+        from cdc_via_flink_spark.operators import banding, similarity
 
+        similarity._SIZING_MEMO.clear()
+        banding._GUARD_MEMO.clear()
+
+    def _calibrate() -> float:
+        # Host-weather calibration cell (VERDICT r11 #7 / r12 #5): a
+        # fixed CPU-bound probe with no I/O and no dependence on the
+        # code under test, timed FIRST and LAST. A last/first ratio
+        # far from 1 marks the whole artifact as taken under a host
+        # phase shift; recorded in the JSON so cross-round cell
+        # comparisons are self-identifying. Not part of any tier
+        # total.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(50_000_000).selectExpr(
+                "sum(xxhash64(id))"
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    calib_first = _calibrate()
     _drop_cross_cell_state()
 
     try:
@@ -149,6 +176,7 @@ def main() -> None:
                 cur.update(_time_tier(specs_d, 1, prev=cur))
                 retried.append(label)
     total = round(sum(times.values()), 3)
+    calib_last = _calibrate()
 
     print(
         json.dumps(
@@ -177,7 +205,18 @@ def main() -> None:
                 # phases before them (the r8-r10 dedup_semantic
                 # drift).
                 "policy": "stream-prerun-at-target-sf+cell-state-drop"
-                + ("+cap-retry:" + ",".join(retried) if retried else ""),
+                + ("+cap-retry:" + ",".join(retried) if retried else "")
+                + "+calibration-cell",
+                # ambient-noise calibration (see _calibrate): identical
+                # fixed probe timed before the first and after the last
+                # cell; ratio >> 1 or << 1 = the host phase shifted
+                # mid-artifact and per-cell comparisons across rounds
+                # need the BASELINE.md weather caveat.
+                "calibration": {
+                    "first_sec": calib_first,
+                    "last_sec": calib_last,
+                    "ratio": round(calib_last / max(calib_first, 1e-9), 3),
+                },
                 "sf": sf,
             }
         )

@@ -330,9 +330,18 @@ def _lsh_core(
     )
     df = cls.select(F.col("_rep").alias(id_col), F.col("_text").alias(text_col))
     sh = doc_shingles(df, text_col, id_col)
+    # The signature stays the explode + groupBy(doc_id).agg(K mins)
+    # hash aggregate. A MAP-SIDE alternative (array_min over transform
+    # of the in-row distinct-shingle array — no explode, no aggregate
+    # exchange) was built and REJECTED by interleaved A/B in r13:
+    # 11.3 vs 4.8 s min-of-3 on the dedup_minhash_lsh cell — the K+1
+    # interpreted higher-order folds cost ~2.3x more than the
+    # codegen'd hash aggregate they replace (the r12 unrolled-dot
+    # lesson again: HOFs evaluate interpreted).
     t = sh.withColumn("t", token_int(F.col("sh")))
     aggs = [
-        F.min(minhash_expr(F.col("t"), j)).alias(f"mh{j}") for j in range(num_hashes)
+        F.min(minhash_expr(F.col("t"), j)).alias(f"mh{j}")
+        for j in range(num_hashes)
     ] + [F.count(F.lit(1)).alias("sz")]
     sigsz = t.groupBy("doc_id").agg(*aggs)
 

@@ -41,6 +41,12 @@ from cdc_via_flink_spark.functions.vectors import dot, norm, to_double
 
 _NEG_COS = -2.0  # below any real cosine; the fold's identity score
 
+# routing_only materialization strategy (VERDICT r12 #2 A/B): True =
+# one collect -> LocalRelation (r12 form), False = localCheckpoint +
+# count (r11 form). Both are sanctioned model-sized actions; the
+# interleaved A/B artifact in OPTIMIZATION_r13.md records which wins.
+_ROUTING_VIA_COLLECT = True
+
 
 def _cent_array(cents: DataFrame, *group_cols: str) -> DataFrame:
     """Collapse a (centroid_id, cv) frame into one array-of-structs row
@@ -146,15 +152,24 @@ def kmeans_fit(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
     if routing_only:
-        # model-sized by construction (k1 = n/every_k rows of 64
-        # doubles — the kmeans-centroid collect precedent): ONE
-        # collect job replaces the r11 localCheckpoint+count pair and
-        # hands downstream argmin broadcasts a LocalRelation instead
-        # of an RDD-scan lineage (r12)
-        rows = cents.collect()
-        cents = corpus.sparkSession.createDataFrame(rows, cents.schema)
-        if len(rows) == 1:
-            return cents
+        if _ROUTING_VIA_COLLECT:
+            # model-sized by construction (k1 = n/every_k rows of 64
+            # doubles — the kmeans-centroid collect precedent): ONE
+            # collect job replaces the r11 localCheckpoint+count pair
+            # and hands downstream argmin broadcasts a LocalRelation
+            # instead of an RDD-scan lineage (r12)
+            rows = cents.collect()
+            cents = corpus.sparkSession.createDataFrame(rows, cents.schema)
+            if len(rows) == 1:
+                return cents
+        else:
+            # r11 form kept behind the A/B flag (VERDICT r12 #2: the
+            # driver cell moved +68 % after the collect landed; the
+            # interleaved A/B in OPTIMIZATION_r13.md settles which
+            # form ships)
+            cents = cents.localCheckpoint(eager=True)
+            if cents.count() == 1:
+                return cents
     train = _train_sample(v_df, train_mod)
     for _ in range(max_iter):
         assigned = _nearest(train, cents)

@@ -105,6 +105,22 @@ def pinball_grid_argmin(spark: SparkSession, li: DataFrame) -> DataFrame:
                 "x/y envelope inconsistent with the s >= 0, x > 0 assumption"
             )
         bounds.append((s, lo, w))
+    # fail-fast overflow guard (ADVICE r12): the long bucket sums wrap
+    # silently in non-ANSI mode past n_b * max|r4| >= 2^63. Bound
+    # max|r4| from the already-collected envelope (|r4| =
+    # |y - s*x| * 10^4 <= (max|y| + smax*max|x|) * 10^4) and assert
+    # with n_b <= n — conservative: a deployment past it must raise
+    # _QR_BUCKETS (which should grow with n anyway), not ship a
+    # silently wrong quantile.
+    max_abs_y = max(abs(brow["min_y"]), abs(brow["max_y"]))
+    max_abs_x = max(abs(brow["min_x"]), abs(brow["max_x"]))
+    max_r4 = (max_abs_y + float(brow["smax"]) * max_abs_x) * 10_000 + 1
+    if n * max_r4 >= float(2**63):
+        raise ValueError(
+            f"pinball_grid_argmin long-sum overflow envelope exceeded: "
+            f"n={n} rows x max|r4|~{max_r4:.3g} >= 2^63; raise _QR_BUCKETS "
+            "(per-bucket counts shrink) or partition the input"
+        )
     # exact integer cents: s has 2 decimals by construction, x/y are
     # DECIMAL(18,2), so r4 = r * 10^4 = yc*100 - sc*xc is an exact
     # long — 21 long mult-adds per row instead of 21 decimal ones

@@ -490,7 +490,25 @@ def _resolve_sizing(
             pass
         if memo_key is not None and memo_key in _SIZING_MEMO:
             n_distinct = _SIZING_MEMO[memo_key]
-        else:
+            # REFUSE a memoized cardinality that lands the sizing in
+            # the clamped-recall regime (ADVICE r12): semanticHash
+            # ignores file contents, and a stale entry that derives
+            # bits high enough for the max_tables clamp to bind would
+            # weaken the 1e-8 recall bound — pairs could be silently
+            # DROPPED, not just mis-costed. Re-probe fresh in that
+            # regime; a fresh cardinality that still clamps warns via
+            # lsh_plan_detail (the honest, non-stale signal).
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                probe = lsh_plan_detail(
+                    n_distinct, threshold, bits_override=bits
+                )
+            if probe["tables_capped"]:
+                del _SIZING_MEMO[memo_key]
+                n_distinct = None
+        if n_distinct is None:
             n_distinct = d.agg(
                 F.approx_count_distinct(F.xxhash64(F.col("v"))).alias("n")
             ).head()["n"]
@@ -514,6 +532,77 @@ def _resolve_sizing(
         auto_bits if bits is None else bits,
         auto_tables if tables is None else tables,
     )
+
+
+# Exact-verify dot-product path (VERDICT r12 #5 A/B): True routes the
+# candidate-pair dot through a mapInArrow kernel whose summation is
+# SEQUENTIAL-ORDER float64 (loop over dimensions: acc += prod[:, j]) —
+# bit-identical to the Catalyst aggregate fold (same IEEE multiply,
+# same left-to-right add order, same 0.0 init) while vectorizing the
+# per-pair work in numpy; False keeps the interpreted JVM fold.
+# Division, rounding, and thresholding stay in the JVM either way.
+# Parity pinned by tests/test_similarity_kernel.py; ships at the
+# measured winner.
+_VERIFY_VIA_ARROW = False
+
+
+def _seqdot_map_in_arrow(joined: DataFrame) -> DataFrame:
+    """(id_a, id_b, va, vb, den) -> (id_a, id_b, dt, den) where dt is
+    the zip_with-multiply / left-fold-sum dot of va·vb, computed
+    batch-vectorized with SEQUENTIAL-ORDER summation (see the flag
+    note above — np.sum/np.dot would use pairwise/SIMD association
+    and break bit parity). Null or length-mismatched vectors yield a
+    NULL dot, matching zip_with+aggregate null semantics."""
+    out_schema = "id_a long, id_b long, dt double, den double"
+
+    def _batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in it:
+            n = b.num_rows
+            va = b.column("va")
+            vb = b.column("vb")
+            # combine_chunks not needed: mapInArrow yields RecordBatch
+            off_a = np.asarray(va.offsets)
+            off_b = np.asarray(vb.offsets)
+            len_a = np.diff(off_a)
+            len_b = np.diff(off_b)
+            dt = np.full(n, np.nan)
+            ok = (
+                (len_a == len_b)
+                & va.is_valid().to_numpy(zero_copy_only=False)
+                & vb.is_valid().to_numpy(zero_copy_only=False)
+            )
+            if n and ok.any():
+                vals_a = np.asarray(va.values)
+                vals_b = np.asarray(vb.values)
+                dims = np.unique(len_a[ok])
+                for d in dims:
+                    sel = ok & (len_a == d)
+                    idx = np.flatnonzero(sel)
+                    # gather each selected row's slice: rows are
+                    # contiguous in the values buffer at offsets[i]
+                    starts_a = off_a[idx]
+                    starts_b = off_b[idx]
+                    ga = vals_a[
+                        (starts_a[:, None] + np.arange(d)[None, :]).ravel()
+                    ].reshape(len(idx), d)
+                    gb = vals_b[
+                        (starts_b[:, None] + np.arange(d)[None, :]).ravel()
+                    ].reshape(len(idx), d)
+                    prod = ga * gb
+                    acc = np.zeros(len(idx))
+                    for j in range(d):
+                        acc += prod[:, j]
+                    dt[idx] = acc
+            dt_arr = pa.array(dt, type=pa.float64(), mask=~ok)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("id_a"), b.column("id_b"), dt_arr, b.column("den")],
+                names=["id_a", "id_b", "dt", "den"],
+            )
+
+    return joined.mapInArrow(_batches, out_schema)
 
 
 def _verify_and_expand(
@@ -555,18 +644,41 @@ def _verify_and_expand(
     # cosine saves; the join + fold never leaves the JVM. (The codes
     # stage IS Arrow-vectorized — there the transfer is one 64-d
     # vector per ROW, not per candidate pair.)
-    rep_pairs = (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cos"),
+    if _VERIFY_VIA_ARROW:
+        joined = (
+            pairs.join(va, "id_a")
+            .join(vb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                "va",
+                "vb",
+                (F.col("na") * F.col("nb")).alias("den"),
+            )
         )
-        .filter(F.col("cos") >= threshold)
-    )
+        rep_pairs = (
+            _seqdot_map_in_arrow(joined)
+            .select(
+                "id_a",
+                "id_b",
+                F.round(F.col("dt") / F.col("den"), 6).alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
+        )
+    else:
+        rep_pairs = (
+            pairs.join(va, "id_a")
+            .join(vb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                    6,
+                ).alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
+        )
     # expand rep pairs to member pairs (both classes' members, all
     # combinations — the cosine is the rep pair's, vectors identical)
     ma = cls.select(F.col("rep").alias("id_a"), F.explode("members").alias("mem_a"))

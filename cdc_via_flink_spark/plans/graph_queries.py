@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from cdc_via_flink_spark.operators.graphhint import node_join_strategy
 from cdc_via_flink_spark.plans.registry import query
 from cdc_via_flink_spark.sources.tables import load_table
 
@@ -106,6 +107,10 @@ def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
+        # executor-loss semantics: localCheckpoint blocks are NOT
+        # fault-tolerant — losing an executor mid-query fails the job
+        # (acceptable for a single declared query; a long-lived
+        # production loop would use reliable checkpoint() instead)
         .localCheckpoint(eager=True)
     )
     deg = (
@@ -113,6 +118,12 @@ def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint(eager=True)
     )
+    # node-sized loop frames (r, contrib) are broadcast ONLY under a
+    # counted row bound (VERDICT r12 #3 — node count grows with the
+    # corpus, so a forced broadcast would die at the 100 TB point
+    # instead of degrading); past the bound the same joins run as
+    # partitioned shuffle-hash with the node side as build side.
+    node_side = node_join_strategy(deg)
     n_row = deg.agg(F.count(F.lit(1)).alias("nn"))
     nodes = deg.select(F.col("src").alias("node"), "deg").crossJoin(
         F.broadcast(n_row)
@@ -122,7 +133,7 @@ def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(N_ITER):
         contrib = (
-            edges.join(F.broadcast(r), r.node == edges.src)
+            edges.join(node_side(r), r.node == edges.src)
             .select(
                 F.col("dst"),
                 F.round(F.col("r") / F.col("deg"), 12).cast(DEC).alias("c"),
@@ -131,7 +142,7 @@ def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("sc"))
         )
         r = (
-            nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
+            nodes.join(node_side(contrib), nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 "deg",
@@ -766,13 +777,24 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filters ride the checkpointed deg for free. The alive side of
     # each edge join is broadcast explicitly (node-sized vs the
     # edge-sized probe).
+    # (executor-loss semantics: localCheckpoint blocks are not
+    # fault-tolerant — an executor loss fails the query; a long-lived
+    # production loop would use reliable checkpoint() instead)
     edges = edges.localCheckpoint(eager=True)
-    alive = edges.select("src").distinct()
+    # round-0 alive set checkpointed ONCE (it previously re-computed
+    # the distinct for each of the two broadcast builds) and counted
+    # for the broadcast guard: alive sets only shrink, so one count
+    # bounds every round (VERDICT r12 #3 — node-sized frames are
+    # broadcast only under the counted bound; past it the edge joins
+    # degrade to partitioned shuffle-hash instead of dying on the
+    # broadcast cap).
+    alive = edges.select("src").distinct().localCheckpoint(eager=True)
+    node_side = node_join_strategy(alive)
     degs = []
     for _ in range(_KCORE_ROUNDS + 1):
         deg = (
-            edges.join(F.broadcast(alive), "src")
-            .join(F.broadcast(alive.select(F.col("src").alias("dst"))), "dst")
+            edges.join(node_side(alive), "src")
+            .join(node_side(alive.select(F.col("src").alias("dst"))), "dst")
             .groupBy("src")
             .agg(F.count(F.lit(1)).cast("long").alias("deg"))
             .localCheckpoint(eager=True)

@@ -5256,6 +5256,10 @@ def q_r2_shapley_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GMM_ITERS = 3
+# A/B flag (VERDICT r12 #2): True = single-explode tail (r12), False =
+# c1/c2 union tail (r11). Flipped only by the interleaved A/B harness;
+# ships at the measured winner.
+_GMM_TAIL_EXPLODE = True
 
 
 def _gmm_oracle() -> str:
@@ -5442,7 +5446,22 @@ def q_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE reference to params (r12): the c1/c2 union referenced the
     # 3-iteration nested-broadcast chain twice — explode a 2-struct
     # array instead so the EM chain executes once per run even where
-    # exchange reuse fails to dedupe it
+    # exchange reuse fails to dedupe it. (r11 union form kept behind
+    # _GMM_TAIL_EXPLODE for the VERDICT r12 #2 interleaved A/B.)
+    if not _GMM_TAIL_EXPLODE:
+        c1 = params.select(
+            F.lit(1).alias("component"),
+            F.round("pi1", 6).alias("weight"),
+            F.round("mu1", 2).alias("mu"),
+            F.round("s1", 2).alias("sigma"),
+        )
+        c2 = params.select(
+            F.lit(2).alias("component"),
+            F.round(1 - F.col("pi1"), 6).alias("weight"),
+            F.round("mu2", 2).alias("mu"),
+            F.round("s2", 2).alias("sigma"),
+        )
+        return c1.unionByName(c2).orderBy("component")
     return (
         params.select(
             F.explode(

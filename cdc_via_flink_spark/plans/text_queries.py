@@ -197,16 +197,18 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus size as a broadcast 1-row aggregate (no driver action —
     # the plans/-wide AST guard bans .count() in builder bodies)
     nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    scored = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            "term",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
-            ).alias("tfidf"),
-        )
+    # idf precomputed on the TERM-sized df frame (VERDICT r12 #7 —
+    # the model-side precompute recipe): log(n_docs/df) depends only
+    # on the term model, so the corpus-sized (doc, term) pass
+    # multiplies a joined double instead of paying a div+log per row.
+    # Same expression inputs -> bit-identical double.
+    idf = df.crossJoin(F.broadcast(nd)).select(
+        "term", F.log(F.col("n_docs") / F.col("df")).alias("idf")
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
@@ -561,16 +563,16 @@ def text_tfidf_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tk.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfr = tk.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    scored = (
-        tf.join(dfr, "term")
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            "term",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
-            ).alias("tfidf"),
-        )
+    # idf precomputed on the TERM-sized frame (the tfidf_top_terms
+    # recipe, VERDICT r12 #7) — bit-identical double, one fewer
+    # div+log per corpus (doc, term) row
+    idf = dfr.crossJoin(F.broadcast(nd)).select(
+        "term", F.log(F.col("n_docs") / F.col("df")).alias("idf")
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
@@ -698,18 +700,19 @@ def text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     slp = terms.groupBy("doc_id", "plang").agg(F.sum("lp").alias("slp"))
+    # r13 (same recipe, VERDICT r12 #7): the prior log-probability
+    # round(log(nd/ndt)) depends only on the LANG-sized prior frame —
+    # precompute it there instead of once per (doc x lang) row
+    prior_lp = prior.crossJoin(F.broadcast(ndt)).select(
+        F.col("lang").alias("plang"),
+        F.round(F.log(F.col("nd").cast("double") / F.col("ndt")), 6)
+        .cast(dec6)
+        .alias("prior_lp"),
+    )
     pairs = (
         d.select("doc_id", F.col("lang").alias("actual_lang"))
-        .crossJoin(F.broadcast(prior))
-        .crossJoin(F.broadcast(ndt))
-        .select(
-            "doc_id",
-            "actual_lang",
-            F.col("lang").alias("plang"),
-            F.round(F.log(F.col("nd").cast("double") / F.col("ndt")), 6)
-            .cast(dec6)
-            .alias("prior_lp"),
-        )
+        .crossJoin(F.broadcast(prior_lp))
+        .select("doc_id", "actual_lang", "plang", "prior_lp")
     )
     scored = pairs.join(slp, ["doc_id", "plang"], "left").select(
         "doc_id",
@@ -984,11 +987,12 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_unigram_ppl_buckets: each token's conditional negative
     log-likelihood -ln P(t|prev) with add-1 smoothing over the
     follower vocabulary (count(prev,t)+1)/(count(prev)+V), averaged
-    per doc and bucketed per lang. Token ADJACENCY comes from a
-    positional self-join (posexplode ordinals — the tokp table is
-    built ONCE and reused for unigrams, bigrams, and scoring), and the
-    same rounded-decimal summation policy keeps a context-conditioned
-    LM exact-hash verifiable. Gibberish with plausible unigrams but
+    per doc and bucketed per lang. Token ADJACENCY derives map-side
+    from the token array (an in-row transform over sequence ordinals
+    — no positional self-join; tokp feeds only the unigram model so
+    counts stay bit-identical), and the same rounded-decimal
+    summation policy keeps a context-conditioned LM exact-hash
+    verifiable. Gibberish with plausible unigrams but
     broken word ORDER scores high here while passing the unigram
     filter — the reason real pipelines run both."""
     d = load_table(spark, sf_dir, "documents")

@@ -37,6 +37,12 @@ def main() -> None:
         while it.hasNext():
             it.next().unpersist(True)
         spark.sparkContext._jvm.System.gc()
+        # Python-side memos too (VERDICT r12 #4) — keep the A/B
+        # harness's cell definition identical to bench.py's.
+        from cdc_via_flink_spark.operators import banding, similarity
+
+        similarity._SIZING_MEMO.clear()
+        banding._GUARD_MEMO.clear()
 
     warm_dir = "/root/testdata/sf0.001"
     out = {}
