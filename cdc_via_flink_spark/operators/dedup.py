@@ -824,6 +824,10 @@ def simhash64(sh: DataFrame) -> DataFrame:
     return votes.select("doc_id", fp.alias("simhash"))
 
 
+# SHJ A/B switch for semantic_dedup's decision join (see site comment)
+_SEM_DROPS_SHJ = True
+
+
 def semantic_dedup(
     e: DataFrame,
     tau: float = 0.4,
@@ -959,8 +963,15 @@ def semantic_dedup(
     )
     cand = own.unionByName(cross).filter(F.col("cos") >= tau)
     drops = cand.groupBy("vec_id").agg(F.min(F.struct("id_a", "cos")).alias("d"))
+    # decision join as SHUFFLED HASH (r13, guide §3.1): drops is the
+    # smaller aggregated side (dropped docs only) and LeftOuter
+    # BuildRight is SHJ-eligible — removes the final SortMergeJoin's
+    # two corpus-sized sorts from the plan. (_SEM_DROPS_SHJ is the
+    # interleaved-A/B switch; ships at the measured winner.)
     return assigned.join(
-        drops, "vec_id", "left"
+        drops.hint("shuffle_hash") if _SEM_DROPS_SHJ else drops,
+        "vec_id",
+        "left",
     ).select(
         "vec_id",
         "cluster_id",

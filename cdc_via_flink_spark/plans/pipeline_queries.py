@@ -954,7 +954,11 @@ def q_corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nll, "doc_id")
         .crossJoin(F.broadcast(thr))
         .filter(F.col("doc_nll") <= F.col("mx"))
-        .join(nd, "doc_id", "left_anti")
+        # near-dup anti-join as SHUFFLED HASH (r13, guide §3.1): the
+        # nd id set is the smaller aggregated side and LeftAnti
+        # BuildRight is SHJ-eligible — drops the two per-side sorts
+        # the default SortMergeJoin pays. Same rows by definition.
+        .join(nd.hint("shuffle_hash"), "doc_id", "left_anti")
         .select("doc_id", "lang", "text", normalize_text(F.col("text")).alias("norm"))
         .filter(F.size(F.split(F.col("norm"), " ")) >= 20)
     )

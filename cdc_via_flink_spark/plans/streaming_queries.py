@@ -34,17 +34,38 @@ _q_counter = itertools.count()
 
 def _run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
     """Run a streaming frame to completion into a memory sink (S3
-    console-sink stand-in) and return the materialized table."""
-    name = f"stream_sink_{next(_q_counter)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    console-sink stand-in) and return the materialized table.
+
+    SPARK_GRAFT_STREAM_STATE_PARTITIONS (VERDICT r12 #8): explicit
+    deployment knob for the stateful operators' STATE partition count
+    — a new streaming checkpoint pins spark.sql.shuffle.partitions at
+    first batch, and every micro-batch then pays a fixed per-partition
+    state-store cost (~50 ms x partitions at 1-row payloads, measured
+    in OPTIMIZATION_r12.md). Default UNSET keeps the session value
+    (bench stays comparable across rounds); a real deployment sizes it
+    to sustained throughput, not to the local core count — see
+    STATESTORE_r13_partitions.json for the measured local curve and
+    DEPLOY.md for production guidance."""
+    spark = sdf.sparkSession
+    n_state = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key) if n_state else None
+    if n_state:
+        spark.conf.set(key, n_state)
+    try:
+        name = f"stream_sink_{next(_q_counter)}"
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if n_state:
+            spark.conf.set(key, prev)
+    return spark.table(name)
 
 
 _REPLAY_HORIZON: dict[str, tuple] = {}

@@ -582,6 +582,10 @@ def text_tfidf_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SHJ A/B switch for the nb-classify slp join (see site comment)
+_NB_SLP_SHJ = True
+
+
 @query(
     "text_nb_classify",
     bench2=True,
@@ -714,7 +718,15 @@ def text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(prior_lp))
         .select("doc_id", "actual_lang", "plang", "prior_lp")
     )
-    scored = pairs.join(slp, ["doc_id", "plang"], "left").select(
+    # slp join as SHUFFLED HASH (r13, guide §3.1): both sides are
+    # (doc x lang)-sized so neither broadcasts, and the default
+    # SortMergeJoin pays two corpus-sized sorts the hash build
+    # doesn't; LeftOuter BuildRight is SHJ-eligible. (_NB_SLP_SHJ is
+    # the interleaved-A/B switch; ships at the measured winner.)
+    slp_side = slp.hint("shuffle_hash") if _NB_SLP_SHJ else slp
+    scored = pairs.join(
+        slp_side, ["doc_id", "plang"], "left"
+    ).select(
         "doc_id",
         "actual_lang",
         "plang",

@@ -44,6 +44,18 @@ EXPERIMENTS = {
         "_VERIFY_VIA_ARROW",
         {"arrow_seqsum_r13": True, "jvm_fold_r12": False},
     ),
+    "nb_slp_shj": (
+        "text_nb_classify",
+        "cdc_via_flink_spark.plans.text_queries",
+        "_NB_SLP_SHJ",
+        {"shj_r13": True, "smj_r12": False},
+    ),
+    "sem_drops_shj": (
+        "dedup_semantic",
+        "cdc_via_flink_spark.operators.dedup",
+        "_SEM_DROPS_SHJ",
+        {"shj_r13": True, "smj_r12": False},
+    ),
 }
 
 
